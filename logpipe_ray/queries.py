@@ -1,0 +1,544 @@
+"""Query registry: every operator exposed to the driver contract.
+
+Each entry pairs a Ray Data implementation (callable taking ``sf_dir``)
+with an equivalent DuckDB oracle SQL (or None for non-SQL-expressible
+ops -> driver does a rows-only check). Column names are kept identical
+on both sides — the driver hashes values with columns sorted by name.
+
+The log-pipeline (lp_*) queries run over the deterministic tokenized
+``sequences`` fixture (generated on demand, cached under /tmp); their
+oracles decode the token arrays INSIDE DuckDB (chr(token-3) join) and
+re-extract fields with the same RE2 patterns — a fully independent
+computation path.
+
+Never calls ray.init(): the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .fixtures.generator import ensure_sequences, sequences_dir_for
+from .pipelines.flagship import build_pipeline
+from .stages.aggregate import count_groupby, stats_groupby, top_k
+from .stages.transform import make_filter, select_fields
+
+# ---------------------------------------------------------------- lp: shared
+
+# Keep in sync with stages/parse.py (the engine) — the oracle re-states
+# the same grok patterns in SQL.
+_MASTER = (
+    '^\\{"timestamp":"[^"]+","level":"(?:INFO|WARN|ERROR)","service":"[a-z-]+",'
+    ".*[^,]\\}$"
+)
+
+
+def _routed(sf_dir: str) -> Dataset:
+    seq_dir = ensure_sequences(sf_dir)
+    return build_pipeline(rd.read_parquet(seq_dir))
+
+
+def _lp_cte(sf_dir: str) -> str:
+    path = ensure_sequences(sf_dir)
+    return f"""
+WITH seq AS (
+  SELECT doc_id, n_tok, source,
+         coalesce(array_to_string(list_transform(tokens, x -> chr(x - 3)), ''), '') AS line
+  FROM read_parquet('{path}/shard_*.parquet')
+),
+raw AS (
+  SELECT doc_id, n_tok, source, line,
+    regexp_matches(line, '{_MASTER}') AS parse_ok,
+    nullif(regexp_extract(line, '"timestamp":"([^"]+)"', 1), '') AS r_timestamp,
+    nullif(regexp_extract(line, '"level":"([A-Z]+)"', 1), '') AS r_level,
+    nullif(regexp_extract(line, '"service":"([^"]+)"', 1), '') AS r_service,
+    nullif(regexp_extract(line, '"method":"([A-Z]+)"', 1), '') AS r_method,
+    nullif(regexp_extract(line, '"path":"([^"]+)"', 1), '') AS r_path,
+    nullif(regexp_extract(line, '"status":(\\d+)', 1), '') AS r_status,
+    nullif(regexp_extract(line, '"responseTime":(\\d+)', 1), '') AS r_rt,
+    nullif(regexp_extract(line, '"userId":"([^"]+)"', 1), '') AS r_user,
+    nullif(regexp_extract(line, '"sessionId":"([^"]+)"', 1), '') AS r_session,
+    nullif(regexp_extract(line, '"ip":"([^"]+)","message"', 1), '') AS r_ip,
+    nullif(regexp_extract(line, '"message":"([^"]+)"', 1), '') AS r_message,
+    nullif(regexp_extract(line, '"payloadSize":(\\d+)', 1), '') AS r_payload,
+    nullif(regexp_extract(line, '"env":"([^"]+)"', 1), '') AS r_env,
+    nullif(regexp_extract(line, '"host":"([^"]+)"', 1), '') AS r_host,
+    nullif(regexp_extract(line, '"errorCode":"([^"]+)"', 1), '') AS r_errcode
+  FROM seq
+),
+parsed AS (
+  SELECT doc_id, n_tok, source, parse_ok,
+    CASE WHEN parse_ok THEN r_timestamp END AS "timestamp",
+    CASE WHEN parse_ok THEN r_level END AS level,
+    CASE WHEN parse_ok THEN r_service END AS service,
+    CASE WHEN parse_ok THEN r_method END AS method,
+    CASE WHEN parse_ok THEN r_path END AS path,
+    CASE WHEN parse_ok THEN CAST(r_status AS INTEGER) END AS status,
+    CASE WHEN parse_ok THEN CAST(r_rt AS INTEGER) END AS response_time,
+    CASE WHEN parse_ok THEN r_user END AS user_id,
+    CASE WHEN parse_ok THEN r_session END AS session_id,
+    CASE WHEN parse_ok THEN r_ip END AS ip,
+    CASE WHEN parse_ok THEN r_message END AS message,
+    CASE WHEN parse_ok THEN CAST(r_payload AS INTEGER) END AS payload_size,
+    CASE WHEN parse_ok THEN r_env END AS meta_env,
+    CASE WHEN parse_ok THEN r_host END AS meta_host,
+    CASE WHEN parse_ok THEN r_errcode END AS error_code
+  FROM raw
+),
+enriched AS (
+  SELECT *,
+    CASE (CAST(string_split(ip, '.')[1] AS INTEGER) % 8)
+      WHEN 0 THEN 'AF' WHEN 1 THEN 'AN' WHEN 2 THEN 'AS' WHEN 3 THEN 'EU'
+      WHEN 4 THEN 'NA' WHEN 5 THEN 'OC' WHEN 6 THEN 'SA' WHEN 7 THEN 'UN'
+    END AS geo,
+    CASE level WHEN 'INFO' THEN 1 WHEN 'WARN' THEN 2 WHEN 'ERROR' THEN 3 END AS severity,
+    CASE source
+      WHEN 'auth' THEN 'sink_auth' WHEN 'payments' THEN 'sink_payments'
+      WHEN 'orders' THEN 'sink_orders' WHEN 'api-gateway' THEN 'sink_gateway'
+    END AS route
+  FROM parsed
+),
+routed AS (
+  SELECT *,
+    CASE
+      WHEN NOT parse_ok THEN 'deadletter'
+      WHEN level = 'ERROR' THEN 'errors'
+      WHEN response_time > 1000 THEN 'slow'
+      ELSE route
+    END AS sink
+  FROM enriched
+)
+"""
+
+
+def _sel(ds: Dataset, flt: dict | None, cols: list[str]) -> Dataset:
+    if flt:
+        ds = ds.map_batches(make_filter(flt), batch_format="pyarrow")
+    return ds.map_batches(select_fields(cols), batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- lp: queries
+
+
+def lp_route_counts(sf_dir: str) -> Dataset:
+    return count_groupby(_routed(sf_dir), ["source", "sink"], alias="cnt")
+
+
+def _sql_lp_route_counts(sf_dir: str) -> str:
+    return (
+        _lp_cte(sf_dir)
+        + "SELECT source, sink, count(*) AS cnt FROM routed GROUP BY source, sink"
+    )
+
+
+def lp_count_by_level(sf_dir: str) -> Dataset:
+    return count_groupby(_routed(sf_dir), ["level"], alias="cnt")
+
+
+def _sql_lp_count_by_level(sf_dir: str) -> str:
+    return (
+        _lp_cte(sf_dir)
+        + "SELECT level, count(*) AS cnt FROM routed WHERE level IS NOT NULL GROUP BY level"
+    )
+
+
+def lp_stats_by_level(sf_dir: str) -> Dataset:
+    return stats_groupby(_routed(sf_dir), "level", "response_time", prefix="rt")
+
+
+def _sql_lp_stats_by_level(sf_dir: str) -> str:
+    return _lp_cte(sf_dir) + """
+SELECT level, CAST(count(response_time) AS BIGINT) AS cnt_rt,
+       CAST(sum(response_time) AS BIGINT) AS sum_rt,
+       CAST(min(response_time) AS BIGINT) AS min_rt,
+       CAST(max(response_time) AS BIGINT) AS max_rt,
+       CAST(sum(response_time) AS DOUBLE) / count(response_time) AS avg_rt
+FROM routed WHERE level IS NOT NULL GROUP BY level"""
+
+
+def lp_errors_rows(sf_dir: str) -> Dataset:
+    return _sel(_routed(sf_dir), {"sink": "errors"}, ["doc_id", "n_tok", "error_code"])
+
+
+def _sql_lp_errors_rows(sf_dir: str) -> str:
+    return (
+        _lp_cte(sf_dir)
+        + "SELECT doc_id, n_tok, error_code FROM routed WHERE sink = 'errors'"
+    )
+
+
+def lp_deadletter_rows(sf_dir: str) -> Dataset:
+    return _sel(_routed(sf_dir), {"sink": "deadletter"}, ["doc_id", "n_tok", "source"])
+
+
+def _sql_lp_deadletter_rows(sf_dir: str) -> str:
+    return (
+        _lp_cte(sf_dir)
+        + "SELECT doc_id, n_tok, source FROM routed WHERE sink = 'deadletter'"
+    )
+
+
+def lp_slow_rows(sf_dir: str) -> Dataset:
+    return _sel(_routed(sf_dir), {"sink": "slow"}, ["doc_id", "response_time", "source"])
+
+
+def _sql_lp_slow_rows(sf_dir: str) -> str:
+    return (
+        _lp_cte(sf_dir)
+        + "SELECT doc_id, response_time, source FROM routed WHERE sink = 'slow'"
+    )
+
+
+_PARSED_COLS = [
+    "doc_id", "level", "service", "method", "path", "status",
+    "response_time", "user_id", "session_id", "ip", "message",
+    "payload_size", "meta_env", "meta_host", "error_code",
+]
+
+
+def lp_parsed_fields(sf_dir: str) -> Dataset:
+    return _sel(_routed(sf_dir), {"parse_ok": True}, _PARSED_COLS)
+
+
+def _sql_lp_parsed_fields(sf_dir: str) -> str:
+    return (
+        _lp_cte(sf_dir)
+        + f"SELECT {', '.join(_PARSED_COLS)} FROM parsed WHERE parse_ok"
+    )
+
+
+def lp_enriched(sf_dir: str) -> Dataset:
+    return _sel(
+        _routed(sf_dir), {"parse_ok": True}, ["doc_id", "geo", "severity", "route"]
+    )
+
+
+def _sql_lp_enriched(sf_dir: str) -> str:
+    return (
+        _lp_cte(sf_dir)
+        + "SELECT doc_id, geo, severity, route FROM enriched WHERE parse_ok"
+    )
+
+
+def lp_filter_regex(sf_dir: str) -> Dataset:
+    # reference T2 semantics: conjunction of regex test + equality
+    return _sel(
+        _routed(sf_dir),
+        {"message": "~timeout", "method": "POST"},
+        ["doc_id", "message"],
+    )
+
+
+def _sql_lp_filter_regex(sf_dir: str) -> str:
+    return _lp_cte(sf_dir) + """
+SELECT doc_id, message FROM routed
+WHERE regexp_matches(message, 'timeout') AND method = 'POST'"""
+
+
+def lp_top_slow(sf_dir: str) -> Dataset:
+    ds = _sel(_routed(sf_dir), {"parse_ok": True}, ["doc_id", "response_time"])
+    return top_k(ds, [("response_time", "descending"), ("doc_id", "ascending")], 100)
+
+
+def _sql_lp_top_slow(sf_dir: str) -> str:
+    return _lp_cte(sf_dir) + """
+SELECT doc_id, response_time FROM parsed WHERE parse_ok
+ORDER BY response_time DESC, doc_id LIMIT 100"""
+
+
+# ----------------------------------------------------- relational (TPC-H-ish)
+
+
+def q1_lineitem(sf_dir: str) -> Dataset:
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty_c = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        t2 = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": qty_c,
+                "price_c": price_c,
+            }
+        )
+        g = t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_price", "p_cnt"]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="sum_qty_cents"),
+            Sum("p_price", alias_name="sum_price_cents"),
+            Sum("p_cnt", alias_name="cnt"),
+        )
+    )
+
+
+def _sql_q1_lineitem(sf_dir: str) -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+
+def events_by_type(sf_dir: str) -> Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="cnt"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+
+def _sql_events_by_type(sf_dir: str) -> str:
+    return """
+SELECT event_type, count(*) AS cnt, min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type"""
+
+
+class _SegmentJoin:
+    """Broadcast-small-side lookup join (customer -> orders)."""
+
+    def __init__(self, ref):
+        keys, vals = ray.get(ref)
+        self._keys = keys
+        self._vals = vals
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch["o_custkey"], self._keys)
+        seg = pc.take(self._vals, idx)
+        price_c = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+        t = pa.table({"c_mktsegment": seg, "price_c": price_c})
+        g = t.group_by("c_mktsegment").aggregate([("price_c", "sum"), ([], "count_all")])
+        return g.rename_columns(["c_mktsegment", "p_price", "p_cnt"])
+
+
+def orders_by_mktsegment(sf_dir: str) -> Dataset:
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    ref = ray.put((cust["c_custkey"].combine_chunks(), cust["c_mktsegment"].combine_chunks()))
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    return (
+        ds.map_batches(
+            _SegmentJoin,
+            fn_constructor_kwargs={"ref": ref},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("p_price", alias_name="sum_totalprice_cents"),
+            Sum("p_cnt", alias_name="cnt"),
+        )
+    )
+
+
+def _sql_orders_by_mktsegment(sf_dir: str) -> str:
+    return """
+SELECT c_mktsegment,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_totalprice_cents,
+       count(*) AS cnt
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment"""
+
+
+# ------------------------------------------------------- documents / text ops
+
+
+def docs_lang_count(sf_dir: str) -> Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return count_groupby(ds, ["lang"], alias="cnt")
+
+
+def _sql_docs_lang_count(sf_dir: str) -> str:
+    return "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang"
+
+
+def docs_token_count(sf_dir: str) -> Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        n_words = pc.cast(pc.list_value_length(words), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_words": n_words})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _sql_docs_token_count(sf_dir: str) -> str:
+    return (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words "
+        "FROM documents"
+    )
+
+
+def docs_lang_token_totals(sf_dir: str) -> Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_words = pc.cast(
+            pc.list_value_length(pc.split_pattern(t["text"], " ")), pa.int64()
+        )
+        g = (
+            pa.table({"lang": t["lang"], "n_words": n_words})
+            .group_by("lang")
+            .aggregate([("n_words", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["lang", "p_words", "p_cnt"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("p_words", alias_name="total_words"), Sum("p_cnt", alias_name="cnt")
+        )
+    )
+
+
+def _sql_docs_lang_token_totals(sf_dir: str) -> str:
+    return """
+SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+       count(*) AS cnt
+FROM documents GROUP BY lang"""
+
+
+def docs_exact_dedup(sf_dir: str) -> Dataset:
+    """Exact dedup: hash-partition by content hash, dedup within groups.
+
+    Scale path: the shuffle key is a 64-bit content hash (tiny), never
+    the full text; real text equality is re-checked within each hash
+    group, so hash collisions cannot merge distinct documents.
+    """
+    from .stages.transform import hash_column
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(hash_column("text", "text_hash"), batch_format="pyarrow")
+
+    def dedup_group(df):
+        g = df.groupby("text", as_index=False).agg(
+            keep_id=("doc_id", "min"), dup_cnt=("doc_id", "size")
+        )
+        return g[["keep_id", "dup_cnt"]]
+
+    return ds.groupby("text_hash").map_groups(dedup_group, batch_format="pandas")
+
+
+def _sql_docs_exact_dedup(sf_dir: str) -> str:
+    return """
+SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS dup_cnt
+FROM documents GROUP BY text"""
+
+
+def docs_quality(sf_dir: str) -> Dataset:
+    """Per-doc quality features: word count, avg word length, distinct-
+    word ratio — all vectorized (explode + arrow group_by, no per-row
+    Python)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        n_words = pc.list_value_length(words).cast(pa.int64())
+        n_chars = pc.cast(t["n_chars"], pa.int64())
+        avg_word_len = pc.divide(
+            pc.cast(pc.subtract(pc.add(n_chars, 1), n_words), pa.float64()),
+            pc.cast(n_words, pa.float64()),
+        )
+        # distinct words per row: explode -> group_by(row) -> count_distinct
+        import numpy as np
+
+        row_idx = np.repeat(
+            np.arange(t.num_rows, dtype=np.int64),
+            np.asarray(n_words, dtype=np.int64),
+        )
+        flat = words.combine_chunks().flatten() if isinstance(
+            words, pa.ChunkedArray
+        ) else words.flatten()
+        ex = pa.table({"row": row_idx, "word": flat})
+        dg = ex.group_by("row").aggregate([("word", "count_distinct")])
+        distinct = np.zeros(t.num_rows, dtype=np.int64)
+        distinct[np.asarray(dg["row"])] = np.asarray(dg["word_count_distinct"])
+        uniq_ratio = pc.divide(
+            pc.cast(pa.array(distinct), pa.float64()),
+            pc.cast(n_words, pa.float64()),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": n_words,
+                "avg_word_len": avg_word_len,
+                "uniq_ratio": uniq_ratio,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _sql_docs_quality(sf_dir: str) -> str:
+    return """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(n_chars + 1 - len(string_split(text, ' ')) AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_word_len,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS uniq_ratio
+FROM documents"""
+
+
+# ----------------------------------------------------------------- registry
+
+# name -> (ray_fn, sql_fn | None)
+REGISTRY: dict = {
+    "lp_route_counts": (lp_route_counts, _sql_lp_route_counts),
+    "lp_count_by_level": (lp_count_by_level, _sql_lp_count_by_level),
+    "lp_stats_by_level": (lp_stats_by_level, _sql_lp_stats_by_level),
+    "lp_errors_rows": (lp_errors_rows, _sql_lp_errors_rows),
+    "lp_deadletter_rows": (lp_deadletter_rows, _sql_lp_deadletter_rows),
+    "lp_slow_rows": (lp_slow_rows, _sql_lp_slow_rows),
+    "lp_parsed_fields": (lp_parsed_fields, _sql_lp_parsed_fields),
+    "lp_enriched": (lp_enriched, _sql_lp_enriched),
+    "lp_filter_regex": (lp_filter_regex, _sql_lp_filter_regex),
+    "lp_top_slow": (lp_top_slow, _sql_lp_top_slow),
+    "q1_lineitem": (q1_lineitem, _sql_q1_lineitem),
+    "events_by_type": (events_by_type, _sql_events_by_type),
+    "orders_by_mktsegment": (orders_by_mktsegment, _sql_orders_by_mktsegment),
+    "docs_lang_count": (docs_lang_count, _sql_docs_lang_count),
+    "docs_token_count": (docs_token_count, _sql_docs_token_count),
+    "docs_lang_token_totals": (docs_lang_token_totals, _sql_docs_lang_token_totals),
+    "docs_exact_dedup": (docs_exact_dedup, _sql_docs_exact_dedup),
+    "docs_quality": (docs_quality, _sql_docs_quality),
+}
+
+
+def queries() -> dict:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
+    out = {}
+    for name, (_, sql_fn) in REGISTRY.items():
+        if sql_fn is not None:
+            out[name] = sql_fn(sf_dir).strip()
+    return out

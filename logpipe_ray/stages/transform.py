@@ -1,0 +1,206 @@
+"""Per-record transform operators — filters, projections, field ops.
+
+Vectorized Ray Data equivalents of the reference transformer library
+(SURVEY.md §2.2):
+
+  T2 FilterTransformer  -> make_filter / apply_filter
+     (/root/reference/src/transformers/filterTransformer.js:7-111)
+     criteria = CONJUNCTION of per-field tests: exact equality, regex
+     test on the stringified value, or a custom vectorized predicate;
+     dot-paths reach into struct columns; includeMatches=False inverts
+     (anti-filter).
+  T4 createFieldSelector -> select_fields (dot-paths flatten structs)
+     (/root/reference/src/transformers/mapTransformer.js:81-118)
+  T5 createFieldAdder    -> add_fields
+     (/root/reference/src/transformers/transformerFactory.js:86-107)
+  T6 createNormalizer    -> rename_fields
+     (/root/reference/src/transformers/transformerFactory.js:115-135)
+  T11 hash task          -> hash_column (vectorized xxhash-style mix,
+     used for salting / partitioning, not 10k-iteration sha256 —
+     the reference's worker hash payload is a latent bug, SURVEY §2.3)
+
+All operate on pyarrow batches; attach to a Dataset with
+``ds.map_batches(fn, batch_format="pyarrow")``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def get_path(batch: pa.Table, path: str) -> pa.Array | pa.ChunkedArray:
+    """Dot-path field access: 'meta.env' -> struct_field(meta, 'env')."""
+    parts = path.split(".")
+    if parts[0] not in batch.column_names:
+        return pa.nulls(batch.num_rows, pa.string())
+    col = batch[parts[0]]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    for p in parts[1:]:
+        if not pa.types.is_struct(col.type):
+            return pa.nulls(batch.num_rows, pa.string())
+        col = pc.struct_field(col, p)
+    return col
+
+
+def _mask_for(batch: pa.Table, path: str, test) -> pa.Array:
+    col = get_path(batch, path)
+    if callable(test):
+        mask = test(col)
+    elif isinstance(test, str) and test.startswith("~"):
+        # '~pattern' => regex test on the stringified value (reference
+        # RegExp.test branch, filterTransformer.js:57-63)
+        as_str = col if pa.types.is_string(col.type) else pc.cast(col, pa.string())
+        mask = pc.match_substring_regex(as_str, test[1:])
+    else:
+        mask = pc.equal(col, test)
+    return pc.fill_null(mask, False)
+
+
+def make_filter(criteria: dict | Callable, include_matches: bool = True):
+    """Compile a criteria dict into a vectorized batch filter.
+
+    criteria: {path: value | '~regex' | callable(col)->bool mask};
+    all entries must match (conjunction). A callable criteria gets the
+    whole batch and returns a boolean mask.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if callable(criteria):
+            mask = pc.fill_null(criteria(batch), False)
+        else:
+            mask = None
+            for path, test in criteria.items():
+                m = _mask_for(batch, path, test)
+                mask = m if mask is None else pc.and_(mask, m)
+            if mask is None:
+                mask = pa.array(np.ones(batch.num_rows, bool))
+        if not include_matches:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return fn
+
+
+def select_fields(paths: list[str]):
+    """Projection keeping listed fields; dot-paths are flattened to
+    underscore-joined column names ('meta.env' -> 'meta_env'); missing
+    fields are silently omitted (reference semantics)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols, names = [], []
+        for p in paths:
+            if "." not in p:
+                if p in batch.column_names:
+                    cols.append(batch[p])
+                    names.append(p)
+            else:
+                root = p.split(".")[0]
+                if root in batch.column_names:
+                    cols.append(get_path(batch, p))
+                    names.append(p.replace(".", "_"))
+        return pa.table(dict(zip(names, cols)))
+
+    return fn
+
+
+def rename_fields(mapping: dict[str, str], remove_original: bool = True):
+    def fn(batch: pa.Table) -> pa.Table:
+        if remove_original:
+            new_names = [mapping.get(n, n) for n in batch.column_names]
+            return batch.rename_columns(new_names)
+        out = batch
+        for old, new in mapping.items():
+            if old in batch.column_names:
+                out = out.append_column(new, batch[old])
+        return out
+
+    return fn
+
+
+def add_fields(adders: dict[str, Callable[[pa.Table], pa.Array]]):
+    """Computed columns: {name: fn(batch)->Array}. Per-field errors are
+    logged and skipped — the batch still passes (reference T5
+    semantics, transformerFactory.js:98-103)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = batch
+        for name, f in adders.items():
+            try:
+                out = out.append_column(name, f(batch))
+            except Exception as exc:  # noqa: BLE001 — reference skips bad fields
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "add_fields: skipping field %s: %s", name, exc
+                )
+        return out
+
+    return fn
+
+
+def add_constant_fields(values: dict[str, object]):
+    """Static metadata columns (the reference --enrich path,
+    bin/logpipe.js:229-254: processedAt/processedBy/version/hostname)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = batch
+        for name, v in values.items():
+            out = out.append_column(name, pa.nulls(batch.num_rows, pa.string()).fill_null(str(v)))
+        return out
+
+    return fn
+
+
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def hash64_strings(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized 64-bit hash of a string column (fnv-1a base + splitmix
+    finalizer). Deterministic across processes — used for salting,
+    doc_id partitioning and exact-dedup keys."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # fnv-1a over bytes, vectorized via cumulative numpy ops is awkward;
+    # use arrow's crc-free path: reinterpret utf8 buffers per row.
+    offsets = np.frombuffer(col.buffers()[1], dtype=np.int32, count=len(col) + 1,
+                            offset=col.offset * 4)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    h = np.full(len(col), np.uint64(0xCBF29CE484222325))
+    prime = np.uint64(0x100000001B3)
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    maxlen = int(lengths.max()) if len(lengths) else 0
+    with np.errstate(over="ignore"):
+        for i in range(maxlen):
+            active = lengths > i
+            idx = offsets[:-1][active] + i
+            h[active] = (h[active] ^ data[idx].astype(np.uint64)) * prime
+        h ^= h >> np.uint64(30)
+        h *= _MIX1
+        h ^= h >> np.uint64(27)
+        h *= _MIX2
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def hash_column(field: str, result_field: str | None = None, buckets: int | None = None):
+    """Append a deterministic hash (or hash-bucket) column of `field`."""
+    res = result_field or f"{field}_hash"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[field]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not pa.types.is_string(col.type):
+            col = pc.cast(col, pa.string())
+        h = hash64_strings(col)
+        if buckets is not None:
+            return batch.append_column(res, pa.array((h % np.uint64(buckets)).astype(np.int32)))
+        return batch.append_column(res, pa.array(h.astype(np.int64)))
+
+    return fn

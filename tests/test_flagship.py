@@ -1,0 +1,97 @@
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from logpipe_ray.pipelines.flagship import build_pipeline, run_flagship, sink_counts
+from logpipe_ray.stages.aggregate import count_groupby, stats_groupby
+from logpipe_ray.tokenizer import detokenize
+
+from oracle import run as oracle_run
+
+
+@pytest.fixture(scope="module")
+def oracle_expected(tiny_sequences):
+    rows = []
+    for f in sorted(glob.glob(os.path.join(tiny_sequences, "*.parquet"))):
+        t = pq.read_table(f)
+        lines = detokenize(t["tokens"]).to_pylist()
+        for d, l, s in zip(t["doc_id"].to_pylist(), lines, t["source"].to_pylist()):
+            rows.append({"doc_id": d, "line": l, "source": s})
+    return oracle_run(rows)
+
+
+def test_e2e_counts_and_row_sets(ray_session, tiny_sequences, oracle_expected, tmp_path):
+    out_dir = str(tmp_path / "out")
+    summary = run_flagship(tiny_sequences, out_dir, checkpoint_groups=2)
+    assert summary["rows_in"] == 2000
+    assert summary["rows_out"] == 2000  # routing loses no rows
+    got = {
+        tuple(k.split("/")): v for k, v in summary["sink_counts"].items()
+    }
+    assert got == oracle_expected["counts"]
+
+    # routed-row set equality + token-array equality per sink
+    orig = {}
+    for f in sorted(glob.glob(os.path.join(tiny_sequences, "*.parquet"))):
+        t = pq.read_table(f)
+        for d, tk in zip(t["doc_id"].to_pylist(), t["tokens"].to_pylist()):
+            orig[d] = tk
+    for sink, expected_docs in oracle_expected["sink_docs"].items():
+        files = glob.glob(
+            os.path.join(out_dir, "data", "group=*", f"sink={sink}", "*.parquet")
+        )
+        assert files, f"no output for sink {sink}"
+        t = pq.read_table(files)
+        docs = t["doc_id"].to_pylist()
+        assert set(docs) == expected_docs, sink
+        for d, tk in zip(docs, t["tokens"].to_pylist()):
+            assert tk == orig[d], f"token mismatch for {d} in {sink}"
+
+
+def test_aggregates_match_oracle(ray_session, tiny_sequences, oracle_expected):
+    ds = build_pipeline(rd.read_parquet(tiny_sequences))
+    lc = count_groupby(ds, ["level"], alias="cnt").to_pandas()
+    got = dict(zip(lc["level"], lc["cnt"]))
+    assert got == oracle_expected["level_counts"]
+
+    st = stats_groupby(ds, "level", "response_time", prefix="rt").to_pandas()
+    for _, row in st.iterrows():
+        exp = oracle_expected["stats"][row["level"]]
+        assert row["cnt_rt"] == exp["cnt"]
+        assert row["sum_rt"] == exp["sum"]
+        assert row["min_rt"] == exp["min"]
+        assert row["max_rt"] == exp["max"]
+        assert row["avg_rt"] == pytest.approx(exp["avg"])
+
+
+def test_resume_equivalence(ray_session, tiny_sequences, oracle_expected, tmp_path):
+    out_a = str(tmp_path / "uninterrupted")
+    out_b = str(tmp_path / "interrupted")
+    sa = run_flagship(tiny_sequences, out_a, checkpoint_groups=4)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_flagship(tiny_sequences, out_b, checkpoint_groups=4, fail_after_groups=2)
+    sb = run_flagship(tiny_sequences, out_b, checkpoint_groups=4)  # resume
+    assert sb["sink_counts"] == sa["sink_counts"]
+    assert sb["rows_in"] == sa["rows_in"] == 2000
+
+    def doc_sets(out_dir):
+        result = {}
+        for sink in oracle_expected["sink_docs"]:
+            files = glob.glob(
+                os.path.join(out_dir, "data", "group=*", f"sink={sink}", "*.parquet")
+            )
+            result[sink] = set(pq.read_table(files)["doc_id"].to_pylist())
+        return result
+
+    assert doc_sets(out_a) == doc_sets(out_b)
+
+
+def test_sink_counts_dataset(ray_session, tiny_sequences, oracle_expected):
+    ds = build_pipeline(rd.read_parquet(tiny_sequences))
+    df = sink_counts(ds).to_pandas()
+    got = {(r["source"], r["sink"]): r["cnt"] for _, r in df.iterrows()}
+    assert got == oracle_expected["counts"]

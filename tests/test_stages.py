@@ -1,0 +1,136 @@
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from logpipe_ray.fixtures.generator import generate_shard
+from logpipe_ray.stages.enrich import EnrichStage
+from logpipe_ray.stages.parse import parse_batch
+from logpipe_ray.stages.route import route_batch
+from logpipe_ray.stages.transform import (
+    add_constant_fields,
+    add_fields,
+    hash_column,
+    make_filter,
+    rename_fields,
+    select_fields,
+)
+from logpipe_ray.tokenizer import detokenize
+
+from oracle import enrich as oracle_enrich, parse_line, route as oracle_route
+
+
+@pytest.fixture(scope="module")
+def routed():
+    tbl = generate_shard(0, 2000, 0, 999)
+    return tbl, route_batch(EnrichStage()(parse_batch(tbl)))
+
+
+def test_parse_matches_json_oracle(routed):
+    tbl, out = routed
+    lines = detokenize(tbl["tokens"]).to_pylist()
+    for i, line in enumerate(lines):
+        rec = parse_line(line)
+        assert out["parse_ok"][i].as_py() == (rec is not None)
+        if rec is None:
+            assert out["level"][i].as_py() is None
+            assert out["status"][i].as_py() is None
+            continue
+        assert out["level"][i].as_py() == rec["level"]
+        assert out["status"][i].as_py() == rec["status"]
+        assert out["response_time"][i].as_py() == rec["responseTime"]
+        assert out["user_id"][i].as_py() == rec.get("userId")
+        assert out["session_id"][i].as_py() == rec.get("sessionId")
+        assert out["payload_size"][i].as_py() == rec.get("payloadSize")
+        assert out["tags"][i].as_py() == rec.get("tags")
+        assert out["meta"][i].as_py() == rec["meta"]
+        assert out["error_code"][i].as_py() == rec.get("errorCode")
+
+
+def test_enrich_route_match_oracle(routed):
+    tbl, out = routed
+    lines = detokenize(tbl["tokens"]).to_pylist()
+    for i, line in enumerate(lines):
+        rec = parse_line(line)
+        src = tbl["source"][i].as_py()
+        assert out["sink"][i].as_py() == oracle_route(rec, src)
+        if rec is not None:
+            erec = oracle_enrich(rec)
+            assert out["geo"][i].as_py() == erec["geo"]
+            assert out["severity"][i].as_py() == erec["severity"]
+
+
+def test_tokens_passthrough(routed):
+    tbl, out = routed
+    assert out["tokens"].combine_chunks().equals(tbl["tokens"].combine_chunks())
+    assert out["doc_id"].combine_chunks().equals(tbl["doc_id"].combine_chunks())
+
+
+def test_filter_conjunction_and_regex(routed):
+    _, out = routed
+    f = make_filter({"level": "ERROR", "method": "POST"})
+    got = f(out)
+    assert got.num_rows > 0
+    assert set(got["level"].to_pylist()) == {"ERROR"}
+    assert set(got["method"].to_pylist()) == {"POST"}
+    # regex mode + anti-filter
+    f2 = make_filter({"message": "~timeout"})
+    got2 = f2(out)
+    assert all("timeout" in m for m in got2["message"].to_pylist())
+    f3 = make_filter({"message": "~timeout"}, include_matches=False)
+    assert f3(out).num_rows == out.num_rows - got2.num_rows
+    # dot-path into struct
+    f4 = make_filter({"meta.env": "prod"})
+    assert all(m["env"] == "prod" for m in f4(out)["meta"].to_pylist())
+    # custom vectorized predicate over the batch
+    f5 = make_filter(lambda b: pc.greater(b["status"], 499))
+    assert all(s >= 500 for s in f5(out)["status"].to_pylist())
+
+
+def test_select_rename_add(routed):
+    _, out = routed
+    sel = select_fields(["doc_id", "meta.env", "missing_col", "level"])(out)
+    assert sel.column_names == ["doc_id", "meta_env", "level"]
+    ren = rename_fields({"level": "lvl"})(sel)
+    assert "lvl" in ren.column_names and "level" not in ren.column_names
+    added = add_fields(
+        {
+            "status_class": lambda b: pc.multiply(
+                pc.divide(b["status"], 100), 100
+            ),
+            "broken": lambda b: (_ for _ in ()).throw(ValueError("boom")),
+        }
+    )(out)
+    assert "status_class" in added.column_names
+    assert "broken" not in added.column_names  # bad field skipped, batch passes
+    const = add_constant_fields({"version": "1.0"})(sel)
+    assert set(const["version"].to_pylist()) == {"1.0"}
+
+
+def test_hash_column_deterministic(routed):
+    _, out = routed
+    h1 = hash_column("doc_id")(out)["doc_id_hash"].to_pylist()
+    h2 = hash_column("doc_id")(out)["doc_id_hash"].to_pylist()
+    assert h1 == h2
+    assert len(set(h1)) == len(h1)  # no collisions on unique ids at this size
+    b = hash_column("doc_id", "bucket", buckets=16)(out)["bucket"].to_pylist()
+    assert set(b) <= set(range(16))
+    assert len(set(b)) == 16
+
+
+def test_parse_handles_batch_of_only_bad_lines():
+    from logpipe_ray.tokenizer import encode_lines
+
+    tokens = encode_lines([b"", b"not json at all", b"{broken"])
+    tbl = pa.table(
+        {
+            "doc_id": ["a", "b", "c"],
+            "tokens": tokens,
+            "n_tok": pa.array([0, 15, 7], pa.int32()),
+            "source": ["auth", "auth", "orders"],
+        }
+    )
+    out = route_batch(EnrichStage()(parse_batch(tbl)))
+    assert out["parse_ok"].to_pylist() == [False, False, False]
+    assert set(out["sink"].to_pylist()) == {"deadletter"}
