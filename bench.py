@@ -1,0 +1,204 @@
+"""Benchmark harness.
+
+Headline: the flagship parse -> enrich -> route -> sink-write ->
+aggregate pipeline over the tokenized sequences table derived from
+$GRAFT_SF_DIR (default /root/testdata/sf0.1 -> 600k sequences), plus
+per-query timings for representative operators.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "num_cpus": N,
+   "rows": N, "sequences_per_sec": X}
+
+--scaling: runs the headline twice in fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input and reports both
+throughputs plus efficiency = (thr_32/thr_8)/4 (north-rule evidence
+for the 4N-vs-N cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from logpipe_ray.fixtures.generator import ensure_sequences
+    from logpipe_ray.pipelines.flagship import run_flagship
+    from logpipe_ray import queries as Q
+
+    seq_dir = ensure_sequences(sf_dir)
+
+    # warm-up: one full untimed pass (warms the OS page cache AND the
+    # Ray worker pool — this VM charges ~1s/25MB of first-touch pages
+    # to every fresh process, which would otherwise dominate)
+    out_dir = f"/tmp/logpipe_bench_out/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir + ".warm", ignore_errors=True)
+    run_flagship(seq_dir, out_dir + ".warm", checkpoint_groups=1, resume=False)
+    shutil.rmtree(out_dir + ".warm", ignore_errors=True)
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    summary = run_flagship(seq_dir, out_dir, checkpoint_groups=1, resume=False)
+    headline = time.time() - t0
+    rows = summary["rows_in"]
+
+    qtimes: dict[str, float] = {}
+    if not headline_only:
+        bench_queries = [
+            "lp_route_counts",
+            "lp_count_by_level",
+            "lp_stats_by_level",
+            "lp_top_slow",
+            "lp_parsed_fields",
+            "q1_lineitem",
+            "events_by_type",
+            "orders_by_mktsegment",
+            "docs_exact_dedup",
+            "docs_quality",
+        ]
+        all_q = Q.queries()
+        for name in bench_queries:
+            if name not in all_q:
+                continue
+            t = time.time()
+            res = all_q[name](sf_dir)
+            # consume the stream without materializing on the driver
+            try:
+                from ray.data import Dataset
+
+                if isinstance(res, Dataset):
+                    for _ in res.iter_batches(batch_format="pyarrow"):
+                        pass
+            except ImportError:
+                pass
+            qtimes[name] = round(time.time() - t, 3)
+
+    import re
+
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    sf = float(m.group(1)) if m else None
+    result = {
+        "metric": "flagship_parse_enrich_route_aggregate_e2e",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "rows": rows,
+        "sequences_per_sec": round(rows / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+SCALING_ROWS = 2_400_000
+SCALING_SHARDS = 128
+SCALING_LABEL = "scaling2p4m-s128"
+
+
+def _scaling_worker(ncpu: int) -> None:
+    """Child process: one warm + one timed null-sink flagship run."""
+    import shutil
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=ncpu, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+    import logging
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from logpipe_ray.fixtures.generator import ensure_sequences
+    from logpipe_ray.pipelines.flagship import run_flagship
+
+    seq_dir = ensure_sequences(
+        "ignored", n_rows=SCALING_ROWS, n_shards=SCALING_SHARDS, label=SCALING_LABEL
+    )
+    for tag in ("warm", "timed"):
+        out = f"/tmp/logpipe_scaling_{ncpu}_{tag}"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        summary = run_flagship(
+            seq_dir, out, checkpoint_groups=1, resume=False, write_sinks=False
+        )
+        wall = time.time() - t0
+        shutil.rmtree(out, ignore_errors=True)
+    print(json.dumps({"value": round(wall, 3), "rows": summary["rows_in"],
+                      "num_cpus": ncpu}))
+    ray.shutdown()
+
+
+def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
+    """Same job (null-sink flagship — the reference's benchmark-sink
+    analog, senderFactory.js:78-91), two parallelism levels, fresh
+    processes. Default N=4 vs 4N=16; set LOGPIPE_SCALING_CPUS=8,32 to
+    override. Also see BASELINE.md for the full 4/8/16/32 sweep."""
+    if os.environ.get("LOGPIPE_SCALING_CPUS"):
+        lo, hi = (int(x) for x in os.environ["LOGPIPE_SCALING_CPUS"].split(","))
+
+    def one(ncpu: int) -> dict:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(ncpu)],
+            env=dict(os.environ), capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = one(lo), one(hi)
+    rows = r_lo["rows"]
+    thr_lo = round(rows / r_lo["value"], 1)
+    thr_hi = round(rows / r_hi["value"], 1)
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "pipeline": "flagship parse->enrich->route->aggregate, null sink",
+        "rows": rows,
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"seq_per_sec_{lo}": thr_lo,
+        f"seq_per_sec_{hi}": thr_hi,
+        "cpus": [lo, hi],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling-worker" in sys.argv:
+        _scaling_worker(int(sys.argv[sys.argv.index("--scaling-worker") + 1]))
+        return
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+        return
+    headline_only = os.environ.get("LOGPIPE_BENCH_HEADLINE_ONLY") == "1"
+    print(json.dumps(run_benchmark(sf_dir, num_cpus, headline_only=headline_only)))
+
+
+if __name__ == "__main__":
+    main()

@@ -233,7 +233,12 @@ def _write_shard(job: tuple) -> None:
     pq.write_table(tbl, path, row_group_size=max(2048, rows // 4))
 
 
-def ensure_sequences(sf_dir: str, n_rows: int | None = None, n_shards: int | None = None) -> str:
+def ensure_sequences(
+    sf_dir: str,
+    n_rows: int | None = None,
+    n_shards: int | None = None,
+    label: str | None = None,
+) -> str:
     """Idempotently materialize the sequences table for a scale factor.
 
     Returns the directory containing shard_####.parquet files. Atomic:
@@ -241,12 +246,18 @@ def ensure_sequences(sf_dir: str, n_rows: int | None = None, n_shards: int | Non
     callers never observe a partial fixture.
     """
     sf = _sf_from_dir(sf_dir)
-    out_dir = sequences_dir_for(sf_dir)
+    if label is not None:
+        out_dir = os.path.join(FIXTURE_ROOT, label, "sequences")
+        import zlib
+
+        sf_key = zlib.crc32(label.encode())  # stable across processes
+    else:
+        out_dir = sequences_dir_for(sf_dir)
+        sf_key = int(round(sf * 100_000))
     if os.path.isdir(out_dir) and os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
     n = n_rows if n_rows is not None else rows_for_sf(sf)
     k = n_shards if n_shards is not None else shards_for_sf(sf)
-    sf_key = int(round(sf * 100_000))
     tmp = out_dir + f".tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
     per = (n + k - 1) // k

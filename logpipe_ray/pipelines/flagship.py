@@ -1,22 +1,33 @@
 """The flagship pipeline: parse -> enrich -> route -> sinks + counts.
 
 Ray-Data-native restatement of the reference's end-to-end lifecycle
-(SURVEY.md §3.4). One streaming pass:
+(SURVEY.md §3.4). Two execution modes:
 
-    read_parquet(sequences shards)
-      -> map_batches(parse_batch)            # stateless tasks, vectorized regex
-      -> map_batches(EnrichStage, actors)    # lookup dicts loaded once/actor
-      -> map_batches(route_batch)            # predicate fan-out tag
-      -> write_parquet(partition_cols=[sink])# one pass, no per-sink rescans
-    then per-(source, sink) counts from the written columnar output
-    (column-pruned read of 2 columns — cheap), recorded in the lineage
-    manifest.
+**fused (default, production/bench path)** — one fully-fused task per
+input shard: the task reads its Parquet shard directly (column-pruned,
+page-cache friendly), runs parse -> enrich -> route in-process, writes
+its own sink-partitioned output files, and returns ONLY a tiny
+per-(source, sink) counts table. Ray Data orchestrates scheduling /
+backpressure over the shard list; the only data crossing the object
+store is counts rows (bounded by #sinks x #shards — independent of row
+count). This is the shape a 100 TB run wants: zero all-to-all traffic,
+per-shard lineage for free, and each output partition maps 1:1 to an
+input shard so a resumed run skips finished shards at the file level.
 
-Scale design: the only all-to-all exchange is the final counts
-groupby, which runs over per-batch partial counts (bounded by
-#keys x #batches, not row count). Routing is a tagged partitioned
-write — never N per-sink scans. Resume is file-granular via the
-manifest (no read amplification on restart).
+**dataset mode** — the composable ray.data plan
+(read_parquet -> map_batches[parse] -> map_batches[enrich] ->
+map_batches[route]) used by the query layer and anywhere a downstream
+Dataset is needed (build_pipeline).
+
+The final counts aggregation in both modes is a groupby over per-batch
+partials (see stages/aggregate.py) — the one shuffle, over tiny data.
+
+Partitioning assumption (documented per SURVEY.md): input shards are
+the unit of parallelism, lineage and resume; they are
+hash-disjoint by doc_id by construction (the fixture generator
+partitions round-robin; any disjoint sharding works). Skewed `source`
+values cost nothing here because routing is a tagged write, not a
+shuffle, and the counts shuffle moves only partial sums.
 """
 
 from __future__ import annotations
@@ -25,13 +36,15 @@ import glob
 import os
 import time
 
+import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
 from ray.data import Dataset
 
 from ..stages.aggregate import count_groupby
-from ..stages.enrich import EnrichStage
+from ..stages.enrich import EnrichStage, enrich_batch
 from ..stages.parse import parse_batch
 from ..stages.route import route_batch
 from ..state.manifest import Manifest
@@ -41,20 +54,35 @@ def build_pipeline(
     ds: Dataset,
     enrich_tables_ref=None,
     enrich_concurrency: int | tuple[int, int] = (2, 8),
-    batch_size: int | None = 8192,
+    batch_size: int | None = None,
+    enrich_mode: str = "task",
 ) -> Dataset:
-    """Attach parse -> enrich -> route to a sequences Dataset."""
+    """Attach parse -> enrich -> route to a sequences Dataset.
+
+    enrich_mode="task" (default): enrichment runs as stateless tasks
+    with per-process cached lookup state — all three stages fuse into
+    one task chain on the shared worker pool. enrich_mode="actor": the
+    EnrichStage actor pool (SURVEY.md §2.3 T9) — right when the state
+    is heavyweight (models, big dicts). batch_size=None processes
+    whole blocks (best fusion/throughput).
+    """
     ds = ds.map_batches(
         parse_batch, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
-    ds = ds.map_batches(
-        EnrichStage,
-        fn_constructor_kwargs={"tables_ref": enrich_tables_ref},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=enrich_concurrency,
-        zero_copy_batch=True,
-    )
+    if enrich_mode == "actor":
+        ds = ds.map_batches(
+            EnrichStage,
+            fn_constructor_kwargs={"tables_ref": enrich_tables_ref},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=enrich_concurrency,
+            zero_copy_batch=True,
+        )
+    else:
+        ds = ds.map_batches(
+            enrich_batch, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        )
     ds = ds.map_batches(
         route_batch, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
@@ -73,14 +101,41 @@ def input_shards(input_dir: str) -> list[str]:
     return files
 
 
+def _process_shard_fused(batch: pa.Table) -> pa.Table:
+    """The fused per-shard task body (read -> parse -> enrich -> route
+    -> write -> partial counts). Input batch: one row per shard with
+    (path, out); out == "" means null sink (benchmark mode, the analog
+    of the reference's null sender, senderFactory.js:78-91)."""
+    parts = []
+    for path, out in zip(batch["path"].to_pylist(), batch["out"].to_pylist()):
+        t = pq.read_table(path)
+        t = route_batch(enrich_batch(parse_batch(t)))
+        if out:
+            os.makedirs(out, exist_ok=True)
+            for s in pc.unique(t["sink"]).to_pylist():
+                sub = t.filter(pc.equal(t["sink"], s))
+                sink_dir = os.path.join(out, f"sink={s}")
+                os.makedirs(sink_dir, exist_ok=True)
+                pq.write_table(sub.drop(["sink"]), os.path.join(sink_dir, "part.parquet"))
+        g = (
+            pa.table({"source": t["source"], "sink": t["sink"]})
+            .group_by(["source", "sink"])
+            .aggregate([([], "count_all")])
+        )
+        parts.append(g.rename_columns(["source", "sink", "cnt"]))
+    return pa.concat_tables(parts)
+
+
 def run_flagship(
     input_dir: str,
     out_dir: str,
     *,
     checkpoint_groups: int = 4,
     resume: bool = True,
-    enrich_concurrency=(2, 8),
-    batch_size: int | None = 8192,
+    write_sinks: bool = True,
+    mode: str = "fused",
+    enrich_mode: str = "task",
+    batch_size: int | None = None,
     fail_after_groups: int | None = None,
 ) -> dict:
     """Run the flagship pipeline with per-partition lineage + resume.
@@ -88,18 +143,19 @@ def run_flagship(
     Input shard files are split into ``checkpoint_groups`` groups; each
     group is one streaming job whose completion is committed atomically
     to the manifest. A killed run resumes at group granularity: the
-    finished groups' input files are pruned from the read entirely.
+    finished groups' input files are pruned from the read entirely
+    (file-level skip — no re-scan of completed work).
 
+    ``write_sinks=False`` runs the null-sink benchmark variant.
     ``fail_after_groups`` injects a crash after N groups (tests only).
     """
     files = input_shards(input_dir)
     data_dir = os.path.join(out_dir, "data")
-    manifest = Manifest(out_dir)
     if not resume:
         import shutil
 
         shutil.rmtree(out_dir, ignore_errors=True)
-        manifest = Manifest(out_dir)
+    manifest = Manifest(out_dir)
     manifest.clean_incomplete_outputs(data_dir)
 
     k = max(1, min(checkpoint_groups, len(files)))
@@ -112,19 +168,41 @@ def run_flagship(
         if fail_after_groups is not None and done >= fail_after_groups:
             raise RuntimeError(f"injected failure before group {gid}")
         t0 = time.time()
-        ds = rd.read_parquet(group_files)
-        routed = build_pipeline(
-            ds, enrich_concurrency=enrich_concurrency, batch_size=batch_size
-        )
         group_out = os.path.join(data_dir, f"group={gid}")
-        routed.write_parquet(group_out, partition_cols=["sink"])
-        # counts from the written sink output: column-pruned 2-col read
-        written = rd.read_parquet(group_out, columns=["source", "sink"])
-        counts_tbl = (
-            count_groupby(written, ["source", "sink"], alias="cnt")
-            .to_pandas()
-            .sort_values(["source", "sink"])
-        )
+
+        if mode == "fused":
+            items = [
+                {
+                    "path": p,
+                    "out": os.path.join(group_out, f"shard={i:04d}") if write_sinks else "",
+                }
+                for i, p in enumerate(group_files)
+            ]
+            shard_ds = rd.from_items(items, override_num_blocks=len(items))
+            partials = shard_ds.map_batches(
+                _process_shard_fused, batch_format="pyarrow", batch_size=None
+            )
+            counts_tbl = (
+                partials.groupby(["source", "sink"])
+                .sum("cnt")
+                .to_pandas()
+                .rename(columns={"sum(cnt)": "cnt"})
+                .sort_values(["source", "sink"])
+            )
+        else:
+            ds = rd.read_parquet(group_files)
+            routed = build_pipeline(ds, batch_size=batch_size, enrich_mode=enrich_mode)
+            if write_sinks:
+                routed.write_parquet(group_out, partition_cols=["sink"])
+                consumed = rd.read_parquet(group_out, columns=["source", "sink"])
+            else:
+                consumed = routed
+            counts_tbl = (
+                count_groupby(consumed, ["source", "sink"], alias="cnt")
+                .to_pandas()
+                .sort_values(["source", "sink"])
+            )
+
         wall = time.time() - t0
         rows_in = sum(pq.read_metadata(f).num_rows for f in group_files)
         rows_out = int(counts_tbl["cnt"].sum())
@@ -137,7 +215,8 @@ def run_flagship(
                 "sink_counts": counts_tbl.to_dict("records"),
                 "wall_s": round(wall, 3),
                 "rows_per_s": round(rows_in / wall, 1) if wall > 0 else None,
-                "output_dir": group_out,
+                "output_dir": group_out if write_sinks else None,
+                "mode": mode,
             },
         )
         done += 1

@@ -44,6 +44,21 @@ def default_lookup_tables() -> dict:
     }
 
 
+_PROC_ENRICHER = None
+
+
+def enrich_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant of EnrichStage with per-process cached
+    lookup state (built on first batch in each worker process, then
+    reused — the task-pool analog of actor ``__init__``). Preferred on
+    a warm shared worker pool; use the EnrichStage actor pool when the
+    state is heavyweight (models, large dictionaries)."""
+    global _PROC_ENRICHER
+    if _PROC_ENRICHER is None:
+        _PROC_ENRICHER = EnrichStage()
+    return _PROC_ENRICHER(batch)
+
+
 class EnrichStage:
     """Actor-pool map_batches callable: lookup-dictionary enrichment."""
 

@@ -42,7 +42,7 @@ def test_e2e_counts_and_row_sets(ray_session, tiny_sequences, oracle_expected, t
             orig[d] = tk
     for sink, expected_docs in oracle_expected["sink_docs"].items():
         files = glob.glob(
-            os.path.join(out_dir, "data", "group=*", f"sink={sink}", "*.parquet")
+            os.path.join(out_dir, "data", "group=*", "shard=*", f"sink={sink}", "*.parquet")
         )
         assert files, f"no output for sink {sink}"
         t = pq.read_table(files)
@@ -50,6 +50,25 @@ def test_e2e_counts_and_row_sets(ray_session, tiny_sequences, oracle_expected, t
         assert set(docs) == expected_docs, sink
         for d, tk in zip(docs, t["tokens"].to_pylist()):
             assert tk == orig[d], f"token mismatch for {d} in {sink}"
+
+
+def test_dataset_mode_counts_match(ray_session, tiny_sequences, oracle_expected, tmp_path):
+    out_dir = str(tmp_path / "ds_mode")
+    summary = run_flagship(
+        tiny_sequences, out_dir, checkpoint_groups=1, mode="dataset"
+    )
+    got = {tuple(k.split("/")): v for k, v in summary["sink_counts"].items()}
+    assert got == oracle_expected["counts"]
+
+
+def test_null_sink_counts_match(ray_session, tiny_sequences, oracle_expected, tmp_path):
+    out_dir = str(tmp_path / "null_sink")
+    summary = run_flagship(
+        tiny_sequences, out_dir, checkpoint_groups=1, write_sinks=False
+    )
+    got = {tuple(k.split("/")): v for k, v in summary["sink_counts"].items()}
+    assert got == oracle_expected["counts"]
+    assert not os.path.exists(os.path.join(out_dir, "data", "group=g0000", "shard=0000"))
 
 
 def test_aggregates_match_oracle(ray_session, tiny_sequences, oracle_expected):
@@ -82,7 +101,7 @@ def test_resume_equivalence(ray_session, tiny_sequences, oracle_expected, tmp_pa
         result = {}
         for sink in oracle_expected["sink_docs"]:
             files = glob.glob(
-                os.path.join(out_dir, "data", "group=*", f"sink={sink}", "*.parquet")
+                os.path.join(out_dir, "data", "group=*", "shard=*", f"sink={sink}", "*.parquet")
             )
             result[sink] = set(pq.read_table(files)["doc_id"].to_pylist())
         return result
