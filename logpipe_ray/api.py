@@ -1,0 +1,142 @@
+"""Declarative pipeline-builder API — the user-extension surface.
+
+Parity with the reference's step-list assembly (SURVEY.md §2.7,
+/root/reference/bin/logpipe.js:339-359: an ordered array of Transform
+streams handed to processFile). Here the step list compiles onto a
+lazy ray.data.Dataset plan; nothing executes until a sink/consume
+call.
+
+    from logpipe_ray.api import Pipeline
+    result = (
+        Pipeline.read("/data/logs/*.parquet")
+        .parse_tokens()                       # detokenize + grok parse
+        .enrich()                             # lookup-dict enrichment
+        .filter({"level": "ERROR", "message": "~timeout"})
+        .select(["doc_id", "level", "message", "meta.env"])
+        .count_by("level")
+        .to_pandas()
+    )
+
+Custom steps: .map(fn) takes any Arrow-batch callable (the analog of
+createMapper), .map_stateful(Cls, concurrency=N) any callable class
+(the analog of a custom worker task, worker.js:27-30).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from ray.data import Dataset
+
+from .sources.factory import read_any
+from .stages.aggregate import count_groupby, stats_groupby, top_k
+from .stages.enrich import EnrichStage, enrich_batch
+from .stages.parse import parse_batch
+from .stages.route import route_batch
+from .stages.transform import (
+    add_constant_fields,
+    add_fields,
+    hash_column,
+    make_filter,
+    map_preserving,
+    rename_fields,
+    select_fields,
+    sha256_iterated,
+)
+
+
+class Pipeline:
+    def __init__(self, ds: Dataset):
+        self._ds = ds
+
+    # ------------------------------------------------------------- sources
+    @classmethod
+    def read(cls, path, fmt: str | None = None, **kw) -> "Pipeline":
+        return cls(read_any(path, fmt=fmt, **kw))
+
+    @classmethod
+    def from_dataset(cls, ds: Dataset) -> "Pipeline":
+        return cls(ds)
+
+    # --------------------------------------------------------------- steps
+    def _chain(self, fn, **kw) -> "Pipeline":
+        return Pipeline(
+            self._ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, **kw)
+        )
+
+    def parse_tokens(self) -> "Pipeline":
+        return self._chain(parse_batch, batch_size=None)
+
+    def enrich(self, mode: str = "task", concurrency=(2, 8)) -> "Pipeline":
+        if mode == "actor":
+            return self._chain(EnrichStage, concurrency=concurrency)
+        return self._chain(enrich_batch, batch_size=None)
+
+    def route(self) -> "Pipeline":
+        return self._chain(route_batch, batch_size=None)
+
+    def filter(self, criteria, include_matches: bool = True) -> "Pipeline":
+        return self._chain(make_filter(criteria, include_matches))
+
+    def select(self, paths: list[str]) -> "Pipeline":
+        return self._chain(select_fields(paths))
+
+    def rename(self, mapping: dict, remove_original: bool = True) -> "Pipeline":
+        return self._chain(rename_fields(mapping, remove_original))
+
+    def add_fields(self, adders: dict) -> "Pipeline":
+        return self._chain(add_fields(adders))
+
+    def add_constants(self, values: dict) -> "Pipeline":
+        return self._chain(add_constant_fields(values))
+
+    def hash(self, field: str, result_field: str | None = None, buckets=None) -> "Pipeline":
+        return self._chain(hash_column(field, result_field, buckets))
+
+    def hash_sha256(self, field: str, iterations: int = 10_000) -> "Pipeline":
+        return self._chain(sha256_iterated(field, iterations), batch_size=2048)
+
+    def map(self, fn: Callable, preserve_on_error: bool = False, **kw) -> "Pipeline":
+        return self._chain(map_preserving(fn) if preserve_on_error else fn, **kw)
+
+    def map_stateful(self, cls, concurrency=(1, 4), batch_size=4096, **ctor) -> "Pipeline":
+        return Pipeline(
+            self._ds.map_batches(
+                cls,
+                fn_constructor_kwargs=ctor,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+            )
+        )
+
+    # --------------------------------------------------------- aggregates
+    def count_by(self, key: str | list[str], alias: str = "cnt") -> "Pipeline":
+        keys = [key] if isinstance(key, str) else key
+        return Pipeline(count_groupby(self._ds, keys, alias=alias))
+
+    def stats(self, key: str, value: str, prefix: str | None = None) -> "Pipeline":
+        return Pipeline(stats_groupby(self._ds, key, value, prefix=prefix))
+
+    def top_k(self, sort_keys: list[tuple[str, str]], k: int) -> "Pipeline":
+        return Pipeline(top_k(self._ds, sort_keys, k))
+
+    # --------------------------------------------------------------- sinks
+    def sink(self, sink_type: str, **options) -> dict:
+        from .sinks.factory import create_sink
+
+        return create_sink(sink_type, **options)(self._ds)
+
+    # ------------------------------------------------------------ consume
+    @property
+    def dataset(self) -> Dataset:
+        return self._ds
+
+    def to_pandas(self):
+        return self._ds.to_pandas()
+
+    def count(self) -> int:
+        return self._ds.count()
+
+    def take(self, n: int = 20):
+        return self._ds.take(n)

@@ -1,0 +1,118 @@
+"""Source readers + format dispatch.
+
+Parity with the reference's parser factory (SURVEY.md §2.1 S4-S5,
+/root/reference/src/parsers/parserFactory.js:12-96): extension
+sniffing including double extensions (.ndjson.gz), default ndjson
+with a warning, ndjson/csv/parquet readers. Gzip is handled natively
+by Arrow (the reference gunzips in its file reader,
+fileReader.js:23-39).
+
+CSV reader parity (/root/reference/src/parsers/csvParser.js and the
+reference CSV fixture format, generate-csv.js): `;` separator,
+pipe-joined tags, empty string for null. ``typed=False`` reproduces
+the reference csv-parser semantics exactly — every value a string —
+while ``typed=True`` gives the engine's typed schema (ints cast, tags
+split to list<string>, '' -> null).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.csv as pacsv
+
+import ray.data as rd
+from ray.data import Dataset
+
+logger = logging.getLogger(__name__)
+
+CSV_HEADER = [
+    "timestamp", "level", "service", "method", "path", "status",
+    "responseTime", "userId", "sessionId", "ip", "message",
+    "payloadSize", "tags", "env", "host", "errorCode",
+]
+
+_INT_COLS = {"status", "responseTime", "payloadSize"}
+
+
+def detect_format_from_filename(path: str) -> str:
+    """ndjson | csv | parquet, tolerating a trailing .gz; defaults to
+    ndjson with a warning (reference parserFactory.js:61-66)."""
+    name = os.path.basename(path).lower()
+    if name.endswith(".gz"):
+        name = name[: -len(".gz")]
+    ext = os.path.splitext(name)[1]
+    if ext in (".ndjson", ".json", ".jsonl"):
+        return "ndjson"
+    if ext == ".csv":
+        return "csv"
+    if ext == ".parquet":
+        return "parquet"
+    logger.warning("unknown extension %r; defaulting to ndjson", ext)
+    return "ndjson"
+
+
+def read_logs_ndjson(path: str | list[str]) -> Dataset:
+    from ray.data import DataContext
+
+    # keep ragged list<string> columns (tags) as plain Arrow lists —
+    # the tensor-extension auto-cast rejects ragged object arrays
+    DataContext.get_current().enable_tensor_extension_casting = False
+    # ray's read_json default extension filter excludes .ndjson
+    return rd.read_json(path, file_extensions=None)
+
+
+def read_logs_csv(path: str | list[str], typed: bool = True) -> Dataset:
+    """Read the reference's `;`-separated CSV log format."""
+    parse_opts = pacsv.ParseOptions(delimiter=";")
+    if not typed:
+        # reference csv-parser semantics: every value is a string
+        convert = pacsv.ConvertOptions(
+            column_types={c: pa.string() for c in CSV_HEADER}
+        )
+        return rd.read_csv(path, parse_options=parse_opts, convert_options=convert)
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_tensor_extension_casting = False
+    convert = pacsv.ConvertOptions(
+        column_types={
+            **{c: pa.string() for c in CSV_HEADER if c not in _INT_COLS},
+            **{c: pa.int32() for c in _INT_COLS},
+        },
+        strings_can_be_null=True,  # '' -> null
+    )
+    ds = rd.read_csv(path, parse_options=parse_opts, convert_options=convert)
+
+    def split_tags(t: pa.Table) -> pa.Table:
+        tags = t["tags"]
+        if isinstance(tags, pa.ChunkedArray):
+            tags = tags.combine_chunks()
+        split = pc.split_pattern(tags, "|")
+        idx = t.column_names.index("tags")
+        return t.set_column(idx, "tags", split)
+
+    return ds.map_batches(split_tags, batch_format="pyarrow")
+
+
+def read_any(path: str | list[str], fmt: str | None = None, **kw) -> Dataset:
+    """Dispatch by explicit format or filename sniffing."""
+    first = path if isinstance(path, str) else path[0]
+    if fmt is None and os.path.isdir(first):
+        # sniff the first regular file inside the directory
+        names = sorted(
+            n for n in os.listdir(first)
+            if os.path.isfile(os.path.join(first, n)) and not n.startswith("_")
+        )
+        first = os.path.join(first, names[0]) if names else first
+    fmt = fmt or detect_format_from_filename(first)
+    if fmt == "parquet":
+        return rd.read_parquet(path, **kw)
+    if fmt == "csv":
+        return read_logs_csv(path, **kw)
+    if fmt == "ndjson":
+        return read_logs_ndjson(path)
+    raise ValueError(f"unsupported format: {fmt}")

@@ -103,6 +103,81 @@ def stats_groupby(
     return merged.map_batches(finalize, batch_format="pyarrow")
 
 
+def custom_aggregate(
+    ds: Dataset,
+    key: str,
+    init,
+    accumulate,
+    merge,
+    finalize=None,
+):
+    """Reference §2.7 custom-aggregation surface
+    (createAggregator(keyFn, aggregateFn),
+    /root/reference/src/transformers/transformerFactory.js:51-57) in
+    mergeable-partial form: `accumulate(state, pandas_group)` builds a
+    per-batch partial state per key, `merge(a, b)` combines partials,
+    `finalize(state) -> dict` emits the output row. Per-batch partials
+    keep the shuffle tiny (one serialized state per key per batch)."""
+    import pandas as pd
+    import pickle
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        rows = []
+        for k, g in df.groupby(key, dropna=True):
+            st = accumulate(init(), g)
+            rows.append({key: k, "_state": pickle.dumps(st)})
+        return pd.DataFrame(rows, columns=[key, "_state"])
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def reduce_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        states = [pickle.loads(s) for s in df["_state"]]
+        st = states[0]
+        for other in states[1:]:
+            st = merge(st, other)
+        out = finalize(st) if finalize else st
+        return pd.DataFrame([{key: df[key].iloc[0], **out}])
+
+    return partials.groupby(key).map_groups(reduce_group, batch_format="pandas")
+
+
+def bounded_partial_counts(key: str, max_groups: int = 1000):
+    """Reference A1 partial-flush semantics
+    (/root/reference/src/transformers/aggregateTransformer.js:93-96),
+    restated for a batch engine: the reference's time/size-bounded
+    flush is a MEMORY CAP on the combiner, not a semantic boundary —
+    partial counts per key are emitted whenever the in-memory group
+    table would exceed ``max_groups``, and the exact merge happens
+    downstream. Here each map_batches call computes value_counts in
+    key-chunks of ``max_groups`` so combiner memory is bounded even
+    under adversarial key cardinality; the final
+    groupby(key).sum(partial) merge is exact. Null keys bypass
+    aggregation (aggregateTransformer.js:71-73). Cross-batch combiner
+    state is deliberately NOT held in the actor: Ray Data's map stages
+    have no end-of-stream flush hook, so held state would be lost at
+    teardown — the per-batch-partials + small-final-merge shape is the
+    correct Ray-native statement of the same memory bound."""
+    import pyarrow.compute as pc2
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = []
+        for lo in range(0, len(col), max(max_groups, 1)):
+            chunk = col.slice(lo, max(max_groups, 1))
+            vc = pc2.value_counts(chunk)
+            keys = pc2.struct_field(vc, "values")
+            cnts = pc2.struct_field(vc, "counts")
+            t = pa.table({key: keys, "partial_count": cnts})
+            parts.append(t.filter(pc2.is_valid(t[key])))
+        return pa.concat_tables(parts) if parts else pa.table(
+            {key: pa.array([], pa.string()), "partial_count": pa.array([], pa.int64())}
+        )
+
+    return fn
+
+
 def top_k(ds: Dataset, sort_keys: list[tuple[str, str]], k: int) -> Dataset:
     """Scalable top-k: per-batch local top-k, then a single tiny merge.
 

@@ -156,6 +156,62 @@ def add_constant_fields(values: dict[str, object]):
     return fn
 
 
+def map_preserving(fn: Callable[[pa.Table], pa.Table]):
+    """Reference T3 preserveOnError semantics
+    (/root/reference/src/transformers/mapTransformer.js:34-48): if the
+    mapper raises, pass the ORIGINAL batch through instead of failing
+    the pipeline. Batch-level (the reference is record-level; our
+    failure unit is the batch — on error we retry row-by-row slices so
+    only genuinely poisoned rows fall back)."""
+
+    def wrapped(batch: pa.Table) -> pa.Table:
+        try:
+            return fn(batch)
+        except Exception:  # noqa: BLE001 — reference passes original through
+            out_parts = []
+            for i in range(batch.num_rows):
+                row = batch.slice(i, 1)
+                try:
+                    out_parts.append(fn(row))
+                except Exception:  # noqa: BLE001
+                    out_parts.append(row)
+            if not out_parts:
+                return batch
+            try:
+                return pa.concat_tables(out_parts, promote_options="permissive")
+            except Exception:  # noqa: BLE001 — incompatible schemas: originals
+                return batch
+
+    return wrapped
+
+
+def sha256_iterated(field: str, iterations: int = 10_000, result_field: str | None = None):
+    """Reference T11 hasher (/root/reference/src/workers/worker.js:182-202):
+    CPU-intensive iterated sha256 of a field value into `${field}Hash`.
+    (The reference's own CLI wiring of this op is broken — worker
+    payload mismatch, SURVEY.md §2.3 — we implement the intended
+    semantics.) The per-row loop is inherent to chained cryptographic
+    hashing; the work is in hashlib's C core. Run it as tasks with
+    small batches so it parallelizes."""
+    import hashlib
+
+    res = result_field or f"{field}_hash"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[field]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out = []
+        for v in col.to_pylist():
+            h = str(v).encode()
+            for _ in range(iterations):
+                h = hashlib.sha256(h).digest()
+            out.append(h.hex())
+        return batch.append_column(res, pa.array(out, pa.string()))
+
+    return fn
+
+
 _MIX1 = np.uint64(0xBF58476D1CE4E5B9)
 _MIX2 = np.uint64(0x94D049BB133111EB)
 

@@ -21,6 +21,7 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
     yield
     ray.shutdown()
 
