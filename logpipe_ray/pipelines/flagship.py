@@ -104,10 +104,19 @@ def input_shards(input_dir: str) -> list[str]:
 def _process_shard_fused(batch: pa.Table) -> pa.Table:
     """The fused per-shard task body (read -> parse -> enrich -> route
     -> write -> partial counts). Input batch: one row per shard with
-    (path, out); out == "" means null sink (benchmark mode, the analog
-    of the reference's null sender, senderFactory.js:78-91)."""
+    (shard, path, out); out == "" means null sink (benchmark mode, the
+    analog of the reference's null sender, senderFactory.js:78-91).
+
+    Output rows: (shard, source, sink, cnt, shard_rows, shard_wall_s)
+    — the counts double as per-shard lineage metrics (rows + wall time
+    per input shard land in the manifest)."""
     parts = []
-    for path, out in zip(batch["path"].to_pylist(), batch["out"].to_pylist()):
+    for shard, path, out in zip(
+        batch["shard"].to_pylist(),
+        batch["path"].to_pylist(),
+        batch["out"].to_pylist(),
+    ):
+        t0 = time.time()
         t = pq.read_table(path)
         t = route_batch(enrich_batch(parse_batch(t)))
         if out:
@@ -121,8 +130,14 @@ def _process_shard_fused(batch: pa.Table) -> pa.Table:
             pa.table({"source": t["source"], "sink": t["sink"]})
             .group_by(["source", "sink"])
             .aggregate([([], "count_all")])
+            .rename_columns(["source", "sink", "cnt"])
         )
-        parts.append(g.rename_columns(["source", "sink", "cnt"]))
+        wall = time.time() - t0
+        n = len(g)
+        g = g.append_column("shard", pa.array([shard] * n, pa.string()))
+        g = g.append_column("shard_rows", pa.array([t.num_rows] * n, pa.int64()))
+        g = g.append_column("shard_wall_s", pa.array([round(wall, 4)] * n, pa.float64()))
+        parts.append(g)
     return pa.concat_tables(parts)
 
 
@@ -170,24 +185,30 @@ def run_flagship(
         t0 = time.time()
         group_out = os.path.join(data_dir, f"group={gid}")
 
+        shard_metrics = None
         if mode == "fused":
             items = [
                 {
+                    "shard": f"shard={i:04d}",
                     "path": p,
                     "out": os.path.join(group_out, f"shard={i:04d}") if write_sinks else "",
                 }
                 for i, p in enumerate(group_files)
             ]
             shard_ds = rd.from_items(items, override_num_blocks=len(items))
-            partials = shard_ds.map_batches(
+            partials_df = shard_ds.map_batches(
                 _process_shard_fused, batch_format="pyarrow", batch_size=None
-            )
+            ).to_pandas()
             counts_tbl = (
-                partials.groupby(["source", "sink"])
-                .sum("cnt")
-                .to_pandas()
-                .rename(columns={"sum(cnt)": "cnt"})
+                partials_df.groupby(["source", "sink"], as_index=False)["cnt"]
+                .sum()
                 .sort_values(["source", "sink"])
+            )
+            shard_metrics = (
+                partials_df.groupby("shard")
+                .agg(rows=("shard_rows", "first"), wall_s=("shard_wall_s", "first"))
+                .reset_index()
+                .to_dict("records")
             )
         else:
             ds = rd.read_parquet(group_files)
@@ -217,6 +238,7 @@ def run_flagship(
                 "rows_per_s": round(rows_in / wall, 1) if wall > 0 else None,
                 "output_dir": group_out if write_sinks else None,
                 "mode": mode,
+                "shard_metrics": shard_metrics,
             },
         )
         done += 1

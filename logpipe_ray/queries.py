@@ -507,6 +507,216 @@ SELECT doc_id,
 FROM documents"""
 
 
+def events_hourly(sf_dir: str) -> Dataset:
+    """Tumbling-window aggregate: events per (type, hour bucket).
+    Windows = vectorized floor_temporal + partial counts (no
+    event-time machinery needed for batch windows; SURVEY.md §2.6)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour").cast(pa.timestamp("us"))
+        g = (
+            pa.table({"event_type": t["event_type"], "hour": hour})
+            .group_by(["event_type", "hour"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "hour", "p_cnt"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(_Sum("p_cnt", alias_name="cnt"))
+    )
+
+    def fix_ts(t: pa.Table) -> pa.Table:
+        # ray's groupby canonicalizes the key to timestamp[s]
+        i = t.column_names.index("hour")
+        return t.set_column(i, "hour", t["hour"].cast(pa.timestamp("us")))
+
+    return out.map_batches(fix_ts, batch_format="pyarrow")
+
+
+def _sql_events_hourly(sf_dir: str) -> str:
+    return """
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+FROM events GROUP BY event_type, date_trunc('hour', ts)"""
+
+
+def events_sessionize(sf_dir: str) -> Dataset:
+    """Session windows (30-min inactivity gap) per user — the
+    streaming-shaped pattern: groupby(key).map_groups over ts-sorted
+    groups (partitioning assumption: one group = one user's full
+    history; stated per SURVEY.md §2.6)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessions(df):
+        import pandas as pd
+
+        df = df.sort_values("ts")
+        gaps = df["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": df["user_id"].iloc[0],
+                    "n_sessions": int(gaps.sum()) + 1,
+                    "n_events": len(df),
+                }
+            ]
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def _sql_events_sessionize(sf_dir: str) -> str:
+    return """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM o GROUP BY user_id"""
+
+
+def top_orders(sf_dir: str) -> Dataset:
+    """Distributed sort + limit (the real ds.sort path)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
+
+
+def _sql_top_orders(sf_dir: str) -> str:
+    return """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
+
+
+def events_distinct_types(sf_dir: str) -> "pa.Table":
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+def _sql_events_distinct_types(sf_dir: str) -> str:
+    return "SELECT DISTINCT event_type FROM events"
+
+
+def lp_anti_filter(sf_dir: str) -> Dataset:
+    """Reference T2 includeMatches=false (anti-filter) on parsed rows."""
+    ds = _routed(sf_dir)
+    ds = ds.map_batches(make_filter({"parse_ok": True}), batch_format="pyarrow")
+    ds = ds.map_batches(
+        make_filter({"level": "ERROR"}, include_matches=False),
+        batch_format="pyarrow",
+    )
+    return ds.map_batches(select_fields(["doc_id", "level"]), batch_format="pyarrow")
+
+
+def _sql_lp_anti_filter(sf_dir: str) -> str:
+    return (
+        _lp_cte(sf_dir)
+        + "SELECT doc_id, level FROM parsed WHERE parse_ok AND NOT (level = 'ERROR')"
+    )
+
+
+class _NationRegionJoin:
+    """Two-hop broadcast join: customer -> nation -> region."""
+
+    def __init__(self, ref):
+        (self._nk, self._nr, self._rk, self._rn) = ray.get(ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_idx = pc.index_in(batch["c_nationkey"], self._nk)
+        regionkey = pc.take(self._nr, n_idx)
+        r_idx = pc.index_in(regionkey, self._rk)
+        r_name = pc.take(self._rn, r_idx)
+        g = (
+            pa.table({"r_name": r_name})
+            .group_by("r_name")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["r_name", "p_cnt"])
+
+
+def customers_per_region(sf_dir: str) -> Dataset:
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    ref = ray.put(
+        (
+            nation["n_nationkey"].combine_chunks(),
+            nation["n_regionkey"].combine_chunks(),
+            region["r_regionkey"].combine_chunks(),
+            region["r_name"].combine_chunks(),
+        )
+    )
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        ds.map_batches(
+            _NationRegionJoin,
+            fn_constructor_kwargs={"ref": ref},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .groupby("r_name")
+        .aggregate(_Sum("p_cnt", alias_name="cnt"))
+    )
+
+
+def _sql_customers_per_region(sf_dir: str) -> str:
+    return """
+SELECT r_name, count(*) AS cnt
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name"""
+
+
+def order_size_histogram(sf_dir: str) -> Dataset:
+    """Two-stage grouped aggregate: lines per order (partial counts per
+    batch -> exact merge), then orders per line-count."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate([([], "count_all")])
+        return g.rename_columns(["l_orderkey", "p"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    per_order = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(_Sum("p", alias_name="n_lines"))
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_lines").aggregate([([], "count_all")])
+        return g.rename_columns(["n_lines", "p"])
+
+    return (
+        per_order.map_batches(hist, batch_format="pyarrow")
+        .groupby("n_lines")
+        .aggregate(_Sum("p", alias_name="n_orders"))
+    )
+
+
+def _sql_order_size_histogram(sf_dir: str) -> str:
+    return """
+SELECT n_lines, count(*) AS n_orders FROM (
+  SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+) GROUP BY n_lines"""
+
+
 # ------------------------------------------------ training-data ops (dedup,
 # ANN, text analysis, multimodal). Non-SQL-expressible ops have no oracle
 # entry -> the driver records a rows-only check.
@@ -666,6 +876,13 @@ REGISTRY: dict = {
     "docs_lang_token_totals": (docs_lang_token_totals, _sql_docs_lang_token_totals),
     "docs_exact_dedup": (docs_exact_dedup, _sql_docs_exact_dedup),
     "docs_quality": (docs_quality, _sql_docs_quality),
+    "lp_anti_filter": (lp_anti_filter, _sql_lp_anti_filter),
+    "events_hourly": (events_hourly, _sql_events_hourly),
+    "events_sessionize": (events_sessionize, _sql_events_sessionize),
+    "events_distinct_types": (events_distinct_types, _sql_events_distinct_types),
+    "top_orders": (top_orders, _sql_top_orders),
+    "customers_per_region": (customers_per_region, _sql_customers_per_region),
+    "order_size_histogram": (order_size_histogram, _sql_order_size_histogram),
     "docs_bpe_token_count": (docs_bpe_token_count, _sql_docs_bpe_token_count),
     "ann_brute_topk": (ann_brute_topk, _sql_ann_brute_topk),
     # rows-only (non-SQL-expressible: LSH/sketch/heuristic/stub ops)
