@@ -41,26 +41,83 @@ def _partial_counts(keys: list[str]):
     return fn
 
 
-def count_groupby(ds: Dataset, keys: list[str], alias: str = "cnt") -> Dataset:
+def count_groupby(
+    ds: Dataset,
+    keys: list[str],
+    alias: str = "cnt",
+    salt: int | None = None,
+    salt_col: str = "doc_id",
+) -> Dataset:
     """groupby(keys).count() with per-batch partial counting.
 
     Null-key rows are excluded (reference null-key bypass semantics).
+
+    ``salt=S`` adds a salted-key stage for skewed keys (north rule /
+    SURVEY.md §7.3): partials carry an extra ``_salt = hash(salt_col)
+    % S`` column so the first shuffle spreads a hot key over S
+    reducers; a second (tiny) groupby merges the salted partials.
+    With per-batch pre-aggregation the first shuffle is already small,
+    so salting matters when key cardinality is tiny AND batch counts
+    are huge — it bounds the biggest single reducer group.
     """
+    import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:
         mask = None
-        import pyarrow.compute as pc
-
         for k in keys:
             valid = pc.is_valid(batch[k])
             mask = valid if mask is None else pc.and_(mask, valid)
         batch = batch.filter(mask)
-        grouped = batch.group_by(keys).aggregate([([], "count_all")])
-        return grouped.rename_columns(keys + ["partial_count"])
+        gkeys = list(keys)
+        if salt:
+            from .transform import hash64_strings
+            import numpy as np
+
+            col = batch[salt_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if not pa.types.is_string(col.type):
+                col = pc.cast(col, pa.string())
+            bucket = (hash64_strings(col) % np.uint64(salt)).astype(np.int32)
+            batch = batch.append_column("_salt", pa.array(bucket))
+            gkeys = keys + ["_salt"]
+        grouped = batch.group_by(gkeys).aggregate([([], "count_all")])
+        return grouped.rename_columns(gkeys + ["partial_count"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = partials.groupby(keys).aggregate(Sum("partial_count", alias_name=alias))
-    return out
+    if salt:
+        salted = partials.groupby(keys + ["_salt"]).aggregate(
+            Sum("partial_count", alias_name="salted_count")
+        )
+        return salted.groupby(keys).aggregate(Sum("salted_count", alias_name=alias))
+    return partials.groupby(keys).aggregate(Sum("partial_count", alias_name=alias))
+
+
+def hash_partition(ds: Dataset, col: str, num_partitions: int) -> Dataset:
+    """Explicit hash-repartition by a key column (north rule: hash-
+    repartition by doc_id). Adds a deterministic ``_bucket =
+    hash(col) % n`` column and co-locates rows of a bucket via
+    groupby — the portable keyed-shuffle pattern (ray_guide 'Joins').
+    Downstream per-bucket stages may then assume bucket disjointness
+    (the lineage/resume unit at 100 TB)."""
+    import pyarrow.compute as pc
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from .transform import hash64_strings
+        import numpy as np
+
+        c = batch[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if not pa.types.is_string(c.type):
+            c = pc.cast(c, pa.string())
+        b = (hash64_strings(c) % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("_bucket", pa.array(b))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("_bucket").map_groups(
+        lambda t: t, batch_format="pyarrow"
+    )
 
 
 def stats_groupby(
