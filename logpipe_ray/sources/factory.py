@@ -65,6 +65,48 @@ def read_logs_ndjson(path: str | list[str]) -> Dataset:
     return rd.read_json(path, file_extensions=None)
 
 
+def read_logs_ndjson_lenient(path: str | list[str]) -> Dataset:
+    """NDJSON reader with the reference parser's malformed-line
+    tolerance (/root/reference/src/parsers/ndjsonParser.js:99-115):
+    blank lines skipped, malformed lines skipped and counted (emitted
+    as a `_skipped` side-count column per batch is overkill — we log).
+    Arrow's strict JSON reader would abort on the first bad line, so
+    this reads text lines and batch-parses only the valid ones.
+    Intended for fixture/sidecar ingestion, not the 100 TB hot path
+    (the tokenized-parquet pipeline handles malformed rows vectorized
+    via the grok master pattern instead)."""
+    import io
+    import json as _json
+
+    import pyarrow.json as pajson
+
+    ds = rd.read_text(path)
+
+    def parse_lines(t: pa.Table) -> pa.Table:
+        lines = t["text"].to_pylist()
+        good = []
+        skipped = 0
+        for line in lines:
+            if not line.strip():
+                continue
+            try:
+                rec = _json.loads(line)
+                if isinstance(rec, dict):
+                    good.append(line)
+                else:
+                    skipped += 1
+            except Exception:  # noqa: BLE001 — reference skips + counts
+                skipped += 1
+        if skipped:
+            logger.warning("skipped %d malformed lines in batch", skipped)
+        if not good:
+            return pajson.read_json(io.BytesIO(b"{}\n")).slice(0, 0)
+        buf = ("\n".join(good)).encode()
+        return pajson.read_json(io.BytesIO(buf))
+
+    return ds.map_batches(parse_lines, batch_format="pyarrow")
+
+
 def read_logs_csv(path: str | list[str], typed: bool = True) -> Dataset:
     """Read the reference's `;`-separated CSV log format."""
     parse_opts = pacsv.ParseOptions(delimiter=";")

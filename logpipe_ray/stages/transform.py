@@ -41,7 +41,9 @@ def get_path(batch: pa.Table, path: str) -> pa.Array | pa.ChunkedArray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     for p in parts[1:]:
-        if not pa.types.is_struct(col.type):
+        if not pa.types.is_struct(col.type) or col.type.get_field_index(p) < 0:
+            # missing nested field => null column (reference
+            # filterTransformer.js:83-85 returns undefined)
             return pa.nulls(batch.num_rows, pa.string())
         col = pc.struct_field(col, p)
     return col
