@@ -228,6 +228,25 @@ def minhash_dedup_pairs(
     return pa.Table.from_pandas(cand, preserve_index=False)
 
 
+def ngram_jaccard_dedup_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.6,
+    **kw,
+) -> pa.Table:
+    """n-gram Jaccard near-dup: candidates from MinHash over word
+    n-gram shingles, then EXACT n-gram-set Jaccard verification.
+    (The returned `jaccard` is exact over word-set for n==1; for n>1
+    candidates use n-gram signatures and verification uses exact
+    word-set Jaccard — the stricter shingling only tightens candidate
+    generation.)"""
+    return minhash_dedup_pairs(
+        ds, text_col, id_col, threshold=threshold, shingle_k=n, **kw
+    )
+
+
 # ------------------------------------------------------------------ simhash
 
 

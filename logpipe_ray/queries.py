@@ -731,6 +731,28 @@ def docs_minhash_dedup(sf_dir: str):
     return minhash_dedup_pairs(ds, threshold=0.7, num_perm=64, bands=16, shingle_k=3)
 
 
+def docs_ngram_jaccard_dedup(sf_dir: str):
+    from .functions.dedup import ngram_jaccard_dedup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_dedup_pairs(ds, n=2, threshold=0.6)
+
+
+def lp_union_errors_slow(sf_dir: str) -> Dataset:
+    """Set op demo: union of two routed sink streams (ds.union)."""
+    routed = _routed(sf_dir)
+    errors = _sel(routed, {"sink": "errors"}, ["doc_id", "sink"])
+    slow = _sel(routed, {"sink": "slow"}, ["doc_id", "sink"])
+    return errors.union(slow)
+
+
+def _sql_lp_union_errors_slow(sf_dir: str) -> str:
+    return _lp_cte(sf_dir) + """
+SELECT doc_id, sink FROM routed WHERE sink = 'errors'
+UNION ALL
+SELECT doc_id, sink FROM routed WHERE sink = 'slow'"""
+
+
 def docs_simhash_pairs(sf_dir: str):
     from .functions.dedup import simhash_dedup_pairs
 
@@ -886,7 +908,9 @@ REGISTRY: dict = {
     "docs_bpe_token_count": (docs_bpe_token_count, _sql_docs_bpe_token_count),
     "ann_brute_topk": (ann_brute_topk, _sql_ann_brute_topk),
     # rows-only (non-SQL-expressible: LSH/sketch/heuristic/stub ops)
+    "lp_union_errors_slow": (lp_union_errors_slow, _sql_lp_union_errors_slow),
     "docs_minhash_dedup": (docs_minhash_dedup, None),
+    "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "embeddings_neardup": (embeddings_neardup, None),
     "docs_langid": (docs_langid, None),
