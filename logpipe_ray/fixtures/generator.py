@@ -217,14 +217,17 @@ def rows_for_sf(sf: float) -> int:
     return max(1000, int(round(6_000_000 * sf)))
 
 
+FIXTURE_VERSION = 2  # v2: finer shards (~9.4k rows) — better balance at 32 cpus
+
+
 def shards_for_sf(sf: float) -> int:
     n = rows_for_sf(sf)
-    return int(max(4, min(64, n // 37_500 or 4)))
+    return int(max(4, min(64, n // 9_375 or 4)))
 
 
 def sequences_dir_for(sf_dir: str) -> str:
     sf = _sf_from_dir(sf_dir)
-    return os.path.join(FIXTURE_ROOT, f"sf{sf:g}", "sequences")
+    return os.path.join(FIXTURE_ROOT, f"sf{sf:g}", f"sequences_v{FIXTURE_VERSION}")
 
 
 def _write_shard(job: tuple) -> None:
