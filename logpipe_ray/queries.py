@@ -753,6 +753,13 @@ UNION ALL
 SELECT doc_id, sink FROM routed WHERE sink = 'slow'"""
 
 
+def docs_dup_clusters(sf_dir: str):
+    from .functions.dedup import dup_clusters
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dup_clusters(ds, threshold=0.6, shingle_k=2)
+
+
 def docs_simhash_pairs(sf_dir: str):
     from .functions.dedup import simhash_dedup_pairs
 
@@ -911,6 +918,7 @@ REGISTRY: dict = {
     "lp_union_errors_slow": (lp_union_errors_slow, _sql_lp_union_errors_slow),
     "docs_minhash_dedup": (docs_minhash_dedup, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
+    "docs_dup_clusters": (docs_dup_clusters, None),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "embeddings_neardup": (embeddings_neardup, None),
     "docs_langid": (docs_langid, None),

@@ -68,6 +68,38 @@ def test_simhash_dedup_pipeline(ray_session, corpus):
     assert (0, 200) in pairs and (1, 201) in pairs
 
 
+def test_dup_clusters(ray_session):
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(400)]
+    docs, ids = [], []
+    for i in range(100):
+        docs.append(" ".join(rng.choice(vocab, 30, replace=False)))
+        ids.append(i)
+    # cluster of 3 copies of doc 5, cluster of 2 copies of doc 9
+    for j, src in enumerate([5, 5, 9]):
+        w = docs[src].split(" ")
+        w[j] = f"alt{j}"
+        docs.append(" ".join(w))
+        ids.append(100 + j)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": docs})
+    from logpipe_ray.functions.dedup import dup_clusters
+
+    out = dup_clusters(rd.from_arrow(t), threshold=0.7).to_pandas()
+    by_cluster = out.groupby("cluster_id")["doc_id"].apply(set).to_dict()
+    assert {5, 100, 101} in by_cluster.values()
+    assert {9, 102} in by_cluster.values()
+    assert (out["cluster_size"] >= 2).all()
+
+
+def test_cluster_unionfind_transitive():
+    from logpipe_ray.functions.dedup import cluster_pairs_unionfind
+
+    labels = cluster_pairs_unionfind([(1, 2), (2, 3), (7, 8), (3, 4)])
+    assert labels[1] == labels[2] == labels[3] == labels[4]
+    assert labels[7] == labels[8]
+    assert labels[1] != labels[7]
+
+
 def test_embedding_neardup(ray_session):
     rng = np.random.default_rng(5)
     vecs = rng.standard_normal((300, 32)).astype(np.float32)
