@@ -99,14 +99,20 @@ def cmd_run(args) -> int:
 def cmd_flagship(args) -> int:
     _ray_init(args.num_cpus)
     from .pipelines.flagship import run_flagship
+    from .utils.profiler import Profiler
 
-    summary = run_flagship(
-        args.input_dir,
-        args.out_dir,
-        checkpoint_groups=args.checkpoint_groups,
-        resume=not args.no_resume,
-        write_sinks=not args.null_sink,
-    )
+    prof = Profiler()
+    with prof.mark("flagship"):
+        summary = run_flagship(
+            args.input_dir,
+            args.out_dir,
+            checkpoint_groups=args.checkpoint_groups,
+            resume=not args.no_resume,
+            write_sinks=not args.null_sink,
+        )
+    if args.profile:
+        rep = prof.write_report(args.profile)
+        summary["profile"] = {k: rep[k] for k in ("wall_s", "cpu_s", "max_rss_mb")}
     print(json.dumps(summary, indent=2))
     return 0
 
@@ -151,6 +157,7 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--checkpoint-groups", type=int, default=4)
     f.add_argument("--no-resume", action="store_true")
     f.add_argument("--null-sink", action="store_true")
+    f.add_argument("--profile", help="write a profiler JSON report here")
     f.add_argument("--num-cpus", type=int, default=None)
     f.set_defaults(fn=cmd_flagship)
 
