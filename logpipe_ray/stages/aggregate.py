@@ -68,6 +68,12 @@ def count_groupby(
             valid = pc.is_valid(batch[k])
             mask = valid if mask is None else pc.and_(mask, valid)
         batch = batch.filter(mask)
+        if batch.num_rows == 0:
+            cols = {k: batch[k].combine_chunks() if isinstance(batch[k], pa.ChunkedArray) else batch[k] for k in keys}
+            if salt:
+                cols["_salt"] = pa.array([], pa.int32())
+            cols["partial_count"] = pa.array([], pa.int64())
+            return pa.table(cols)
         gkeys = list(keys)
         if salt:
             from .transform import hash64_strings
@@ -138,7 +144,8 @@ def stats_groupby(
         grouped = batch.group_by(key).aggregate(
             [(value, "count"), (value, "sum"), (value, "min"), (value, "max")]
         )
-        return grouped.rename_columns([key, "p_cnt", "p_sum", "p_min", "p_max"])
+        grouped = grouped.rename_columns([key, "p_cnt", "p_sum", "p_min", "p_max"])
+        return grouped
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     merged = partials.groupby(key).aggregate(
