@@ -682,6 +682,99 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name"""
 
 
+_REV_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS cnt
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority"""
+
+
+def revenue_by_orderpriority(sf_dir: str) -> Dataset:
+    """Large-both-sides join via the native hash-partitioned
+    Dataset.join, then partial-agg."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+    joined = orders.join(
+        items, join_type="inner", num_partitions=8,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        g = (
+            pa.table({"o_orderpriority": t["o_orderpriority"], "c": cents})
+            .group_by("o_orderpriority")
+            .aggregate([("c", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["o_orderpriority", "p_rev", "p_cnt"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            _Sum("p_rev", alias_name="revenue_cents"), _Sum("p_cnt", alias_name="cnt")
+        )
+    )
+
+
+def _sql_revenue_by_orderpriority(sf_dir: str) -> str:
+    return _REV_SQL
+
+
+def revenue_by_orderpriority_cogroup(sf_dir: str) -> Dataset:
+    """Same join expressed as the portable bucketed co-group pattern
+    (stages/join.py): groupby co-locates both sides per orderkey."""
+    from .stages.join import cogroup_join_aggregate
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.rename_columns(["okey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    ).map_batches(
+        lambda t: t.rename_columns(["okey", "l_extendedprice"]),
+        batch_format="pyarrow",
+    )
+
+    def per_key(l, r):
+        if len(l) == 0 or len(r) == 0:
+            return None  # inner-join semantics
+        cents = (r["l_extendedprice"] * 100.0).round().astype("int64")
+        return {
+            "o_orderpriority": l["o_orderpriority"].iloc[0],
+            "p_rev": int(cents.sum()),
+            "p_cnt": int(len(r)),
+        }
+
+    per_order = cogroup_join_aggregate(
+        orders,
+        items,
+        "okey",
+        {"o_orderpriority": pa.string()},
+        {"l_extendedprice": pa.float64()},
+        per_key,
+    )
+    from ray.data.aggregate import Sum as _Sum
+
+    return per_order.groupby("o_orderpriority").aggregate(
+        _Sum("p_rev", alias_name="revenue_cents"), _Sum("p_cnt", alias_name="cnt")
+    )
+
+
+def _sql_revenue_by_orderpriority_cogroup(sf_dir: str) -> str:
+    return _REV_SQL
+
+
 def order_size_histogram(sf_dir: str) -> Dataset:
     """Two-stage grouped aggregate: lines per order (partial counts per
     batch -> exact merge), then orders per line-count."""
@@ -912,6 +1005,11 @@ REGISTRY: dict = {
     "top_orders": (top_orders, _sql_top_orders),
     "customers_per_region": (customers_per_region, _sql_customers_per_region),
     "order_size_histogram": (order_size_histogram, _sql_order_size_histogram),
+    "revenue_by_orderpriority": (revenue_by_orderpriority, _sql_revenue_by_orderpriority),
+    "revenue_by_orderpriority_cogroup": (
+        revenue_by_orderpriority_cogroup,
+        _sql_revenue_by_orderpriority_cogroup,
+    ),
     "docs_bpe_token_count": (docs_bpe_token_count, _sql_docs_bpe_token_count),
     "ann_brute_topk": (ann_brute_topk, _sql_ann_brute_topk),
     # rows-only (non-SQL-expressible: LSH/sketch/heuristic/stub ops)
