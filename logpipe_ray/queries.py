@@ -775,6 +775,121 @@ def _sql_revenue_by_orderpriority_cogroup(sf_dir: str) -> str:
     return _REV_SQL
 
 
+def purchases_asof_last_click(sf_dir: str) -> Dataset:
+    """As-of join: each purchase event gets the latest prior click's
+    value for the same user (backward-inclusive, event_id tiebreak)."""
+    from .stages.join import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    purchases = ev.map_batches(
+        make_filter({"event_type": "purchase"}), batch_format="pyarrow"
+    ).map_batches(select_fields(["event_id", "ts", "user_id"]), batch_format="pyarrow")
+    clicks = ev.map_batches(
+        make_filter({"event_type": "click"}), batch_format="pyarrow"
+    ).map_batches(
+        select_fields(["ts", "user_id", "value", "event_id"]), batch_format="pyarrow"
+    ).map_batches(
+        lambda t: t.rename_columns(["ts", "user_id", "last_click_value", "click_id"]),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts_col="ts",
+        left_cols={"event_id": pa.int64()},
+        right_cols={"last_click_value": pa.float64(), "click_id": pa.int64()},
+        tiebreak="click_id",
+    )
+    def finalize(t: pa.Table) -> pa.Table:
+        # the union side-tagging routes ints through pandas NaN -> float
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "last_click_value": pc.cast(t["last_click_value"], pa.float64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sql_purchases_asof_last_click(sf_dir: str) -> str:
+    return """
+WITH clicks AS (
+  SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id,
+       (SELECT c.value FROM clicks c
+        WHERE c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_value
+FROM purchases p"""
+
+
+def lineitem_semi_high_value(sf_dir: str) -> Dataset:
+    """Semi join by broadcast key set: lineitems of orders with
+    totalprice > 150000, counted per returnflag."""
+    import pyarrow.parquet as pq
+
+    from .stages.join import semi_join_filter
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    keys = orders.filter(pc.greater(orders["o_totalprice"], 150000.0))[
+        "o_orderkey"
+    ].combine_chunks()
+    ref = ray.put(keys)
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+    return count_groupby(
+        semi_join_filter(items, "l_orderkey", ref), ["l_returnflag"], alias="cnt"
+    )
+
+
+def _sql_lineitem_semi_high_value(sf_dir: str) -> str:
+    return """
+SELECT l_returnflag, count(*) AS cnt FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+GROUP BY l_returnflag"""
+
+
+def lineitem_anti_high_value(sf_dir: str) -> Dataset:
+    """Anti join variant of the above (NOT IN via broadcast key set)."""
+    import pyarrow.parquet as pq
+
+    from .stages.join import semi_join_filter
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    keys = orders.filter(pc.greater(orders["o_totalprice"], 150000.0))[
+        "o_orderkey"
+    ].combine_chunks()
+    ref = ray.put(keys)
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+    return count_groupby(
+        semi_join_filter(items, "l_orderkey", ref, anti=True),
+        ["l_returnflag"],
+        alias="cnt",
+    )
+
+
+def _sql_lineitem_anti_high_value(sf_dir: str) -> str:
+    return """
+SELECT l_returnflag, count(*) AS cnt FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+GROUP BY l_returnflag"""
+
+
 def order_size_histogram(sf_dir: str) -> Dataset:
     """Two-stage grouped aggregate: lines per order (partial counts per
     batch -> exact merge), then orders per line-count."""
@@ -1010,6 +1125,12 @@ REGISTRY: dict = {
         revenue_by_orderpriority_cogroup,
         _sql_revenue_by_orderpriority_cogroup,
     ),
+    "purchases_asof_last_click": (
+        purchases_asof_last_click,
+        _sql_purchases_asof_last_click,
+    ),
+    "lineitem_semi_high_value": (lineitem_semi_high_value, _sql_lineitem_semi_high_value),
+    "lineitem_anti_high_value": (lineitem_anti_high_value, _sql_lineitem_anti_high_value),
     "docs_bpe_token_count": (docs_bpe_token_count, _sql_docs_bpe_token_count),
     "ann_brute_topk": (ann_brute_topk, _sql_ann_brute_topk),
     # rows-only (non-SQL-expressible: LSH/sketch/heuristic/stub ops)

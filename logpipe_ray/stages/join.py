@@ -71,3 +71,80 @@ def cogroup_join_aggregate(
         return pd.DataFrame([{key: df[key].iloc[0], **row}])
 
     return unioned.groupby(key).map_groups(reduce_group, batch_format="pandas")
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    ts_col: str,
+    left_cols: dict[str, pa.DataType],
+    right_cols: dict[str, pa.DataType],
+    tiebreak: str | None = None,
+):
+    """As-of join (backward, inclusive): for every left row, attach the
+    latest right row with right.ts <= left.ts for the same key.
+
+    Distributed shape (ray_guide "As-of / range join"): co-locate both
+    sides by key (the cogroup union+groupby pattern), then
+    pd.merge_asof over the ts-sorted group. Deterministic under ts
+    ties when ``tiebreak`` (a right-side column) is given: the max
+    tiebreak wins. Partitioning assumption: one key's history fits a
+    reducer (salt by time-range if a key's history is huge)."""
+    import numpy as np
+    import pandas as pd
+
+    all_cols = {**left_cols, **right_cols}
+
+    def tag(side: int, own: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            out = {key: t[key], ts_col: t[ts_col]}
+            for c, typ in all_cols.items():
+                if c in own and c in t.column_names:
+                    out[c] = t[c]
+                else:
+                    out[c] = pa.nulls(t.num_rows, typ)
+            out["_side"] = pa.array(np.full(t.num_rows, side, np.int8))
+            return pa.table(out)
+
+        return fn
+
+    unioned = left.map_batches(tag(0, left_cols), batch_format="pyarrow").union(
+        right.map_batches(tag(1, right_cols), batch_format="pyarrow")
+    )
+
+    def reduce_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        l = df[df["_side"] == 0].sort_values(ts_col, kind="stable")
+        r = df[df["_side"] == 1]
+        if len(l) == 0:
+            return pd.DataFrame()
+        l = l[[key, ts_col, *left_cols]]
+        if len(r) == 0:
+            out = l.copy()
+            for c in right_cols:
+                out[c] = pd.NA
+            return out
+        sort_keys = [ts_col] + ([tiebreak] if tiebreak else [])
+        r = r.sort_values(sort_keys, kind="stable")[[ts_col, *right_cols]]
+        return pd.merge_asof(l, r, on=ts_col, direction="backward")
+
+    return unioned.groupby(key).map_groups(reduce_group, batch_format="pandas")
+
+
+def semi_join_filter(ds: Dataset, col: str, keys_ref, anti: bool = False) -> Dataset:
+    """Semi / anti join by broadcast key set (ray_guide "Semi / anti
+    join"): keys_ref is a ray.put ObjectRef of an Arrow array of keys
+    (at very large key cardinality, put a Bloom filter instead — same
+    shape). No shuffle: a vectorized pc.is_in mask per batch."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray
+
+        keys = ray.get(keys_ref)
+        mask = pc.is_in(batch[col], value_set=keys)
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(pc.fill_null(mask, anti))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
