@@ -925,6 +925,53 @@ SELECT n_lines, count(*) AS n_orders FROM (
 ) GROUP BY n_lines"""
 
 
+def events_approx_distinct_users(sf_dir: str) -> "pa.Table":
+    """KMV sketch distinct count. With k=8192 >> true cardinality the
+    sketch is in its exact regime, so the result matches
+    count(DISTINCT ...) and is SQL-oracle-checked; at 10^12-row scale
+    the same code path returns the ~1% estimate instead."""
+    from .functions.sketches import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id", k=8192)
+    return pa.table({"approx_users": pa.array([int(round(est))], pa.int64())})
+
+
+def _sql_events_approx_distinct_users(sf_dir: str) -> str:
+    return "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users FROM events"
+
+
+def lp_rt_histogram(sf_dir: str) -> Dataset:
+    """Mergeable fixed-bin histogram of response_time (100 ms bins)."""
+    ds = _routed(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rt = t["response_time"]
+        if isinstance(rt, pa.ChunkedArray):
+            rt = rt.combine_chunks()
+        ok = rt.filter(pc.is_valid(rt))
+        bins = pc.cast(pc.divide(ok, 100), pa.int32())
+        g = pa.table({"rt_bin": bins}).group_by("rt_bin").aggregate([([], "count_all")])
+        return g.rename_columns(["rt_bin", "p"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("rt_bin")
+        .aggregate(_Sum("p", alias_name="cnt"))
+    )
+
+
+def _sql_lp_rt_histogram(sf_dir: str) -> str:
+    return (
+        _lp_cte(sf_dir)
+        + """
+SELECT CAST(response_time // 100 AS BIGINT) AS rt_bin, count(*) AS cnt
+FROM parsed WHERE response_time IS NOT NULL GROUP BY rt_bin"""
+    )
+
+
 # ------------------------------------------------ training-data ops (dedup,
 # ANN, text analysis, multimodal). Non-SQL-expressible ops have no oracle
 # entry -> the driver records a rows-only check.
@@ -1131,6 +1178,11 @@ REGISTRY: dict = {
     ),
     "lineitem_semi_high_value": (lineitem_semi_high_value, _sql_lineitem_semi_high_value),
     "lineitem_anti_high_value": (lineitem_anti_high_value, _sql_lineitem_anti_high_value),
+    "events_approx_distinct_users": (
+        events_approx_distinct_users,
+        _sql_events_approx_distinct_users,
+    ),
+    "lp_rt_histogram": (lp_rt_histogram, _sql_lp_rt_histogram),
     "docs_bpe_token_count": (docs_bpe_token_count, _sql_docs_bpe_token_count),
     "ann_brute_topk": (ann_brute_topk, _sql_ann_brute_topk),
     # rows-only (non-SQL-expressible: LSH/sketch/heuristic/stub ops)

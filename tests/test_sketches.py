@@ -1,0 +1,45 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import ray.data as rd
+
+from logpipe_ray.functions.sketches import (
+    approx_distinct,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+
+
+def test_exact_below_k():
+    vals = pa.array([f"v{i}" for i in range(100)] * 3)
+    sk = kmv_sketch(vals, k=1024)
+    assert kmv_estimate(sk, k=1024) == 100.0
+
+
+def test_estimate_accuracy():
+    rng = np.random.default_rng(1)
+    vals = pa.array([f"user-{rng.integers(0, 50_000)}" for _ in range(200_000)])
+    true = len(set(vals.to_pylist()))
+    est = kmv_estimate(kmv_sketch(vals, k=1024), k=1024)
+    assert abs(est - true) / true < 0.10
+
+
+@given(st.lists(st.lists(st.integers(0, 5000), max_size=300), max_size=6))
+@settings(max_examples=30, deadline=None)
+def test_merge_equals_union(parts):
+    k = 64
+    sketches = [kmv_sketch(pa.array([f"x{v}" for v in p], pa.string()), k) for p in parts]
+    merged = kmv_merge(sketches, k)
+    all_vals = pa.array([f"x{v}" for p in parts for v in p], pa.string())
+    direct = kmv_sketch(all_vals, k)
+    assert np.array_equal(merged, direct)  # merge == sketch-of-union
+
+
+def test_distributed_approx_distinct(ray_session):
+    ds = rd.from_items([{"u": f"user-{i % 777}"} for i in range(20_000)])
+    est = approx_distinct(ds, "u", k=512)
+    assert abs(est - 777) / 777 < 0.12
