@@ -113,10 +113,17 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     # the strict extraction pattern agrees with it on any line the
     # generator's grammar produces (asserted in tests) and yields
     # all-null fields for anything else.
-    parse_ok = pc.match_substring_regex(lines, PARSE_MASTER_PATTERN)
+    loose_ok = pc.match_substring_regex(lines, PARSE_MASTER_PATTERN)
 
     cols = _extract_all(lines)
     tags_raw = cols.pop("tags_raw")
+    # strict participation: the full extraction pattern matched
+    # (timestamp is mandatory in it and never empty). On generator
+    # grammar the two predicates are identical (asserted in tests);
+    # on foreign input this prevents half-parsed rows slipping past
+    # the dead-letter sink.
+    strict_ok = pc.is_valid(cols["timestamp"])
+    parse_ok = pc.and_(loose_ok, strict_ok)
 
     # rows failing the master pattern contribute no fields at all
     for name, col in cols.items():

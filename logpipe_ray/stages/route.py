@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 
 from .enrich import ROUTE_MAP
 
-SINKS = ["deadletter", "errors", "slow"] + sorted(set(ROUTE_MAP.values()))
+SINKS = ["deadletter", "errors", "slow", "unrouted"] + sorted(set(ROUTE_MAP.values()))
 
 
 def route_batch(batch: pa.Table) -> pa.Table:
@@ -39,9 +39,11 @@ def route_batch(batch: pa.Table) -> pa.Table:
             pc.if_else(
                 pc.fill_null(is_slow, False),
                 pa.scalar("slow", pa.string()),
-                batch["route"]
+                # unknown source (no route) -> explicit 'unrouted' sink
+                # so a partitioned write never sees a null key
+                pc.fill_null(batch["route"], "unrouted")
                 if "route" in batch.column_names
-                else pa.scalar(None, pa.string()),
+                else pa.scalar("unrouted", pa.string()),
             ),
         ),
     )
