@@ -44,6 +44,36 @@ def _routed(sf_dir: str) -> Dataset:
     return build_pipeline(rd.read_parquet(seq_dir))
 
 
+def _routed_partials(sf_dir: str, partial_fn) -> Dataset:
+    """Fused per-shard partial computation: each task reads its shard,
+    runs parse->enrich->route in-process, and emits only
+    ``partial_fn(routed_table)`` — the aggregation-query analog of the
+    fused flagship (no row-level object-store traffic; the shuffle
+    moves partials only)."""
+    import glob as _glob
+
+    from .stages.enrich import enrich_batch
+    from .stages.parse import parse_batch
+    from .stages.route import route_batch
+
+    seq_dir = ensure_sequences(sf_dir)
+    files = sorted(_glob.glob(f"{seq_dir}/*.parquet"))
+
+    def task(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        parts = []
+        for path in batch["path"].to_pylist():
+            t = pq.read_table(path)
+            parts.append(partial_fn(route_batch(enrich_batch(parse_batch(t)))))
+        return pa.concat_tables(parts)
+
+    items = rd.from_items(
+        [{"path": p} for p in files], override_num_blocks=len(files)
+    )
+    return items.map_batches(task, batch_format="pyarrow", batch_size=None)
+
+
 def _lp_cte(sf_dir: str) -> str:
     path = ensure_sequences(sf_dir)
     return f"""
@@ -127,7 +157,21 @@ def _sel(ds: Dataset, flt: dict | None, cols: list[str]) -> Dataset:
 
 
 def lp_route_counts(sf_dir: str) -> Dataset:
-    return count_groupby(_routed(sf_dir), ["source", "sink"], alias="cnt")
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"source": t["source"], "sink": t["sink"]})
+            .group_by(["source", "sink"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["source", "sink", "p"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        _routed_partials(sf_dir, partial)
+        .groupby(["source", "sink"])
+        .aggregate(_Sum("p", alias_name="cnt"))
+    )
 
 
 def _sql_lp_route_counts(sf_dir: str) -> str:
@@ -138,7 +182,19 @@ def _sql_lp_route_counts(sf_dir: str) -> str:
 
 
 def lp_count_by_level(sf_dir: str) -> Dataset:
-    return count_groupby(_routed(sf_dir), ["level"], alias="cnt")
+    def partial(t: pa.Table) -> pa.Table:
+        lvl = t["level"]
+        sub = pa.table({"level": lvl}).filter(pc.is_valid(lvl))
+        g = sub.group_by("level").aggregate([([], "count_all")])
+        return g.rename_columns(["level", "p"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        _routed_partials(sf_dir, partial)
+        .groupby("level")
+        .aggregate(_Sum("p", alias_name="cnt"))
+    )
 
 
 def _sql_lp_count_by_level(sf_dir: str) -> str:
@@ -149,7 +205,35 @@ def _sql_lp_count_by_level(sf_dir: str) -> str:
 
 
 def lp_stats_by_level(sf_dir: str) -> Dataset:
-    return stats_groupby(_routed(sf_dir), "level", "response_time", prefix="rt")
+    def partial(t: pa.Table) -> pa.Table:
+        sub = pa.table(
+            {"level": t["level"], "rt": t["response_time"]}
+        ).filter(pc.is_valid(t["level"]))
+        g = sub.group_by("level").aggregate(
+            [("rt", "count"), ("rt", "sum"), ("rt", "min"), ("rt", "max")]
+        )
+        return g.rename_columns(["level", "p_cnt", "p_sum", "p_min", "p_max"])
+
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    merged = (
+        _routed_partials(sf_dir, partial)
+        .groupby("level")
+        .aggregate(
+            _Sum("p_cnt", alias_name="cnt_rt"),
+            _Sum("p_sum", alias_name="sum_rt"),
+            _Min("p_min", alias_name="min_rt"),
+            _Max("p_max", alias_name="max_rt"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        avg = pc.divide(
+            pc.cast(t["sum_rt"], pa.float64()), pc.cast(t["cnt_rt"], pa.float64())
+        )
+        return t.append_column("avg_rt", avg)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
 
 
 def _sql_lp_stats_by_level(sf_dir: str) -> str:
@@ -943,7 +1027,6 @@ def _sql_events_approx_distinct_users(sf_dir: str) -> str:
 
 def lp_rt_histogram(sf_dir: str) -> Dataset:
     """Mergeable fixed-bin histogram of response_time (100 ms bins)."""
-    ds = _routed(sf_dir)
 
     def partial(t: pa.Table) -> pa.Table:
         rt = t["response_time"]
@@ -957,7 +1040,7 @@ def lp_rt_histogram(sf_dir: str) -> Dataset:
     from ray.data.aggregate import Sum as _Sum
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        _routed_partials(sf_dir, partial)
         .groupby("rt_bin")
         .aggregate(_Sum("p", alias_name="cnt"))
     )
