@@ -153,6 +153,18 @@ def _sel(ds: Dataset, flt: dict | None, cols: list[str]) -> Dataset:
     return ds.map_batches(select_fields(cols), batch_format="pyarrow")
 
 
+def _fused_sel(sf_dir: str, flt: dict | None, cols: list[str]) -> Dataset:
+    """Filter+project computed inside the per-shard read task: only the
+    projected matching rows reach the object store."""
+    f = make_filter(flt) if flt else None
+    s = select_fields(cols)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return s(f(t)) if f else s(t)
+
+    return _routed_partials(sf_dir, fn)
+
+
 # ------------------------------------------------------------- lp: queries
 
 
@@ -247,7 +259,7 @@ FROM routed WHERE level IS NOT NULL GROUP BY level"""
 
 
 def lp_errors_rows(sf_dir: str) -> Dataset:
-    return _sel(_routed(sf_dir), {"sink": "errors"}, ["doc_id", "n_tok", "error_code"])
+    return _fused_sel(sf_dir, {"sink": "errors"}, ["doc_id", "n_tok", "error_code"])
 
 
 def _sql_lp_errors_rows(sf_dir: str) -> str:
@@ -258,7 +270,7 @@ def _sql_lp_errors_rows(sf_dir: str) -> str:
 
 
 def lp_deadletter_rows(sf_dir: str) -> Dataset:
-    return _sel(_routed(sf_dir), {"sink": "deadletter"}, ["doc_id", "n_tok", "source"])
+    return _fused_sel(sf_dir, {"sink": "deadletter"}, ["doc_id", "n_tok", "source"])
 
 
 def _sql_lp_deadletter_rows(sf_dir: str) -> str:
@@ -269,7 +281,7 @@ def _sql_lp_deadletter_rows(sf_dir: str) -> str:
 
 
 def lp_slow_rows(sf_dir: str) -> Dataset:
-    return _sel(_routed(sf_dir), {"sink": "slow"}, ["doc_id", "response_time", "source"])
+    return _fused_sel(sf_dir, {"sink": "slow"}, ["doc_id", "response_time", "source"])
 
 
 def _sql_lp_slow_rows(sf_dir: str) -> str:
@@ -287,7 +299,7 @@ _PARSED_COLS = [
 
 
 def lp_parsed_fields(sf_dir: str) -> Dataset:
-    return _sel(_routed(sf_dir), {"parse_ok": True}, _PARSED_COLS)
+    return _fused_sel(sf_dir, {"parse_ok": True}, _PARSED_COLS)
 
 
 def _sql_lp_parsed_fields(sf_dir: str) -> str:
@@ -298,8 +310,8 @@ def _sql_lp_parsed_fields(sf_dir: str) -> str:
 
 
 def lp_enriched(sf_dir: str) -> Dataset:
-    return _sel(
-        _routed(sf_dir), {"parse_ok": True}, ["doc_id", "geo", "severity", "route"]
+    return _fused_sel(
+        sf_dir, {"parse_ok": True}, ["doc_id", "geo", "severity", "route"]
     )
 
 
@@ -312,8 +324,8 @@ def _sql_lp_enriched(sf_dir: str) -> str:
 
 def lp_filter_regex(sf_dir: str) -> Dataset:
     # reference T2 semantics: conjunction of regex test + equality
-    return _sel(
-        _routed(sf_dir),
+    return _fused_sel(
+        sf_dir,
         {"message": "~timeout", "method": "POST"},
         ["doc_id", "message"],
     )
@@ -326,7 +338,7 @@ WHERE regexp_matches(message, 'timeout') AND method = 'POST'"""
 
 
 def lp_top_slow(sf_dir: str) -> Dataset:
-    ds = _sel(_routed(sf_dir), {"parse_ok": True}, ["doc_id", "response_time"])
+    ds = _fused_sel(sf_dir, {"parse_ok": True}, ["doc_id", "response_time"])
     return top_k(ds, [("response_time", "descending"), ("doc_id", "ascending")], 100)
 
 
