@@ -337,6 +337,42 @@ SELECT doc_id, message FROM routed
 WHERE regexp_matches(message, 'timeout') AND method = 'POST'"""
 
 
+def lp_tag_counts(sf_dir: str) -> Dataset:
+    """Explode the tags list column (flat_map semantics) and count per
+    tag — vectorized flatten inside the per-shard task."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        tags = t["tags"]
+        if isinstance(tags, pa.ChunkedArray):
+            tags = tags.combine_chunks()
+        flat = tags.flatten()  # skips null lists; empty lists add nothing
+        g = pa.table({"tag": flat}).group_by("tag").aggregate([([], "count_all")])
+        return g.rename_columns(["tag", "p"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        _routed_partials(sf_dir, partial)
+        .groupby("tag")
+        .aggregate(_Sum("p", alias_name="cnt"))
+    )
+
+
+def _sql_lp_tag_counts(sf_dir: str) -> str:
+    return _lp_cte(sf_dir) + """
+, tagged AS (
+  SELECT CASE WHEN parse_ok THEN
+           regexp_extract(line, '"tags":\\[([^\\]]*)\\]', 1)
+         END AS tags_raw
+  FROM raw
+)
+SELECT tag, count(*) AS cnt FROM (
+  SELECT unnest(list_filter(string_split(replace(tags_raw, '"', ''), ','),
+                            x -> x != '')) AS tag
+  FROM tagged WHERE tags_raw IS NOT NULL
+) GROUP BY tag"""
+
+
 def lp_top_slow(sf_dir: str) -> Dataset:
     ds = _fused_sel(sf_dir, {"parse_ok": True}, ["doc_id", "response_time"])
     return top_k(ds, [("response_time", "descending"), ("doc_id", "ascending")], 100)
@@ -1247,6 +1283,7 @@ REGISTRY: dict = {
     "lp_enriched": (lp_enriched, _sql_lp_enriched),
     "lp_filter_regex": (lp_filter_regex, _sql_lp_filter_regex),
     "lp_top_slow": (lp_top_slow, _sql_lp_top_slow),
+    "lp_tag_counts": (lp_tag_counts, _sql_lp_tag_counts),
     "q1_lineitem": (q1_lineitem, _sql_q1_lineitem),
     "events_by_type": (events_by_type, _sql_events_by_type),
     "orders_by_mktsegment": (orders_by_mktsegment, _sql_orders_by_mktsegment),
