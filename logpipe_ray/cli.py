@@ -64,7 +64,10 @@ def cmd_run(args) -> int:
     if args.parse_tokens:
         p = p.parse_tokens()
     if args.enrich:
-        p = p.enrich().add_constants(
+        # --parallel: run enrichment on a dedicated actor pool (the
+        # reference's worker-thread mode, bin/logpipe.js --parallel)
+        mode = "actor" if args.parallel else "task"
+        p = p.enrich(mode=mode, concurrency=(1, args.workers)).add_constants(
             {"processedBy": "logpipe-ray", "version": "1.0"}
         )
     if args.filter:
@@ -142,6 +145,10 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--hash-field", dest="hash_field")
     r.add_argument("--hash-iterations", type=int, default=10_000)
     r.add_argument("--enrich", action="store_true")
+    r.add_argument("--parallel", action="store_true",
+                   help="stateful stages on a dedicated actor pool")
+    r.add_argument("--workers", type=int, default=4,
+                   help="actor pool size for --parallel")
     r.add_argument("--sink", default="console",
                    choices=["parquet", "json", "console", "null", "http"])
     r.add_argument("--out")
