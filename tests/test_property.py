@@ -68,6 +68,94 @@ def test_hash64_deterministic_and_batch_invariant(lines):
         assert (h1[1:] == hs).all()
 
 
+_field_text = st.text(
+    alphabet=st.characters(
+        min_codepoint=0x20, max_codepoint=0x7E, exclude_characters='"\\,}{][',
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+_record = st.fixed_dictionaries(
+    {
+        "level": st.sampled_from(["INFO", "WARN", "ERROR"]),
+        "service": st.sampled_from(["auth", "payments", "api-gateway"]),
+        "method": st.sampled_from(["GET", "POST"]),
+        "path": _field_text.map(lambda s: "/" + s),
+        "status": st.integers(100, 599),
+        "responseTime": st.integers(0, 5000),
+        "userId": st.none() | _field_text,
+        "sessionId": st.none() | _field_text,
+        "ip": st.tuples(*[st.integers(1, 255)] * 4).map(
+            lambda t: ".".join(map(str, t))
+        ),
+        "message": _field_text,
+        "payloadSize": st.integers(0, 10**6),
+        "tags": st.lists(st.sampled_from(["db", "auth", "retry"]), max_size=3),
+        "env": st.sampled_from(["dev", "prod"]),
+        "host": _field_text,
+        "omit": st.sampled_from([(), ("sessionId",), ("tags",), ("payloadSize",)]),
+    }
+)
+
+
+@given(st.lists(_record, min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_parse_round_trips_arbitrary_valid_records(records):
+    """Serialize arbitrary grammar-valid records (not the fixture
+    generator) and assert the grok parse recovers every field."""
+    import json
+
+    from logpipe_ray.stages.parse import parse_batch
+    from logpipe_ray.tokenizer import encode_lines
+
+    lines = []
+    recs = []
+    for r in records:
+        rec = {
+            "timestamp": "2024-01-15T01:02:03.456Z",
+            "level": r["level"],
+            "service": r["service"],
+            "method": r["method"],
+            "path": r["path"],
+            "status": r["status"],
+            "responseTime": r["responseTime"],
+            "userId": r["userId"],
+            "sessionId": r["sessionId"],
+            "ip": r["ip"],
+            "message": r["message"],
+            "payloadSize": r["payloadSize"],
+            "tags": r["tags"],
+            "meta": {"env": r["env"], "host": r["host"]},
+        }
+        if r["level"] == "ERROR":
+            rec["errorCode"] = "E_DB"
+        for k in r["omit"]:
+            rec.pop(k)
+        recs.append(rec)
+        lines.append(json.dumps(rec, separators=(",", ":")).encode("ascii"))
+    t = pa.table(
+        {
+            "doc_id": [f"d{i}" for i in range(len(lines))],
+            "tokens": encode_lines(lines),
+            "n_tok": pa.array([len(x) for x in lines], pa.int32()),
+            "source": ["auth"] * len(lines),
+        }
+    )
+    out = parse_batch(t)
+    for i, rec in enumerate(recs):
+        assert out["parse_ok"][i].as_py() is True
+        assert out["level"][i].as_py() == rec["level"]
+        assert out["status"][i].as_py() == rec["status"]
+        assert out["user_id"][i].as_py() == rec.get("userId")
+        assert out["session_id"][i].as_py() == rec.get("sessionId")
+        assert out["payload_size"][i].as_py() == rec.get("payloadSize")
+        assert out["tags"][i].as_py() == rec.get("tags")
+        assert out["message"][i].as_py() == rec["message"]
+        assert out["meta"][i].as_py() == rec["meta"]
+        assert out["error_code"][i].as_py() == rec.get("errorCode")
+
+
 @given(
     st.lists(
         st.fixed_dictionaries(

@@ -119,6 +119,34 @@ def test_hash_column_deterministic(routed):
     assert len(set(b)) == 16
 
 
+def test_foreign_input_routes_safely():
+    """Lines that aren't from the fixture grammar must never produce
+    half-parsed rows or null sinks."""
+    from logpipe_ray.tokenizer import encode_lines
+
+    lines = [
+        # loose-looking but not fully parseable -> deadletter
+        b'{"timestamp":"x","level":"INFO","service":"weird","other":1}',
+        # valid grammar but unknown source -> unrouted sink
+        b'{"timestamp":"2024-01-01T00:00:00.000Z","level":"INFO",'
+        b'"service":"unknown-src","method":"GET","path":"/x","status":200,'
+        b'"responseTime":5,"userId":null,"ip":"1.2.3.4","message":"m",'
+        b'"meta":{"env":"dev","host":"h"}}',
+    ]
+    t = pa.table(
+        {
+            "doc_id": ["a", "b"],
+            "tokens": encode_lines(lines),
+            "n_tok": pa.array([len(x) for x in lines], pa.int32()),
+            "source": ["mystery", "mystery"],
+        }
+    )
+    out = route_batch(EnrichStage()(parse_batch(t)))
+    assert out["sink"].to_pylist() == ["deadletter", "unrouted"]
+    assert out["parse_ok"].to_pylist() == [False, True]
+    assert out["sink"].null_count == 0
+
+
 def test_parse_handles_batch_of_only_bad_lines():
     from logpipe_ray.tokenizer import encode_lines
 
