@@ -162,10 +162,24 @@ def minhash_lsh_candidates(
     banded = ds.map_batches(to_bands, batch_format="pyarrow")
 
     def emit_pairs(df):
+        import logging
+
         import pandas as pd
 
         dt = df["doc_id"].dtype
-        ids = sorted(df["doc_id"].tolist())[:max_group]
+        all_ids = sorted(df["doc_id"].tolist())
+        if len(all_ids) > max_group:
+            # no silent caps: a band bucket larger than max_group means
+            # a very dense duplicate cluster; pairs beyond the cap are
+            # dropped HERE but the docs still pair with the kept head
+            # in other bands — raise max_group if exhaustive pairing
+            # of mega-clusters matters.
+            logging.getLogger(__name__).warning(
+                "LSH band bucket of %d docs capped to %d (%d ids not paired "
+                "in this bucket)", len(all_ids), max_group,
+                len(all_ids) - max_group,
+            )
+        ids = all_ids[:max_group]
         if len(ids) < 2:
             return pd.DataFrame(
                 {"a": pd.Series([], dtype=dt), "b": pd.Series([], dtype=dt)}
@@ -177,10 +191,7 @@ def minhash_lsh_candidates(
     pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
         emit_pairs, batch_format="pandas"
     )
-
-    def drop_dup_pairs(df):
-        return df.drop_duplicates()
-
+    # dedupe (a, b) pairs seen in multiple bands
     return pairs.groupby(["a", "b"]).map_groups(
         lambda df: df.head(1), batch_format="pandas"
     )
@@ -322,6 +333,12 @@ def simhash_dedup_pairs(
         )
         if len(df) < 2:
             return empty
+        if len(df) > 200:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash chunk bucket of %d docs capped to 200", len(df)
+            )
         df = df.sort_values("doc_id").head(200)
         ids = df["doc_id"].to_numpy()
         sigs = df["sig"].to_numpy().astype(np.uint64)
@@ -482,6 +499,12 @@ def embedding_neardup_pairs(
                     "b": pd.Series([], dtype=dt),
                     "cosine": pd.Series([], dtype="float64"),
                 }
+            )
+        if len(df) > 500:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding LSH bucket of %d vectors capped to 500", len(df)
             )
         df = df.sort_values(id_col).head(500)
         ids = df[id_col].to_numpy()

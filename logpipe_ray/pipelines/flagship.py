@@ -173,13 +173,21 @@ def run_flagship(
     manifest = Manifest(out_dir)
     manifest.clean_incomplete_outputs(data_dir)
 
-    k = max(1, min(checkpoint_groups, len(files)))
-    groups = [files[i::k] for i in range(k)]
+    # Resume is FILE-based, not group-index-based: the unit of lineage
+    # is the input shard, so a rerun with a different checkpoint_groups
+    # value — or with new shards landed in the input dir — still
+    # processes exactly the not-yet-completed files (nothing dropped,
+    # nothing double-processed).
+    done_files = {
+        f for e in manifest.groups.values() for f in e.get("input_files", [])
+    }
+    pending = [f for f in files if f not in done_files]
+    k = max(1, min(checkpoint_groups, max(len(pending), 1)))
+    groups = [g for g in (pending[i::k] for i in range(k)) if g]
+    next_gid = len(manifest.groups)
     done = 0
     for gi, group_files in enumerate(groups):
-        gid = f"g{gi:04d}"
-        if gid in manifest.completed_ids():
-            continue
+        gid = f"g{next_gid + gi:04d}"
         if fail_after_groups is not None and done >= fail_after_groups:
             raise RuntimeError(f"injected failure before group {gid}")
         t0 = time.time()

@@ -31,12 +31,10 @@ from .stages.transform import make_filter, select_fields
 
 # ---------------------------------------------------------------- lp: shared
 
-# Keep in sync with stages/parse.py (the engine) — the oracle re-states
-# the same grok patterns in SQL.
-_MASTER = (
-    '^\\{"timestamp":"[^"]+","level":"(?:INFO|WARN|ERROR)","service":"[a-z-]+",'
-    ".*[^,]\\}$"
-)
+# The oracle uses the ENGINE's grok pattern verbatim (single source of
+# truth in stages/parse.py) — the independence of the oracle path is in
+# the decode + extraction, not in retyping the pattern.
+from .stages.parse import PARSE_MASTER_PATTERN as _MASTER  # noqa: E402
 
 
 def _routed(sf_dir: str) -> Dataset:
@@ -177,12 +175,10 @@ def lp_route_counts(sf_dir: str) -> Dataset:
         )
         return g.rename_columns(["source", "sink", "p"])
 
-    from ray.data.aggregate import Sum as _Sum
-
     return (
         _routed_partials(sf_dir, partial)
         .groupby(["source", "sink"])
-        .aggregate(_Sum("p", alias_name="cnt"))
+        .aggregate(Sum("p", alias_name="cnt"))
     )
 
 
@@ -200,12 +196,10 @@ def lp_count_by_level(sf_dir: str) -> Dataset:
         g = sub.group_by("level").aggregate([([], "count_all")])
         return g.rename_columns(["level", "p"])
 
-    from ray.data.aggregate import Sum as _Sum
-
     return (
         _routed_partials(sf_dir, partial)
         .groupby("level")
-        .aggregate(_Sum("p", alias_name="cnt"))
+        .aggregate(Sum("p", alias_name="cnt"))
     )
 
 
@@ -226,16 +220,14 @@ def lp_stats_by_level(sf_dir: str) -> Dataset:
         )
         return g.rename_columns(["level", "p_cnt", "p_sum", "p_min", "p_max"])
 
-    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
-
     merged = (
         _routed_partials(sf_dir, partial)
         .groupby("level")
         .aggregate(
-            _Sum("p_cnt", alias_name="cnt_rt"),
-            _Sum("p_sum", alias_name="sum_rt"),
-            _Min("p_min", alias_name="min_rt"),
-            _Max("p_max", alias_name="max_rt"),
+            Sum("p_cnt", alias_name="cnt_rt"),
+            Sum("p_sum", alias_name="sum_rt"),
+            Min("p_min", alias_name="min_rt"),
+            Max("p_max", alias_name="max_rt"),
         )
     )
 
@@ -349,12 +341,10 @@ def lp_tag_counts(sf_dir: str) -> Dataset:
         g = pa.table({"tag": flat}).group_by("tag").aggregate([([], "count_all")])
         return g.rename_columns(["tag", "p"])
 
-    from ray.data.aggregate import Sum as _Sum
-
     return (
         _routed_partials(sf_dir, partial)
         .groupby("tag")
-        .aggregate(_Sum("p", alias_name="cnt"))
+        .aggregate(Sum("p", alias_name="cnt"))
     )
 
 
@@ -654,12 +644,10 @@ def events_hourly(sf_dir: str) -> Dataset:
         )
         return g.rename_columns(["event_type", "hour", "p_cnt"])
 
-    from ray.data.aggregate import Sum as _Sum
-
     out = (
         ds.map_batches(bucket, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
-        .aggregate(_Sum("p_cnt", alias_name="cnt"))
+        .aggregate(Sum("p_cnt", alias_name="cnt"))
     )
 
     def fix_ts(t: pa.Table) -> pa.Table:
@@ -791,8 +779,6 @@ def customers_per_region(sf_dir: str) -> Dataset:
         )
     )
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
-    from ray.data.aggregate import Sum as _Sum
-
     return (
         ds.map_batches(
             _NationRegionJoin,
@@ -801,7 +787,7 @@ def customers_per_region(sf_dir: str) -> Dataset:
             concurrency=(1, 4),
         )
         .groupby("r_name")
-        .aggregate(_Sum("p_cnt", alias_name="cnt"))
+        .aggregate(Sum("p_cnt", alias_name="cnt"))
     )
 
 
@@ -845,13 +831,11 @@ def revenue_by_orderpriority(sf_dir: str) -> Dataset:
         )
         return g.rename_columns(["o_orderpriority", "p_rev", "p_cnt"])
 
-    from ray.data.aggregate import Sum as _Sum
-
     return (
         joined.map_batches(partial, batch_format="pyarrow")
         .groupby("o_orderpriority")
         .aggregate(
-            _Sum("p_rev", alias_name="revenue_cents"), _Sum("p_cnt", alias_name="cnt")
+            Sum("p_rev", alias_name="revenue_cents"), Sum("p_cnt", alias_name="cnt")
         )
     )
 
@@ -896,10 +880,8 @@ def revenue_by_orderpriority_cogroup(sf_dir: str) -> Dataset:
         {"l_extendedprice": pa.float64()},
         per_key,
     )
-    from ray.data.aggregate import Sum as _Sum
-
     return per_order.groupby("o_orderpriority").aggregate(
-        _Sum("p_rev", alias_name="revenue_cents"), _Sum("p_cnt", alias_name="cnt")
+        Sum("p_rev", alias_name="revenue_cents"), Sum("p_cnt", alias_name="cnt")
     )
 
 
@@ -1031,12 +1013,10 @@ def order_size_histogram(sf_dir: str) -> Dataset:
         g = t.group_by("l_orderkey").aggregate([([], "count_all")])
         return g.rename_columns(["l_orderkey", "p"])
 
-    from ray.data.aggregate import Sum as _Sum
-
     per_order = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("l_orderkey")
-        .aggregate(_Sum("p", alias_name="n_lines"))
+        .aggregate(Sum("p", alias_name="n_lines"))
     )
 
     def hist(t: pa.Table) -> pa.Table:
@@ -1046,7 +1026,7 @@ def order_size_histogram(sf_dir: str) -> Dataset:
     return (
         per_order.map_batches(hist, batch_format="pyarrow")
         .groupby("n_lines")
-        .aggregate(_Sum("p", alias_name="n_orders"))
+        .aggregate(Sum("p", alias_name="n_orders"))
     )
 
 
@@ -1085,12 +1065,10 @@ def lp_rt_histogram(sf_dir: str) -> Dataset:
         g = pa.table({"rt_bin": bins}).group_by("rt_bin").aggregate([([], "count_all")])
         return g.rename_columns(["rt_bin", "p"])
 
-    from ray.data.aggregate import Sum as _Sum
-
     return (
         _routed_partials(sf_dir, partial)
         .groupby("rt_bin")
-        .aggregate(_Sum("p", alias_name="cnt"))
+        .aggregate(Sum("p", alias_name="cnt"))
     )
 
 

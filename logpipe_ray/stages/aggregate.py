@@ -236,7 +236,7 @@ def bounded_partial_counts(key: str, max_groups: int = 1000):
             t = pa.table({key: keys, "partial_count": cnts})
             parts.append(t.filter(pc2.is_valid(t[key])))
         return pa.concat_tables(parts) if parts else pa.table(
-            {key: pa.array([], pa.string()), "partial_count": pa.array([], pa.int64())}
+            {key: col.slice(0, 0), "partial_count": pa.array([], pa.int64())}
         )
 
     return fn

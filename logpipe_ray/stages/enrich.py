@@ -78,19 +78,34 @@ class EnrichStage:
         self._route_vals = pa.array(list(route.values()), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ip = batch["ip"]
-        if isinstance(ip, pa.ChunkedArray):
-            ip = ip.combine_chunks()
+        n = batch.num_rows
+
+        def col_or_null(name: str):
+            # tolerate missing columns (reference schemaless tolerance,
+            # SURVEY.md §1.1): raw log tables carry 'service', the
+            # tokenized table carries 'source'; absent fields enrich
+            # to null rather than raising.
+            if name in batch.column_names:
+                c = batch[name]
+                return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            return pa.nulls(n, pa.string())
+
+        ip = col_or_null("ip")
+        # 1-3 digit octet only (anything else -> null); modulo the
+        # table size so out-of-range octets (e.g. "300.") can never
+        # index past the 256-entry geo array
         octet_str = pc.struct_field(
-            pc.extract_regex(ip, r"^(?P<o>\d+)\."), "o"
+            pc.extract_regex(ip, r"^(?P<o>\d{1,3})\."), "o"
         )
         octet = pc.cast(octet_str, pa.int32())
+        octet = pc.bit_wise_and(octet, 255)
         geo = pc.take(self._geo, octet)
 
-        sev_idx = pc.index_in(batch["level"], self._sev_keys)
+        sev_idx = pc.index_in(col_or_null("level"), self._sev_keys)
         severity = pc.take(self._sev_vals, sev_idx)
 
-        route_idx = pc.index_in(batch["source"], self._route_keys)
+        source = batch["source"] if "source" in batch.column_names else col_or_null("service")
+        route_idx = pc.index_in(source, self._route_keys)
         route = pc.take(self._route_vals, route_idx)
 
         out = batch.append_column("geo", geo)

@@ -59,7 +59,13 @@ def _mask_for(batch: pa.Table, path: str, test) -> pa.Array:
         as_str = col if pa.types.is_string(col.type) else pc.cast(col, pa.string())
         mask = pc.match_substring_regex(as_str, test[1:])
     else:
-        mask = pc.equal(col, test)
+        try:
+            mask = pc.equal(col, test)
+        except (pa.ArrowNotImplementedError, pa.ArrowInvalid, pa.ArrowTypeError):
+            # incomparable types (e.g. numeric test against a missing
+            # path materialized as string nulls): reference semantics
+            # are undefined != value => no match
+            mask = pa.array(np.zeros(len(col), bool))
     return pc.fill_null(mask, False)
 
 

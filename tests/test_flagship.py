@@ -109,6 +109,25 @@ def test_resume_equivalence(ray_session, tiny_sequences, oracle_expected, tmp_pa
     assert doc_sets(out_a) == doc_sets(out_b)
 
 
+def test_resume_with_different_group_count(
+    ray_session, tiny_sequences, oracle_expected, tmp_path
+):
+    """Resume is file-based: changing checkpoint_groups between the
+    crashed run and the resume must not drop or double-process shards."""
+    import json
+
+    out = str(tmp_path / "regroup")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_flagship(tiny_sequences, out, checkpoint_groups=4, fail_after_groups=2)
+    s = run_flagship(tiny_sequences, out, checkpoint_groups=2)  # different k
+    assert s["rows_in"] == 2000 and s["rows_out"] == 2000
+    got = {tuple(k.split("/")): v for k, v in s["sink_counts"].items()}
+    assert got == oracle_expected["counts"]
+    m = json.load(open(os.path.join(out, "manifest.json")))
+    all_files = [f for e in m["groups"].values() for f in e["input_files"]]
+    assert len(all_files) == len(set(all_files))  # nothing double-processed
+
+
 def test_sink_counts_dataset(ray_session, tiny_sequences, oracle_expected):
     ds = build_pipeline(rd.read_parquet(tiny_sequences))
     df = sink_counts(ds).to_pandas()
