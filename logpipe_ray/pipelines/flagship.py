@@ -101,6 +101,20 @@ def input_shards(input_dir: str) -> list[str]:
     return files
 
 
+_PROC_HTTP_SINKS: dict = {}
+
+
+def _http_sender_for(endpoint: str):
+    """Per-process cached HttpSink (persistent batching/retry state —
+    the task-pool analog of the reference's persistent HttpSender)."""
+    sender = _PROC_HTTP_SINKS.get(endpoint)
+    if sender is None:
+        from ..sinks.http_sink import HttpSink
+
+        sender = _PROC_HTTP_SINKS[endpoint] = HttpSink(endpoint)
+    return sender
+
+
 def _process_shard_fused(batch: pa.Table) -> pa.Table:
     """The fused per-shard task body (read -> parse -> enrich -> route
     -> write -> partial counts). Input batch: one row per shard with
@@ -109,7 +123,18 @@ def _process_shard_fused(batch: pa.Table) -> pa.Table:
 
     Output rows: (shard, source, sink, cnt, shard_rows, shard_wall_s)
     — the counts double as per-shard lineage metrics (rows + wall time
-    per input shard land in the manifest)."""
+    per input shard land in the manifest).
+
+    Heterogeneous sinks: entries in the (broadcast) ``http_sinks``
+    column map a sink name to an HTTP endpoint — those sinks POST
+    JSON batches (reference HttpSender semantics) instead of writing
+    parquet."""
+    import json as _json
+
+    http_sinks = {}
+    if "http_sinks" in batch.column_names:
+        raw = batch["http_sinks"][0].as_py()
+        http_sinks = _json.loads(raw) if raw else {}
     parts = []
     for shard, path, out in zip(
         batch["shard"].to_pylist(),
@@ -123,6 +148,11 @@ def _process_shard_fused(batch: pa.Table) -> pa.Table:
             os.makedirs(out, exist_ok=True)
             for s in pc.unique(t["sink"]).to_pylist():
                 sub = t.filter(pc.equal(t["sink"], s))
+                if s in http_sinks:
+                    # full records incl. token arrays — the receiver can
+                    # verify token-array equality end to end
+                    _http_sender_for(http_sinks[s])(sub.drop(["sink"]))
+                    continue
                 sink_dir = os.path.join(out, f"sink={s}")
                 os.makedirs(sink_dir, exist_ok=True)
                 pq.write_table(sub.drop(["sink"]), os.path.join(sink_dir, "part.parquet"))
@@ -148,6 +178,7 @@ def run_flagship(
     checkpoint_groups: int = 4,
     resume: bool = True,
     write_sinks: bool = True,
+    http_sinks: dict[str, str] | None = None,
     mode: str = "fused",
     enrich_mode: str = "task",
     batch_size: int | None = None,
@@ -195,11 +226,15 @@ def run_flagship(
 
         shard_metrics = None
         if mode == "fused":
+            import json as _json
+
+            http_json = _json.dumps(http_sinks) if http_sinks else ""
             items = [
                 {
                     "shard": f"shard={i:04d}",
                     "path": p,
                     "out": os.path.join(group_out, f"shard={i:04d}") if write_sinks else "",
+                    "http_sinks": http_json,
                 }
                 for i, p in enumerate(group_files)
             ]

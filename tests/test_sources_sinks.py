@@ -178,6 +178,39 @@ def test_http_sink_exhausts_retries(http_server):
         sink(pa.table({"v": [1]}))
 
 
+def test_flagship_heterogeneous_http_sink(
+    ray_session, tiny_sequences, http_server, tmp_path
+):
+    """errors -> HTTP endpoint, everything else -> parquet; routed-row
+    and token-array equality hold across the HTTP boundary."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from logpipe_ray.pipelines.flagship import run_flagship
+
+    out = str(tmp_path / "hetero")
+    summary = run_flagship(
+        tiny_sequences, out, checkpoint_groups=1,
+        http_sinks={"errors": http_server},
+    )
+    sent = [r for body in _Recorder.bodies for r in body]
+    n_errors = sum(
+        v for k, v in summary["sink_counts"].items() if k.endswith("/errors")
+    )
+    assert n_errors > 0 and len(sent) == n_errors
+    # no parquet files for the http sink
+    assert not _glob.glob(out + "/data/**/sink=errors/*.parquet", recursive=True)
+    # token-array equality through the HTTP boundary
+    orig = {}
+    for f in sorted(_glob.glob(tiny_sequences + "/*.parquet")):
+        t = _pq.read_table(f, columns=["doc_id", "tokens"])
+        orig.update(zip(t["doc_id"].to_pylist(), t["tokens"].to_pylist()))
+    for rec in sent[:50]:
+        assert rec["tokens"] == orig[rec["doc_id"]]
+        assert rec["level"] == "ERROR"
+
+
 def test_sink_factory(ray_session, tmp_path, capsys):
     ds = rd.range(10).map_batches(
         lambda t: t.rename_columns(["v"]), batch_format="pyarrow"
