@@ -1081,6 +1081,70 @@ FROM parsed WHERE response_time IS NOT NULL GROUP BY rt_bin"""
     )
 
 
+def seq_token_frequency(sf_dir: str) -> Dataset:
+    """Top-50 token ids by global count over the sequences table."""
+    from .functions.tokens import token_frequency
+
+    seq_dir = ensure_sequences(sf_dir)
+    ds = rd.read_parquet(seq_dir, columns=["tokens"])
+    return token_frequency(ds, top_k=50)
+
+
+def _sql_seq_token_frequency(sf_dir: str) -> str:
+    path = ensure_sequences(sf_dir)
+    return f"""
+SELECT token_id, count(*) AS cnt FROM (
+  SELECT CAST(unnest(tokens) AS BIGINT) AS token_id
+  FROM read_parquet('{path}/shard_*.parquet')
+) GROUP BY token_id ORDER BY cnt DESC, token_id LIMIT 50"""
+
+
+def seq_len_histogram(sf_dir: str) -> Dataset:
+    """Sequence-length histogram (64-token bins) — the length profile a
+    packing/truncation policy is tuned against."""
+    seq_dir = ensure_sequences(sf_dir)
+    ds = rd.read_parquet(seq_dir, columns=["n_tok"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        bins = pc.cast(pc.divide(t["n_tok"], 64), pa.int64())
+        g = pa.table({"len_bin": bins}).group_by("len_bin").aggregate([([], "count_all")])
+        return g.rename_columns(["len_bin", "p"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("len_bin")
+        .aggregate(Sum("p", alias_name="cnt"))
+    )
+
+
+def _sql_seq_len_histogram(sf_dir: str) -> str:
+    path = ensure_sequences(sf_dir)
+    return f"""
+SELECT CAST(n_tok // 64 AS BIGINT) AS len_bin, count(*) AS cnt
+FROM read_parquet('{path}/shard_*.parquet') GROUP BY len_bin"""
+
+
+def seq_pack_stats(sf_dir: str) -> Dataset:
+    """Greedy sequence packing into 1024-token training contexts;
+    returns per-context stats (local per-shard packing, no shuffle)."""
+    from .functions.tokens import pack_sequences
+
+    seq_dir = ensure_sequences(sf_dir)
+    ds = rd.read_parquet(seq_dir, columns=["doc_id", "tokens"])
+    packed = pack_sequences(ds, context_len=1024)
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_seqs": t["n_seqs"],
+                "fill_ratio": t["fill_ratio"],
+                "truncated": t["truncated"],
+            }
+        )
+
+    return packed.map_batches(stats, batch_format="pyarrow")
+
+
 # ------------------------------------------------ training-data ops (dedup,
 # ANN, text analysis, multimodal). Non-SQL-expressible ops have no oracle
 # entry -> the driver records a rows-only check.
@@ -1288,6 +1352,9 @@ REGISTRY: dict = {
     ),
     "lineitem_semi_high_value": (lineitem_semi_high_value, _sql_lineitem_semi_high_value),
     "lineitem_anti_high_value": (lineitem_anti_high_value, _sql_lineitem_anti_high_value),
+    "seq_token_frequency": (seq_token_frequency, _sql_seq_token_frequency),
+    "seq_len_histogram": (seq_len_histogram, _sql_seq_len_histogram),
+    "seq_pack_stats": (seq_pack_stats, None),
     "events_approx_distinct_users": (
         events_approx_distinct_users,
         _sql_events_approx_distinct_users,

@@ -1,0 +1,76 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from logpipe_ray.functions.tokens import (
+    EOS_ID,
+    PAD_ID,
+    BOS_ID,
+    pack_batch,
+    pack_sequences,
+    token_frequency,
+)
+from logpipe_ray.tokenizer import encode_lines
+
+
+def _seq_table(lines):
+    toks = encode_lines(lines)
+    return pa.table(
+        {
+            "doc_id": [f"d{i}" for i in range(len(lines))],
+            "tokens": toks,
+            "n_tok": pa.compute.list_value_length(toks).cast(pa.int32()),
+            "source": ["auth"] * len(lines),
+        }
+    )
+
+
+def test_token_frequency_matches_python(ray_session):
+    lines = [b"aab", b"abc", b"ccc"]
+    t = _seq_table(lines)
+    out = token_frequency(rd.from_arrow(t)).to_pandas()
+    got = dict(zip(out["token_id"], out["cnt"]))
+    exp = {}
+    for line in lines:
+        for b in line:
+            exp[b + 3] = exp.get(b + 3, 0) + 1
+    assert got == exp
+
+
+def test_pack_batch_invariants():
+    lines = [b"x" * 50, b"y" * 30, b"z" * 100, b"w" * 10, b"v" * 200]
+    t = _seq_table(lines)
+    out = pack_batch(t, context_len=128)
+    ctxs = out["context_tokens"].to_pylist()
+    assert all(len(c) == 128 for c in ctxs)
+    # every context: BOS starts each seq, EOS ends it, PAD only at tail
+    total_payload = 0
+    all_ids = []
+    for ctx, members, trunc in zip(
+        ctxs, out["doc_ids"].to_pylist(), out["truncated"].to_pylist()
+    ):
+        assert ctx[0] == BOS_ID
+        nonpad = [x for x in ctx if x != PAD_ID]
+        tail = ctx[len(nonpad):]
+        assert all(x == PAD_ID for x in tail)
+        assert nonpad.count(BOS_ID) == len(members)
+        assert nonpad.count(EOS_ID) == len(members)
+        total_payload += len(nonpad) - 2 * len(members)
+        all_ids.extend(members)
+    # v (200 bytes) truncated to 126; all sequences present exactly once
+    assert sorted(all_ids) == [f"d{i}" for i in range(5)]
+    exp_payload = sum(min(len(l), 126) for l in lines)
+    assert total_payload == exp_payload
+    assert sum(out["truncated"].to_pylist()) == 1  # only the 200-byte doc
+
+
+def test_pack_sequences_distributed(ray_session, tiny_sequences):
+    ds = rd.read_parquet(tiny_sequences)
+    packed = pack_sequences(ds, context_len=1024)
+    df = packed.to_pandas()
+    assert (df["fill_ratio"] > 0).all() and (df["fill_ratio"] <= 1).all()
+    assert df["n_seqs"].sum() == 2000  # every sequence packed exactly once
+    # mean fill should be decent for ~300-token docs in 1024 contexts
+    assert df["fill_ratio"].mean() > 0.6
