@@ -1,0 +1,92 @@
+"""Training-set decontamination + PII redaction.
+
+Decontamination: remove documents sharing too many word n-grams with a
+benchmark/eval blocklist — the standard pretraining hygiene op. The
+blocklist compiles to a set of n-gram hashes broadcast via ray.put
+(a Bloom filter at very large blocklist scale); each batch computes
+its docs' n-gram hashes vectorized and the overlap fraction against
+the set. No shuffle.
+
+Redaction: regex scrubbing of emails / IPs / long digit runs via
+pyarrow's RE2 replace kernels — fully vectorized, and expressible in
+SQL for oracle checking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+from .dedup import _shingle_hashes, _word_hashes
+
+REDACTION_RULES: list[tuple[str, str]] = [
+    # (pattern, replacement) — applied in order; RE2-compatible so the
+    # DuckDB oracle can replay them with regexp_replace(..., 'g')
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    (r"\d{8,}", "<NUM>"),
+]
+
+
+def redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    for pattern, repl in REDACTION_RULES:
+        text = pc.replace_substring_regex(text, pattern, repl)
+    idx = batch.column_names.index(text_col)
+    return batch.set_column(idx, text_col, text)
+
+
+def build_blocklist_ngrams(texts: list[str], n: int = 3) -> np.ndarray:
+    """Hash every word n-gram of the blocklist texts (sorted unique)."""
+    arr = pa.array(texts, pa.string())
+    h, lengths = _word_hashes(arr)
+    sh, _ = _shingle_hashes(h, lengths, n)
+    return np.unique(sh)
+
+
+def contamination_fraction(
+    texts: pa.Array, blocklist_hashes: np.ndarray, n: int = 3
+) -> np.ndarray:
+    """Per-row fraction of the doc's n-grams present in the blocklist."""
+    h, lengths = _word_hashes(texts)
+    sh, sl = _shingle_hashes(h, lengths, n)
+    hits = np.isin(sh, blocklist_hashes)
+    out = np.zeros(len(sl))
+    starts = np.zeros(len(sl), dtype=np.int64)
+    np.cumsum(sl[:-1], out=starts[1:])
+    nz = sl > 0
+    if hits.size:
+        sums = np.add.reduceat(hits.astype(np.int64), starts[nz.nonzero()[0]])
+        out[nz] = sums / sl[nz]
+    return out
+
+
+def decontaminate(
+    ds: Dataset,
+    blocklist_texts: list[str],
+    text_col: str = "text",
+    n: int = 3,
+    max_overlap: float = 0.2,
+    keep_contaminated: bool = False,
+) -> Dataset:
+    """Filter out documents whose n-gram overlap with the blocklist
+    exceeds ``max_overlap`` (or keep ONLY those, for auditing)."""
+    bl_ref = ray.put(build_blocklist_ngrams(blocklist_texts, n))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bl = ray.get(bl_ref)
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        frac = contamination_fraction(text, bl, n)
+        out = batch.append_column("contamination", pa.array(frac))
+        mask = frac > max_overlap if keep_contaminated else frac <= max_overlap
+        return out.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1150,6 +1150,43 @@ def seq_pack_stats(sf_dir: str) -> Dataset:
 # entry -> the driver records a rows-only check.
 
 
+def docs_redacted(sf_dir: str) -> Dataset:
+    """PII redaction (emails / IPs / long digit runs) over documents."""
+    from .functions.decontaminate import redact_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(redact_batch, batch_format="pyarrow")
+
+
+def _sql_docs_redacted(sf_dir: str) -> str:
+    from .functions.decontaminate import REDACTION_RULES
+
+    expr = "text"
+    for pattern, repl in REDACTION_RULES:
+        expr = f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS text FROM documents"
+
+
+def docs_decontaminate_audit(sf_dir: str) -> Dataset:
+    """Benchmark decontamination audit: docs overlapping (word
+    3-grams) with a deterministic 'benchmark' blocklist (the first 5
+    documents), with their contamination fractions."""
+    import pyarrow.parquet as pq
+
+    from .functions.decontaminate import decontaminate
+
+    first = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).slice(0, 5)
+    bench = first["text"].to_pylist()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    flagged = decontaminate(ds, bench, n=3, max_overlap=0.5, keep_contaminated=True)
+    return flagged.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "contamination": t["contamination"]}),
+        batch_format="pyarrow",
+    )
+
+
 def docs_minhash_dedup(sf_dir: str):
     from .functions.dedup import minhash_dedup_pairs
 
@@ -1364,6 +1401,8 @@ REGISTRY: dict = {
     "ann_brute_topk": (ann_brute_topk, _sql_ann_brute_topk),
     # rows-only (non-SQL-expressible: LSH/sketch/heuristic/stub ops)
     "lp_union_errors_slow": (lp_union_errors_slow, _sql_lp_union_errors_slow),
+    "docs_redacted": (docs_redacted, _sql_docs_redacted),
+    "docs_decontaminate_audit": (docs_decontaminate_audit, None),
     "docs_minhash_dedup": (docs_minhash_dedup, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "docs_dup_clusters": (docs_dup_clusters, None),
