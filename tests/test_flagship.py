@@ -128,6 +128,43 @@ def test_resume_with_different_group_count(
     assert len(all_files) == len(set(all_files))  # nothing double-processed
 
 
+def test_incremental_ingestion_of_new_shards(ray_session, tmp_path):
+    """Continuous-ingestion shape: shards landing AFTER a completed run
+    are picked up by a simple rerun (file-based resume), without
+    reprocessing the old shards."""
+    import json
+    import shutil
+
+    from logpipe_ray.fixtures.generator import generate_shard
+    import pyarrow.parquet as pq2
+
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    for s in range(2):
+        pq2.write_table(
+            generate_shard(s, 500, s * 500, 777), str(in_dir / f"shard_{s:04d}.parquet")
+        )
+    out = str(tmp_path / "out")
+    s1 = run_flagship(str(in_dir), out, checkpoint_groups=1)
+    assert s1["rows_in"] == 1000
+    m1 = json.load(open(os.path.join(out, "manifest.json")))
+
+    # two new shards land; rerun the same command
+    for s in (2, 3):
+        pq2.write_table(
+            generate_shard(s, 500, s * 500, 777), str(in_dir / f"shard_{s:04d}.parquet")
+        )
+    s2 = run_flagship(str(in_dir), out, checkpoint_groups=1)
+    assert s2["rows_in"] == 2000 and s2["rows_out"] == 2000
+    m2 = json.load(open(os.path.join(out, "manifest.json")))
+    # old group untouched, exactly one new group with only the new files
+    assert set(m1["groups"]) < set(m2["groups"])
+    new_gids = set(m2["groups"]) - set(m1["groups"])
+    assert len(new_gids) == 1
+    new_files = m2["groups"][new_gids.pop()]["input_files"]
+    assert all("shard_0002" in f or "shard_0003" in f for f in new_files)
+
+
 def test_sink_counts_dataset(ray_session, tiny_sequences, oracle_expected):
     ds = build_pipeline(rd.read_parquet(tiny_sequences))
     df = sink_counts(ds).to_pandas()
