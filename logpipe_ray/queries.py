@@ -1126,23 +1126,36 @@ FROM read_parquet('{path}/shard_*.parquet') GROUP BY len_bin"""
 
 def seq_pack_stats(sf_dir: str) -> Dataset:
     """Greedy sequence packing into 1024-token training contexts;
-    returns per-context stats (local per-shard packing, no shuffle)."""
-    from .functions.tokens import pack_sequences
+    returns per-context stats. Packing runs per input shard (read
+    inside the task) so context boundaries are deterministic
+    regardless of CPU count / block splitting."""
+    import glob as _glob
+
+    from .functions.tokens import pack_batch
 
     seq_dir = ensure_sequences(sf_dir)
-    ds = rd.read_parquet(seq_dir, columns=["doc_id", "tokens"])
-    packed = pack_sequences(ds, context_len=1024)
+    files = sorted(_glob.glob(f"{seq_dir}/*.parquet"))
 
-    def stats(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "n_seqs": t["n_seqs"],
-                "fill_ratio": t["fill_ratio"],
-                "truncated": t["truncated"],
-            }
-        )
+    def task(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
 
-    return packed.map_batches(stats, batch_format="pyarrow")
+        parts = []
+        for path in batch["path"].to_pylist():
+            t = pq.read_table(path, columns=["doc_id", "tokens"])
+            p = pack_batch(t, context_len=1024)
+            parts.append(
+                pa.table(
+                    {
+                        "n_seqs": p["n_seqs"],
+                        "fill_ratio": p["fill_ratio"],
+                        "truncated": p["truncated"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    items = rd.from_items([{"path": p} for p in files], override_num_blocks=len(files))
+    return items.map_batches(task, batch_format="pyarrow", batch_size=None)
 
 
 # ------------------------------------------------ training-data ops (dedup,
