@@ -704,6 +704,38 @@ SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
 FROM o GROUP BY user_id"""
 
 
+def events_median_value(sf_dir: str) -> Dataset:
+    """Exact per-group median (linear interpolation): values co-located
+    per key via groupby, computed with numpy inside map_groups. Exact
+    quantiles are not partial-mergeable — at 100 TB group sizes use a
+    quantile sketch instead; this is the exact path for key-bounded
+    groups."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def med(df):
+        import numpy as np
+        import pandas as pd
+
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": df["event_type"].iloc[0],
+                    "median_value": float(
+                        np.percentile(df["value"].to_numpy(), 50, method="linear")
+                    ),
+                }
+            ]
+        )
+
+    return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+
+
+def _sql_events_median_value(sf_dir: str) -> str:
+    return """
+SELECT event_type, quantile_cont(value, 0.5) AS median_value
+FROM events GROUP BY event_type"""
+
+
 def top_orders(sf_dir: str) -> Dataset:
     """Distributed sort + limit (the real ds.sort path)."""
     ds = rd.read_parquet(
@@ -1388,6 +1420,7 @@ REGISTRY: dict = {
     "events_hourly": (events_hourly, _sql_events_hourly),
     "events_sessionize": (events_sessionize, _sql_events_sessionize),
     "events_distinct_types": (events_distinct_types, _sql_events_distinct_types),
+    "events_median_value": (events_median_value, _sql_events_median_value),
     "top_orders": (top_orders, _sql_top_orders),
     "customers_per_region": (customers_per_region, _sql_customers_per_region),
     "order_size_histogram": (order_size_histogram, _sql_order_size_histogram),
