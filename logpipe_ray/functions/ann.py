@@ -96,7 +96,7 @@ def brute_force_topk(
 
 def build_ivf_centroids(
     ds: Dataset, n_centroids: int = 16, vec_col: str = "embedding", iters: int = 4,
-    seed: int = 11,
+    seed: int = 11, id_col: str | None = None,
 ) -> np.ndarray:
     """Deterministic k-means-lite: sample initial centroids, then a few
     Lloyd iterations where each step is a single map_batches pass
@@ -104,8 +104,20 @@ def build_ivf_centroids(
     shape — only (n_centroids x dim) floats shuffle per batch)."""
     total = ds.count()
     want = max(n_centroids * 8, 256)
-    frac = min(1.0, want / max(total, 1))
-    sample = ds.random_sample(frac, seed=seed).to_pandas()
+    if id_col is not None:
+        # deterministic init independent of block layout / CPU count:
+        # a fixed-stride systematic sample over the sorted id space
+        stride = max(total // want, 1)
+
+        def pick(t: "pa.Table") -> "pa.Table":
+            ids = np.asarray(t[id_col], dtype=np.int64)
+            return t.filter(pa.array(ids % stride == 0))
+
+        sample = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+        sample = sample.sort_values(id_col).head(want)
+    else:
+        frac = min(1.0, want / max(total, 1))
+        sample = ds.random_sample(frac, seed=seed).to_pandas()
     if len(sample) < n_centroids:
         sample = ds.limit(want).to_pandas()
     mat = np.stack(sample[vec_col].to_numpy())

@@ -1377,7 +1377,7 @@ def ann_ivf_topk(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    cents = build_ivf_centroids(ds, n_centroids=16, iters=3)
+    cents = build_ivf_centroids(ds, n_centroids=16, iters=3, id_col="vec_id")
     out = ivf_topk(ds, _query_vectors(sf_dir), cents, k=10, nprobe=4)
     return out[["query_id", "rank", "vec_id"]]
 
