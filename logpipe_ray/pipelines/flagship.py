@@ -128,13 +128,18 @@ def _process_shard_fused(batch: pa.Table) -> pa.Table:
     Heterogeneous sinks: entries in the (broadcast) ``http_sinks``
     column map a sink name to an HTTP endpoint — those sinks POST
     JSON batches (reference HttpSender semantics) instead of writing
-    parquet."""
+    parquet. ``sink_projections`` maps a sink name to the column
+    subset it keeps (e.g. a lean dead-letter sink)."""
     import json as _json
 
     http_sinks = {}
     if "http_sinks" in batch.column_names:
         raw = batch["http_sinks"][0].as_py()
         http_sinks = _json.loads(raw) if raw else {}
+    projections = {}
+    if "sink_projections" in batch.column_names:
+        raw = batch["sink_projections"][0].as_py()
+        projections = _json.loads(raw) if raw else {}
     parts = []
     for shard, path, out in zip(
         batch["shard"].to_pylist(),
@@ -147,15 +152,19 @@ def _process_shard_fused(batch: pa.Table) -> pa.Table:
         if out:
             os.makedirs(out, exist_ok=True)
             for s in pc.unique(t["sink"]).to_pylist():
-                sub = t.filter(pc.equal(t["sink"], s))
+                sub = t.filter(pc.equal(t["sink"], s)).drop(["sink"])
+                if s in projections:
+                    sub = sub.select(
+                        [c for c in projections[s] if c in sub.column_names]
+                    )
                 if s in http_sinks:
                     # full records incl. token arrays — the receiver can
                     # verify token-array equality end to end
-                    _http_sender_for(http_sinks[s])(sub.drop(["sink"]))
+                    _http_sender_for(http_sinks[s])(sub)
                     continue
                 sink_dir = os.path.join(out, f"sink={s}")
                 os.makedirs(sink_dir, exist_ok=True)
-                pq.write_table(sub.drop(["sink"]), os.path.join(sink_dir, "part.parquet"))
+                pq.write_table(sub, os.path.join(sink_dir, "part.parquet"))
         g = (
             pa.table({"source": t["source"], "sink": t["sink"]})
             .group_by(["source", "sink"])
@@ -179,6 +188,7 @@ def run_flagship(
     resume: bool = True,
     write_sinks: bool = True,
     http_sinks: dict[str, str] | None = None,
+    sink_projections: dict[str, list[str]] | None = None,
     mode: str = "fused",
     enrich_mode: str = "task",
     batch_size: int | None = None,
@@ -229,12 +239,14 @@ def run_flagship(
             import json as _json
 
             http_json = _json.dumps(http_sinks) if http_sinks else ""
+            proj_json = _json.dumps(sink_projections) if sink_projections else ""
             items = [
                 {
                     "shard": f"shard={i:04d}",
                     "path": p,
                     "out": os.path.join(group_out, f"shard={i:04d}") if write_sinks else "",
                     "http_sinks": http_json,
+                    "sink_projections": proj_json,
                 }
                 for i, p in enumerate(group_files)
             ]

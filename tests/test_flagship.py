@@ -128,6 +128,24 @@ def test_resume_with_different_group_count(
     assert len(all_files) == len(set(all_files))  # nothing double-processed
 
 
+def test_sink_projections(ray_session, tiny_sequences, tmp_path):
+    """Per-sink column projection: the dead-letter sink keeps only the
+    lineage columns."""
+    out = str(tmp_path / "proj")
+    run_flagship(
+        tiny_sequences, out, checkpoint_groups=1,
+        sink_projections={"deadletter": ["doc_id", "tokens", "n_tok", "source"]},
+    )
+    dl = glob.glob(os.path.join(out, "data", "**", "sink=deadletter", "*.parquet"),
+                   recursive=True)
+    assert dl
+    schema = pq.read_schema(dl[0])
+    assert schema.names == ["doc_id", "tokens", "n_tok", "source"]
+    other = glob.glob(os.path.join(out, "data", "**", "sink=errors", "*.parquet"),
+                      recursive=True)
+    assert len(pq.read_schema(other[0]).names) > 10  # full record elsewhere
+
+
 def test_incremental_ingestion_of_new_shards(ray_session, tmp_path):
     """Continuous-ingestion shape: shards landing AFTER a completed run
     are picked up by a simple rerun (file-based resume), without
