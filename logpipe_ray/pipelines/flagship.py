@@ -203,6 +203,9 @@ def run_flagship(
     (file-level skip — no re-scan of completed work).
 
     ``write_sinks=False`` runs the null-sink benchmark variant.
+    ``http_sinks`` / ``sink_projections`` configure heterogeneous sink
+    types and per-sink column subsets (fused mode only; HTTP egress is
+    at-least-once under resume — receivers dedupe by doc_id).
     ``fail_after_groups`` injects a crash after N groups (tests only).
     """
     files = input_shards(input_dir)
