@@ -436,24 +436,11 @@ SELECT event_type, count(*) AS cnt, min(value) AS min_value, max(value) AS max_v
 FROM events GROUP BY event_type"""
 
 
-class _SegmentJoin:
-    """Broadcast-small-side lookup join (customer -> orders)."""
-
-    def __init__(self, ref):
-        keys, vals = ray.get(ref)
-        self._keys = keys
-        self._vals = vals
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        idx = pc.index_in(batch["o_custkey"], self._keys)
-        seg = pc.take(self._vals, idx)
-        price_c = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
-        t = pa.table({"c_mktsegment": seg, "price_c": price_c})
-        g = t.group_by("c_mktsegment").aggregate([("price_c", "sum"), ([], "count_all")])
-        return g.rename_columns(["c_mktsegment", "p_price", "p_cnt"])
-
-
 def orders_by_mktsegment(sf_dir: str) -> Dataset:
+    """Broadcast-small-side lookup join (customer -> orders): the
+    dimension arrays ship once via ray.put; tasks ray.get them per
+    batch (zero-copy from the local object store) and join with
+    pc.index_in — no shuffle, no dedicated actor fleet."""
     import pyarrow.parquet as pq
 
     cust = pq.read_table(
@@ -461,13 +448,18 @@ def orders_by_mktsegment(sf_dir: str) -> Dataset:
     )
     ref = ray.put((cust["c_custkey"].combine_chunks(), cust["c_mktsegment"].combine_chunks()))
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def join(batch: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ref)
+        idx = pc.index_in(batch["o_custkey"], keys)
+        seg = pc.take(vals, idx)
+        price_c = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+        t = pa.table({"c_mktsegment": seg, "price_c": price_c})
+        g = t.group_by("c_mktsegment").aggregate([("price_c", "sum"), ([], "count_all")])
+        return g.rename_columns(["c_mktsegment", "p_price", "p_cnt"])
+
     return (
-        ds.map_batches(
-            _SegmentJoin,
-            fn_constructor_kwargs={"ref": ref},
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-        )
+        ds.map_batches(join, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(
             Sum("p_price", alias_name="sum_totalprice_cents"),
@@ -778,26 +770,10 @@ def _sql_lp_anti_filter(sf_dir: str) -> str:
     )
 
 
-class _NationRegionJoin:
-    """Two-hop broadcast join: customer -> nation -> region."""
-
-    def __init__(self, ref):
-        (self._nk, self._nr, self._rk, self._rn) = ray.get(ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        n_idx = pc.index_in(batch["c_nationkey"], self._nk)
-        regionkey = pc.take(self._nr, n_idx)
-        r_idx = pc.index_in(regionkey, self._rk)
-        r_name = pc.take(self._rn, r_idx)
-        g = (
-            pa.table({"r_name": r_name})
-            .group_by("r_name")
-            .aggregate([([], "count_all")])
-        )
-        return g.rename_columns(["r_name", "p_cnt"])
-
-
 def customers_per_region(sf_dir: str) -> Dataset:
+    """Two-hop broadcast join: customer -> nation -> region (both
+    dimension tables broadcast once via ray.put, tasks ray.get them
+    per batch — zero-copy from the local object store)."""
     import pyarrow.parquet as pq
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
@@ -811,13 +787,22 @@ def customers_per_region(sf_dir: str) -> Dataset:
         )
     )
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
-    return (
-        ds.map_batches(
-            _NationRegionJoin,
-            fn_constructor_kwargs={"ref": ref},
-            batch_format="pyarrow",
-            concurrency=(1, 4),
+
+    def join(batch: pa.Table) -> pa.Table:
+        nk, nr, rk, rn = ray.get(ref)
+        n_idx = pc.index_in(batch["c_nationkey"], nk)
+        regionkey = pc.take(nr, n_idx)
+        r_idx = pc.index_in(regionkey, rk)
+        r_name = pc.take(rn, r_idx)
+        g = (
+            pa.table({"r_name": r_name})
+            .group_by("r_name")
+            .aggregate([([], "count_all")])
         )
+        return g.rename_columns(["r_name", "p_cnt"])
+
+    return (
+        ds.map_batches(join, batch_format="pyarrow")
         .groupby("r_name")
         .aggregate(Sum("p_cnt", alias_name="cnt"))
     )
