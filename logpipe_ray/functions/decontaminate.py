@@ -43,10 +43,23 @@ def redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def build_blocklist_ngrams(texts: list[str], n: int = 3) -> np.ndarray:
-    """Hash every word n-gram of the blocklist texts (sorted unique)."""
+    """Hash every word n-gram of the blocklist texts (sorted unique).
+    Blocklist entries with fewer than n words contribute their full
+    word sequence as a single shingle, so short eval answers are still
+    catchable (see contamination_fraction's short-doc backstop)."""
     arr = pa.array(texts, pa.string())
     h, lengths = _word_hashes(arr)
     sh, _ = _shingle_hashes(h, lengths, n)
+    shorts = []
+    for text in texts:
+        words = text.split(" ")
+        if 0 < len(words) < n:
+            sub = pa.array([text], pa.string())
+            hh, ll = _word_hashes(sub)
+            s2, _ = _shingle_hashes(hh, ll, len(words))
+            shorts.append(s2)
+    if shorts:
+        sh = np.concatenate([sh, *shorts])
     return np.unique(sh)
 
 
@@ -64,6 +77,16 @@ def contamination_fraction(
     if hits.size:
         sums = np.add.reduceat(hits.astype(np.int64), starts[nz.nonzero()[0]])
         out[nz] = sums / sl[nz]
+    # short-doc backstop: docs with < n words have zero n-grams; score
+    # them by their full word sequence as one shingle (exact short
+    # blocklist entries then hit contamination 1.0 instead of 0.0)
+    short_rows = ((lengths > 0) & (lengths < n)).nonzero()[0]
+    for r in short_rows:
+        sub = texts.slice(r, 1)
+        hh, ll = _word_hashes(sub)
+        s2, _ = _shingle_hashes(hh, ll, int(lengths[r]))
+        if s2.size and np.isin(s2, blocklist_hashes).all():
+            out[r] = 1.0
     return out
 
 

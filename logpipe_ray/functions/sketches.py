@@ -26,6 +26,7 @@ def kmv_sketch(values: pa.Array | pa.ChunkedArray, k: int = 1024) -> np.ndarray:
     """Build the KMV sketch (sorted array of <=k smallest hashes)."""
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
+    values = values.drop_null()  # COUNT(DISTINCT) semantics: nulls excluded
     if not pa.types.is_string(values.type):
         values = values.cast(pa.string())
     h = np.unique(hash64_strings(values))  # sorted unique

@@ -70,8 +70,23 @@ def pack_batch(
     col = batch[tokens_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    id_arr = batch[id_col]
+    if isinstance(id_arr, pa.ChunkedArray):
+        id_arr = id_arr.combine_chunks()
+    if batch.num_rows == 0:
+        # typed empty output (a null-typed doc_ids column would clash
+        # with non-empty blocks' schema)
+        return pa.table(
+            {
+                "context_tokens": pa.array([], pa.list_(pa.int32())),
+                "doc_ids": pa.array([], pa.list_(id_arr.type)),
+                "n_seqs": pa.array([], pa.int32()),
+                "fill_ratio": pa.array([], pa.float64()),
+                "truncated": pa.array([], pa.int32()),
+            }
+        )
     toks = col.to_pylist()
-    ids = batch[id_col].to_pylist()
+    ids = id_arr.to_pylist()
 
     contexts: list[list[int]] = []
     members: list[list] = []
@@ -105,14 +120,12 @@ def pack_batch(
     packed = pa.ListArray.from_arrays(
         pa.array(offsets, pa.int32()), pa.array(flat, pa.int32())
     )
-    fill = pa.array(
-        [sum(1 for t in ctx if t != PAD_ID) / context_len for ctx in contexts],
-        pa.float64(),
-    )
+    nonpad = np.count_nonzero(flat.reshape(n, context_len) != PAD_ID, axis=1)
+    fill = pa.array(nonpad / float(context_len), pa.float64())
     return pa.table(
         {
             "context_tokens": packed,
-            "doc_ids": pa.array(members),
+            "doc_ids": pa.array(members, pa.list_(id_arr.type)),
             "n_seqs": pa.array([len(m) for m in members], pa.int32()),
             "fill_ratio": fill,
             "truncated": pa.array(truncated, pa.int32()),

@@ -896,6 +896,12 @@ def revenue_by_orderpriority_cogroup(sf_dir: str) -> Dataset:
         {"o_orderpriority": pa.string()},
         {"l_extendedprice": pa.float64()},
         per_key,
+        output_columns={
+            "okey": "int64",
+            "o_orderpriority": "object",
+            "p_rev": "int64",
+            "p_cnt": "int64",
+        },
     )
     return per_order.groupby("o_orderpriority").aggregate(
         Sum("p_rev", alias_name="revenue_cents"), Sum("p_cnt", alias_name="cnt")

@@ -23,6 +23,29 @@ import pyarrow as pa
 from ray.data import Dataset
 
 
+def _tag_side(key: str, all_cols: dict, own: dict, side: int, extra: list[str] = ()):
+    """Schema-aligning union tag: carry own columns (cast to declared
+    types), typed nulls for the other side's, plus a _side marker."""
+    import numpy as np
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = {key: t[key]}
+        for c in extra:
+            out[c] = t[c]
+        for c, typ in all_cols.items():
+            if c in own and c in t.column_names:
+                col = t[c]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                out[c] = col.cast(typ) if col.type != typ else col
+            else:
+                out[c] = pa.nulls(t.num_rows, typ)
+        out["_side"] = pa.array(np.full(t.num_rows, side, np.int8))
+        return pa.table(out)
+
+    return fn
+
+
 def cogroup_join_aggregate(
     left: Dataset,
     right: Dataset,
@@ -30,6 +53,7 @@ def cogroup_join_aggregate(
     left_cols: dict[str, pa.DataType],
     right_cols: dict[str, pa.DataType],
     per_key_fn,
+    output_columns: dict[str, str] | None = None,
 ):
     """Explicit co-group join: union both (tagged, schema-aligned)
     sides, co-locate by key via groupby, and reduce each key's group
@@ -38,36 +62,34 @@ def cogroup_join_aggregate(
     — the unavoidable minimum for a two-large-sides join.
 
     left_cols / right_cols: {column: arrow type} carried from each
-    side; the other side's rows hold typed nulls for those columns.
+    side (cast to the declared type); the other side's rows hold typed
+    nulls. ``output_columns`` ({name: pandas dtype}) types the empty
+    frame when every key in a partition is dropped — pass it whenever
+    per_key_fn can return None.
     """
-    import numpy as np
     import pandas as pd
 
     all_cols = {**left_cols, **right_cols}
-
-    def tag(side: int, own: dict):
-        def fn(t: pa.Table) -> pa.Table:
-            out = {key: t[key]}
-            for c, typ in all_cols.items():
-                if c in own and c in t.column_names:
-                    out[c] = t[c]
-                else:
-                    out[c] = pa.nulls(t.num_rows, typ)
-            out["_side"] = pa.array(np.full(t.num_rows, side, np.int8))
-            return pa.table(out)
-
-        return fn
-
-    unioned = left.map_batches(tag(0, left_cols), batch_format="pyarrow").union(
-        right.map_batches(tag(1, right_cols), batch_format="pyarrow")
+    unioned = left.map_batches(
+        _tag_side(key, all_cols, left_cols, 0), batch_format="pyarrow"
+    ).union(
+        right.map_batches(_tag_side(key, all_cols, right_cols, 1), batch_format="pyarrow")
     )
+
+    def _empty() -> "pd.DataFrame":
+        out_cols = output_columns or {}
+        cols = {key: pd.Series([], dtype=out_cols.get(key, "object"))}
+        for c, dt in out_cols.items():
+            if c != key:
+                cols[c] = pd.Series([], dtype=dt)
+        return pd.DataFrame(cols)
 
     def reduce_group(df: "pd.DataFrame") -> "pd.DataFrame":
         l = df[df["_side"] == 0]
         r = df[df["_side"] == 1]
         row = per_key_fn(l, r)
         if row is None:
-            return pd.DataFrame()
+            return _empty()
         return pd.DataFrame([{key: df[key].iloc[0], **row}])
 
     return unioned.groupby(key).map_groups(reduce_group, batch_format="pandas")
@@ -95,34 +117,42 @@ def asof_join(
     import pandas as pd
 
     all_cols = {**left_cols, **right_cols}
-
-    def tag(side: int, own: dict):
-        def fn(t: pa.Table) -> pa.Table:
-            out = {key: t[key], ts_col: t[ts_col]}
-            for c, typ in all_cols.items():
-                if c in own and c in t.column_names:
-                    out[c] = t[c]
-                else:
-                    out[c] = pa.nulls(t.num_rows, typ)
-            out["_side"] = pa.array(np.full(t.num_rows, side, np.int8))
-            return pa.table(out)
-
-        return fn
-
-    unioned = left.map_batches(tag(0, left_cols), batch_format="pyarrow").union(
-        right.map_batches(tag(1, right_cols), batch_format="pyarrow")
+    unioned = left.map_batches(
+        _tag_side(key, all_cols, left_cols, 0, extra=[ts_col]), batch_format="pyarrow"
+    ).union(
+        right.map_batches(
+            _tag_side(key, all_cols, right_cols, 1, extra=[ts_col]),
+            batch_format="pyarrow",
+        )
     )
+
+    def _null_dtype(typ: pa.DataType) -> str:
+        # match what merge_asof produces for missing right rows so all
+        # blocks share one pandas dtype (ints with NaN become float64)
+        if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+            return "float64"
+        if pa.types.is_timestamp(typ):
+            return "datetime64[ns]"
+        return "object"
+
+    def _typed_nulls(n: int) -> dict:
+        return {
+            c: pd.Series([None] * n, dtype=_null_dtype(typ))
+            for c, typ in right_cols.items()
+        }
 
     def reduce_group(df: "pd.DataFrame") -> "pd.DataFrame":
         l = df[df["_side"] == 0].sort_values(ts_col, kind="stable")
         r = df[df["_side"] == 1]
         if len(l) == 0:
-            return pd.DataFrame()
+            # right-only key: typed empty frame, not a 0-column one
+            out = df.iloc[0:0][[key, ts_col, *left_cols, *right_cols]]
+            return out
         l = l[[key, ts_col, *left_cols]]
         if len(r) == 0:
             out = l.copy()
-            for c in right_cols:
-                out[c] = pd.NA
+            for c, series in _typed_nulls(len(out)).items():
+                out[c] = series.values
             return out
         sort_keys = [ts_col] + ([tiebreak] if tiebreak else [])
         r = r.sort_values(sort_keys, kind="stable")[[ts_col, *right_cols]]
@@ -145,6 +175,11 @@ def semi_join_filter(ds: Dataset, col: str, keys_ref, anti: bool = False) -> Dat
         mask = pc.is_in(batch[col], value_set=keys)
         if anti:
             mask = pc.invert(mask)
-        return batch.filter(pc.fill_null(mask, anti))
+        # null probe keys drop in BOTH modes — matching SQL IN / NOT IN
+        # three-valued logic (NULL NOT IN (...) is NULL -> filtered).
+        # pc.is_in yields False (not null) for null probes, so mask
+        # them out explicitly.
+        mask = pc.and_(pc.fill_null(mask, False), pc.is_valid(batch[col]))
+        return batch.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -60,3 +60,10 @@ def test_decontaminate_filters(ray_session):
     ).to_pandas()
     assert sorted(flagged["doc_id"]) == [0]
     assert (flagged["contamination"] > 0.3).all()
+
+
+def test_short_blocklist_entries_caught():
+    bl = build_blocklist_ngrams(["answer fortytwo", "x"], n=3)
+    texts = pa.array(["answer fortytwo", "x", "unrelated words here entirely"])
+    frac = contamination_fraction(texts, bl, n=3)
+    assert frac[0] == 1.0 and frac[1] == 1.0 and frac[2] == 0.0

@@ -29,3 +29,38 @@ def test_cogroup_join_matches_pandas(ray_session):
     got = {r["k"]: (r["name"], r["total"], r["n"]) for _, r in out.iterrows()}
     # inner-join semantics: keys 3,4 (no right rows) and 5 (no left) dropped
     assert got == {1: ("a", 30.0, 2), 2: ("b", 6.0, 3)}
+
+
+def test_asof_join_degenerate_keys(ray_session):
+    import pandas as pd
+    import pyarrow as pa2
+
+    from logpipe_ray.stages.join import asof_join
+
+    # user 1: normal; user 2: right-only (clicks, no purchases);
+    # user 3: left-only (purchases, no clicks)
+    left = pd.DataFrame({"k": [1, 3], "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]), "lv": [10, 30]})
+    right = pd.DataFrame({"k": [1, 2], "ts": pd.to_datetime(["2024-01-01", "2024-01-01"]), "rv": [1.5, 2.5]})
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", "ts",
+        {"lv": pa2.int64()}, {"rv": pa2.float64()},
+    ).to_pandas()
+    by_k = out.set_index("k")
+    assert by_k.loc[1, "rv"] == 1.5
+    assert pd.isna(by_k.loc[3, "rv"])  # left-only -> typed null
+    assert 2 not in by_k.index  # right-only key contributes no rows
+
+
+def test_semi_join_null_keys_dropped(ray_session):
+    import ray as _ray
+    import pyarrow as pa2
+
+    from logpipe_ray.stages.join import semi_join_filter
+
+    t = pa.table({"k": pa.array([1, 2, None, 3], pa.int64())})
+    ref = _ray.put(pa2.array([1, 2], pa2.int64()))
+    ds = rd.from_arrow(t)
+    semi = semi_join_filter(ds, "k", ref).to_pandas()
+    anti = semi_join_filter(ds, "k", ref, anti=True).to_pandas()
+    assert sorted(semi["k"]) == [1, 2]
+    assert sorted(anti["k"]) == [3]  # NULL NOT IN (...) -> dropped

@@ -43,3 +43,9 @@ def test_distributed_approx_distinct(ray_session):
     ds = rd.from_items([{"u": f"user-{i % 777}"} for i in range(20_000)])
     est = approx_distinct(ds, "u", k=512)
     assert abs(est - 777) / 777 < 0.12
+
+
+def test_kmv_excludes_nulls():
+    vals = pa.array(["a", "b", None, "a", None], pa.string())
+    est = kmv_estimate(kmv_sketch(vals, k=64), k=64)
+    assert est == 2.0  # COUNT(DISTINCT) semantics: nulls excluded

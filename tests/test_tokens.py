@@ -74,3 +74,12 @@ def test_pack_sequences_distributed(ray_session, tiny_sequences):
     assert df["n_seqs"].sum() == 2000  # every sequence packed exactly once
     # mean fill should be decent for ~300-token docs in 1024 contexts
     assert df["fill_ratio"].mean() > 0.6
+
+
+def test_pack_batch_empty_is_typed():
+    t = _seq_table([b"abc"]).slice(0, 0)
+    out = pack_batch(t, context_len=64)
+    assert out.num_rows == 0
+    assert out["doc_ids"].type == pa.list_(pa.string())
+    full = pack_batch(_seq_table([b"abc"]), context_len=64)
+    assert out.schema.equals(full.schema)
