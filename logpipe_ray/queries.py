@@ -1261,6 +1261,67 @@ def docs_dup_clusters(sf_dir: str):
     return dup_clusters(ds, threshold=0.6, shingle_k=2)
 
 
+def docs_dedup_corpus(sf_dir: str) -> Dataset:
+    """The full dedup pipeline end-to-end: near-dup clusters -> keep
+    the min doc_id per cluster -> surviving corpus doc_ids (broadcast
+    drop-set filter; the output is what a training run would read)."""
+    from .functions.dedup import dup_clusters
+    from .stages.join import semi_join_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    clusters = dup_clusters(ds, threshold=0.6, shingle_k=2).to_pandas()
+    if len(clusters):
+        drop = clusters[clusters["doc_id"] != clusters["cluster_id"]]["doc_id"]
+        drop_ref = ray.put(pa.array(drop.to_numpy(), pa.int64()))
+        ds = semi_join_filter(ds, "doc_id", drop_ref, anti=True)
+    return ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"]}), batch_format="pyarrow"
+    )
+
+
+def seq_vocab_coverage(sf_dir: str) -> "pa.Table":
+    """Smallest vocabulary covering 99% of token mass (frequency sort
+    + cumulative cutoff — the sketch-to-decision workflow a tokenizer
+    audit runs)."""
+    from .functions.tokens import token_frequency
+
+    seq_dir = ensure_sequences(sf_dir)
+    freq = token_frequency(
+        rd.read_parquet(seq_dir, columns=["tokens"])
+    ).to_pandas().sort_values(["cnt", "token_id"], ascending=[False, True])
+    total = int(freq["cnt"].sum())
+    cum = freq["cnt"].cumsum()
+    vocab_size = int((cum < 0.99 * total).sum()) + 1
+    covered = int(cum.iloc[vocab_size - 1])
+    return pa.table(
+        {
+            "vocab_size": pa.array([vocab_size], pa.int64()),
+            "covered_tokens": pa.array([covered], pa.int64()),
+            "total_tokens": pa.array([total], pa.int64()),
+        }
+    )
+
+
+def _sql_seq_vocab_coverage(sf_dir: str) -> str:
+    path = ensure_sequences(sf_dir)
+    return f"""
+WITH freq AS (
+  SELECT token_id, count(*) AS cnt FROM (
+    SELECT unnest(tokens) AS token_id
+    FROM read_parquet('{path}/shard_*.parquet')
+  ) GROUP BY token_id
+),
+ranked AS (
+  SELECT cnt, sum(cnt) OVER (ORDER BY cnt DESC, token_id) AS cum,
+         sum(cnt) OVER () AS total
+  FROM freq
+)
+SELECT CAST(count(*) FILTER (cum < 0.99 * total) + 1 AS BIGINT) AS vocab_size,
+       CAST(min(cum) FILTER (cum >= 0.99 * total) AS BIGINT) AS covered_tokens,
+       CAST(max(total) AS BIGINT) AS total_tokens
+FROM ranked"""
+
+
 def docs_simhash_pairs(sf_dir: str):
     from .functions.dedup import simhash_dedup_pairs
 
@@ -1443,6 +1504,8 @@ REGISTRY: dict = {
     "docs_minhash_dedup": (docs_minhash_dedup, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "docs_dup_clusters": (docs_dup_clusters, None),
+    "docs_dedup_corpus": (docs_dedup_corpus, None),
+    "seq_vocab_coverage": (seq_vocab_coverage, _sql_seq_vocab_coverage),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "embeddings_neardup": (embeddings_neardup, None),
     "docs_langid": (docs_langid, None),
