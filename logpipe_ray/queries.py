@@ -363,6 +363,62 @@ SELECT tag, count(*) AS cnt FROM (
 ) GROUP BY tag"""
 
 
+def lp_user_sessions(sf_dir: str) -> Dataset:
+    """Sessionize the parsed log stream per user (30-min inactivity
+    gap): parse the ISO timestamp (second precision), co-locate by
+    user via groupby, count sessions/events per user."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.fill_null(t["parse_ok"], False), pc.is_valid(t["user_id"])
+        )
+        sub = t.filter(ok)
+        ts = pc.strptime(
+            pc.utf8_slice_codeunits(sub["timestamp"], 0, 19),
+            format="%Y-%m-%dT%H:%M:%S",
+            unit="us",
+        )
+        return pa.table({"user_id": sub["user_id"], "ts": ts})
+
+    ds = _routed_partials(sf_dir, prep)
+
+    def sessions(df):
+        import pandas as pd
+
+        df = df.sort_values("ts")
+        gaps = df["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": df["user_id"].iloc[0],
+                    "n_sessions": int(gaps.sum()) + 1,
+                    "n_events": len(df),
+                }
+            ]
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def _sql_lp_user_sessions(sf_dir: str) -> str:
+    return _lp_cte(sf_dir) + """
+, ev AS (
+  SELECT user_id, strptime(substr("timestamp", 1, 19), '%Y-%m-%dT%H:%M:%S') AS ts
+  FROM parsed WHERE parse_ok AND user_id IS NOT NULL
+),
+o AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM o GROUP BY user_id"""
+
+
 def lp_top_slow(sf_dir: str) -> Dataset:
     ds = _fused_sel(sf_dir, {"parse_ok": True}, ["doc_id", "response_time"])
     return top_k(ds, [("response_time", "descending"), ("doc_id", "ascending")], 100)
@@ -1460,6 +1516,7 @@ REGISTRY: dict = {
     "lp_filter_regex": (lp_filter_regex, _sql_lp_filter_regex),
     "lp_top_slow": (lp_top_slow, _sql_lp_top_slow),
     "lp_tag_counts": (lp_tag_counts, _sql_lp_tag_counts),
+    "lp_user_sessions": (lp_user_sessions, _sql_lp_user_sessions),
     "q1_lineitem": (q1_lineitem, _sql_q1_lineitem),
     "events_by_type": (events_by_type, _sql_events_by_type),
     "orders_by_mktsegment": (orders_by_mktsegment, _sql_orders_by_mktsegment),
