@@ -363,6 +363,22 @@ SELECT tag, count(*) AS cnt FROM (
 ) GROUP BY tag"""
 
 
+def lp_count_by_sink(sf_dir: str) -> Dataset:
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"sink": t["sink"]}).group_by("sink").aggregate([([], "count_all")])
+        return g.rename_columns(["sink", "p"])
+
+    return (
+        _routed_partials(sf_dir, partial)
+        .groupby("sink")
+        .aggregate(Sum("p", alias_name="cnt"))
+    )
+
+
+def _sql_lp_count_by_sink(sf_dir: str) -> str:
+    return _lp_cte(sf_dir) + "SELECT sink, count(*) AS cnt FROM routed GROUP BY sink"
+
+
 def lp_user_sessions(sf_dir: str) -> Dataset:
     """Sessionize the parsed log stream per user (30-min inactivity
     gap): parse the ISO timestamp (second precision), co-locate by
@@ -1507,6 +1523,7 @@ def mm_features(sf_dir: str):
 REGISTRY: dict = {
     "lp_route_counts": (lp_route_counts, _sql_lp_route_counts),
     "lp_count_by_level": (lp_count_by_level, _sql_lp_count_by_level),
+    "lp_count_by_sink": (lp_count_by_sink, _sql_lp_count_by_sink),
     "lp_stats_by_level": (lp_stats_by_level, _sql_lp_stats_by_level),
     "lp_errors_rows": (lp_errors_rows, _sql_lp_errors_rows),
     "lp_deadletter_rows": (lp_deadletter_rows, _sql_lp_deadletter_rows),
