@@ -31,7 +31,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return _queries()
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """A few lp_* oracles embed fixture paths derived from sf_dir, so
+    the SQL must be generated for the same scale the driver verifies
+    at. A driver that passes sf_dir gets it forwarded; otherwise the
+    GRAFT_ORACLE_SF_DIR env var, then the documented default (the
+    driver verifies at sf=0.01)."""
+    import os
+
     from logpipe_ray.queries import oracle_sql as _oracle_sql
 
-    return _oracle_sql("/root/testdata/sf0.01")
+    if sf_dir is None:
+        sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    return _oracle_sql(sf_dir)

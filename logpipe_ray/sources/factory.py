@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import logging
 import os
+from contextlib import contextmanager
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -28,6 +29,25 @@ import ray.data as rd
 from ray.data import Dataset
 
 logger = logging.getLogger(__name__)
+
+@contextmanager
+def _plain_list_columns():
+    """Scope `enable_tensor_extension_casting=False` to one dataset
+    creation (ragged list<string> columns like `tags` must stay plain
+    Arrow lists). Ray Data seals a copy of the DataContext into the
+    dataset at creation, so flipping it around the read_* call is
+    enough — and restoring it afterwards keeps the session-global
+    context untouched for unrelated datasets."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev = ctx.enable_tensor_extension_casting
+    ctx.enable_tensor_extension_casting = False
+    try:
+        yield
+    finally:
+        ctx.enable_tensor_extension_casting = prev
+
 
 CSV_HEADER = [
     "timestamp", "level", "service", "method", "path", "status",
@@ -56,13 +76,9 @@ def detect_format_from_filename(path: str) -> str:
 
 
 def read_logs_ndjson(path: str | list[str]) -> Dataset:
-    from ray.data import DataContext
-
-    # keep ragged list<string> columns (tags) as plain Arrow lists —
-    # the tensor-extension auto-cast rejects ragged object arrays
-    DataContext.get_current().enable_tensor_extension_casting = False
     # ray's read_json default extension filter excludes .ndjson
-    return rd.read_json(path, file_extensions=None)
+    with _plain_list_columns():
+        return rd.read_json(path, file_extensions=None)
 
 
 def read_logs_ndjson_lenient(path: str | list[str]) -> Dataset:
@@ -107,19 +123,54 @@ def read_logs_ndjson_lenient(path: str | list[str]) -> Dataset:
     return ds.map_batches(parse_lines, batch_format="pyarrow")
 
 
-def read_logs_csv(path: str | list[str], typed: bool = True) -> Dataset:
-    """Read the reference's `;`-separated CSV log format."""
-    parse_opts = pacsv.ParseOptions(delimiter=";")
+def read_logs_csv(
+    path: str | list[str],
+    typed: bool = True,
+    separator: str = ";",
+    quote: str = '"',
+    escape: str = '"',
+    header: bool = True,
+    skip_lines: int = 0,
+) -> Dataset:
+    """Read the reference's CSV log format (default `;`-separated).
+
+    Option parity with /root/reference/src/parsers/csvParser.js:20-27
+    (separator / quote / escape / header / skipLines): `escape == quote`
+    maps to Arrow's RFC-4180 double-quote mode (the csv-parser lib's
+    default, and how generate-csv.js:82-92 escapes); a distinct escape
+    char maps to Arrow's escape_char backslash-style mode.
+    `header=False` names columns by the canonical log header, like the
+    reference caller passing explicit `headers`. `skip_lines` drops
+    leading lines before the (optional) header row.
+    """
+    double_quote = escape == quote
+    parse_opts = pacsv.ParseOptions(
+        delimiter=separator,
+        quote_char=quote,
+        double_quote=double_quote,
+        escape_char=False if double_quote else escape,
+    )
+    read_opts = {}
+    if skip_lines or not header:
+        read_opts["skip_rows"] = skip_lines
+        if not header:
+            read_opts["column_names"] = CSV_HEADER
     if not typed:
         # reference csv-parser semantics: every value is a string
         convert = pacsv.ConvertOptions(
             column_types={c: pa.string() for c in CSV_HEADER}
         )
-        return rd.read_csv(path, parse_options=parse_opts, convert_options=convert)
+        return rd.read_csv(
+            path,
+            parse_options=parse_opts,
+            convert_options=convert,
+            **(
+                {"read_options": pacsv.ReadOptions(**read_opts)}
+                if read_opts
+                else {}
+            ),
+        )
 
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_tensor_extension_casting = False
     convert = pacsv.ConvertOptions(
         column_types={
             **{c: pa.string() for c in CSV_HEADER if c not in _INT_COLS},
@@ -127,7 +178,17 @@ def read_logs_csv(path: str | list[str], typed: bool = True) -> Dataset:
         },
         strings_can_be_null=True,  # '' -> null
     )
-    ds = rd.read_csv(path, parse_options=parse_opts, convert_options=convert)
+    with _plain_list_columns():
+        ds = rd.read_csv(
+            path,
+            parse_options=parse_opts,
+            convert_options=convert,
+            **(
+                {"read_options": pacsv.ReadOptions(**read_opts)}
+                if read_opts
+                else {}
+            ),
+        )
 
     def split_tags(t: pa.Table) -> pa.Table:
         tags = t["tags"]

@@ -53,11 +53,21 @@ def _mask_for(batch: pa.Table, path: str, test) -> pa.Array:
     col = get_path(batch, path)
     if callable(test):
         mask = test(col)
+    elif isinstance(test, dict) and "re" in test:
+        # structured regex criteria: {'re': pattern} — the unambiguous
+        # analog of the reference's RegExp-object branch
+        # (filterTransformer.js:57-63)
+        as_str = col if pa.types.is_string(col.type) else pc.cast(col, pa.string())
+        mask = pc.match_substring_regex(as_str, test["re"])
     elif isinstance(test, str) and test.startswith("~"):
         # '~pattern' => regex test on the stringified value (reference
         # RegExp.test branch, filterTransformer.js:57-63)
         as_str = col if pa.types.is_string(col.type) else pc.cast(col, pa.string())
         mask = pc.match_substring_regex(as_str, test[1:])
+    elif isinstance(test, str) and test.startswith("\\~"):
+        # escape hatch: '\~literal' matches a value that literally
+        # starts with '~' (which the bare-string form can't express)
+        mask = pc.equal(col, test[1:])
     else:
         try:
             mask = pc.equal(col, test)

@@ -224,3 +224,51 @@ def test_sink_factory(ray_session, tmp_path, capsys):
     assert len(capsys.readouterr().out.strip().splitlines()) == 3
     with pytest.raises(ValueError, match="unknown sink"):
         create_sink("kafka")
+
+
+def test_read_csv_option_parity(ray_session, tmp_path):
+    """csvParser.js option surface (separator/quote/escape/header/
+    skipLines) with generate-csv.js quoting rules: cells containing the
+    separator or quotes are wrapped in double quotes, inner quotes
+    doubled (generate-csv.js:82-92)."""
+    p = tmp_path / "opt.csv"
+    row = (
+        '2025-01-01T00:00:00.000Z,INFO,svc,GET,/a,200,5,u1,s1,1.2.3.4,'
+        '"hello, ""world""",10,auth|retry,prod,h1,'
+    )
+    p.write_text("junk to skip\n" + row + "\n")
+    df = read_logs_csv(
+        str(p), typed=False, separator=",", header=False, skip_lines=1
+    ).to_pandas()
+    assert len(df) == 1
+    assert df.loc[0, "message"] == 'hello, "world"'
+    assert df.loc[0, "level"] == "INFO"
+    # typed mode through the same option path: ints cast, tags split
+    dft = read_logs_csv(
+        str(p), typed=True, separator=",", header=False, skip_lines=1
+    ).to_pandas()
+    assert dft.loc[0, "status"] == 200
+    assert list(dft.loc[0, "tags"]) == ["auth", "retry"]
+
+
+def test_read_csv_distinct_escape_char(ray_session, tmp_path):
+    p = tmp_path / "esc.csv"
+    p.write_text(
+        "a;b\n" + '"x\\"y";2\n'  # backslash-escaped quote inside quotes
+    )
+    ds = read_logs_csv(str(p), typed=False, escape="\\")
+    assert ds.to_pandas().loc[0, "a"] == 'x"y'
+
+
+def test_reader_context_not_globally_mutated(ray_session, ndjson_files):
+    from ray.data import DataContext
+
+    from logpipe_ray.sources.factory import read_logs_ndjson
+
+    ctx = DataContext.get_current()
+    before = ctx.enable_tensor_extension_casting
+    ds = read_logs_ndjson(ndjson_files[0])
+    assert ctx.enable_tensor_extension_casting == before
+    # the dataset still reads ragged tags as plain lists
+    t = ds.to_pandas()
+    assert "tags" in t.columns

@@ -88,6 +88,20 @@ def test_filter_conjunction_and_regex(routed):
     assert all(s >= 500 for s in f5(out)["status"].to_pylist())
 
 
+def test_filter_tilde_escape_and_structured_regex():
+    import pyarrow as pa
+
+    batch = pa.table({"name": ["~literal", "plain", "~other", "xliteral"]})
+    # bare '~' prefix is a regex...
+    assert make_filter({"name": "~lit"})(batch).num_rows == 2
+    # ...'\~' escapes to literal equality on a value starting with '~'
+    got = make_filter({"name": "\\~literal"})(batch)
+    assert got["name"].to_pylist() == ["~literal"]
+    # structured regex form is unambiguous regardless of prefix
+    got2 = make_filter({"name": {"re": "^~"}})(batch)
+    assert got2["name"].to_pylist() == ["~literal", "~other"]
+
+
 def test_select_rename_add(routed):
     _, out = routed
     sel = select_fields(["doc_id", "meta.env", "missing_col", "level"])(out)
