@@ -1295,6 +1295,33 @@ def docs_decontaminate_audit(sf_dir: str) -> Dataset:
     )
 
 
+def _sql_docs_decontaminate_audit(sf_dir: str) -> str:
+    """Independent replay: word 3-grams compared as STRINGS (the
+    engine matches 64-bit shingle hashes; collisions are negligible at
+    fixture scale). Blocklist = the first 5 documents, same as the
+    Ray-side query. The fraction is hits/total per doc over every
+    3-gram occurrence (multiplicity preserved), filtered > 0.5."""
+    return """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest([array_to_string(ws[i : i + 2], ' ') FOR i IN range(1, len(ws) - 1)]) AS gram
+  FROM w WHERE len(ws) >= 3
+),
+bl AS (
+  SELECT DISTINCT gram FROM g
+  WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+),
+scored AS (
+  SELECT g.doc_id,
+         CAST(sum(CASE WHEN bl.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS contamination
+  FROM g LEFT JOIN bl ON g.gram = bl.gram
+  GROUP BY g.doc_id
+)
+SELECT doc_id, contamination FROM scored WHERE contamination > 0.5"""
+
+
 def docs_minhash_dedup(sf_dir: str):
     from .functions.dedup import minhash_dedup_pairs
 
@@ -1419,6 +1446,47 @@ def docs_langid(sf_dir: str) -> Dataset:
     )
 
 
+def _sql_docs_langid(sf_dir: str) -> str:
+    """Replays the stopword/char-class scoring in SQL. Scores are
+    integer-valued, so the argmax comparisons are exact; tie-break is
+    first-in-list order (en, de, fr, es, zh), matching np.argmax."""
+    from .functions.textfns import _LANG_CHARS, _LANG_PROFILES, _LANGS
+
+    def occurrences(hay: str, needle: str) -> str:
+        esc = needle.replace("'", "''")
+        return (
+            f"(length({hay}) - length(replace({hay}, '{esc}', '')))"
+            f" / {len(needle)}"
+        )
+
+    score_exprs = {}
+    for lang in _LANGS[:4]:
+        terms = [occurrences("lw", f" {w} ") for w in sorted(_LANG_PROFILES[lang])]
+        terms += [f"2 * ({occurrences('lw', ch)})" for ch in _LANG_CHARS.get(lang, "")]
+        score_exprs[lang] = " + ".join(terms)
+    score_exprs["zh"] = (
+        r"3 * len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]'))"
+    )
+    s = {lang: f"s_{lang}" for lang in _LANGS}
+    selects = ",\n       ".join(
+        f"CAST({expr} AS BIGINT) AS {s[lang]}" for lang, expr in score_exprs.items()
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+       {selects}
+  FROM (SELECT doc_id, text, lower(text) AS lw FROM documents)
+)
+SELECT doc_id,
+  CASE WHEN greatest({s['en']}, {s['de']}, {s['fr']}, {s['es']}, {s['zh']}) = 0 THEN 'unk'
+       WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']} AND {s['en']} >= {s['es']} AND {s['en']} >= {s['zh']} THEN 'en'
+       WHEN {s['de']} >= {s['fr']} AND {s['de']} >= {s['es']} AND {s['de']} >= {s['zh']} THEN 'de'
+       WHEN {s['fr']} >= {s['es']} AND {s['fr']} >= {s['zh']} THEN 'fr'
+       WHEN {s['es']} >= {s['zh']} THEN 'es'
+       ELSE 'zh' END AS lang_pred
+FROM scored"""
+
+
 def docs_quality_score(sf_dir: str) -> Dataset:
     from .functions.textfns import quality_batch
 
@@ -1428,6 +1496,42 @@ def docs_quality_score(sf_dir: str) -> Dataset:
     )
 
 
+def _sql_docs_quality_score(sf_dir: str) -> str:
+    """quality_batch's composite score replayed in SQL. Every term is
+    the same sequence of IEEE double ops as the numpy expression
+    (left-associated multiply-adds), so values hash-match bitwise."""
+    from .functions.textfns import _STOPWORDS
+
+    stop_terms = " + ".join(
+        f"(length(lw) - length(replace(lw, ' {w} ', ''))) / {len(w) + 2}"
+        for w in sorted(_STOPWORDS)
+    )
+    return f"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST({stop_terms} AS DOUBLE) AS stop_hits,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct,
+         CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS upper_cnt
+  FROM (SELECT doc_id, text, lower(text) AS lw FROM documents)
+),
+ratios AS (
+  SELECT doc_id, n_words,
+         (n_chars - (n_words - 1)) / greatest(n_words, 1) AS mean_wlen,
+         punct / greatest(n_chars, 1) AS punct_ratio,
+         upper_cnt / greatest(n_chars, 1) AS upper_ratio
+  FROM feat
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       least(greatest(n_words / 50.0, 0), 1) * 0.4
+       + least(greatest(1.0 - abs(mean_wlen - 5.0) / 5.0, 0), 1) * 0.3
+       + least(greatest(1.0 - punct_ratio * 5, 0), 1) * 0.2
+       + least(greatest(1.0 - upper_ratio * 5, 0), 1) * 0.1 AS quality_score
+FROM ratios"""
+
+
 def docs_fingerprint(sf_dir: str) -> Dataset:
     from .functions.textfns import fingerprint_batch
 
@@ -1435,6 +1539,40 @@ def docs_fingerprint(sf_dir: str) -> Dataset:
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "fingerprint"]
     )
+
+
+def _sql_docs_fingerprint(sf_dir: str) -> str:
+    """Rolling Karp-Rabin winnowing fingerprint replayed in SQL.
+    The engine's uint64 wraparound chain acc = acc*B + byte equals the
+    polynomial sum(byte_j * B^(w-1-j)) mod 2^64 (mod is a ring
+    homomorphism), so each window hash is an 8-term HUGEINT
+    multiply-add mod 2^64 with the powers precomputed here. Valid for
+    ASCII fixtures (ord == byte); the sf* documents tables are pure
+    ASCII (verified)."""
+    B = 1099511628211
+    M = 1 << 64
+    powers = [pow(B, 7 - j, M) for j in range(8)]
+    terms = " + ".join(
+        f"CAST(ord(text[i+{j}]) AS HUGEINT) * {powers[j]}" for j in range(8)
+    )
+    return f"""
+WITH fp AS (
+  SELECT doc_id,
+    CASE
+      WHEN length(text) = 0 THEN CAST(0 AS HUGEINT)
+      WHEN length(text) < 8 THEN
+        list_reduce(
+          [CAST(ord(text[k]) AS HUGEINT) FOR k IN range(1, length(text) + 1)],
+          (a, b) -> (a * {B} + b) % {M})
+      ELSE
+        list_min([({terms}) % {M} FOR i IN range(1, length(text) - 6)])
+    END AS v
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN v >= {1 << 63} THEN v - {M} ELSE v END AS BIGINT)
+         AS fingerprint
+FROM fp"""
 
 
 def docs_bpe_token_count(sf_dir: str) -> Dataset:
@@ -1574,7 +1712,7 @@ REGISTRY: dict = {
     # rows-only (non-SQL-expressible: LSH/sketch/heuristic/stub ops)
     "lp_union_errors_slow": (lp_union_errors_slow, _sql_lp_union_errors_slow),
     "docs_redacted": (docs_redacted, _sql_docs_redacted),
-    "docs_decontaminate_audit": (docs_decontaminate_audit, None),
+    "docs_decontaminate_audit": (docs_decontaminate_audit, _sql_docs_decontaminate_audit),
     "docs_minhash_dedup": (docs_minhash_dedup, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "docs_dup_clusters": (docs_dup_clusters, None),
@@ -1582,9 +1720,9 @@ REGISTRY: dict = {
     "seq_vocab_coverage": (seq_vocab_coverage, _sql_seq_vocab_coverage),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "embeddings_neardup": (embeddings_neardup, None),
-    "docs_langid": (docs_langid, None),
-    "docs_quality_score": (docs_quality_score, None),
-    "docs_fingerprint": (docs_fingerprint, None),
+    "docs_langid": (docs_langid, _sql_docs_langid),
+    "docs_quality_score": (docs_quality_score, _sql_docs_quality_score),
+    "docs_fingerprint": (docs_fingerprint, _sql_docs_fingerprint),
     "ann_ivf_topk": (ann_ivf_topk, None),
     "mm_features": (mm_features, None),
 }
