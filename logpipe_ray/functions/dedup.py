@@ -192,8 +192,53 @@ def minhash_lsh_candidates(
         emit_pairs, batch_format="pandas"
     )
     # dedupe (a, b) pairs seen in multiple bands
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
+    return _distinct_pairs(pairs, ["a", "b"])
+
+
+def _tolerant_project(out_schema: pa.Schema, rename_from: list[str] | None = None):
+    """Rename/select after a shuffle aggregate, tolerating the empty
+    columnless blocks Ray's Aggregate can emit (a plain
+    rename_columns/select_columns Project raises on those,
+    nondeterministically depending on block layout). `rename_from`
+    lists the upstream column names in output order; None means the
+    names already match and we just select."""
+    names_out = [f.name for f in out_schema]
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        src = rename_from or names_out
+        return pa.table(
+            {out: t[i_name] for out, i_name in zip(names_out, src)}
+        )
+
+    return fn
+
+
+_PAIR_I64 = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
+def _local_distinct(cols: list[str]):
+    """Per-batch distinct on `cols` (Arrow group_by, no shuffle) — the
+    partial that shrinks the global pair-dedup shuffle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.select(cols).group_by(cols).aggregate([])
+
+    return fn
+
+
+def _distinct_pairs(
+    pairs: Dataset, cols: list[str], out_schema: pa.Schema | None = None
+) -> Dataset:
+    """Global distinct on `cols`: per-batch partial dedup, then a
+    native count() aggregate (partial+final combine inside Ray Data)
+    instead of a per-group Python map_groups — far cheaper for the
+    many tiny groups a pair table produces."""
+    deduped = pairs.map_batches(_local_distinct(cols), batch_format="pyarrow")
+    counted = deduped.groupby(cols).count()
+    return counted.map_batches(
+        _tolerant_project(out_schema or _PAIR_I64), batch_format="pyarrow"
     )
 
 
@@ -206,6 +251,158 @@ def exact_jaccard(texts_a: list[str], texts_b: list[str]) -> np.ndarray:
     return out
 
 
+_EMPTY_VERIFIED = pa.table(
+    {
+        "a": pa.array([], pa.int64()),
+        "b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    }
+)
+
+# Above this many candidate pairs the id set is no longer broadcast to
+# a per-batch filter; the docs<->pairs co-location switches to a
+# distributed hash join so nothing unbounded ever lands on the driver.
+BROADCAST_PAIR_LIMIT = 500_000
+
+
+def _verify_pairs_ds(
+    ds: Dataset,
+    cand: Dataset,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    broadcast_limit: int = BROADCAST_PAIR_LIMIT,
+) -> Dataset:
+    """Exact-Jaccard verification of candidate (a, b) pairs as a
+    Dataset pipeline — no driver-side text materialization.
+
+    Plan: attach each side's text with a hash join on the doc id
+    (docs are pre-filtered to candidate ids via a broadcast set when
+    the candidate count is under `broadcast_limit`, else joined
+    directly — the join itself bounds the text movement to candidate
+    docs), then verify per pair fully vectorized: explode both texts'
+    words, distinct per (pair, side), and compute |A∩B| / |A∪B| from
+    per-pair distinct/overlap counts. The only per-row Python is none.
+    """
+    import ray
+
+    cand = cand.materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return ray.data.from_arrow(_EMPTY_VERIFIED)
+    n_parts = max(2, min(64, n_cand // 50_000 + 2))
+
+    docs = ds
+    if n_cand <= broadcast_limit:
+        # broadcast the candidate id set once (ray.put), filter docs
+        # down to candidate members before any text moves
+        ids = (
+            cand.select_columns(["a"]).rename_columns({"a": "i"})
+            .union(cand.select_columns(["b"]).rename_columns({"b": "i"}))
+            .unique("i")
+        )  # bounded by 2 * broadcast_limit by construction
+        wanted_ref = ray.put(pa.array(ids))
+
+        def pick(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t[id_col], value_set=ray.get(wanted_ref))
+            return t.filter(mask).select([id_col, text_col])
+
+        docs = ds.map_batches(pick, batch_format="pyarrow")
+    else:
+        docs = ds.map_batches(
+            lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+        )
+
+    # attach text for each side; the join shuffles only candidate ids
+    # plus the (pre-filtered or join-bounded) candidate texts
+    schema_a = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("text_a", pa.string())]
+    )
+    schema_ab = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()),
+         ("text_a", pa.string()), ("text_b", pa.string())]
+    )
+    with_a = cand.join(
+        docs,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("a",),
+        right_on=(id_col,),
+    ).map_batches(
+        _tolerant_project(schema_a, ["a", "b", text_col]), batch_format="pyarrow"
+    )
+    both = with_a.join(
+        docs,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("b",),
+        right_on=(id_col,),
+    ).map_batches(
+        _tolerant_project(schema_ab, ["a", "b", "text_a", text_col]),
+        batch_format="pyarrow",
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _EMPTY_VERIFIED
+        inter = np.zeros(n, dtype=np.int64)
+        union = np.zeros(n, dtype=np.int64)
+        # distinct word sets per pair-side via explode + arrow group_by
+        wa = pc.split_pattern(t["text_a"].combine_chunks(), " ")
+        wb = pc.split_pattern(t["text_b"].combine_chunks(), " ")
+        la = np.asarray(pc.list_value_length(wa).fill_null(0), np.int64)
+        lb = np.asarray(pc.list_value_length(wb).fill_null(0), np.int64)
+        rows = np.concatenate(
+            [np.repeat(np.arange(n, dtype=np.int64), la),
+             np.repeat(np.arange(n, dtype=np.int64), lb)]
+        )
+        sides = np.concatenate(
+            [np.zeros(int(la.sum()), np.int8), np.ones(int(lb.sum()), np.int8)]
+        )
+        fa, fb = wa.flatten(), wb.flatten()
+        words = pa.concat_arrays([fa, fb])
+        ex = pa.table({"row": rows, "side": sides, "word": words})
+        # distinct (row, side, word) then per (row, word): in both sides?
+        d = ex.group_by(["row", "word"]).aggregate([("side", "count_distinct")])
+        both_sides = np.asarray(
+            pc.equal(d["side_count_distinct"], 2), bool
+        )
+        drow = np.asarray(d["row"], np.int64)
+        np.add.at(inter, drow[both_sides], 1)
+        np.add.at(union, drow, 1)
+        jac = np.divide(
+            inter, union, out=np.zeros(n, np.float64), where=union > 0
+        )
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "a": t["a"].combine_chunks().filter(pa.array(keep)),
+                "b": t["b"].combine_chunks().filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    return both.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_dedup_pairs_ds(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    broadcast_limit: int = BROADCAST_PAIR_LIMIT,
+    **kw,
+) -> Dataset:
+    """Full near-dup pipeline as a Dataset: LSH candidates ->
+    exact-Jaccard verify. Nothing unbounded is materialized on the
+    driver; see _verify_pairs_ds for the co-location strategy."""
+    cand = minhash_lsh_candidates(ds, text_col, id_col, **kw)
+    return _verify_pairs_ds(
+        ds, cand, text_col, id_col, threshold, broadcast_limit
+    )
+
+
 def minhash_dedup_pairs(
     ds: Dataset,
     text_col: str = "text",
@@ -213,30 +410,11 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     **kw,
 ) -> "pa.Table":
-    """Full near-dup pipeline: LSH candidates -> exact-Jaccard verify.
-
-    Verification gathers ONLY the candidate docs (broadcast candidate
-    id set -> filter), so driver memory is bounded by candidate count,
-    not corpus size.
-    """
-    cand = minhash_lsh_candidates(ds, text_col, id_col, **kw).to_pandas()
-    if len(cand) == 0:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    wanted = set(cand["a"]) | set(cand["b"])
-
-    def pick(t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t[id_col], value_set=pa.array(list(wanted)))
-        return t.filter(mask).select([id_col, text_col])
-
-    docs = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-    lookup = dict(zip(docs[id_col], docs[text_col]))
-    jac = exact_jaccard(
-        [lookup[a] for a in cand["a"]], [lookup[b] for b in cand["b"]]
-    )
-    cand = cand.assign(jaccard=jac)
-    cand = cand[cand["jaccard"] >= threshold].reset_index(drop=True)
-    return pa.Table.from_pandas(cand, preserve_index=False)
+    """Materialized-result wrapper around minhash_dedup_pairs_ds (the
+    verified pair set is the bounded output of the pipeline)."""
+    out = minhash_dedup_pairs_ds(ds, text_col, id_col, threshold, **kw)
+    t = out.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
 
 
 def ngram_jaccard_dedup_pairs(
@@ -356,8 +534,20 @@ def simhash_dedup_pairs(
     pairs = chunked.groupby(["chunk_id", "chunk_val"]).map_groups(
         emit, batch_format="pandas"
     )
-    out = pairs.groupby(["a", "b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
+    # distinct (a, b): dist is identical for a given pair, so a native
+    # min() aggregate (per-block partial + merge) replaces the
+    # per-group Python head(1)
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("dist", pa.int64())]
+    )
+    out = (
+        pairs.map_batches(_local_distinct(["a", "b", "dist"]), batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .min("dist")
+        .map_batches(
+            _tolerant_project(out_schema, ["a", "b", "min(dist)"]),
+            batch_format="pyarrow",
+        )
     )
     return out.to_pandas()
 
@@ -385,41 +575,156 @@ def cluster_pairs_unionfind(pairs) -> dict:
     return {x: find(x) for x in list(parent)}
 
 
-def cluster_min_label(pairs_ds, id_cols=("a", "b"), max_iters: int = 10):
-    """Distributed connected components by min-label propagation:
-    each round, every node adopts the minimum label among itself and
-    its neighbors (groupby(node).min(label)), iterating until no
-    label changes. Rounds are O(graph diameter); each round is one
-    small shuffle over the edge list — the scalable path when the
-    near-dup graph is too big for the driver."""
-    import pandas as pd
+# Node-label tables up to this many rows are broadcast (ray.put once,
+# pc.index_in lookup per edge block — no shuffle); larger graphs fall
+# back to a distributed hash join per round.
+BROADCAST_NODE_LIMIT = 2_000_000
+
+_NODE_LABEL = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+
+def _partial_min(node_col: str, val_col: str):
+    """Per-block (node, min(val)) partial — shrinks the groupby
+    shuffle from O(messages) to O(nodes-per-block)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        g = t.group_by(node_col).aggregate([(val_col, "min")])
+        return g.rename_columns([node_col, val_col])
+
+    return fn
+
+
+def cluster_min_label(
+    pairs_ds: Dataset,
+    id_cols: tuple[str, str] = ("a", "b"),
+    max_rounds: int = 64,
+    num_partitions: int | None = None,
+    broadcast_node_limit: int = BROADCAST_NODE_LIMIT,
+) -> Dataset:
+    """Distributed connected components by min-label propagation.
+
+    Each round every node adopts the minimum label among itself and
+    its neighbors. The (node, label) table is the bounded state: when
+    it fits under ``broadcast_node_limit`` rows it is broadcast once
+    per round (ray.put + vectorized pc.index_in lookup inside
+    map_batches — zero shuffle); above that, labels are attached with
+    a distributed hash join. Either way each block emits per-block
+    partial (node, min(candidate)) rows, so the global groupby only
+    shuffles O(#nodes) rows per round, never O(#edges). Rounds are
+    O(graph diameter) — near-dup graphs are dense clusters with tiny
+    diameters. Convergence is detected by the monotone label sum going
+    flat; exceeding ``max_rounds`` raises instead of silently
+    returning partially-merged labels.
+
+    Requires non-negative integer node ids. Returns a Dataset of
+    (node, label) where label is the component's minimum node id —
+    identical to cluster_pairs_unionfind on the same edges.
+    """
+    import ray
 
     a, b = id_cols
-    edges = pairs_ds.to_pandas()[[a, b]] if hasattr(pairs_ds, "to_pandas") else pairs_ds[[a, b]]
-    # driver-size guard: this helper is exercised through pandas for
-    # candidate graphs; the same propagation loop expresses directly
-    # over a Dataset via groupby().min() per round.
-    nodes = pd.unique(pd.concat([edges[a], edges[b]]))
-    label = {n: n for n in nodes}
-    for _ in range(max_iters):
-        changed = False
-        for x, y in edges.itertuples(index=False):
-            m = min(label[x], label[y])
-            if label[x] != m or label[y] != m:
-                label[x] = label[y] = m
-                changed = True
-        if not changed:
-            break
-    # path-compress to roots
-    for _ in range(max_iters):
-        moved = False
-        for n in nodes:
-            if label[n] in label and label[label[n]] < label[n]:
-                label[n] = label[label[n]]
-                moved = True
-        if not moved:
-            break
-    return label
+
+    def sym(t: pa.Table) -> pa.Table:
+        ca = t[a].combine_chunks() if isinstance(t[a], pa.ChunkedArray) else t[a]
+        cb = t[b].combine_chunks() if isinstance(t[b], pa.ChunkedArray) else t[b]
+        return pa.table(
+            {
+                "src": pa.concat_arrays([ca.cast(pa.int64()), cb.cast(pa.int64())]),
+                "dst": pa.concat_arrays([cb.cast(pa.int64()), ca.cast(pa.int64())]),
+            }
+        )
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    empty = ray.data.from_arrow(
+        pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+    )
+    if n_edges == 0:
+        return empty
+    n_parts = num_partitions or max(2, min(64, n_edges // 500_000 + 2))
+
+    labels = (
+        edges.map_batches(
+            lambda t: pa.table({"node": t["src"], "label": t["src"]}),
+            batch_format="pyarrow",
+        )
+        .map_batches(_partial_min("node", "label"), batch_format="pyarrow")
+        .groupby("node")
+        .min("label")
+        .map_batches(
+            _tolerant_project(_NODE_LABEL, ["node", "min(label)"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_nodes = labels.count()
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        if n_nodes <= broadcast_node_limit:
+            # broadcast the label table once; each edge block looks up
+            # label[src] vectorized and emits per-block partial mins
+            blocks = [
+                t for t in ray.get(labels.to_arrow_refs()) if t.num_columns
+            ]  # empty blocks carry a columnless schema; drop them
+            lab_tbl = pa.concat_tables(blocks)
+            lab_ref = ray.put(
+                (
+                    lab_tbl["node"].combine_chunks(),
+                    lab_tbl["label"].combine_chunks(),
+                )
+            )
+
+            def attach(t: pa.Table, _ref=lab_ref) -> pa.Table:
+                nodes, labs = ray.get(_ref)
+                pos = pc.index_in(t["src"], value_set=nodes)
+                cand = pc.take(labs, pos)
+                return pa.table({"node": t["dst"], "cand": cand})
+
+            msgs = edges.map_batches(attach, batch_format="pyarrow")
+        else:
+            attached = edges.join(
+                labels,
+                join_type="inner",
+                num_partitions=n_parts,
+                on=("src",),
+                right_on=("node",),
+            )
+            msgs = attached.map_batches(
+                lambda t: pa.table({"node": t["dst"], "cand": t["label"]}),
+                batch_format="pyarrow",
+            )
+        msgs = msgs.union(
+            labels.map_batches(
+                lambda t: pa.table({"node": t["node"], "cand": t["label"]}),
+                batch_format="pyarrow",
+            )
+        )
+        labels = (
+            msgs.map_batches(_partial_min("node", "cand"), batch_format="pyarrow")
+            .groupby("node")
+            .min("cand")
+            .map_batches(
+                _tolerant_project(_NODE_LABEL, ["node", "min(cand)"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"cluster_min_label did not converge within {max_rounds} rounds "
+        "(graph diameter exceeds the round budget; raise max_rounds)"
+    )
+
+
+# Verified-pair sets up to this size are clustered with driver-side
+# union-find (exact, one pass); larger graphs go through the
+# distributed min-label rounds so the edge list never lands on the
+# driver.
+DRIVER_PAIR_LIMIT = 100_000
 
 
 def dup_clusters(
@@ -427,16 +732,23 @@ def dup_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    driver_pair_limit: int = DRIVER_PAIR_LIMIT,
     **kw,
 ) -> pa.Table:
     """Near-dup clusters: MinHash-LSH candidates -> exact-Jaccard
     verify -> connected components. Returns (doc_id, cluster_id,
-    cluster_size) for every doc in a non-singleton cluster."""
+    cluster_size) for every doc in a non-singleton cluster.
+
+    Both clustering paths produce identical labels (component minimum
+    id); the distributed path kicks in above ``driver_pair_limit``
+    verified pairs."""
     import pandas as pd
 
-    verified = minhash_dedup_pairs(ds, text_col, id_col, threshold=threshold, **kw)
-    vp = verified.to_pandas() if isinstance(verified, pa.Table) else verified
-    if len(vp) == 0:
+    pairs_ds = minhash_dedup_pairs_ds(
+        ds, text_col, id_col, threshold=threshold, **kw
+    ).materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         return pa.table(
             {
                 "doc_id": pa.array([], pa.int64()),
@@ -444,10 +756,22 @@ def dup_clusters(
                 "cluster_size": pa.array([], pa.int64()),
             }
         )
-    labels = cluster_pairs_unionfind(list(zip(vp["a"], vp["b"])))
-    df = pd.DataFrame({"doc_id": list(labels), "cluster_id": list(labels.values())})
+    if n_pairs <= driver_pair_limit:
+        vp = pairs_ds.to_pandas()
+        labels = cluster_pairs_unionfind(list(zip(vp["a"], vp["b"])))
+        df = pd.DataFrame(
+            {"doc_id": list(labels), "cluster_id": list(labels.values())}
+        )
+    else:
+        lab_ds = cluster_min_label(pairs_ds)
+        df = lab_ds.to_pandas().rename(
+            columns={"node": "doc_id", "label": "cluster_id"}
+        )
     sizes = df.groupby("cluster_id")["doc_id"].transform("size")
     df = df.assign(cluster_size=sizes).sort_values(["cluster_id", "doc_id"])
+    df = df.astype(
+        {"doc_id": "int64", "cluster_id": "int64", "cluster_size": "int64"}
+    )
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -521,7 +845,18 @@ def embedding_neardup_pairs(
         )
 
     pairs = bucketed.groupby("bucket").map_groups(emit, batch_format="pandas")
-    out = pairs.groupby(["a", "b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
+    # cosine is identical for a pair wherever it appears; native max()
+    # aggregate dedups without per-group Python
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())]
+    )
+    out = (
+        pairs.map_batches(_local_distinct(["a", "b", "cosine"]), batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .max("cosine")
+        .map_batches(
+            _tolerant_project(out_schema, ["a", "b", "max(cosine)"]),
+            batch_format="pyarrow",
+        )
     )
     return out.to_pandas()

@@ -114,3 +114,68 @@ def test_embedding_neardup(ray_session):
     pairs = set(zip(out["a"].tolist(), out["b"].tolist()))
     assert (10, 250) in pairs
     assert all(c >= 0.99 for c in out["cosine"].tolist())
+
+
+def test_minhash_verify_join_path_matches_broadcast(ray_session, corpus):
+    """broadcast_limit=0 forces the distributed hash-join co-location;
+    output must equal the broadcast-filter path exactly."""
+    ds = rd.from_arrow(corpus)
+    a = minhash_dedup_pairs(ds, threshold=0.8, num_perm=64, bands=16)
+    b = minhash_dedup_pairs(
+        ds, threshold=0.8, num_perm=64, bands=16, broadcast_limit=0
+    )
+    assert a.equals(b)
+
+
+def test_cluster_min_label_matches_unionfind_large(ray_session):
+    """1M synthetic edges over 100k nodes in 1000 planted components —
+    a graph too large to tolerate driver-side per-edge iteration.
+    Distributed min-label labels must equal union-find labels."""
+    from logpipe_ray.functions.dedup import (
+        cluster_min_label,
+        cluster_pairs_unionfind,
+    )
+
+    rng = np.random.default_rng(11)
+    n_clusters, cluster_size = 1000, 100
+    edges_per_cluster = 1000
+    base = np.repeat(np.arange(n_clusters) * cluster_size, edges_per_cluster)
+    a = base + rng.integers(0, cluster_size, len(base))
+    b = base + rng.integers(0, cluster_size, len(base))
+    keep = a != b
+    a, b = a[keep], b[keep]
+    # ensure every node appears (chain edge 2i -> 2i+1 per consecutive pair)
+    all_nodes = np.arange(n_clusters * cluster_size, dtype=np.int64)
+    chain_a = all_nodes[all_nodes % cluster_size != cluster_size - 1]
+    chain_b = chain_a + 1
+    a = np.concatenate([a, chain_a])
+    b = np.concatenate([b, chain_b])
+    assert len(a) > 1_000_000
+    pairs = rd.from_arrow(
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    )
+    labels = cluster_min_label(pairs).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    want = cluster_pairs_unionfind(list(zip(a.tolist(), b.tolist())))
+    assert len(got) == n_clusters * cluster_size
+    assert got == want
+
+
+def test_cluster_min_label_raises_on_round_budget(ray_session):
+    from logpipe_ray.functions.dedup import cluster_min_label
+
+    # a path graph 0-1-2-...-9 needs several rounds; budget of 1 raises
+    pairs = rd.from_arrow(
+        pa.table({"a": list(range(9)), "b": list(range(1, 10))})
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        cluster_min_label(pairs, max_rounds=1)
+
+
+def test_dup_clusters_distributed_path_matches_driver(ray_session, corpus):
+    from logpipe_ray.functions.dedup import dup_clusters
+
+    ds = rd.from_arrow(corpus)
+    small = dup_clusters(ds, threshold=0.8)
+    forced = dup_clusters(ds, threshold=0.8, driver_pair_limit=0)
+    assert small.equals(forced)
