@@ -85,50 +85,64 @@ def pack_batch(
                 "truncated": pa.array([], pa.int32()),
             }
         )
-    toks = col.to_pylist()
-    ids = id_arr.to_pylist()
-
-    contexts: list[list[int]] = []
-    members: list[list] = []
-    truncated: list[int] = []
-    cur: list[int] = []
-    cur_ids: list = []
-    cur_trunc = 0
     max_payload = context_len - 2
-    for doc_id, seq in zip(ids, toks):
-        body = seq[:max_payload]
-        trunc = len(seq) > max_payload
-        need = len(body) + 2
-        if cur and len(cur) + need > context_len:
-            contexts.append(cur + [PAD_ID] * (context_len - len(cur)))
-            members.append(cur_ids)
-            truncated.append(cur_trunc)
-            cur, cur_ids, cur_trunc = [], [], 0
-        cur += [BOS_ID, *body, EOS_ID]
-        cur_ids.append(doc_id)
-        cur_trunc += int(trunc)
-    if cur:
-        contexts.append(cur + [PAD_ID] * (context_len - len(cur)))
-        members.append(cur_ids)
-        truncated.append(cur_trunc)
+    L = np.asarray(pc.list_value_length(col).fill_null(0), dtype=np.int64)
+    body = np.minimum(L, max_payload)
+    trunc = (L > max_payload).astype(np.int64)
+    need = body + 2
 
-    n = len(contexts)
-    flat = np.fromiter(
-        (t for ctx in contexts for t in ctx), dtype=np.int32, count=n * context_len
-    )
+    # greedy first-fit boundaries: the only inherently sequential part,
+    # an int-only pass over per-sequence lengths (never per-token)
+    n_rows = len(need)
+    ctx_id = np.empty(n_rows, np.int64)
+    pos = np.empty(n_rows, np.int64)
+    c, off = 0, 0
+    for i, nd in enumerate(need.tolist()):
+        if off and off + nd > context_len:
+            c += 1
+            off = 0
+        ctx_id[i] = c
+        pos[i] = off
+        off += nd
+    n = c + 1
+
+    # payload copy is one vectorized gather/scatter over the flat
+    # Arrow values buffer — no token passes through a Python list
+    src = np.asarray(col.flatten(), dtype=np.int32)
+    src_starts = np.zeros(n_rows, np.int64)
+    np.cumsum(L[:-1], out=src_starts[1:])
+    body_starts = np.zeros(n_rows, np.int64)
+    np.cumsum(body[:-1], out=body_starts[1:])
+    total_body = int(body.sum())
+    rep = np.repeat(np.arange(n_rows), body)
+    within = np.arange(total_body) - np.repeat(body_starts, body)
+    dest_base = ctx_id * context_len + pos
+    flat = np.full(n * context_len, PAD_ID, np.int32)
+    flat[dest_base[rep] + 1 + within] = src[src_starts[rep] + within]
+    flat[dest_base] = BOS_ID
+    flat[dest_base + 1 + body] = EOS_ID
+
     offsets = np.arange(0, (n + 1) * context_len, context_len, dtype=np.int32)
     packed = pa.ListArray.from_arrays(
         pa.array(offsets, pa.int32()), pa.array(flat, pa.int32())
     )
+    n_seqs = np.bincount(ctx_id, minlength=n)
+    truncated = np.zeros(n, np.int64)
+    np.add.at(truncated, ctx_id, trunc)
+    member_offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(n_seqs, out=member_offsets[1:])
+    members = pa.ListArray.from_arrays(
+        pa.array(member_offsets, pa.int32()), id_arr
+    )  # doc ids are already in context order — zero-copy regroup
     nonpad = np.count_nonzero(flat.reshape(n, context_len) != PAD_ID, axis=1)
     fill = pa.array(nonpad / float(context_len), pa.float64())
     return pa.table(
         {
             "context_tokens": packed,
-            "doc_ids": pa.array(members, pa.list_(id_arr.type)),
-            "n_seqs": pa.array([len(m) for m in members], pa.int32()),
+            "doc_ids": members,
+            "n_seqs": pa.array(n_seqs.astype(np.int32)),
             "fill_ratio": fill,
-            "truncated": pa.array(truncated, pa.int32()),
+            "truncated": pa.array(truncated.astype(np.int32)),
         }
     )
 

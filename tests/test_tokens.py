@@ -83,3 +83,56 @@ def test_pack_batch_empty_is_typed():
     assert out["doc_ids"].type == pa.list_(pa.string())
     full = pack_batch(_seq_table([b"abc"]), context_len=64)
     assert out.schema.equals(full.schema)
+
+
+def test_pack_batch_matches_reference_greedy():
+    """The vectorized packer must byte-match the straightforward
+    per-token greedy loop on randomized inputs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from logpipe_ray.functions.tokens import BOS_ID, EOS_ID, PAD_ID, pack_batch
+
+    rng = np.random.default_rng(5)
+    for trial in range(5):
+        CL = int(rng.integers(16, 64))
+        n = int(rng.integers(1, 60))
+        seqs = [
+            list(rng.integers(3, 100, rng.integers(0, CL + 10)))
+            for _ in range(n)
+        ]
+        ids = list(range(n))
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "tokens": pa.array(
+                    [[int(x) for x in s] for s in seqs], pa.list_(pa.int32())
+                ),
+            }
+        )
+        got = pack_batch(t, context_len=CL)
+
+        # reference greedy loop (the pre-vectorization implementation)
+        contexts, members, truncated = [], [], []
+        cur, cur_ids, cur_trunc = [], [], 0
+        maxp = CL - 2
+        for doc_id, seq in zip(ids, seqs):
+            bodyseq = seq[:maxp]
+            need = len(bodyseq) + 2
+            if cur and len(cur) + need > CL:
+                contexts.append(cur + [PAD_ID] * (CL - len(cur)))
+                members.append(cur_ids)
+                truncated.append(cur_trunc)
+                cur, cur_ids, cur_trunc = [], [], 0
+            cur += [BOS_ID, *bodyseq, EOS_ID]
+            cur_ids.append(doc_id)
+            cur_trunc += int(len(seq) > maxp)
+        if cur:
+            contexts.append(cur + [PAD_ID] * (CL - len(cur)))
+            members.append(cur_ids)
+            truncated.append(cur_trunc)
+
+        assert got["context_tokens"].to_pylist() == contexts
+        assert got["doc_ids"].to_pylist() == members
+        assert got["truncated"].to_pylist() == truncated
+        assert got["n_seqs"].to_pylist() == [len(m) for m in members]
