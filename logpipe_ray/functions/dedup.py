@@ -414,7 +414,7 @@ def minhash_dedup_pairs(
     verified pair set is the bounded output of the pipeline)."""
     out = minhash_dedup_pairs_ds(ds, text_col, id_col, threshold, **kw)
     t = out.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(t, preserve_index=False)
+    return pa.Table.from_pandas(t, preserve_index=False).replace_schema_metadata(None)
 
 
 def ngram_jaccard_dedup_pairs(
@@ -772,7 +772,7 @@ def dup_clusters(
     df = df.astype(
         {"doc_id": "int64", "cluster_id": "int64", "cluster_size": "int64"}
     )
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 # ------------------------------------------------- embedding cosine near-dup

@@ -43,6 +43,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data import Dataset
 
+from ..sources.factory import read_parquet_clean
 from ..stages.aggregate import count_groupby
 from ..stages.enrich import EnrichStage, enrich_batch
 from ..stages.parse import parse_batch
@@ -269,11 +270,11 @@ def run_flagship(
                 .to_dict("records")
             )
         else:
-            ds = rd.read_parquet(group_files)
+            ds = read_parquet_clean(group_files)
             routed = build_pipeline(ds, batch_size=batch_size, enrich_mode=enrich_mode)
             if write_sinks:
                 routed.write_parquet(group_out, partition_cols=["sink"])
-                consumed = rd.read_parquet(group_out, columns=["source", "sink"])
+                consumed = read_parquet_clean(group_out, columns=["source", "sink"])
             else:
                 consumed = routed
             counts_tbl = (

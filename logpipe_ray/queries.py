@@ -26,20 +26,37 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from .fixtures.generator import ensure_sequences, sequences_dir_for
 from .pipelines.flagship import build_pipeline
+from .sources.factory import read_parquet_clean
 from .stages.aggregate import count_groupby, stats_groupby, top_k
 from .stages.transform import make_filter, select_fields
 
 # ---------------------------------------------------------------- lp: shared
 
-# The oracle uses the ENGINE's grok pattern verbatim (single source of
-# truth in stages/parse.py) — the independence of the oracle path is in
-# the decode + extraction, not in retyping the pattern.
-from .stages.parse import PARSE_MASTER_PATTERN as _MASTER  # noqa: E402
+# Oracle-side structural validity predicate, derived INDEPENDENTLY of
+# the engine's grok master pattern: a line is parseable iff it is
+# strict JSON (DuckDB json_valid — every generator corruption kind and
+# blank lines fail it) with the level/service/timestamp contract the
+# master pattern encodes structurally. A bug in the engine's
+# PARSE_MASTER_PATTERN now shows up as an oracle mismatch instead of
+# being replicated into the oracle.
+_PARSE_OK_SQL = (
+    # CASE guarantees lazy evaluation: json_extract_* would raise on
+    # malformed input, so it only runs when json_valid already passed.
+    # DuckDB's json_valid (yyjson) tolerates trailing commas, which
+    # strict JSON forbids — exclude them explicitly.
+    "(CASE WHEN json_valid(line)"
+    " AND NOT regexp_matches(line, ',\\s*\\}$') THEN"
+    " json_extract_string(line, '$.level') IN ('INFO', 'WARN', 'ERROR')"
+    " AND regexp_matches(coalesce(json_extract_string(line, '$.service'), ''),"
+    " '^[a-z-]+$')"
+    " AND json_extract_string(line, '$.timestamp') IS NOT NULL"
+    " ELSE false END)"
+)
 
 
 def _routed(sf_dir: str) -> Dataset:
     seq_dir = ensure_sequences(sf_dir)
-    return build_pipeline(rd.read_parquet(seq_dir))
+    return build_pipeline(read_parquet_clean(seq_dir))
 
 
 def _routed_partials(sf_dir: str, partial_fn) -> Dataset:
@@ -82,7 +99,7 @@ WITH seq AS (
 ),
 raw AS (
   SELECT doc_id, n_tok, source, line,
-    regexp_matches(line, '{_MASTER}') AS parse_ok,
+    {_PARSE_OK_SQL} AS parse_ok,
     nullif(regexp_extract(line, '"timestamp":"([^"]+)"', 1), '') AS r_timestamp,
     nullif(regexp_extract(line, '"level":"([A-Z]+)"', 1), '') AS r_level,
     nullif(regexp_extract(line, '"service":"([^"]+)"', 1), '') AS r_service,
@@ -450,7 +467,7 @@ ORDER BY response_time DESC, doc_id LIMIT 100"""
 
 
 def q1_lineitem(sf_dir: str) -> Dataset:
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
@@ -494,7 +511,7 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus"""
 
 
 def events_by_type(sf_dir: str) -> Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     return ds.groupby("event_type").aggregate(
         Count(alias_name="cnt"),
         Min("value", alias_name="min_value"),
@@ -519,7 +536,7 @@ def orders_by_mktsegment(sf_dir: str) -> Dataset:
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
     ref = ray.put((cust["c_custkey"].combine_chunks(), cust["c_mktsegment"].combine_chunks()))
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
 
     def join(batch: pa.Table) -> pa.Table:
         keys, vals = ray.get(ref)
@@ -553,7 +570,7 @@ GROUP BY c_mktsegment"""
 
 
 def docs_lang_count(sf_dir: str) -> Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang"])
     return count_groupby(ds, ["lang"], alias="cnt")
 
 
@@ -562,7 +579,7 @@ def _sql_docs_lang_count(sf_dir: str) -> str:
 
 
 def docs_token_count(sf_dir: str) -> Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         words = pc.split_pattern(t["text"], " ")
@@ -580,7 +597,7 @@ def _sql_docs_token_count(sf_dir: str) -> str:
 
 
 def docs_lang_token_totals(sf_dir: str) -> Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
         n_words = pc.cast(
@@ -618,7 +635,7 @@ def docs_exact_dedup(sf_dir: str) -> Dataset:
     """
     from .stages.transform import hash_column
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = ds.map_batches(hash_column("text", "text_hash"), batch_format="pyarrow")
 
     def dedup_group(df):
@@ -640,7 +657,7 @@ def docs_quality(sf_dir: str) -> Dataset:
     """Per-doc quality features: word count, avg word length, distinct-
     word ratio — all vectorized (explode + arrow group_by, no per-row
     Python)."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
     )
 
@@ -697,7 +714,7 @@ def events_hourly(sf_dir: str) -> Dataset:
     """Tumbling-window aggregate: events per (type, hour bucket).
     Windows = vectorized floor_temporal + partial counts (no
     event-time machinery needed for batch windows; SURVEY.md §2.6)."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
 
     def bucket(t: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(t["ts"], unit="hour").cast(pa.timestamp("us"))
@@ -733,7 +750,7 @@ def events_sessionize(sf_dir: str) -> Dataset:
     streaming-shaped pattern: groupby(key).map_groups over ts-sorted
     groups (partitioning assumption: one group = one user's full
     history; stated per SURVEY.md §2.6)."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
     def sessions(df):
         import pandas as pd
@@ -774,7 +791,7 @@ def events_median_value(sf_dir: str) -> Dataset:
     quantiles are not partial-mergeable — at 100 TB group sizes use a
     quantile sketch instead; this is the exact path for key-bounded
     groups."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
 
     def med(df):
         import numpy as np
@@ -802,7 +819,7 @@ FROM events GROUP BY event_type"""
 
 def top_orders(sf_dir: str) -> Dataset:
     """Distributed sort + limit (the real ds.sort path)."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
@@ -815,7 +832,7 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
 
 
 def events_distinct_types(sf_dir: str) -> "pa.Table":
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type"])
     vals = sorted(ds.unique("event_type"))
     return pa.table({"event_type": pa.array(vals, pa.string())})
 
@@ -858,7 +875,7 @@ def customers_per_region(sf_dir: str) -> Dataset:
             region["r_name"].combine_chunks(),
         )
     )
-    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    ds = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
 
     def join(batch: pa.Table) -> pa.Table:
         nk, nr, rk, rn = ray.get(ref)
@@ -900,10 +917,10 @@ GROUP BY o_orderpriority"""
 def revenue_by_orderpriority(sf_dir: str) -> Dataset:
     """Large-both-sides join via the native hash-partitioned
     Dataset.join, then partial-agg."""
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    items = rd.read_parquet(
+    items = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
     )
     joined = orders.join(
@@ -938,13 +955,13 @@ def revenue_by_orderpriority_cogroup(sf_dir: str) -> Dataset:
     (stages/join.py): groupby co-locates both sides per orderkey."""
     from .stages.join import cogroup_join_aggregate
 
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     ).map_batches(
         lambda t: t.rename_columns(["okey", "o_orderpriority"]),
         batch_format="pyarrow",
     )
-    items = rd.read_parquet(
+    items = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
     ).map_batches(
         lambda t: t.rename_columns(["okey", "l_extendedprice"]),
@@ -989,7 +1006,7 @@ def purchases_asof_last_click(sf_dir: str) -> Dataset:
     value for the same user (backward-inclusive, event_id tiebreak)."""
     from .stages.join import asof_join
 
-    ev = rd.read_parquet(
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
@@ -1054,7 +1071,7 @@ def lineitem_semi_high_value(sf_dir: str) -> Dataset:
         "o_orderkey"
     ].combine_chunks()
     ref = ray.put(keys)
-    items = rd.read_parquet(
+    items = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
     )
     return count_groupby(
@@ -1082,7 +1099,7 @@ def lineitem_anti_high_value(sf_dir: str) -> Dataset:
         "o_orderkey"
     ].combine_chunks()
     ref = ray.put(keys)
-    items = rd.read_parquet(
+    items = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
     )
     return count_groupby(
@@ -1102,7 +1119,7 @@ GROUP BY l_returnflag"""
 def order_size_histogram(sf_dir: str) -> Dataset:
     """Two-stage grouped aggregate: lines per order (partial counts per
     batch -> exact merge), then orders per line-count."""
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by("l_orderkey").aggregate([([], "count_all")])
@@ -1139,7 +1156,7 @@ def events_approx_distinct_users(sf_dir: str) -> "pa.Table":
     the same code path returns the ~1% estimate instead."""
     from .functions.sketches import approx_distinct
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
     est = approx_distinct(ds, "user_id", k=8192)
     return pa.table({"approx_users": pa.array([int(round(est))], pa.int64())})
 
@@ -1181,7 +1198,7 @@ def seq_token_frequency(sf_dir: str) -> Dataset:
     from .functions.tokens import token_frequency
 
     seq_dir = ensure_sequences(sf_dir)
-    ds = rd.read_parquet(seq_dir, columns=["tokens"])
+    ds = read_parquet_clean(seq_dir, columns=["tokens"])
     return token_frequency(ds, top_k=50)
 
 
@@ -1198,7 +1215,7 @@ def seq_len_histogram(sf_dir: str) -> Dataset:
     """Sequence-length histogram (64-token bins) — the length profile a
     packing/truncation policy is tuned against."""
     seq_dir = ensure_sequences(sf_dir)
-    ds = rd.read_parquet(seq_dir, columns=["n_tok"])
+    ds = read_parquet_clean(seq_dir, columns=["n_tok"])
 
     def partial(t: pa.Table) -> pa.Table:
         bins = pc.cast(pc.divide(t["n_tok"], 64), pa.int64())
@@ -1262,7 +1279,7 @@ def docs_redacted(sf_dir: str) -> Dataset:
     """PII redaction (emails / IPs / long digit runs) over documents."""
     from .functions.decontaminate import redact_batch
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(redact_batch, batch_format="pyarrow")
 
 
@@ -1287,7 +1304,7 @@ def docs_decontaminate_audit(sf_dir: str) -> Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).slice(0, 5)
     bench = first["text"].to_pylist()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     flagged = decontaminate(ds, bench, n=3, max_overlap=0.5, keep_contaminated=True)
     return flagged.map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"], "contamination": t["contamination"]}),
@@ -1325,7 +1342,7 @@ SELECT doc_id, contamination FROM scored WHERE contamination > 0.5"""
 def docs_minhash_dedup(sf_dir: str):
     from .functions.dedup import minhash_dedup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     # word-trigram shingles: random same-vocab docs share almost none,
     # so candidates stay sparse (true near-dups still collide hard)
     return minhash_dedup_pairs(ds, threshold=0.7, num_perm=64, bands=16, shingle_k=3)
@@ -1334,7 +1351,7 @@ def docs_minhash_dedup(sf_dir: str):
 def docs_ngram_jaccard_dedup(sf_dir: str):
     from .functions.dedup import ngram_jaccard_dedup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ngram_jaccard_dedup_pairs(ds, n=2, threshold=0.6)
 
 
@@ -1356,7 +1373,7 @@ SELECT doc_id, sink FROM routed WHERE sink = 'slow'"""
 def docs_dup_clusters(sf_dir: str):
     from .functions.dedup import dup_clusters
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return dup_clusters(ds, threshold=0.6, shingle_k=2)
 
 
@@ -1367,7 +1384,7 @@ def docs_dedup_corpus(sf_dir: str) -> Dataset:
     from .functions.dedup import dup_clusters
     from .stages.join import semi_join_filter
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     clusters = dup_clusters(ds, threshold=0.6, shingle_k=2).to_pandas()
     if len(clusters):
         drop = clusters[clusters["doc_id"] != clusters["cluster_id"]]["doc_id"]
@@ -1386,7 +1403,7 @@ def seq_vocab_coverage(sf_dir: str) -> "pa.Table":
 
     seq_dir = ensure_sequences(sf_dir)
     freq = token_frequency(
-        rd.read_parquet(seq_dir, columns=["tokens"])
+        read_parquet_clean(seq_dir, columns=["tokens"])
     ).to_pandas().sort_values(["cnt", "token_id"], ascending=[False, True])
     total = int(freq["cnt"].sum())
     cum = freq["cnt"].cumsum()
@@ -1424,14 +1441,14 @@ FROM ranked"""
 def docs_simhash_pairs(sf_dir: str):
     from .functions.dedup import simhash_dedup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_dedup_pairs(ds, max_distance=6)
 
 
 def embeddings_neardup(sf_dir: str):
     from .functions.dedup import embedding_neardup_pairs
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return embedding_neardup_pairs(ds, threshold=0.9, n_planes=10)
@@ -1440,7 +1457,7 @@ def embeddings_neardup(sf_dir: str):
 def docs_langid(sf_dir: str) -> Dataset:
     from .functions.textfns import langid_batch
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(langid_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "lang_pred"]
     )
@@ -1490,7 +1507,7 @@ FROM scored"""
 def docs_quality_score(sf_dir: str) -> Dataset:
     from .functions.textfns import quality_batch
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(quality_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "n_words", "quality_score"]
     )
@@ -1535,7 +1552,7 @@ FROM ratios"""
 def docs_fingerprint(sf_dir: str) -> Dataset:
     from .functions.textfns import fingerprint_batch
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "fingerprint"]
     )
@@ -1578,7 +1595,7 @@ FROM fp"""
 def docs_bpe_token_count(sf_dir: str) -> Dataset:
     from .functions.textfns import token_count_batch
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(token_count_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "n_ws_tokens", "n_bpe_tokens"]
     )
@@ -1608,7 +1625,7 @@ def _query_vectors(sf_dir: str, ids=(0, 1, 2)):
 def ann_brute_topk(sf_dir: str):
     from .functions.ann import brute_force_topk
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     out = brute_force_topk(ds, _query_vectors(sf_dir), k=10)
@@ -1636,7 +1653,7 @@ SELECT query_id, rank, vec_id FROM ranked WHERE rank < 10"""
 def ann_ivf_topk(sf_dir: str):
     from .functions.ann import build_ivf_centroids, ivf_topk
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     cents = build_ivf_centroids(ds, n_centroids=16, iters=3, id_col="vec_id")

@@ -219,3 +219,19 @@ def read_any(path: str | list[str], fmt: str | None = None, **kw) -> Dataset:
     if fmt == "ndjson":
         return read_logs_ndjson(path)
     raise ValueError(f"unsupported format: {fmt}")
+
+
+def strip_pandas_metadata(t: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (pandas round-trip info). A schema
+    carrying the b'pandas' metadata dict is unhashable, which defeats
+    Ray's schema-dedup fast path and makes every sort/reduce task log
+    'Failed to hash the schemas'. Zero-copy."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def read_parquet_clean(path, **kw) -> Dataset:
+    """ray.data.read_parquet + strip_pandas_metadata, fused into the
+    read task (no extra pass)."""
+    return rd.read_parquet(path, **kw).map_batches(
+        strip_pandas_metadata, batch_format="pyarrow", zero_copy_batch=True
+    )
