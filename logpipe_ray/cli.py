@@ -104,6 +104,15 @@ def cmd_flagship(args) -> int:
     from .pipelines.flagship import run_flagship
     from .utils.profiler import Profiler
 
+    if not args.no_progress:
+        import logging as _logging
+
+        plog = _logging.getLogger("logpipe_ray.utils.progress")
+        handler = _logging.StreamHandler()
+        handler.setFormatter(_logging.Formatter("[progress] %(message)s"))
+        plog.addHandler(handler)
+        plog.setLevel(_logging.INFO)
+
     prof = Profiler()
     with prof.mark("flagship"):
         summary = run_flagship(
@@ -112,6 +121,8 @@ def cmd_flagship(args) -> int:
             checkpoint_groups=args.checkpoint_groups,
             resume=not args.no_resume,
             write_sinks=not args.null_sink,
+            progress=not args.no_progress,
+            progress_interval=args.progress_interval,
         )
     if args.profile:
         rep = prof.write_report(args.profile)
@@ -166,6 +177,10 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--null-sink", action="store_true")
     f.add_argument("--profile", help="write a profiler JSON report here")
     f.add_argument("--num-cpus", type=int, default=None)
+    f.add_argument("--no-progress", action="store_true",
+                   help="disable the live rows/s + ETA tracker")
+    f.add_argument("--progress-interval", type=float, default=5.0,
+                   help="progress report cadence in seconds (reference: 5 s)")
     f.set_defaults(fn=cmd_flagship)
 
     g = sub.add_parser("generate", help="materialize the sequences fixture")

@@ -194,6 +194,8 @@ def run_flagship(
     enrich_mode: str = "task",
     batch_size: int | None = None,
     fail_after_groups: int | None = None,
+    progress: bool = False,
+    progress_interval: float = 5.0,
 ) -> dict:
     """Run the flagship pipeline with per-partition lineage + resume.
 
@@ -231,6 +233,12 @@ def run_flagship(
     groups = [g for g in (pending[i::k] for i in range(k)) if g]
     next_gid = len(manifest.groups)
     done = 0
+    tracker = None
+    if progress:
+        from ..utils.progress import ProgressTracker
+
+        total = sum(pq.read_metadata(f).num_rows for f in pending)
+        tracker = ProgressTracker(total=total, interval=progress_interval)
     for gi, group_files in enumerate(groups):
         gid = f"g{next_gid + gi:04d}"
         if fail_after_groups is not None and done >= fail_after_groups:
@@ -255,9 +263,29 @@ def run_flagship(
                 for i, p in enumerate(group_files)
             ]
             shard_ds = rd.from_items(items, override_num_blocks=len(items))
-            partials_df = shard_ds.map_batches(
+            partials = shard_ds.map_batches(
                 _process_shard_fused, batch_format="pyarrow", batch_size=None
-            ).to_pandas()
+            )
+            if tracker is None:
+                partials_df = partials.to_pandas()
+            else:
+                # stream shard partials back as each task completes so
+                # the tracker reports live (reference 5-s cadence)
+                chunks = []
+                for b in partials.iter_batches(
+                    batch_size=None, batch_format="pyarrow"
+                ):
+                    if b.num_rows:
+                        g = b.group_by("shard").aggregate(
+                            [("shard_rows", "max")]
+                        )
+                        tracker.add(
+                            int(pc.sum(g["shard_rows_max"]).as_py() or 0)
+                        )
+                        chunks.append(b)
+                partials_df = pa.concat_tables(chunks).to_pandas() if chunks else (
+                    pa.table({}).to_pandas()
+                )
             counts_tbl = (
                 partials_df.groupby(["source", "sink"], as_index=False)["cnt"]
                 .sum()
@@ -285,6 +313,8 @@ def run_flagship(
 
         wall = time.time() - t0
         rows_in = sum(pq.read_metadata(f).num_rows for f in group_files)
+        if tracker is not None and mode != "fused":
+            tracker.add(rows_in)  # fused mode feeds per shard, live
         rows_out = int(counts_tbl["cnt"].sum())
         manifest.add_group(
             gid,
@@ -302,6 +332,8 @@ def run_flagship(
         )
         done += 1
 
+    if tracker is not None:
+        tracker.finish()
     totals = manifest.total_counts()
     return {
         "out_dir": out_dir,
