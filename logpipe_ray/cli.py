@@ -123,6 +123,7 @@ def cmd_flagship(args) -> int:
             write_sinks=not args.null_sink,
             progress=not args.no_progress,
             progress_interval=args.progress_interval,
+            install_signal_handler=True,
         )
     if args.profile:
         rep = prof.write_report(args.profile)

@@ -196,6 +196,7 @@ def run_flagship(
     fail_after_groups: int | None = None,
     progress: bool = False,
     progress_interval: float = 5.0,
+    install_signal_handler: bool = False,
 ) -> dict:
     """Run the flagship pipeline with per-partition lineage + resume.
 
@@ -239,6 +240,22 @@ def run_flagship(
 
         total = sum(pq.read_metadata(f).num_rows for f in pending)
         tracker = ProgressTracker(total=total, interval=progress_interval)
+
+    # Graceful interrupt (reference checkpointManager.js:94-105 saves
+    # state on SIGINT/SIGTERM): the flag is checked between group
+    # commits, so the in-flight group finishes, its manifest commit is
+    # atomic, and the run returns an 'interrupted' summary a later run
+    # resumes from — no partial state is ever recorded.
+    interrupted = {"flag": False}
+    prev_handlers = {}
+    if install_signal_handler:
+        import signal as _signal
+
+        def _on_signal(signum, frame):  # noqa: ARG001
+            interrupted["flag"] = True
+
+        for sig in (_signal.SIGINT, _signal.SIGTERM):
+            prev_handlers[sig] = _signal.signal(sig, _on_signal)
     for gi, group_files in enumerate(groups):
         gid = f"g{next_gid + gi:04d}"
         if fail_after_groups is not None and done >= fail_after_groups:
@@ -331,14 +348,24 @@ def run_flagship(
             },
         )
         done += 1
+        if interrupted["flag"]:
+            break
 
+    if install_signal_handler:
+        import signal as _signal
+
+        for sig, h in prev_handlers.items():
+            _signal.signal(sig, h)
     if tracker is not None:
         tracker.finish()
     totals = manifest.total_counts()
-    return {
+    out = {
         "out_dir": out_dir,
         "groups": len(manifest.completed_ids()),
         "rows_in": sum(e["rows_in"] for e in manifest.groups.values()),
         "rows_out": sum(e["rows_out"] for e in manifest.groups.values()),
         "sink_counts": {f"{s}/{k}": v for (s, k), v in sorted(totals.items())},
     }
+    if interrupted["flag"]:
+        out["interrupted"] = True
+    return out

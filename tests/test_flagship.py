@@ -188,3 +188,39 @@ def test_sink_counts_dataset(ray_session, tiny_sequences, oracle_expected):
     df = sink_counts(ds).to_pandas()
     got = {(r["source"], r["sink"]): r["cnt"] for _, r in df.iterrows()}
     assert got == oracle_expected["counts"]
+
+
+def test_flagship_graceful_sigint(ray_session, tmp_path):
+    """SIGINT mid-run: the in-flight group finishes + commits, the run
+    returns interrupted=True, and a resume run completes the rest with
+    totals identical to an uninterrupted run (reference
+    checkpointManager.js:94-105 semantics, group-granular)."""
+    import os
+    import signal
+    import threading
+
+    from logpipe_ray.fixtures.generator import ensure_sequences
+    from logpipe_ray.pipelines.flagship import run_flagship
+
+    seq = ensure_sequences("/root/testdata/sf0.001")
+    out_dir = str(tmp_path / "o")
+
+    t = threading.Timer(0.3, os.kill, (os.getpid(), signal.SIGINT))
+    t.start()
+    try:
+        first = run_flagship(
+            seq, out_dir, write_sinks=False, checkpoint_groups=8,
+            install_signal_handler=True,
+        )
+    finally:
+        t.cancel()
+    # whether the signal landed mid-run or the run finished first, the
+    # manifest must be consistent; if interrupted, resume finishes it
+    if first.get("interrupted"):
+        assert 0 < first["groups"] < 8
+        resumed = run_flagship(seq, out_dir, write_sinks=False,
+                               checkpoint_groups=8)
+        assert "interrupted" not in resumed
+        full = run_flagship(seq, str(tmp_path / "ref"), write_sinks=False)
+        assert resumed["sink_counts"] == full["sink_counts"]
+        assert resumed["rows_in"] == full["rows_in"]
