@@ -56,6 +56,82 @@ def token_frequency(ds: Dataset, tokens_col: str = "tokens", top_k: int | None =
     return out
 
 
+def bigram_frequency(
+    ds: Dataset, tokens_col: str = "tokens", top_k: int | None = None
+) -> Dataset:
+    """Global (token, next-token) bigram counts — the n-gram statistics
+    a tokenizer/data audit runs. Per-batch: one vectorized pass packs
+    each within-row bigram into an int64 key (t1 << 32 | t2) and
+    value_counts it; the shuffle moves only (key, count) partials
+    (bounded by distinct-bigrams x batches, never tokens). Unpacked to
+    (t1, t2, cnt) after the final merge."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        L = np.asarray(pc.list_value_length(col).fill_null(0), dtype=np.int64)
+        flat = np.asarray(col.flatten(), dtype=np.int64)
+        if flat.size == 0:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "p": pa.array([], pa.int64())}
+            )
+        # bigram at flat position i pairs (flat[i], flat[i+1]); mask the
+        # cross-row positions via per-row boundary arithmetic
+        starts = np.zeros(len(L), np.int64)
+        np.cumsum(L[:-1], out=starts[1:])
+        nb = np.maximum(L - 1, 0)
+        rep = np.repeat(starts, nb)
+        within = np.arange(int(nb.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(nb)[:-1]]), nb
+        )
+        idx = rep + within
+        keys = (flat[idx] << 32) | flat[idx + 1]
+        vc = pc.value_counts(pa.array(keys, pa.int64()))
+        return pa.table(
+            {
+                "key": pc.struct_field(vc, "values"),
+                "p": pc.struct_field(vc, "counts"),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("p", alias_name="cnt"))
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table(
+                {
+                    "t1": pa.array([], pa.int32()),
+                    "t2": pa.array([], pa.int32()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        key = np.asarray(t["key"], np.int64)
+        return pa.table(
+            {
+                "t1": pa.array((key >> 32).astype(np.int32)),
+                "t2": pa.array((key & 0xFFFFFFFF).astype(np.int32)),
+                "cnt": t["cnt"],
+            }
+        )
+
+    out = out.map_batches(unpack, batch_format="pyarrow")
+    if top_k:
+        from ..stages.aggregate import top_k as _topk
+
+        out = _topk(
+            out,
+            [("cnt", "descending"), ("t1", "ascending"), ("t2", "ascending")],
+            top_k,
+        )
+    return out
+
+
 def pack_batch(
     batch: pa.Table,
     context_len: int = 2048,

@@ -1592,6 +1592,86 @@ SELECT doc_id,
 FROM fp"""
 
 
+def docs_hash_sample(sf_dir: str) -> Dataset:
+    """Deterministic ~10% hash sample (repeatable subsampling — no RNG
+    state, membership a pure function of doc_id; see
+    functions/sampling.py)."""
+    from .functions.sampling import hash_sample
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_sample(ds, pct=10)
+
+
+def _sql_docs_hash_sample(sf_dir: str) -> str:
+    from .functions.sampling import sample_sql_predicate
+
+    return f"SELECT doc_id FROM documents WHERE {sample_sql_predicate('doc_id', 10)}"
+
+
+def seq_bigram_topk(sf_dir: str) -> Dataset:
+    """Top-100 token bigrams over the training sequences (n-gram
+    statistics; per-batch packed-int64 value_counts partials, shuffle
+    bounded by distinct bigrams x batches)."""
+    from .functions.tokens import bigram_frequency
+
+    seq_dir = ensure_sequences(sf_dir)
+    return bigram_frequency(
+        read_parquet_clean(seq_dir, columns=["tokens"]), top_k=100
+    )
+
+
+def _sql_seq_bigram_topk(sf_dir: str) -> str:
+    path = ensure_sequences(sf_dir)
+    return f"""
+WITH pairs AS (
+  SELECT unnest(tokens[1 : len(tokens) - 1]) AS t1,
+         unnest(tokens[2 : len(tokens)]) AS t2
+  FROM read_parquet('{path}/shard_*.parquet')
+),
+c AS (SELECT t1, t2, count(*) AS cnt FROM pairs GROUP BY t1, t2)
+SELECT CAST(t1 AS INTEGER) AS t1, CAST(t2 AS INTEGER) AS t2, cnt
+FROM c ORDER BY cnt DESC, t1, t2 LIMIT 100"""
+
+
+def docs_top_quality_per_lang(sf_dir: str) -> Dataset:
+    """Group-wise top-k: the 3 highest-quality docs per language
+    (per-batch local top-k per group before the keyed shuffle; see
+    stages.aggregate.grouped_top_k)."""
+    from .functions.textfns import quality_batch
+    from .stages.aggregate import grouped_top_k
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    scored = ds.map_batches(quality_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "lang", "quality_score"]
+    )
+    return grouped_top_k(
+        scored,
+        ["lang"],
+        [("quality_score", "descending"), ("doc_id", "ascending")],
+        3,
+    )
+
+
+def _sql_docs_top_quality_per_lang(sf_dir: str) -> str:
+    quality = _sql_docs_quality_score(sf_dir).strip()
+    return f"""
+WITH q AS ({quality}),
+withlang AS (
+  SELECT q.doc_id, d.lang, q.quality_score
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, lang, quality_score,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY quality_score DESC, doc_id
+         ) AS rn
+  FROM withlang
+)
+SELECT doc_id, lang, quality_score FROM ranked WHERE rn <= 3"""
+
+
 def docs_bpe_token_count(sf_dir: str) -> Dataset:
     from .functions.textfns import token_count_batch
 
@@ -1742,6 +1822,12 @@ REGISTRY: dict = {
     "docs_fingerprint": (docs_fingerprint, _sql_docs_fingerprint),
     "ann_ivf_topk": (ann_ivf_topk, None),
     "mm_features": (mm_features, None),
+    "docs_hash_sample": (docs_hash_sample, _sql_docs_hash_sample),
+    "seq_bigram_topk": (seq_bigram_topk, _sql_seq_bigram_topk),
+    "docs_top_quality_per_lang": (
+        docs_top_quality_per_lang,
+        _sql_docs_top_quality_per_lang,
+    ),
 }
 
 

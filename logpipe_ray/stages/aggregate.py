@@ -287,3 +287,29 @@ def split_null_keys(ds: Dataset, keys: list[str]) -> tuple[Dataset, Dataset]:
         ds.map_batches(keep, batch_format="pyarrow"),
         ds.map_batches(bypass, batch_format="pyarrow"),
     )
+
+
+def grouped_top_k(
+    ds: Dataset,
+    group_keys: list[str],
+    sort_keys: list[tuple[str, str]],
+    k: int,
+) -> Dataset:
+    """Per-group top-k (e.g. best documents per language).
+
+    Scale shape: each batch first reduces to its own per-group top-k
+    (local sort + head-k per group — vectorized pandas), so the keyed
+    shuffle moves at most k x groups x batches survivor rows, never the
+    full table; the final per-group head-k runs on those survivors.
+    sort_keys: [(col, 'ascending'|'descending')] — include a unique
+    tie-breaker column for deterministic output.
+    """
+    by = list(group_keys) + [c for c, _ in sort_keys]
+    asc = [True] * len(group_keys) + [d == "ascending" for _, d in sort_keys]
+
+    def local(df):
+        df = df.sort_values(by=by, ascending=asc, kind="mergesort")
+        return df.groupby(list(group_keys), sort=False).head(k)
+
+    pruned = ds.map_batches(local, batch_format="pandas")
+    return pruned.groupby(group_keys).map_groups(local, batch_format="pandas")

@@ -43,3 +43,57 @@ def test_split_null_keys(ray_session):
     assert keep.count() == 10
     assert bypass.count() == 5
     assert all(r["k"] is None for r in bypass.take_all())
+
+
+def test_grouped_top_k_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from logpipe_ray.stages.aggregate import grouped_top_k
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 5, 500),
+            "v": rng.integers(0, 50, 500),
+            "id": np.arange(500),
+        }
+    )
+    got = (
+        grouped_top_k(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(8),
+            ["g"],
+            [("v", "descending"), ("id", "ascending")],
+            3,
+        )
+        .to_pandas()
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .groupby("g", sort=False)
+        .head(3)
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "v", "id"]], want)
+
+
+def test_hash_sample_deterministic_and_partition_invariant(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from logpipe_ray.functions.sampling import hash_sample
+
+    t = pa.table({"doc_id": pa.array(range(5000), pa.int64())})
+    a = sorted(hash_sample(rd.from_arrow(t), pct=10).to_pandas()["doc_id"])
+    b = sorted(
+        hash_sample(rd.from_arrow(t).repartition(16), pct=10).to_pandas()["doc_id"]
+    )
+    assert a == b
+    assert 0.05 < len(a) / 5000 < 0.15

@@ -136,3 +136,21 @@ def test_pack_batch_matches_reference_greedy():
         assert got["doc_ids"].to_pylist() == members
         assert got["truncated"].to_pylist() == truncated
         assert got["n_seqs"].to_pylist() == [len(m) for m in members]
+
+
+def test_bigram_frequency_matches_python(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from logpipe_ray.functions.tokens import bigram_frequency
+
+    rng = np.random.default_rng(9)
+    seqs = [list(map(int, rng.integers(3, 20, rng.integers(0, 30)))) for _ in range(200)]
+    t = pa.table({"tokens": pa.array(seqs, pa.list_(pa.int32()))})
+    got = bigram_frequency(rd.from_arrow(t).repartition(4)).to_pandas()
+    want = collections.Counter(
+        (s[i], s[i + 1]) for s in seqs for i in range(len(s) - 1)
+    )
+    got_map = {(r.t1, r.t2): r.cnt for r in got.itertuples()}
+    assert got_map == dict(want)
