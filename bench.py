@@ -145,7 +145,7 @@ def _scaling_worker(ncpu: int) -> None:
         "ignored", n_rows=SCALING_ROWS, n_shards=SCALING_SHARDS, label=SCALING_LABEL
     )
     best = None
-    for tag in ("warm", "timed1", "timed2"):
+    for tag in ("warm", "timed1", "timed2", "timed3"):
         out = f"/tmp/logpipe_scaling_{ncpu}_{tag}"
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
@@ -170,9 +170,15 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
         lo, hi = (int(x) for x in os.environ["LOGPIPE_SCALING_CPUS"].split(","))
 
     def one(ncpu: int) -> dict:
+        cmd = [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(ncpu)]
+        if shutil.which("taskset"):
+            # pin the whole process tree (driver + raylet + workers) to
+            # ncpu physical cores so an "N-cpu node" really has N cores
+            # — library-internal threads (Arrow readers) can't borrow
+            # idle host cores and flatter the small-cluster baseline
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(ncpu)],
-            env=dict(os.environ), capture_output=True, text=True, check=True,
+            cmd, env=dict(os.environ), capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 

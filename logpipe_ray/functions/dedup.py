@@ -7,9 +7,14 @@ Scale design notes (100 TB framing):
   * MinHash+LSH: signatures are computed fully vectorized per batch
     (explode shingles -> universal hashes -> np.minimum.reduceat);
     only (band_id, band_hash, doc_id) rows shuffle — O(bands x docs)
-    small ints, not text. Candidate verification re-computes exact
-    Jaccard on just the candidate docs (broadcast candidate-id set ->
-    filter -> verify), never all-pairs.
+    small ints, not text. Candidate verification is a Dataset
+    pipeline: candidate ids broadcast-filter the docs when the pair
+    count is under BROADCAST_PAIR_LIMIT, else a distributed hash join
+    co-locates pair texts; exact Jaccard is computed vectorized per
+    batch. Never all-pairs, never a driver-side text materialization.
+  * clustering: union-find on the driver below DRIVER_PAIR_LIMIT
+    verified pairs; above it, distributed min-label propagation
+    (cluster_min_label) whose per-round shuffle is O(#nodes).
   * SimHash: 64-bit signature per doc; banding on 16-bit chunks for
     candidates; verify by Hamming distance on the full signature.
   * embedding near-dup: random-hyperplane LSH buckets, exact cosine

@@ -102,6 +102,8 @@ def input_shards(input_dir: str) -> list[str]:
     return files
 
 
+PARSE_CHUNK_ROWS = 8192
+
 _PROC_HTTP_SINKS: dict = {}
 
 
@@ -148,9 +150,25 @@ def _process_shard_fused(batch: pa.Table) -> pa.Table:
         batch["out"].to_pylist(),
     ):
         t0 = time.time()
-        t = pq.read_table(path)
-        t = route_batch(enrich_batch(parse_batch(t)))
+        shard_tbl = pq.read_table(path)
+        n_rows = shard_tbl.num_rows
+        # parse in bounded chunks: caps the per-task transient working
+        # set (regex extraction allocates ~16 string columns per pass)
+        # — measurably improves 32-worker throughput on this VM
+        # (page-fault pressure) and keeps arbitrary-size shards from
+        # spiking worker heaps at 100 TB. Sink writes still need the
+        # whole routed shard, so chunks are only retained when writing.
+        chunk_counts = []
+        retained = []
+        for off in range(0, n_rows, PARSE_CHUNK_ROWS):
+            r = route_batch(
+                enrich_batch(parse_batch(shard_tbl.slice(off, PARSE_CHUNK_ROWS)))
+            )
+            chunk_counts.append(pa.table({"source": r["source"], "sink": r["sink"]}))
+            if out:
+                retained.append(r)
         if out:
+            t = retained[0] if len(retained) == 1 else pa.concat_tables(retained)
             os.makedirs(out, exist_ok=True)
             for s in pc.unique(t["sink"]).to_pylist():
                 sub = t.filter(pc.equal(t["sink"], s)).drop(["sink"])
@@ -167,7 +185,7 @@ def _process_shard_fused(batch: pa.Table) -> pa.Table:
                 os.makedirs(sink_dir, exist_ok=True)
                 pq.write_table(sub, os.path.join(sink_dir, "part.parquet"))
         g = (
-            pa.table({"source": t["source"], "sink": t["sink"]})
+            pa.concat_tables(chunk_counts)
             .group_by(["source", "sink"])
             .aggregate([([], "count_all")])
             .rename_columns(["source", "sink", "cnt"])
@@ -175,7 +193,7 @@ def _process_shard_fused(batch: pa.Table) -> pa.Table:
         wall = time.time() - t0
         n = len(g)
         g = g.append_column("shard", pa.array([shard] * n, pa.string()))
-        g = g.append_column("shard_rows", pa.array([t.num_rows] * n, pa.int64()))
+        g = g.append_column("shard_rows", pa.array([n_rows] * n, pa.int64()))
         g = g.append_column("shard_wall_s", pa.array([round(wall, 4)] * n, pa.float64()))
         parts.append(g)
     return pa.concat_tables(parts)
