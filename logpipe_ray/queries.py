@@ -92,12 +92,15 @@ def _routed_partials(sf_dir: str, partial_fn) -> Dataset:
 def _lp_cte(sf_dir: str) -> str:
     path = ensure_sequences(sf_dir)
     return f"""
-WITH seq AS (
+WITH seq AS MATERIALIZED (
+  -- MATERIALIZED: DuckDB otherwise inlines this CTE and re-evaluates
+  -- the per-token detokenize expression once per referencing column
+  -- (~17x => ~25 s per query at sf0.01); materialized it runs once
   SELECT doc_id, n_tok, source,
          coalesce(array_to_string(list_transform(tokens, x -> chr(x - 3)), ''), '') AS line
   FROM read_parquet('{path}/shard_*.parquet')
 ),
-raw AS (
+raw AS MATERIALIZED (
   SELECT doc_id, n_tok, source, line,
     {_PARSE_OK_SQL} AS parse_ok,
     nullif(regexp_extract(line, '"timestamp":"([^"]+)"', 1), '') AS r_timestamp,
