@@ -214,3 +214,82 @@ def ivf_topk(
     return res[["query_id", "rank", "vec_id", "cosine"]].sort_values(
         ["query_id", "rank"], ignore_index=True
     )
+
+
+# Base tables up to this many vectors are broadcast for KNN joins
+# (ray.put once, matmul per query batch); beyond it route through IVF
+# (build_ivf_centroids + ivf_topk per query batch) instead of
+# broadcasting an unbounded matrix.
+KNN_BROADCAST_ROWS = 2_000_000
+
+
+def knn_self_join(
+    ds: Dataset,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    broadcast_limit_rows: int = KNN_BROADCAST_ROWS,
+) -> Dataset:
+    """Embedding similarity self-join: for EVERY vector, its k nearest
+    neighbors by cosine (excluding itself). Returns a Dataset of
+    (query_id, rank, neighbor_id).
+
+    Scale shape: the base matrix is unit-normalized once and broadcast
+    via ray.put (guarded by ``broadcast_limit_rows``); the query side
+    streams through map_batches, each batch doing one (batch x base)
+    float64 matmul + vectorized top-(k+1) argpartition. The shuffle-free
+    plan is O(batches) object-store reads of the single base copy. For
+    bases beyond the guard, build IVF centroids and run ivf_topk per
+    query batch instead (the candidate-list route keeps per-batch work
+    O(batch x base/nlist x nprobe)).
+    """
+    import ray
+
+    base = pa.concat_tables(
+        [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
+    )
+    if base.num_rows > broadcast_limit_rows:
+        raise ValueError(
+            f"base side has {base.num_rows} vectors > broadcast_limit_rows="
+            f"{broadcast_limit_rows}; use build_ivf_centroids + ivf_topk "
+            "per query batch for bases that exceed the broadcast budget"
+        )
+    base_ids = np.asarray(base[id_col], dtype=np.int64)
+    base_mat = _normalize(_vec_matrix(base[vec_col]).astype(np.float64))
+    base_ref = ray.put((base_ids, base_mat))
+
+    def batch_knn(t: pa.Table) -> pa.Table:
+        ids_np, mat = ray.get(base_ref)
+        q_ids = np.asarray(t[id_col], dtype=np.int64)
+        q = _normalize(_vec_matrix(t[vec_col]).astype(np.float64))
+        if len(q_ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int32()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                }
+            )
+        sims = q @ mat.T  # (nq, nbase)
+        # exclude self matches by id
+        self_mask = q_ids[:, None] == ids_np[None, :]
+        sims[self_mask] = -np.inf
+        kk = min(k, sims.shape[1] - 1)
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        top_sims = np.take_along_axis(sims, top, axis=1)
+        top_ids = ids_np[top]
+        # deterministic rank: sim desc, neighbor id asc
+        order = np.lexsort((top_ids, -top_sims), axis=1)
+        top_ids = np.take_along_axis(top_ids, order, axis=1)
+        nq = len(q_ids)
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(q_ids, kk)),
+                "rank": pa.array(
+                    np.tile(np.arange(kk, dtype=np.int32), nq)
+                ),
+                "neighbor_id": pa.array(top_ids.reshape(-1)),
+            }
+        )
+
+    return ds.map_batches(batch_knn, batch_format="pyarrow")

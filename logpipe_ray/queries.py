@@ -1733,6 +1733,35 @@ ranked AS (
 SELECT query_id, rank, vec_id FROM ranked WHERE rank < 10"""
 
 
+def embeddings_knn_join(sf_dir: str) -> Dataset:
+    """Similarity self-join: 3 nearest neighbors (cosine) for every
+    vector — broadcast base matrix + per-batch matmul (see
+    functions.ann.knn_self_join for the >2M-vector IVF route)."""
+    from .functions.ann import knn_self_join
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return knn_self_join(ds, k=3)
+
+
+def _sql_embeddings_knn_join(sf_dir: str) -> str:
+    return """
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+         ) - 1 AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank < 3"""
+
+
 def ann_ivf_topk(sf_dir: str):
     from .functions.ann import build_ivf_centroids, ivf_topk
 
@@ -1831,6 +1860,7 @@ REGISTRY: dict = {
         docs_top_quality_per_lang,
         _sql_docs_top_quality_per_lang,
     ),
+    "embeddings_knn_join": (embeddings_knn_join, _sql_embeddings_knn_join),
 }
 
 

@@ -55,3 +55,57 @@ def test_ivf_recall(ray_session, emb_table):
         a = set(approx[approx["query_id"] == qi]["vec_id"])
         recall += len(e & a) / len(e)
     assert recall / 3 >= 0.8
+
+
+def test_knn_self_join_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from logpipe_ray.functions.ann import knn_self_join
+
+    rng = np.random.default_rng(4)
+    n, d = 300, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    got = (
+        knn_self_join(rd.from_arrow(t).repartition(4), k=5)
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    # numpy reference
+    unit = vecs.astype(np.float64)
+    unit /= np.linalg.norm(unit, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    np.fill_diagonal(sims, -np.inf)
+    for q in range(0, n, 37):
+        order = sorted(range(n), key=lambda j: (-sims[q, j], j))[:5]
+        sub = got[got.query_id == q].sort_values("rank")
+        assert sub["neighbor_id"].tolist() == order
+
+
+def test_knn_self_join_guard(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    import ray.data as rd
+
+    from logpipe_ray.functions.ann import knn_self_join
+
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(10), pa.int64()),
+            "embedding": pa.array([[1.0, 0.0]] * 10, pa.list_(pa.float32())),
+        }
+    )
+    with _pytest.raises(ValueError, match="broadcast_limit_rows"):
+        knn_self_join(rd.from_arrow(t), k=2, broadcast_limit_rows=5)
