@@ -143,6 +143,9 @@ def _process_shard_fused(batch: pa.Table) -> pa.Table:
     if "sink_projections" in batch.column_names:
         raw = batch["sink_projections"][0].as_py()
         projections = _json.loads(raw) if raw else {}
+    marker_dir = ""
+    if "marker_dir" in batch.column_names:
+        marker_dir = batch["marker_dir"][0].as_py() or ""
     parts = []
     for shard, path, out in zip(
         batch["shard"].to_pylist(),
@@ -178,8 +181,30 @@ def _process_shard_fused(batch: pa.Table) -> pa.Table:
                     )
                 if s in http_sinks:
                     # full records incl. token arrays — the receiver can
-                    # verify token-array equality end to end
+                    # verify token-array equality end to end.
+                    # Effectively-once under resume: a per-(shard, sink)
+                    # marker commits the POST, so a crashed group's
+                    # re-run skips shards already sent (the remaining
+                    # at-least-once window is a crash BETWEEN the POST
+                    # and its marker write — one shard, not one group).
+                    marker = None
+                    if marker_dir:
+                        import hashlib as _hashlib
+
+                        mdir = os.path.join(marker_dir, f"sink={s}")
+                        os.makedirs(mdir, exist_ok=True)
+                        marker = os.path.join(
+                            mdir,
+                            _hashlib.sha1(path.encode()).hexdigest() + ".sent",
+                        )
+                        if os.path.exists(marker):
+                            continue
                     _http_sender_for(http_sinks[s])(sub)
+                    if marker:
+                        tmp = marker + ".tmp"
+                        with open(tmp, "w") as fh:
+                            fh.write(path + "\n")
+                        os.replace(tmp, marker)
                     continue
                 sink_dir = os.path.join(out, f"sink={s}")
                 os.makedirs(sink_dir, exist_ok=True)
@@ -286,6 +311,9 @@ def run_flagship(
             import json as _json
 
             http_json = _json.dumps(http_sinks) if http_sinks else ""
+            http_marker_dir = (
+                os.path.join(out_dir, "http_markers") if http_sinks else ""
+            )
             proj_json = _json.dumps(sink_projections) if sink_projections else ""
             items = [
                 {
@@ -294,6 +322,7 @@ def run_flagship(
                     "out": os.path.join(group_out, f"shard={i:04d}") if write_sinks else "",
                     "http_sinks": http_json,
                     "sink_projections": proj_json,
+                    "marker_dir": http_marker_dir,
                 }
                 for i, p in enumerate(group_files)
             ]

@@ -272,3 +272,29 @@ def test_reader_context_not_globally_mutated(ray_session, ndjson_files):
     # the dataset still reads ragged tags as plain lists
     t = ds.to_pandas()
     assert "tags" in t.columns
+
+
+def test_http_sink_effectively_once_on_resume(
+    ray_session, tiny_sequences, http_server, tmp_path
+):
+    """A crashed run re-executes its in-flight group; the per-shard
+    send markers must prevent re-POSTing already-sent shards, so the
+    receiver sees every errors-row exactly once."""
+    from logpipe_ray.pipelines.flagship import run_flagship
+
+    out = str(tmp_path / "once")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_flagship(
+            tiny_sequences, out, checkpoint_groups=4,
+            http_sinks={"errors": http_server}, fail_after_groups=2,
+        )
+    summary = run_flagship(
+        tiny_sequences, out, checkpoint_groups=4,
+        http_sinks={"errors": http_server},
+    )
+    sent = [r["doc_id"] for body in _Recorder.bodies for r in body]
+    n_errors = sum(
+        v for k, v in summary["sink_counts"].items() if k.endswith("/errors")
+    )
+    assert len(sent) == n_errors  # no duplicates from the re-run
+    assert len(set(sent)) == len(sent)
