@@ -1595,6 +1595,26 @@ SELECT doc_id,
 FROM fp"""
 
 
+def events_value_quantiles(sf_dir: str) -> "pa.Table":
+    """Approximate p50/p90/p99 of events.value via the mergeable
+    quantile summary sketch (functions/sketches.py): one <=256-pair
+    compressed summary per batch is all that leaves the workers.
+    Rows-only check (approximate by design; rank error is bounded and
+    pytest-asserted; exact quantiles are covered by
+    events_median_value's oracled two-sided check)."""
+    from .functions.sketches import approx_quantiles
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+    p50, p90, p99 = approx_quantiles(ds, "value", [0.5, 0.9, 0.99])
+    return pa.table(
+        {
+            "p50": pa.array([p50], pa.float64()),
+            "p90": pa.array([p90], pa.float64()),
+            "p99": pa.array([p99], pa.float64()),
+        }
+    )
+
+
 def docs_hash_sample(sf_dir: str) -> Dataset:
     """Deterministic ~10% hash sample (repeatable subsampling — no RNG
     state, membership a pure function of doc_id; see
@@ -1861,6 +1881,7 @@ REGISTRY: dict = {
         _sql_docs_top_quality_per_lang,
     ),
     "embeddings_knn_join": (embeddings_knn_join, _sql_embeddings_knn_join),
+    "events_value_quantiles": (events_value_quantiles, None),
 }
 
 

@@ -49,3 +49,40 @@ def test_kmv_excludes_nulls():
     vals = pa.array(["a", "b", None, "a", None], pa.string())
     est = kmv_estimate(kmv_sketch(vals, k=64), k=64)
     assert est == 2.0  # COUNT(DISTINCT) semantics: nulls excluded
+
+
+def test_quantile_sketch_accuracy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from logpipe_ray.functions.sketches import approx_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(3.0, 1.0, 50_000)  # skewed
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(16)
+    qs = [0.5, 0.9, 0.99]
+    got = approx_quantiles(ds, "v", qs, buckets=256)
+    # the sketch guarantee is on RANK error (heavy tails amplify value
+    # error arbitrarily): the returned value's true rank must be within
+    # 1% of the requested rank
+    sv = np.sort(vals)
+    for q, g in zip(qs, got):
+        true_rank = np.searchsorted(sv, g) / len(sv)
+        assert abs(true_rank - q) < 0.01
+
+
+def test_quantile_sketch_exact_small():
+    import numpy as np
+    import pyarrow as pa
+
+    from logpipe_ray.functions.sketches import (
+        quantile_merge_query,
+        quantile_sketch,
+    )
+
+    v = pa.array([5.0, 1.0, 3.0, 2.0, 4.0])
+    part = quantile_sketch(v, buckets=256)  # n <= buckets: exact
+    assert quantile_merge_query([part], [0.5]) == [3.0]
+    assert quantile_merge_query([part], [1.0]) == [5.0]
