@@ -82,6 +82,9 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "orders_by_mktsegment",
             "docs_exact_dedup",
             "docs_quality",
+            "docs_minhash_dedup",
+            "seq_bigram_topk",
+            "embeddings_knn_join",
         ]
         all_q = Q.queries()
         for name in bench_queries:

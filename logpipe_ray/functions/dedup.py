@@ -296,6 +296,10 @@ def _verify_pairs_ds(
     if n_cand == 0:
         return ray.data.from_arrow(_EMPTY_VERIFIED)
     n_parts = max(2, min(64, n_cand // 50_000 + 2))
+    # aggregate outputs can carry empty columnless blocks that break
+    # Acero joins ("No match for key field reference"); repartition
+    # unifies schemas and drops them before cand enters the joins
+    cand = cand.repartition(n_parts)
 
     docs = ds
     if n_cand <= broadcast_limit:
@@ -689,7 +693,9 @@ def cluster_min_label(
             msgs = edges.map_batches(attach, batch_format="pyarrow")
         else:
             attached = edges.join(
-                labels,
+                # repartition drops the aggregate's empty columnless
+                # blocks, which would otherwise break the Acero join
+                labels.repartition(n_parts),
                 join_type="inner",
                 num_partitions=n_parts,
                 on=("src",),
@@ -865,3 +871,53 @@ def embedding_neardup_pairs(
         )
     )
     return out.to_pandas()
+
+
+def dedup_corpus_ids(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    driver_pair_limit: int = DRIVER_PAIR_LIMIT,
+    **kw,
+) -> Dataset:
+    """Surviving doc ids after near-dup removal (keep the min doc id
+    per cluster) — the full dedup pipeline a training run consumes.
+
+    Below ``driver_pair_limit`` verified pairs, clustering is driver
+    union-find and the drop set broadcasts (ray.put + per-batch
+    pc.is_in). Above it, NOTHING touches the driver: distributed
+    min-label clustering produces a (node, label) Dataset, the drop
+    set is `node != label` rows, and survivors come from a native
+    left_anti hash join."""
+    import ray
+
+    from ..stages.join import semi_anti_join_ds, semi_join_filter
+
+    pairs_ds = minhash_dedup_pairs_ds(
+        ds, text_col, id_col, threshold=threshold, **kw
+    ).materialize()
+    ids = ds.map_batches(
+        lambda t: pa.table({id_col: t[id_col]}), batch_format="pyarrow"
+    )
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return ids
+    if n_pairs <= driver_pair_limit:
+        vp = pairs_ds.to_pandas()
+        labels = cluster_pairs_unionfind(list(zip(vp["a"], vp["b"])))
+        drop = [n for n, root in labels.items() if n != root]
+        drop_ref = ray.put(pa.array(drop, pa.int64()))
+        return semi_join_filter(ids, id_col, drop_ref, anti=True)
+    lab_ds = cluster_min_label(pairs_ds)
+    node_only = pa.schema([("node", pa.int64())])
+
+    def drop_fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return node_only.empty_table()  # typed empty; join needs the key
+        return pa.table({"node": t["node"]}).filter(
+            pc.not_equal(t["node"], t["label"])
+        )
+
+    drop_ds = lab_ds.map_batches(drop_fn, batch_format="pyarrow")
+    return semi_anti_join_ds(ids, id_col, drop_ds, "node", anti=True)

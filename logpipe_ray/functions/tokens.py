@@ -77,17 +77,18 @@ def bigram_frequency(
             return pa.table(
                 {"key": pa.array([], pa.int64()), "p": pa.array([], pa.int64())}
             )
-        # bigram at flat position i pairs (flat[i], flat[i+1]); mask the
-        # cross-row positions via per-row boundary arithmetic
-        starts = np.zeros(len(L), np.int64)
-        np.cumsum(L[:-1], out=starts[1:])
-        nb = np.maximum(L - 1, 0)
-        rep = np.repeat(starts, nb)
-        within = np.arange(int(nb.sum())) - np.repeat(
-            np.concatenate([[0], np.cumsum(nb)[:-1]]), nb
-        )
-        idx = rep + within
-        keys = (flat[idx] << 32) | flat[idx + 1]
+        # bigram at flat position i pairs (flat[i], flat[i+1]); just
+        # mask the positions where i is the LAST token of a row (the
+        # pair would cross a row border) — one boolean mask, no index
+        # materialization
+        if len(flat) < 2:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "p": pa.array([], pa.int64())}
+            )
+        ends = np.cumsum(L[L > 0]) - 1  # last-token flat positions
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        valid[ends[ends < len(flat) - 1]] = False
+        keys = (flat[:-1][valid] << 32) | flat[1:][valid]
         vc = pc.value_counts(pa.array(keys, pa.int64()))
         return pa.table(
             {
@@ -97,7 +98,11 @@ def bigram_frequency(
         )
 
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        # batch_size=None -> one partial per block: with a bounded
+        # bigram vocabulary the partial is ~|vocab^2| rows regardless
+        # of block size, so fewer/bigger batches shrink the shuffle
+        # by the batch-count factor
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("key")
         .aggregate(Sum("p", alias_name="cnt"))
     )

@@ -1381,21 +1381,16 @@ def docs_dup_clusters(sf_dir: str):
 
 
 def docs_dedup_corpus(sf_dir: str) -> Dataset:
-    """The full dedup pipeline end-to-end: near-dup clusters -> keep
-    the min doc_id per cluster -> surviving corpus doc_ids (broadcast
-    drop-set filter; the output is what a training run would read)."""
-    from .functions.dedup import dup_clusters
-    from .stages.join import semi_join_filter
+    """The full dedup pipeline end-to-end: near-dup pairs -> clusters
+    -> keep the min doc_id per cluster -> surviving corpus doc_ids
+    (what a training run would read). Driver union-find + broadcast
+    drop set at this scale; above DRIVER_PAIR_LIMIT the same call runs
+    distributed min-label clustering + a native left_anti join with no
+    driver materialization (functions.dedup.dedup_corpus_ids)."""
+    from .functions.dedup import dedup_corpus_ids
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    clusters = dup_clusters(ds, threshold=0.6, shingle_k=2).to_pandas()
-    if len(clusters):
-        drop = clusters[clusters["doc_id"] != clusters["cluster_id"]]["doc_id"]
-        drop_ref = ray.put(pa.array(drop.to_numpy(), pa.int64()))
-        ds = semi_join_filter(ds, "doc_id", drop_ref, anti=True)
-    return ds.map_batches(
-        lambda t: pa.table({"doc_id": t["doc_id"]}), batch_format="pyarrow"
-    )
+    return dedup_corpus_ids(ds, threshold=0.6, shingle_k=2)
 
 
 def seq_vocab_coverage(sf_dir: str) -> "pa.Table":

@@ -183,3 +183,36 @@ def semi_join_filter(ds: Dataset, col: str, keys_ref, anti: bool = False) -> Dat
         return batch.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def semi_anti_join_ds(
+    ds: Dataset,
+    col: str,
+    keys_ds: Dataset,
+    key_col: str,
+    anti: bool = False,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Distributed semi / anti join against a KEY DATASET — the scale
+    path when the key side is too large to broadcast (the broadcast
+    variant is semi_join_filter). One hash shuffle of both sides on
+    the key; Ray's native left_semi / left_anti join does the rest.
+
+    Unlike the broadcast variant, null probe keys follow Ray's join
+    semantics (null never matches: dropped in semi mode, KEPT in anti
+    mode) — pre-filter nulls if SQL NOT IN three-valued semantics are
+    needed."""
+    jt = "left_anti" if anti else "left_semi"
+    # repartition the (small) key side first: aggregate outputs can
+    # contain empty columnless blocks that Ray's map operators skip and
+    # the join's partition builder then materializes as schemaless
+    # tables ("No match ... for key field reference" from Acero);
+    # repartition unifies schemas and drops the empties
+    keys_ds = keys_ds.repartition(max(2, num_partitions // 2))
+    return ds.join(
+        keys_ds,
+        join_type=jt,
+        num_partitions=num_partitions,
+        on=(col,),
+        right_on=(key_col,),
+    )

@@ -179,3 +179,16 @@ def test_dup_clusters_distributed_path_matches_driver(ray_session, corpus):
     small = dup_clusters(ds, threshold=0.8)
     forced = dup_clusters(ds, threshold=0.8, driver_pair_limit=0)
     assert small.equals(forced)
+
+
+def test_dedup_corpus_distributed_path_matches_driver(ray_session, corpus):
+    from logpipe_ray.functions.dedup import dedup_corpus_ids
+
+    ds = rd.from_arrow(corpus)
+    a = sorted(dedup_corpus_ids(ds, threshold=0.8).to_pandas()["doc_id"])
+    b = sorted(
+        dedup_corpus_ids(ds, threshold=0.8, driver_pair_limit=0)
+        .to_pandas()["doc_id"]
+    )
+    assert a == b
+    assert 0 < len(a) < 202  # the planted dups were dropped
