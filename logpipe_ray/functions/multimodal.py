@@ -117,3 +117,179 @@ def media_features(
         concurrency=concurrency,
         zero_copy_batch=True,
     )
+
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("n_frames", pa.int32()),
+        ("fps", pa.float32()),
+    ]
+)
+
+
+def synthesize_video_table(n: int, seed: int = 7, frame_bytes: int = 256) -> pa.Table:
+    """Deterministic fake video corpus: payload = n_frames fixed-size
+    'frames' of seeded bytes."""
+    rng = np.random.default_rng(seed)
+    n_frames = rng.integers(8, 121, n).astype(np.int32)
+    payloads = [rng.bytes(int(f) * frame_bytes) for f in n_frames]
+    return pa.table(
+        {
+            "item_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/mp4"] * n, pa.string()),
+            "n_frames": pa.array(n_frames),
+            "fps": pa.array(np.full(n, 24.0, np.float32)),
+        }
+    )
+
+
+class MediaResizeStage:
+    """Actor-pool stage: resize images to a target box.
+
+    decode="fake" transforms metadata exactly as a real resize would
+    (aspect-preserving fit into target_w x target_h, recorded in new
+    width/height columns) and re-emits a deterministic payload whose
+    size scales with the area ratio — the schema/size behavior of the
+    real op without the codec. decode="real" raises at the exact PIL
+    call site."""
+
+    def __init__(self, target_w: int = 256, target_h: int = 256, decode: str = "fake"):
+        self.tw, self.th = target_w, target_h
+        self.decode = decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decode == "real":
+            raise NotImplementedError(
+                "real image resize requires PIL, not present in this "
+                "environment; use decode='fake' for the deterministic stub"
+            )
+        w = np.asarray(batch["width"], np.float64)
+        h = np.asarray(batch["height"], np.float64)
+        scale = np.minimum(self.tw / np.maximum(w, 1), self.th / np.maximum(h, 1))
+        scale = np.minimum(scale, 1.0)  # never upscale
+        new_w = np.maximum((w * scale).astype(np.int32), 1)
+        new_h = np.maximum((h * scale).astype(np.int32), 1)
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        # fake resize: keep a prefix of the bytes proportional to the
+        # area ratio (deterministic; a real impl would re-encode)
+        ratio = (new_w.astype(np.float64) * new_h) / np.maximum(w * h, 1)
+        n = len(payload)
+        offsets = np.frombuffer(
+            payload.buffers()[1], np.int32, count=n + 1, offset=payload.offset * 4
+        ).astype(np.int64)
+        lengths = offsets[1:] - offsets[:-1]
+        keep = np.maximum((lengths * ratio).astype(np.int64), 1)
+        data = np.frombuffer(payload.buffers()[2], np.uint8)
+        new_offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(keep, out=new_offsets[1:])
+        out_buf = np.empty(int(new_offsets[-1]), np.uint8)
+        # vectorized ranged copy (same gather pattern as pack_batch)
+        rep = np.repeat(np.arange(n), keep)
+        within = np.arange(len(out_buf)) - np.repeat(new_offsets[:-1], keep)
+        out_buf[:] = data[offsets[:-1][rep] + within]
+        new_payload = pa.BinaryArray.from_buffers(
+            pa.binary(),
+            n,
+            [
+                None,
+                pa.py_buffer(new_offsets.astype(np.int32)),
+                pa.py_buffer(out_buf),
+            ],
+        )  # zero-copy from the gathered buffer — no per-row Python
+        t = batch.set_column(
+            batch.column_names.index("payload"), "payload", new_payload
+        )
+        t = t.set_column(t.column_names.index("width"), "width", pa.array(new_w))
+        return t.set_column(t.column_names.index("height"), "height", pa.array(new_h))
+
+
+class FrameSampleStage:
+    """Actor-pool stage: sample K frames per video at evenly spaced
+    indices. flat_map-style: one output row PER SAMPLED FRAME
+    (item_id, frame_idx, frame_bytes) — the layout a caption/embedding
+    stage downstream consumes. Fixed frame stride makes the fake path
+    fully deterministic; decode="real" raises at the libav call site."""
+
+    def __init__(self, k: int = 4, frame_bytes: int = 256, decode: str = "fake"):
+        self.k = k
+        self.frame_bytes = frame_bytes
+        self.decode = decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decode == "real":
+            raise NotImplementedError(
+                "real frame extraction requires libav/ffmpeg, not present in "
+                "this environment; use decode='fake' for the deterministic stub"
+            )
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        n_frames = np.asarray(batch["n_frames"], np.int64)
+        item_ids = np.asarray(batch["item_id"], np.int64)
+        k = np.minimum(self.k, n_frames)
+        # evenly spaced frame indices per video, all-vectorized
+        rep_item = np.repeat(item_ids, k)
+        rep_nf = np.repeat(n_frames, k)
+        rep_k = np.repeat(k, k)
+        pos = np.arange(int(k.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(k)[:-1]]), k
+        )
+        frame_idx = (pos * rep_nf) // np.maximum(rep_k, 1)
+        fb = self.frame_bytes
+        n = len(payload)
+        offsets = np.frombuffer(
+            payload.buffers()[1], np.int32, count=n + 1, offset=payload.offset * 4
+        ).astype(np.int64)
+        data = np.frombuffer(payload.buffers()[2], np.uint8)
+        row_of = np.repeat(np.arange(n), k)
+        starts = offsets[:-1][row_of] + frame_idx * fb
+        frames = [
+            data[s : s + fb].tobytes() for s in starts
+        ]  # per-frame slices (bounded: k x batch rows)
+        return pa.table(
+            {
+                "item_id": pa.array(rep_item),
+                "frame_idx": pa.array(frame_idx.astype(np.int32)),
+                "frame_bytes": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def media_resize(
+    ds: Dataset, target: tuple[int, int] = (256, 256), decode: str = "fake",
+    concurrency=(1, 4), batch_size: int = 256,
+) -> Dataset:
+    return ds.map_batches(
+        MediaResizeStage,
+        fn_constructor_kwargs={
+            "target_w": target[0], "target_h": target[1], "decode": decode
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
+def frame_sample(
+    ds: Dataset, k: int = 4, frame_bytes: int = 256, decode: str = "fake",
+    concurrency=(1, 4), batch_size: int = 128,
+) -> Dataset:
+    """Small batches: video rows are the widest payloads in the table
+    (batch_size ~= budget_bytes / (n_frames x frame_bytes))."""
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={
+            "k": k, "frame_bytes": frame_bytes, "decode": decode
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )

@@ -1788,6 +1788,43 @@ def ann_ivf_topk(sf_dir: str):
     return out[["query_id", "rank", "vec_id"]]
 
 
+def mm_resized(sf_dir: str):
+    """Multimodal resize plumbing: actor-pool aspect-preserving resize
+    over the deterministic synthetic media table (decode stubbed;
+    metadata transform + payload-size behavior real and tested)."""
+    import ray.data as rd2
+
+    from .functions.multimodal import media_resize, synthesize_media_table
+
+    t = synthesize_media_table(2000)
+    out = media_resize(rd2.from_arrow(t), target=(256, 256))
+    return out.map_batches(
+        lambda b: b.drop(["payload"]), batch_format="pyarrow"
+    )  # driver check sees metadata, not the heavy bytes
+
+
+def mm_frame_sample(sf_dir: str):
+    """Video frame sampling plumbing: one row per sampled frame
+    (item_id, frame_idx, frame byte length)."""
+    import pyarrow.compute as pc2
+    import ray.data as rd2
+
+    from .functions.multimodal import frame_sample, synthesize_video_table
+
+    t = synthesize_video_table(1000)
+    out = frame_sample(rd2.from_arrow(t), k=4)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "item_id": b["item_id"],
+                "frame_idx": b["frame_idx"],
+                "frame_len": pc2.binary_length(b["frame_bytes"]).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def mm_features(sf_dir: str):
     """Multimodal plumbing demo: deterministic synthetic binary media
     table -> actor-pool decode(stub)+feature stage."""
@@ -1877,6 +1914,8 @@ REGISTRY: dict = {
     ),
     "embeddings_knn_join": (embeddings_knn_join, _sql_embeddings_knn_join),
     "events_value_quantiles": (events_value_quantiles, None),
+    "mm_resized": (mm_resized, None),
+    "mm_frame_sample": (mm_frame_sample, None),
 }
 
 

@@ -42,3 +42,72 @@ def test_actor_pool_pipeline(ray_session):
     direct = MediaFeatureStage()(t).to_pandas()
     merged = df.sort_values("item_id", ignore_index=True)
     assert np.allclose(merged["byte_mean"], direct["byte_mean"])
+
+
+def test_media_resize_stage(ray_session):
+    import numpy as np
+
+    import ray.data as rd
+
+    from logpipe_ray.functions.multimodal import (
+        media_resize,
+        synthesize_media_table,
+    )
+
+    t = synthesize_media_table(500)
+    out = media_resize(rd.from_arrow(t), target=(256, 256)).to_pandas()
+    assert len(out) == 500
+    assert (out["width"] <= 256).all() and (out["height"] <= 256).all()
+    by_id = out.set_index("item_id")
+    w0 = t["width"].to_numpy()
+    h0 = t["height"].to_numpy()
+    for i in (0, 17, 499):
+        # aspect preserved to integer truncation
+        scale = min(256 / w0[i], 256 / h0[i], 1.0)
+        assert by_id.loc[i, "width"] == max(int(w0[i] * scale), 1)
+        assert by_id.loc[i, "height"] == max(int(h0[i] * scale), 1)
+        # payload shrank with the area ratio
+        assert 0 < len(by_id.loc[i, "payload"]) <= len(t["payload"][i].as_py())
+
+
+def test_frame_sample_stage(ray_session):
+    import numpy as np
+
+    import ray.data as rd
+
+    from logpipe_ray.functions.multimodal import (
+        frame_sample,
+        synthesize_video_table,
+    )
+
+    t = synthesize_video_table(200, frame_bytes=128)
+    out = frame_sample(
+        rd.from_arrow(t), k=4, frame_bytes=128
+    ).to_pandas()
+    nf = dict(zip(t["item_id"].to_pylist(), t["n_frames"].to_pylist()))
+    counts = out.groupby("item_id").size()
+    for item, c in counts.items():
+        assert c == min(4, nf[item])
+    # frame bytes match the exact slice of the original payload
+    payloads = dict(zip(t["item_id"].to_pylist(), t["payload"].to_pylist()))
+    sample = out.sample(20, random_state=0)
+    for _, r in sample.iterrows():
+        src = payloads[r.item_id]
+        s = r.frame_idx * 128
+        assert r.frame_bytes == src[s : s + 128]
+
+
+def test_real_decode_raises_everywhere(ray_session):
+    import pytest as _pytest
+
+    from logpipe_ray.functions.multimodal import (
+        FrameSampleStage,
+        MediaResizeStage,
+        synthesize_media_table,
+        synthesize_video_table,
+    )
+
+    with _pytest.raises(NotImplementedError, match="PIL"):
+        MediaResizeStage(decode="real")(synthesize_media_table(3))
+    with _pytest.raises(NotImplementedError, match="libav"):
+        FrameSampleStage(decode="real")(synthesize_video_table(3))
