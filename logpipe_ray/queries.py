@@ -632,22 +632,37 @@ FROM documents GROUP BY lang"""
 def docs_exact_dedup(sf_dir: str) -> Dataset:
     """Exact dedup: hash-partition by content hash, dedup within groups.
 
-    Scale path: the shuffle key is a 64-bit content hash (tiny), never
-    the full text; real text equality is re-checked within each hash
-    group, so hash collisions cannot merge distinct documents.
+    Scale path: min(doc_id) and count are mergeable, so each batch
+    emits a local (text_hash, text, min_id, cnt) partial — duplicate
+    texts collapse before the shuffle — and the global phase is one
+    native aggregate keyed on (hash, text): the text comparison inside
+    the keyed phase is what makes 64-bit hash collisions unable to
+    merge distinct documents. No per-group Python anywhere.
     """
     from .stages.transform import hash_column
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = ds.map_batches(hash_column("text", "text_hash"), batch_format="pyarrow")
 
-    def dedup_group(df):
-        g = df.groupby("text", as_index=False).agg(
-            keep_id=("doc_id", "min"), dup_cnt=("doc_id", "size")
-        )
-        return g[["keep_id", "dup_cnt"]]
+    def local_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["text_hash", "text", "doc_id"]).group_by(
+            ["text_hash", "text"]
+        ).aggregate([("doc_id", "min"), ([], "count_all")])
+        return g.rename_columns(["text_hash", "text", "min_id", "cnt"])
 
-    return ds.groupby("text_hash").map_groups(dedup_group, batch_format="pandas")
+    out_schema = pa.schema([("keep_id", pa.int64()), ("dup_cnt", pa.int64())])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        return pa.table({"keep_id": t["min(min_id)"], "dup_cnt": t["sum(cnt)"]})
+
+    return (
+        ds.map_batches(local_partial, batch_format="pyarrow")
+        .groupby(["text_hash", "text"])
+        .aggregate(Min("min_id"), Sum("cnt"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )
 
 
 def _sql_docs_exact_dedup(sf_dir: str) -> str:
