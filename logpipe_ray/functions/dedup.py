@@ -164,7 +164,59 @@ def minhash_lsh_candidates(
             ids = ids.combine_chunks()
         return band_table(ids, sig, bands=bands)
 
-    banded = ds.map_batches(to_bands, batch_format="pyarrow")
+    banded = ds.map_batches(to_bands, batch_format="pyarrow").materialize()
+
+    # Nearly all LSH buckets are singletons; running the pair-emitter
+    # per bucket via map_groups costs one Python call per bucket. A
+    # native count() first finds the non-singleton buckets, and only
+    # rows in those buckets (a broadcast filter on a combined bucket
+    # key — collisions just let extra rows through; the exact groupby
+    # below still keys on (band_id, band_hash)) reach the per-group
+    # emitter. Above the broadcast guard, a distributed left_semi join
+    # does the same filtering without the driver.
+    def bucket_key(t: pa.Table) -> pa.Array:
+        bh = np.asarray(t["band_hash"], np.int64)
+        bid = np.asarray(t["band_id"], np.int64)
+        with np.errstate(over="ignore"):
+            return pa.array(bh * np.int64(31) + bid)
+
+    sizes = banded.groupby(["band_id", "band_hash"]).count()
+
+    def eligible_keys(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema([("bkey", pa.int64())]).empty_table()
+        keep = pc.greater_equal(t["count()"], 2)
+        sel = t.filter(keep)
+        return pa.table({"bkey": bucket_key(sel)})
+
+    elig = sizes.map_batches(eligible_keys, batch_format="pyarrow").materialize()
+    n_elig = elig.count()
+    import ray as _ray
+
+    if n_elig == 0:
+        return _ray.data.from_arrow(_PAIR_I64.empty_table())
+    if n_elig <= 1_000_000:
+        keys_ref = _ray.put(
+            pa.concat_tables(
+                [t for t in _ray.get(elig.to_arrow_refs()) if t.num_columns]
+            )["bkey"].combine_chunks()
+        )
+
+        def pick(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(bucket_key(t), value_set=_ray.get(keys_ref))
+            return t.filter(mask)
+
+        banded = banded.map_batches(pick, batch_format="pyarrow")
+    else:
+        from ..stages.join import semi_anti_join_ds
+
+        with_key = banded.map_batches(
+            lambda t: t.append_column("bkey", bucket_key(t)),
+            batch_format="pyarrow",
+        )
+        banded = semi_anti_join_ds(
+            with_key, "bkey", elig, "bkey", anti=False
+        ).map_batches(lambda t: t.drop(["bkey"]), batch_format="pyarrow")
 
     def emit_pairs(df):
         import logging
