@@ -557,7 +557,45 @@ def simhash_dedup_pairs(
             )
         return pa.concat_tables(parts)
 
-    chunked = ds.map_batches(to_chunks, batch_format="pyarrow")
+    chunked = ds.map_batches(to_chunks, batch_format="pyarrow").materialize()
+
+    # same singleton-bucket skip as minhash_lsh_candidates: only
+    # buckets holding >= 2 docs can emit pairs, so filter to them with
+    # a native count + broadcast key set before the per-group emitter
+    def bucket_key(t: pa.Table) -> pa.Array:
+        cv = np.asarray(t["chunk_val"], np.int64)
+        cid = np.asarray(t["chunk_id"], np.int64)
+        return pa.array(cv * np.int64(4) + cid)
+
+    sizes = chunked.groupby(["chunk_id", "chunk_val"]).count()
+
+    def eligible_keys(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema([("bkey", pa.int64())]).empty_table()
+        sel = t.filter(pc.greater_equal(t["count()"], 2))
+        return pa.table({"bkey": bucket_key(sel)})
+
+    import ray as _ray
+
+    elig = sizes.map_batches(eligible_keys, batch_format="pyarrow").materialize()
+    if elig.count() == 0:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"),
+             "b": pd.Series([], dtype="int64"),
+             "dist": pd.Series([], dtype="int64")}
+        )
+    keys_ref = _ray.put(
+        pa.concat_tables(
+            [t for t in _ray.get(elig.to_arrow_refs()) if t.num_columns]
+        )["bkey"].combine_chunks()
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(bucket_key(t), value_set=_ray.get(keys_ref)))
+
+    chunked = chunked.map_batches(pick, batch_format="pyarrow")
 
     def emit(df):
         import pandas as pd
