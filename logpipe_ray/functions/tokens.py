@@ -234,3 +234,49 @@ def pack_sequences(ds: Dataset, context_len: int = 2048, **kw) -> Dataset:
 
     fn = functools.partial(pack_batch, context_len=context_len, **kw)
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+UNK_ID = 0  # OOV replacement id (reuses PAD; data tokens are >= 3)
+
+
+def prune_vocab(
+    ds: Dataset,
+    vocab_size: int = 100,
+    tokens_col: str = "tokens",
+    unk_id: int = UNK_ID,
+) -> Dataset:
+    """Vocabulary pruning / OOV mapping: keep the `vocab_size` most
+    frequent token ids (ties broken by id) and replace every other
+    token with ``unk_id`` — the classic tokenizer-shrink step.
+
+    Scale shape: the keep-set comes from token_frequency (per-batch
+    value_counts partials, vocab-bounded shuffle) and broadcasts via
+    ray.put; the rewrite is one vectorized is_in + if_else over each
+    batch's flat values buffer, rebuilding the list column on the
+    original offsets."""
+    import ray
+
+    from .tokens import token_frequency
+
+    topk = token_frequency(ds, tokens_col=tokens_col, top_k=vocab_size)
+    keep_tbl = pa.concat_tables(
+        [t for t in ray.get(topk.materialize().to_arrow_refs()) if t.num_columns]
+    )  # vocab-bounded by construction
+    keep_ref = ray.put(keep_tbl["token_id"].combine_chunks())
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten()
+        keep = ray.get(keep_ref)
+        mask = pc.is_in(flat, value_set=keep)
+        new_flat = pc.if_else(mask, flat, pa.scalar(unk_id, flat.type))
+        lengths = np.asarray(pc.list_value_length(col).fill_null(0), np.int64)
+        offsets = np.zeros(len(lengths) + 1, np.int32)
+        np.cumsum(lengths, out=offsets[1:])
+        pruned = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), new_flat)
+        idx = t.column_names.index(tokens_col)
+        return t.set_column(idx, tokens_col, pruned)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

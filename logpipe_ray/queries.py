@@ -1625,6 +1625,111 @@ def events_value_quantiles(sf_dir: str) -> "pa.Table":
     )
 
 
+def seq_vocab_pruned(sf_dir: str) -> Dataset:
+    """Vocabulary pruning / OOV mapping over the training sequences:
+    tokens outside the top-100 vocabulary become UNK (0). Keep-set via
+    vocab-bounded frequency partials + broadcast; rewrite is one
+    is_in/if_else pass over each batch's flat values buffer."""
+    from .functions.tokens import prune_vocab
+
+    seq_dir = ensure_sequences(sf_dir)
+    ds = read_parquet_clean(seq_dir, columns=["doc_id", "tokens"])
+    return prune_vocab(ds, vocab_size=100)
+
+
+def _sql_seq_vocab_pruned(sf_dir: str) -> str:
+    path = ensure_sequences(sf_dir)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, tokens FROM read_parquet('{path}/shard_*.parquet')
+),
+freq AS (
+  SELECT token_id, count(*) AS cnt
+  FROM (SELECT unnest(tokens) AS token_id FROM base) GROUP BY token_id
+),
+keep AS (SELECT token_id FROM freq ORDER BY cnt DESC, token_id LIMIT 100),
+ex AS (
+  SELECT doc_id, unnest(tokens) AS x,
+         unnest(range(1, len(tokens) + 1)) AS i
+  FROM base
+),
+mapped AS (
+  SELECT ex.doc_id, ex.i,
+         CASE WHEN k.token_id IS NOT NULL THEN ex.x ELSE 0 END AS x2
+  FROM ex LEFT JOIN keep k ON ex.x = k.token_id
+),
+grouped AS (
+  SELECT doc_id, list(x2 ORDER BY i) AS lst FROM mapped GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(coalesce(g.lst, []) AS INTEGER[]) AS tokens
+FROM base b LEFT JOIN grouped g ON b.doc_id = g.doc_id"""
+
+
+def lp_pivot_level_by_service(sf_dir: str) -> Dataset:
+    """Pivot reshape: one row per service with level counts as columns
+    (INFO/WARN/ERROR). Per-shard fused partials emit the pivoted
+    counts; a native per-service sum merges them."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial_fn(t: pa.Table) -> pa.Table:
+        ok = t.filter(pc.equal(t["parse_ok"], True))
+        g = (
+            pa.table({"service": ok["service"], "level": ok["level"]})
+            .group_by(["service", "level"])
+            .aggregate([([], "count_all")])
+        )
+        svc = g["service"]
+        lvl = g["level"]
+        cnt = pc.cast(g["count_all"], pa.int64())
+        cols = {"service": svc}
+        for name in ("INFO", "WARN", "ERROR"):
+            mask = pc.equal(lvl, name)
+            cols[f"{name.lower()}_cnt"] = pc.if_else(
+                mask, cnt, pa.scalar(0, pa.int64())
+            )
+        return pa.table(cols)
+
+    parts = _routed_partials(sf_dir, partial_fn)
+    out_schema = pa.schema(
+        [
+            ("service", pa.string()),
+            ("info_cnt", pa.int64()),
+            ("warn_cnt", pa.int64()),
+            ("error_cnt", pa.int64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "service": t["service"],
+                "info_cnt": t["sum(info_cnt)"],
+                "warn_cnt": t["sum(warn_cnt)"],
+                "error_cnt": t["sum(error_cnt)"],
+            }
+        )
+
+    return (
+        parts.groupby("service")
+        .aggregate(
+            _Sum("info_cnt"), _Sum("warn_cnt"), _Sum("error_cnt")
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def _sql_lp_pivot_level_by_service(sf_dir: str) -> str:
+    return _lp_cte(sf_dir) + """
+SELECT service,
+       count(*) FILTER (level = 'INFO') AS info_cnt,
+       count(*) FILTER (level = 'WARN') AS warn_cnt,
+       count(*) FILTER (level = 'ERROR') AS error_cnt
+FROM parsed WHERE parse_ok GROUP BY service"""
+
+
 def docs_hash_sample(sf_dir: str) -> Dataset:
     """Deterministic ~10% hash sample (repeatable subsampling — no RNG
     state, membership a pure function of doc_id; see
@@ -1931,6 +2036,11 @@ REGISTRY: dict = {
     "events_value_quantiles": (events_value_quantiles, None),
     "mm_resized": (mm_resized, None),
     "mm_frame_sample": (mm_frame_sample, None),
+    "seq_vocab_pruned": (seq_vocab_pruned, _sql_seq_vocab_pruned),
+    "lp_pivot_level_by_service": (
+        lp_pivot_level_by_service,
+        _sql_lp_pivot_level_by_service,
+    ),
 }
 
 

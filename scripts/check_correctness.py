@@ -39,7 +39,14 @@ def to_pandas(result) -> pd.DataFrame:
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            # list/array cells (token arrays) are unhashable for the
+            # lexsort; tuples sort and compare fine
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 

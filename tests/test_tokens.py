@@ -154,3 +154,32 @@ def test_bigram_frequency_matches_python(ray_session):
     )
     got_map = {(r.t1, r.t2): r.cnt for r in got.itertuples()}
     assert got_map == dict(want)
+
+
+def test_prune_vocab_matches_python(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from logpipe_ray.functions.tokens import prune_vocab
+
+    rng = np.random.default_rng(12)
+    seqs = [list(map(int, rng.integers(3, 40, rng.integers(0, 30)))) for _ in range(300)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(300), pa.int64()),
+            "tokens": pa.array(seqs, pa.list_(pa.int32())),
+        }
+    )
+    out = (
+        prune_vocab(rd.from_arrow(t).repartition(4), vocab_size=10)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    freq = collections.Counter(x for s in seqs for x in s)
+    keep = set(
+        tid for tid, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    )
+    for i in (0, 100, 299):
+        want = [x if x in keep else 0 for x in seqs[i]]
+        assert list(out.loc[i, "tokens"]) == want
