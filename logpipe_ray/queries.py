@@ -1730,6 +1730,46 @@ SELECT service,
 FROM parsed WHERE parse_ok GROUP BY service"""
 
 
+def events_moving_sum(sf_dir: str) -> Dataset:
+    """Per-type rolling window: 3-row moving sum of value-cents over
+    (ts, event_id) order — the sliding-window aggregate shape. Keyed
+    shuffle co-locates each type's history; the window itself is a
+    vectorized pandas rolling over the sorted group. Cents (floor of
+    value*100) keep both sides integer-exact for the hash compare.
+    Partitioning note: event_type is low-cardinality/hot — at 100 TB
+    salt by time range so one reducer never holds a whole type."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
+    )
+
+    def window_group(df):
+        import numpy as np
+
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = np.floor(df["value"].to_numpy() * 100).astype("int64")
+        mov = (
+            __import__("pandas").Series(cents)
+            .rolling(3, min_periods=1)
+            .sum()
+            .astype("int64")
+        )
+        return df.assign(mov_sum3=mov.to_numpy())[
+            ["event_id", "event_type", "mov_sum3"]
+        ]
+
+    return ds.groupby("event_type").map_groups(window_group, batch_format="pandas")
+
+
+def _sql_events_moving_sum(sf_dir: str) -> str:
+    return """
+SELECT event_id, event_type,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+         PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS mov_sum3
+FROM events"""
+
+
 def docs_hash_sample(sf_dir: str) -> Dataset:
     """Deterministic ~10% hash sample (repeatable subsampling — no RNG
     state, membership a pure function of doc_id; see
@@ -2041,6 +2081,7 @@ REGISTRY: dict = {
         lp_pivot_level_by_service,
         _sql_lp_pivot_level_by_service,
     ),
+    "events_moving_sum": (events_moving_sum, _sql_events_moving_sum),
 }
 
 
