@@ -1770,6 +1770,108 @@ SELECT event_id, event_type,
 FROM events"""
 
 
+def docs_prep_corpus(sf_dir: str) -> Dataset:
+    """End-to-end training-data prep over documents, fully oracled:
+    quality gate (score >= 0.8) -> decontamination (word-3-gram
+    overlap vs the first-5-docs benchmark blocklist, drop > 0.5) ->
+    exact dedup (keep min doc id per text, hash-keyed) -> BPE-ish
+    token count of the surviving corpus. Every stage streams; the only
+    shuffle is the dedup keyed aggregate."""
+    import pyarrow.parquet as _pq
+
+    from .functions.decontaminate import decontaminate
+    from .functions.textfns import BPE_SPLIT_PATTERN, quality_batch
+    from .stages.transform import hash_column
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def quality_gate(t: pa.Table) -> pa.Table:
+        scored = quality_batch(t)
+        keep = pc.greater_equal(scored["quality_score"], 0.8)
+        return scored.filter(keep).select(["doc_id", "text"])
+
+    gated = ds.map_batches(quality_gate, batch_format="pyarrow")
+    bench = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).slice(0, 5)["text"].to_pylist()
+    clean = decontaminate(gated, bench, n=3, max_overlap=0.5).map_batches(
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+    )
+    hashed = clean.map_batches(hash_column("text", "text_hash"), batch_format="pyarrow")
+
+    def local_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["text_hash", "text", "doc_id"]).group_by(
+            ["text_hash", "text"]
+        ).aggregate([("doc_id", "min")])
+        return g.rename_columns(["text_hash", "text", "min_id"])
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_bpe_tokens", pa.int64())])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": t["min(min_id)"],
+                "n_bpe_tokens": pc.count_substring_regex(
+                    text, BPE_SPLIT_PATTERN
+                ).cast(pa.int64()),
+            }
+        )
+
+    return (
+        hashed.map_batches(local_partial, batch_format="pyarrow")
+        .groupby(["text_hash", "text"])
+        .aggregate(Min("min_id"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def _sql_docs_prep_corpus(sf_dir: str) -> str:
+    from .functions.textfns import BPE_SPLIT_PATTERN
+
+    quality = _sql_docs_quality_score(sf_dir).strip()
+    bpe = BPE_SPLIT_PATTERN.replace("'", "''")
+    return f"""
+WITH q AS ({quality}),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN q ON d.doc_id = q.doc_id WHERE q.quality_score >= 0.8
+),
+allw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+allg AS (
+  SELECT doc_id,
+         unnest([array_to_string(ws[i : i + 2], ' ') FOR i IN range(1, len(ws) - 1)]) AS gram
+  FROM allw WHERE len(ws) >= 3
+),
+bl AS (
+  SELECT DISTINCT gram FROM allg
+  WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+),
+keptg AS (SELECT g.doc_id, g.gram FROM allg g JOIN kept k ON g.doc_id = k.doc_id),
+scored AS (
+  SELECT kg.doc_id,
+         CAST(sum(CASE WHEN bl.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS cont
+  FROM keptg kg LEFT JOIN bl ON kg.gram = bl.gram
+  GROUP BY kg.doc_id
+),
+clean AS (
+  SELECT k.doc_id, k.text FROM kept k
+  LEFT JOIN scored s ON k.doc_id = s.doc_id
+  WHERE coalesce(s.cont, 0) <= 0.5
+),
+surviving AS (
+  SELECT min(doc_id) AS doc_id, text FROM clean GROUP BY text
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS n_bpe_tokens
+FROM surviving"""
+
+
 def docs_hash_sample(sf_dir: str) -> Dataset:
     """Deterministic ~10% hash sample (repeatable subsampling — no RNG
     state, membership a pure function of doc_id; see
@@ -2082,6 +2184,7 @@ REGISTRY: dict = {
         _sql_lp_pivot_level_by_service,
     ),
     "events_moving_sum": (events_moving_sum, _sql_events_moving_sum),
+    "docs_prep_corpus": (docs_prep_corpus, _sql_docs_prep_corpus),
 }
 
 
