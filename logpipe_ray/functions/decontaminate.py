@@ -90,6 +90,90 @@ def contamination_fraction(
     return out
 
 
+# above this many distinct blocklist n-grams, decontaminate() switches
+# the broadcast representation to a Bloom filter automatically
+BLOOM_THRESHOLD_NGRAMS = 5_000_000
+
+
+class BloomFilter:
+    """Vectorized Bloom filter over uint64 hashes (numpy bitset).
+
+    For blocklists too large to broadcast as an exact hash set: m bits
+    + k probes, all membership tests vectorized (no per-item Python).
+    No false negatives — a contaminated doc can never slip through;
+    false positives over-flag at rate ~(1 - e^{-kn/m})^k, so size m
+    for the target rate (~10 bits/element => ~1% at k=7)."""
+
+    def __init__(self, m_bits: int, k: int = 7):
+        self.m = int(m_bits)
+        self.k = k
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        # double hashing: pos_i = (h1 + i*h2) mod m, derived from the
+        # 64-bit input hash — standard Kirsch-Mitzenmacher
+        from .dedup import _splitmix
+
+        h1 = h.astype(np.uint64)
+        h2 = _splitmix(h1) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m)).astype(
+                np.int64
+            )
+
+    def add(self, h: np.ndarray) -> None:
+        pos = self._positions(h).reshape(-1)
+        np.bitwise_or.at(
+            self.bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+        )
+
+    def contains(self, h: np.ndarray) -> np.ndarray:
+        if h.size == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(h)
+        word = self.bits[pos >> 6]
+        bit = (word >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+        return bit.all(axis=0).astype(bool)
+
+
+def build_blocklist_bloom(
+    texts: list[str], n: int = 3, bits_per_elem: int = 10, k: int = 7
+) -> BloomFilter:
+    """Bloom-filter form of build_blocklist_ngrams for blocklists too
+    large to broadcast exactly (~1.25 bytes/element vs 8)."""
+    hashes = build_blocklist_ngrams(texts, n)
+    bf = BloomFilter(max(64, len(hashes) * bits_per_elem), k)
+    bf.add(hashes)
+    return bf
+
+
+def contamination_fraction_bloom(
+    texts: pa.Array, bloom: BloomFilter, n: int = 3
+) -> np.ndarray:
+    """contamination_fraction against a Bloom filter — identical shape,
+    membership via vectorized bitset probes. Never under-reports."""
+    h, lengths = _word_hashes(texts)
+    sh, sl = _shingle_hashes(h, lengths, n)
+    hits = bloom.contains(sh)
+    out = np.zeros(len(sl))
+    starts = np.zeros(len(sl), dtype=np.int64)
+    np.cumsum(sl[:-1], out=starts[1:])
+    nz = sl > 0
+    if hits.size:
+        sums = np.add.reduceat(hits.astype(np.int64), starts[nz.nonzero()[0]])
+        out[nz] = sums / sl[nz]
+    # same short-doc backstop as contamination_fraction
+    short_rows = ((lengths > 0) & (lengths < n)).nonzero()[0]
+    for r in short_rows:
+        sub = texts.slice(r, 1)
+        hh, ll = _word_hashes(sub)
+        s2, _ = _shingle_hashes(hh, ll, int(lengths[r]))
+        if s2.size and bloom.contains(s2).all():
+            out[r] = 1.0
+    return out
+
+
 def decontaminate(
     ds: Dataset,
     blocklist_texts: list[str],
@@ -97,17 +181,34 @@ def decontaminate(
     n: int = 3,
     max_overlap: float = 0.2,
     keep_contaminated: bool = False,
+    use_bloom: bool | None = None,
 ) -> Dataset:
     """Filter out documents whose n-gram overlap with the blocklist
-    exceeds ``max_overlap`` (or keep ONLY those, for auditing)."""
-    bl_ref = ray.put(build_blocklist_ngrams(blocklist_texts, n))
+    exceeds ``max_overlap`` (or keep ONLY those, for auditing).
+
+    ``use_bloom=None`` (default) switches to the Bloom-filter
+    representation automatically above BLOOM_THRESHOLD_NGRAMS distinct
+    blocklist n-grams (~1.25 bytes/element broadcast instead of 8;
+    false positives only over-flag — never under-report)."""
+    hashes = build_blocklist_ngrams(blocklist_texts, n)
+    if use_bloom is None:
+        use_bloom = len(hashes) > BLOOM_THRESHOLD_NGRAMS
+    if use_bloom:
+        bf = BloomFilter(max(64, len(hashes) * 10), 7)
+        bf.add(hashes)
+        bl_ref = ray.put(bf)
+    else:
+        bl_ref = ray.put(hashes)
 
     def fn(batch: pa.Table) -> pa.Table:
         bl = ray.get(bl_ref)
         text = batch[text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        frac = contamination_fraction(text, bl, n)
+        if isinstance(bl, BloomFilter):
+            frac = contamination_fraction_bloom(text, bl, n)
+        else:
+            frac = contamination_fraction(text, bl, n)
         out = batch.append_column("contamination", pa.array(frac))
         mask = frac > max_overlap if keep_contaminated else frac <= max_overlap
         return out.filter(pa.array(mask))

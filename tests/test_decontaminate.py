@@ -67,3 +67,47 @@ def test_short_blocklist_entries_caught():
     texts = pa.array(["answer fortytwo", "x", "unrelated words here entirely"])
     frac = contamination_fraction(texts, bl, n=3)
     assert frac[0] == 1.0 and frac[1] == 1.0 and frac[2] == 0.0
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp():
+    import numpy as np
+
+    from logpipe_ray.functions.decontaminate import BloomFilter
+
+    rng = np.random.default_rng(1)
+    members = rng.integers(0, 1 << 63, 50_000, dtype=np.uint64)
+    others = rng.integers(0, 1 << 63, 50_000, dtype=np.uint64)
+    others = others[~np.isin(others, members)]
+    bf = BloomFilter(len(members) * 10, 7)
+    bf.add(members)
+    assert bf.contains(members).all()  # no false negatives, ever
+    fp = bf.contains(others).mean()
+    assert fp < 0.02  # ~1% at 10 bits/elem, k=7
+
+
+def test_decontaminate_bloom_matches_exact(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from logpipe_ray.functions.decontaminate import decontaminate
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog",
+        "completely unrelated words here about databases and rayon",
+        "the quick brown fox jumps high",  # shares 3-grams with doc0
+        "tiny doc",
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": docs})
+    bl = [docs[0]]
+    exact = decontaminate(
+        rd.from_arrow(t), bl, n=3, max_overlap=0.3, use_bloom=False
+    ).to_pandas()
+    bloom = decontaminate(
+        rd.from_arrow(t), bl, n=3, max_overlap=0.3, use_bloom=True
+    ).to_pandas()
+    # at this size the Bloom FP rate is ~0, so outputs are identical
+    assert sorted(exact["doc_id"]) == sorted(bloom["doc_id"])
+    assert list(exact.sort_values("doc_id")["contamination"]) == list(
+        bloom.sort_values("doc_id")["contamination"]
+    )
