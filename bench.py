@@ -85,6 +85,7 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "docs_minhash_dedup",
             "seq_bigram_topk",
             "embeddings_knn_join",
+            "docs_prep_corpus",
         ]
         all_q = Q.queries()
         for name in bench_queries:
