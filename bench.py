@@ -186,20 +186,35 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = one(lo), one(hi)
-    rows = r_lo["rows"]
-    thr_lo = round(rows / r_lo["value"], 1)
-    thr_hi = round(rows / r_hi["value"], 1)
+    # This VM's throughput drifts up to ~2x across hours and the two
+    # levels run minutes apart, so a single pair can catch one level in
+    # a slow phase and corrupt the RATIO (observed: a 16-cpu run 2x
+    # slower than its sibling an hour earlier). Noise only ever
+    # subtracts from true capability, so run alternating rounds and
+    # take each level's best wall time before forming the ratio.
+    rounds = int(os.environ.get("LOGPIPE_SCALING_ROUNDS", "2"))
+    runs = {lo: [], hi: []}
+    for _ in range(rounds):
+        for ncpu in (lo, hi):
+            runs[ncpu].append(one(ncpu))
+    rows = runs[lo][0]["rows"]
+    best_lo = min(r["value"] for r in runs[lo])
+    best_hi = min(r["value"] for r in runs[hi])
+    thr_lo = round(rows / best_lo, 1)
+    thr_hi = round(rows / best_hi, 1)
     eff = (thr_hi / thr_lo) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "pipeline": "flagship parse->enrich->route->aggregate, null sink",
         "rows": rows,
-        f"sec_{lo}": r_lo["value"],
-        f"sec_{hi}": r_hi["value"],
+        f"sec_{lo}": best_lo,
+        f"sec_{hi}": best_hi,
+        f"all_sec_{lo}": [r["value"] for r in runs[lo]],
+        f"all_sec_{hi}": [r["value"] for r in runs[hi]],
         f"seq_per_sec_{lo}": thr_lo,
         f"seq_per_sec_{hi}": thr_hi,
         "cpus": [lo, hi],
+        "rounds": rounds,
         "scaling_efficiency": round(eff, 3),
     }
 
