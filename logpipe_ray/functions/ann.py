@@ -245,15 +245,14 @@ def knn_self_join(
     """
     import ray
 
+    n_rows = ds.count()
+    if n_rows > broadcast_limit_rows:
+        # beyond the broadcast budget: route through the distributed
+        # IVF co-partitioned join (approximate; recall set by nprobe)
+        return knn_self_join_ivf(ds, k=k, vec_col=vec_col, id_col=id_col)
     base = pa.concat_tables(
         [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
     )
-    if base.num_rows > broadcast_limit_rows:
-        raise ValueError(
-            f"base side has {base.num_rows} vectors > broadcast_limit_rows="
-            f"{broadcast_limit_rows}; use build_ivf_centroids + ivf_topk "
-            "per query batch for bases that exceed the broadcast budget"
-        )
     base_ids = np.asarray(base[id_col], dtype=np.int64)
     base_mat = _normalize(_vec_matrix(base[vec_col]).astype(np.float64))
     base_ref = ray.put((base_ids, base_mat))
@@ -293,3 +292,135 @@ def knn_self_join(
         )
 
     return ds.map_batches(batch_knn, batch_format="pyarrow")
+
+
+def knn_self_join_ivf(
+    ds: Dataset,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 32,
+    nprobe: int = 8,
+) -> Dataset:
+    """Distributed approximate KNN self-join via IVF co-partitioning —
+    the scale route when the base matrix exceeds the broadcast budget.
+
+    Plan: k-means centroids (mergeable partial sums) -> every vector
+    joins its assigned list (one row), every QUERY joins its nprobe
+    closest lists (nprobe rows) -> one keyed shuffle on list_id
+    co-locates each list's base vectors with the queries probing it ->
+    per-list vectorized matmul + local top-k -> per-query merge of the
+    <= k x nprobe survivors. Only (list_id, id, vector) rows move;
+    per-reducer work is O(list size x probing queries), never
+    all-pairs. Approximate: recall is governed by nprobe/n_centroids
+    (pytest asserts >= 0.8 against the exact join on clustered data).
+    """
+    import pandas as pd
+
+    cents = build_ivf_centroids(ds, n_centroids=n_centroids, id_col=id_col)
+    c_ref = ray.put(cents)
+
+    def assign_base(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = _vec_matrix(t[vec_col]).astype(np.float64)
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "list_id": pa.array([], pa.int32()),
+                    "vid": pa.array([], pa.int64()),
+                    "unit": pa.array([], pa.list_(pa.float32())),
+                    "side": pa.array([], pa.int8()),
+                }
+            )
+        assign = np.argmin(
+            ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1
+        )
+        unit = _normalize(m).astype(np.float32)
+        return pa.table(
+            {
+                "list_id": pa.array(assign.astype(np.int32)),
+                "vid": pa.array(ids),
+                "unit": pa.array(list(unit)),
+                "side": pa.array(np.zeros(len(ids), np.int8)),
+            }
+        )
+
+    def assign_query(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = _vec_matrix(t[vec_col]).astype(np.float64)
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "list_id": pa.array([], pa.int32()),
+                    "vid": pa.array([], pa.int64()),
+                    "unit": pa.array([], pa.list_(pa.float32())),
+                    "side": pa.array([], pa.int8()),
+                }
+            )
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        probe = np.argsort(d2, axis=1)[:, :nprobe]  # (n, nprobe)
+        unit = _normalize(m).astype(np.float32)
+        n = len(ids)
+        return pa.table(
+            {
+                "list_id": pa.array(probe.reshape(-1).astype(np.int32)),
+                "vid": pa.array(np.repeat(ids, nprobe)),
+                "unit": pa.array(list(np.repeat(unit, nprobe, axis=0))),
+                "side": pa.array(np.ones(n * nprobe, np.int8)),
+            }
+        )
+
+    tagged = ds.map_batches(assign_base, batch_format="pyarrow").union(
+        ds.map_batches(assign_query, batch_format="pyarrow")
+    )
+
+    def per_list(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
+        b = df[df["side"] == 0]
+        q = df[df["side"] == 1]
+        if len(b) == 0 or len(q) == 0:
+            return empty
+        bm = np.stack(b["unit"].to_numpy()).astype(np.float64)
+        qm = np.stack(q["unit"].to_numpy()).astype(np.float64)
+        bids = b["vid"].to_numpy()
+        qids = q["vid"].to_numpy()
+        sims = qm @ bm.T
+        sims[qids[:, None] == bids[None, :]] = -np.inf  # self-exclusion
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        top_sims = np.take_along_axis(sims, top, axis=1)
+        keep = np.isfinite(top_sims.reshape(-1))
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, kk)[keep],
+                "neighbor_id": bids[top].reshape(-1)[keep],
+                "sim": top_sims.reshape(-1)[keep],
+            }
+        )
+
+    pairs = tagged.groupby("list_id").map_groups(per_list, batch_format="pandas")
+
+    def merge_query(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = (
+            df.drop_duplicates(["query_id", "neighbor_id"])
+            .sort_values(["sim", "neighbor_id"], ascending=[False, True],
+                         kind="mergesort")
+            .head(k)
+        )
+        return pd.DataFrame(
+            {
+                "query_id": df["query_id"].to_numpy(),
+                "rank": np.arange(len(df), dtype=np.int32),
+                "neighbor_id": df["neighbor_id"].to_numpy(),
+            }
+        )
+
+    return pairs.groupby("query_id").map_groups(merge_query, batch_format="pandas")

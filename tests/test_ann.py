@@ -92,20 +92,48 @@ def test_knn_self_join_matches_bruteforce(ray_session):
         assert sub["neighbor_id"].tolist() == order
 
 
-def test_knn_self_join_guard(ray_session):
+def test_knn_self_join_ivf_route_recall(ray_session):
+    """Above the broadcast guard, knn_self_join routes through the
+    distributed IVF co-partitioned join; on clustered data its
+    neighbors must overlap the exact join's >= 80%."""
     import numpy as np
     import pyarrow as pa
-    import pytest as _pytest
 
     import ray.data as rd
 
     from logpipe_ray.functions.ann import knn_self_join
 
+    rng = np.random.default_rng(8)
+    n_clusters, per = 16, 60
+    centers = rng.standard_normal((n_clusters, 16)) * 6
+    vecs = np.concatenate(
+        [centers[i] + rng.standard_normal((per, 16)) for i in range(n_clusters)]
+    ).astype(np.float32)
+    n = len(vecs)
     t = pa.table(
         {
-            "vec_id": pa.array(range(10), pa.int64()),
-            "embedding": pa.array([[1.0, 0.0]] * 10, pa.list_(pa.float32())),
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
         }
     )
-    with _pytest.raises(ValueError, match="broadcast_limit_rows"):
-        knn_self_join(rd.from_arrow(t), k=2, broadcast_limit_rows=5)
+    ds = rd.from_arrow(t).repartition(4)
+    exact = (
+        knn_self_join(ds, k=3)
+        .to_pandas()
+        .groupby("query_id")["neighbor_id"]
+        .apply(set)
+    )
+    approx = (
+        knn_self_join(ds, k=3, broadcast_limit_rows=10)  # force IVF route
+        .to_pandas()
+        .groupby("query_id")["neighbor_id"]
+        .apply(set)
+    )
+    hits = total = 0
+    for q, want in exact.items():
+        got = approx.get(q, set())
+        hits += len(want & got)
+        total += len(want)
+    assert total > 0 and hits / total >= 0.8
