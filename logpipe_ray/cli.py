@@ -5,7 +5,8 @@
     python -m logpipe_ray generate SF_DIR           # sequences fixture
 
 Flag mapping (reference bin/logpipe.js:20-52):
-  --filter field:value (repeatable, conjunction; value '~re' = regex)
+  --filter field:value (repeatable, conjunction; value '~re' = regex,
+                        '\~x' = literal value starting with '~')
   --select a,b,meta.env      field projection (dot-paths)
   --count-by KEY             per-key counts
   --stats KEY:VALUE          per-key numeric stats
