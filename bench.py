@@ -175,7 +175,7 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
 
     def one(ncpu: int) -> dict:
         cmd = [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(ncpu)]
-        if shutil.which("taskset"):
+        if shutil.which("taskset") and ncpu <= (os.cpu_count() or 0):
             # pin the whole process tree (driver + raylet + workers) to
             # ncpu physical cores so an "N-cpu node" really has N cores
             # — library-internal threads (Arrow readers) can't borrow

@@ -1,4 +1,4 @@
-"""CLI — parity with the reference's bin/logpipe.js surface.
+r"""CLI — parity with the reference's bin/logpipe.js surface.
 
     python -m logpipe_ray run INPUT [options]       # transform chain
     python -m logpipe_ray flagship IN_DIR OUT_DIR   # full pipeline + manifest

@@ -709,10 +709,13 @@ def cluster_min_label(
     map_batches — zero shuffle); above that, labels are attached with
     a distributed hash join. Either way each block emits per-block
     partial (node, min(candidate)) rows, so the global groupby only
-    shuffles O(#nodes) rows per round, never O(#edges). Rounds are
-    O(graph diameter) — near-dup graphs are dense clusters with tiny
-    diameters. Convergence is detected by the monotone label sum going
-    flat; exceeding ``max_rounds`` raises instead of silently
+    shuffles O(#nodes) rows per round, never O(#edges). Each round
+    ends with a pointer-jumping pass (label <- label[label], valid
+    because labels are node ids and only ever decrease), so chains
+    collapse doubly per round and convergence is O(log diameter)
+    rounds — a path graph of 10^19 nodes converges within the default
+    64-round budget. Convergence is detected by the monotone label sum
+    going flat; exceeding ``max_rounds`` raises instead of silently
     returning partially-merged labels.
 
     Requires non-negative integer node ids. Returns a Dataset of
@@ -811,6 +814,52 @@ def cluster_min_label(
             )
             .materialize()
         )
+        # pointer jumping: label <- label[label]. Every label value is
+        # itself a node (labels are propagated node ids), label[x] <= x,
+        # and labels only decrease, so one application halves remaining
+        # chain depth -> O(log diameter) rounds instead of O(diameter).
+        if n_nodes <= broadcast_node_limit:
+            blocks = [t for t in ray.get(labels.to_arrow_refs()) if t.num_columns]
+            lab_tbl = pa.concat_tables(blocks)
+            jump_ref = ray.put(
+                (
+                    lab_tbl["node"].combine_chunks(),
+                    lab_tbl["label"].combine_chunks(),
+                )
+            )
+
+            def jump(t: pa.Table, _ref=jump_ref) -> pa.Table:
+                nodes, labs = ray.get(_ref)
+                pos = pc.index_in(t["label"], value_set=nodes)
+                lab2 = pc.take(labs, pos)
+                return pa.table(
+                    {
+                        "node": t["node"],
+                        "label": pc.if_else(pc.is_valid(lab2), lab2, t["label"]),
+                    }
+                )
+
+            labels = labels.map_batches(jump, batch_format="pyarrow").materialize()
+        else:
+            lab2 = labels.map_batches(
+                lambda t: pa.table({"jnode": t["node"], "jlabel": t["label"]}),
+                batch_format="pyarrow",
+            ).repartition(n_parts)
+            labels = (
+                labels.repartition(n_parts)
+                .join(
+                    lab2,
+                    join_type="inner",  # every label value exists as a node
+                    num_partitions=n_parts,
+                    on=("label",),
+                    right_on=("jnode",),
+                )
+                .map_batches(
+                    lambda t: pa.table({"node": t["node"], "label": t["jlabel"]}),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
             return labels
@@ -834,6 +883,7 @@ def dup_clusters(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     driver_pair_limit: int = DRIVER_PAIR_LIMIT,
+    max_rounds: int = 64,
     **kw,
 ) -> pa.Table:
     """Near-dup clusters: MinHash-LSH candidates -> exact-Jaccard
@@ -864,7 +914,7 @@ def dup_clusters(
             {"doc_id": list(labels), "cluster_id": list(labels.values())}
         )
     else:
-        lab_ds = cluster_min_label(pairs_ds)
+        lab_ds = cluster_min_label(pairs_ds, max_rounds=max_rounds)
         df = lab_ds.to_pandas().rename(
             columns={"node": "doc_id", "label": "cluster_id"}
         )
@@ -969,6 +1019,7 @@ def dedup_corpus_ids(
     id_col: str = "doc_id",
     threshold: float = 0.6,
     driver_pair_limit: int = DRIVER_PAIR_LIMIT,
+    max_rounds: int = 64,
     **kw,
 ) -> Dataset:
     """Surviving doc ids after near-dup removal (keep the min doc id
@@ -999,7 +1050,7 @@ def dedup_corpus_ids(
         drop = [n for n, root in labels.items() if n != root]
         drop_ref = ray.put(pa.array(drop, pa.int64()))
         return semi_join_filter(ids, id_col, drop_ref, anti=True)
-    lab_ds = cluster_min_label(pairs_ds)
+    lab_ds = cluster_min_label(pairs_ds, max_rounds=max_rounds)
     node_only = pa.schema([("node", pa.int64())])
 
     def drop_fn(t: pa.Table) -> pa.Table:

@@ -347,9 +347,21 @@ def run_flagship(
                             int(pc.sum(g["shard_rows_max"]).as_py() or 0)
                         )
                         chunks.append(b)
-                partials_df = pa.concat_tables(chunks).to_pandas() if chunks else (
-                    pa.table({}).to_pandas()
+                # zero-partial fallback keeps the partials schema so the
+                # groupby(['source','sink']) below can't KeyError
+                _empty = pa.table(
+                    {
+                        "source": pa.array([], pa.string()),
+                        "sink": pa.array([], pa.string()),
+                        "cnt": pa.array([], pa.int64()),
+                        "shard": pa.array([], pa.string()),
+                        "shard_rows": pa.array([], pa.int64()),
+                        "shard_wall_s": pa.array([], pa.float64()),
+                    }
                 )
+                partials_df = (
+                    pa.concat_tables(chunks) if chunks else _empty
+                ).to_pandas()
             counts_tbl = (
                 partials_df.groupby(["source", "sink"], as_index=False)["cnt"]
                 .sum()

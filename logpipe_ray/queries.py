@@ -2101,73 +2101,21 @@ def mm_features(sf_dir: str):
 # ----------------------------------------------------------------- registry
 
 # name -> (ray_fn, sql_fn | None)
+#
+# ORDER MATTERS: the driver evaluates exactly the FIRST 50 entries of
+# queries().  The window below is curated (round 3) so that every query
+# that has never produced a driver CORRECTNESS row sits inside it —
+# all 17 round-2 additions, oracled ones first — alongside the
+# SURVEY-§2-critical lp_* pipeline queries and one representative per
+# operator family.  Entries after the PARKED marker all hold green
+# driver rows from rounds 1 AND 2 (rows+schema+hash) and are redundant
+# variants of in-window queries; they remain callable and are still
+# exercised by scripts/check_correctness.py and pytest.
 REGISTRY: dict = {
-    "lp_route_counts": (lp_route_counts, _sql_lp_route_counts),
-    "lp_count_by_level": (lp_count_by_level, _sql_lp_count_by_level),
-    "lp_count_by_sink": (lp_count_by_sink, _sql_lp_count_by_sink),
-    "lp_stats_by_level": (lp_stats_by_level, _sql_lp_stats_by_level),
-    "lp_errors_rows": (lp_errors_rows, _sql_lp_errors_rows),
-    "lp_deadletter_rows": (lp_deadletter_rows, _sql_lp_deadletter_rows),
-    "lp_slow_rows": (lp_slow_rows, _sql_lp_slow_rows),
-    "lp_parsed_fields": (lp_parsed_fields, _sql_lp_parsed_fields),
-    "lp_enriched": (lp_enriched, _sql_lp_enriched),
-    "lp_filter_regex": (lp_filter_regex, _sql_lp_filter_regex),
-    "lp_top_slow": (lp_top_slow, _sql_lp_top_slow),
-    "lp_tag_counts": (lp_tag_counts, _sql_lp_tag_counts),
-    "lp_user_sessions": (lp_user_sessions, _sql_lp_user_sessions),
-    "q1_lineitem": (q1_lineitem, _sql_q1_lineitem),
-    "events_by_type": (events_by_type, _sql_events_by_type),
-    "orders_by_mktsegment": (orders_by_mktsegment, _sql_orders_by_mktsegment),
-    "docs_lang_count": (docs_lang_count, _sql_docs_lang_count),
-    "docs_token_count": (docs_token_count, _sql_docs_token_count),
-    "docs_lang_token_totals": (docs_lang_token_totals, _sql_docs_lang_token_totals),
-    "docs_exact_dedup": (docs_exact_dedup, _sql_docs_exact_dedup),
-    "docs_quality": (docs_quality, _sql_docs_quality),
-    "lp_anti_filter": (lp_anti_filter, _sql_lp_anti_filter),
-    "events_hourly": (events_hourly, _sql_events_hourly),
-    "events_sessionize": (events_sessionize, _sql_events_sessionize),
-    "events_distinct_types": (events_distinct_types, _sql_events_distinct_types),
-    "events_median_value": (events_median_value, _sql_events_median_value),
-    "top_orders": (top_orders, _sql_top_orders),
-    "customers_per_region": (customers_per_region, _sql_customers_per_region),
-    "order_size_histogram": (order_size_histogram, _sql_order_size_histogram),
-    "revenue_by_orderpriority": (revenue_by_orderpriority, _sql_revenue_by_orderpriority),
-    "revenue_by_orderpriority_cogroup": (
-        revenue_by_orderpriority_cogroup,
-        _sql_revenue_by_orderpriority_cogroup,
-    ),
-    "purchases_asof_last_click": (
-        purchases_asof_last_click,
-        _sql_purchases_asof_last_click,
-    ),
-    "lineitem_semi_high_value": (lineitem_semi_high_value, _sql_lineitem_semi_high_value),
-    "lineitem_anti_high_value": (lineitem_anti_high_value, _sql_lineitem_anti_high_value),
-    "seq_token_frequency": (seq_token_frequency, _sql_seq_token_frequency),
-    "seq_len_histogram": (seq_len_histogram, _sql_seq_len_histogram),
-    "seq_pack_stats": (seq_pack_stats, None),
-    "events_approx_distinct_users": (
-        events_approx_distinct_users,
-        _sql_events_approx_distinct_users,
-    ),
-    "lp_rt_histogram": (lp_rt_histogram, _sql_lp_rt_histogram),
-    "docs_bpe_token_count": (docs_bpe_token_count, _sql_docs_bpe_token_count),
-    "ann_brute_topk": (ann_brute_topk, _sql_ann_brute_topk),
-    # rows-only (non-SQL-expressible: LSH/sketch/heuristic/stub ops)
-    "lp_union_errors_slow": (lp_union_errors_slow, _sql_lp_union_errors_slow),
-    "docs_redacted": (docs_redacted, _sql_docs_redacted),
-    "docs_decontaminate_audit": (docs_decontaminate_audit, _sql_docs_decontaminate_audit),
-    "docs_minhash_dedup": (docs_minhash_dedup, None),
-    "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
-    "docs_dup_clusters": (docs_dup_clusters, None),
-    "docs_dedup_corpus": (docs_dedup_corpus, None),
-    "seq_vocab_coverage": (seq_vocab_coverage, _sql_seq_vocab_coverage),
-    "docs_simhash_pairs": (docs_simhash_pairs, None),
-    "embeddings_neardup": (embeddings_neardup, None),
+    # -- never-driver-checked round-2 additions, oracled (11) --
     "docs_langid": (docs_langid, _sql_docs_langid),
     "docs_quality_score": (docs_quality_score, _sql_docs_quality_score),
     "docs_fingerprint": (docs_fingerprint, _sql_docs_fingerprint),
-    "ann_ivf_topk": (ann_ivf_topk, None),
-    "mm_features": (mm_features, None),
     "docs_hash_sample": (docs_hash_sample, _sql_docs_hash_sample),
     "seq_bigram_topk": (seq_bigram_topk, _sql_seq_bigram_topk),
     "docs_top_quality_per_lang": (
@@ -2175,9 +2123,6 @@ REGISTRY: dict = {
         _sql_docs_top_quality_per_lang,
     ),
     "embeddings_knn_join": (embeddings_knn_join, _sql_embeddings_knn_join),
-    "events_value_quantiles": (events_value_quantiles, None),
-    "mm_resized": (mm_resized, None),
-    "mm_frame_sample": (mm_frame_sample, None),
     "seq_vocab_pruned": (seq_vocab_pruned, _sql_seq_vocab_pruned),
     "lp_pivot_level_by_service": (
         lp_pivot_level_by_service,
@@ -2185,6 +2130,81 @@ REGISTRY: dict = {
     ),
     "events_moving_sum": (events_moving_sum, _sql_events_moving_sum),
     "docs_prep_corpus": (docs_prep_corpus, _sql_docs_prep_corpus),
+    # -- never-driver-checked round-2 additions, rows-only (6) --
+    "embeddings_neardup": (embeddings_neardup, None),
+    "ann_ivf_topk": (ann_ivf_topk, None),
+    "mm_features": (mm_features, None),
+    "mm_resized": (mm_resized, None),
+    "mm_frame_sample": (mm_frame_sample, None),
+    "events_value_quantiles": (events_value_quantiles, None),
+    # -- SURVEY-§2 log-pipeline core (10) --
+    "lp_route_counts": (lp_route_counts, _sql_lp_route_counts),
+    "lp_count_by_level": (lp_count_by_level, _sql_lp_count_by_level),
+    "lp_stats_by_level": (lp_stats_by_level, _sql_lp_stats_by_level),
+    "lp_deadletter_rows": (lp_deadletter_rows, _sql_lp_deadletter_rows),
+    "lp_parsed_fields": (lp_parsed_fields, _sql_lp_parsed_fields),
+    "lp_enriched": (lp_enriched, _sql_lp_enriched),
+    "lp_filter_regex": (lp_filter_regex, _sql_lp_filter_regex),
+    "lp_user_sessions": (lp_user_sessions, _sql_lp_user_sessions),
+    "lp_anti_filter": (lp_anti_filter, _sql_lp_anti_filter),
+    "lp_union_errors_slow": (lp_union_errors_slow, _sql_lp_union_errors_slow),
+    # -- relational / join representatives (4) --
+    "q1_lineitem": (q1_lineitem, _sql_q1_lineitem),
+    "revenue_by_orderpriority": (revenue_by_orderpriority, _sql_revenue_by_orderpriority),
+    "purchases_asof_last_click": (
+        purchases_asof_last_click,
+        _sql_purchases_asof_last_click,
+    ),
+    "lineitem_semi_high_value": (lineitem_semi_high_value, _sql_lineitem_semi_high_value),
+    # -- events / windows / sketches (4) --
+    "events_hourly": (events_hourly, _sql_events_hourly),
+    "events_sessionize": (events_sessionize, _sql_events_sessionize),
+    "events_median_value": (events_median_value, _sql_events_median_value),
+    "events_approx_distinct_users": (
+        events_approx_distinct_users,
+        _sql_events_approx_distinct_users,
+    ),
+    # -- documents / dedup / decontamination (9) --
+    "docs_exact_dedup": (docs_exact_dedup, _sql_docs_exact_dedup),
+    "docs_bpe_token_count": (docs_bpe_token_count, _sql_docs_bpe_token_count),
+    "docs_redacted": (docs_redacted, _sql_docs_redacted),
+    "docs_decontaminate_audit": (docs_decontaminate_audit, _sql_docs_decontaminate_audit),
+    "docs_minhash_dedup": (docs_minhash_dedup, None),
+    "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
+    "docs_dup_clusters": (docs_dup_clusters, None),
+    "docs_dedup_corpus": (docs_dedup_corpus, None),
+    "docs_simhash_pairs": (docs_simhash_pairs, None),
+    # -- sequences / tokens (3) --
+    "seq_token_frequency": (seq_token_frequency, _sql_seq_token_frequency),
+    "seq_pack_stats": (seq_pack_stats, None),
+    "seq_vocab_coverage": (seq_vocab_coverage, _sql_seq_vocab_coverage),
+    # -- ANN (1) --
+    "ann_brute_topk": (ann_brute_topk, _sql_ann_brute_topk),
+    # ================= PARKED (after driver's 50-entry window) =======
+    # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
+    # of in-window queries, kept for the library surface + mini-driver.
+    "lp_count_by_sink": (lp_count_by_sink, _sql_lp_count_by_sink),
+    "lp_errors_rows": (lp_errors_rows, _sql_lp_errors_rows),
+    "lp_slow_rows": (lp_slow_rows, _sql_lp_slow_rows),
+    "lp_top_slow": (lp_top_slow, _sql_lp_top_slow),
+    "lp_tag_counts": (lp_tag_counts, _sql_lp_tag_counts),
+    "lp_rt_histogram": (lp_rt_histogram, _sql_lp_rt_histogram),
+    "events_by_type": (events_by_type, _sql_events_by_type),
+    "events_distinct_types": (events_distinct_types, _sql_events_distinct_types),
+    "orders_by_mktsegment": (orders_by_mktsegment, _sql_orders_by_mktsegment),
+    "docs_lang_count": (docs_lang_count, _sql_docs_lang_count),
+    "docs_token_count": (docs_token_count, _sql_docs_token_count),
+    "docs_lang_token_totals": (docs_lang_token_totals, _sql_docs_lang_token_totals),
+    "docs_quality": (docs_quality, _sql_docs_quality),
+    "top_orders": (top_orders, _sql_top_orders),
+    "customers_per_region": (customers_per_region, _sql_customers_per_region),
+    "order_size_histogram": (order_size_histogram, _sql_order_size_histogram),
+    "revenue_by_orderpriority_cogroup": (
+        revenue_by_orderpriority_cogroup,
+        _sql_revenue_by_orderpriority_cogroup,
+    ),
+    "lineitem_anti_high_value": (lineitem_anti_high_value, _sql_lineitem_anti_high_value),
+    "seq_len_histogram": (seq_len_histogram, _sql_seq_len_histogram),
 }
 
 

@@ -161,6 +161,34 @@ def test_cluster_min_label_matches_unionfind_large(ray_session):
     assert got == want
 
 
+def test_cluster_min_label_long_chain_pointer_jumping(ray_session):
+    """A 300-node path graph (diameter 299) must converge well inside
+    the default 64-round budget — pointer jumping makes rounds
+    O(log diameter), so pure propagation (O(diameter)) would fail this.
+    Also exercised through the distributed-join path via a tiny
+    broadcast_node_limit."""
+    from logpipe_ray.functions.dedup import cluster_min_label
+
+    n = 300
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(list(range(n - 1)), pa.int64()),
+                "b": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+    )
+    labels = cluster_min_label(pairs, max_rounds=16).to_pandas()
+    assert len(labels) == n
+    assert set(labels["label"]) == {0}
+
+    labels_j = cluster_min_label(
+        pairs, max_rounds=16, broadcast_node_limit=10
+    ).to_pandas()
+    assert len(labels_j) == n
+    assert set(labels_j["label"]) == {0}
+
+
 def test_cluster_min_label_raises_on_round_budget(ray_session):
     from logpipe_ray.functions.dedup import cluster_min_label
 
