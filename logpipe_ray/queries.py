@@ -803,30 +803,18 @@ SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
 FROM o GROUP BY user_id"""
 
 
-def events_median_value(sf_dir: str) -> Dataset:
-    """Exact per-group median (linear interpolation): values co-located
-    per key via groupby, computed with numpy inside map_groups. Exact
-    quantiles are not partial-mergeable — at 100 TB group sizes use a
-    quantile sketch instead; this is the exact path for key-bounded
-    groups."""
+def events_median_value(sf_dir: str) -> pa.Table:
+    """Exact per-group median (linear interpolation, = quantile_cont)
+    via distributed selection: histogram-bracket refinement + one
+    bounded collect pass (grouped_exact_median). event_type is a hot
+    low-cardinality key, so the naive groupby(key).map_groups would
+    hand one reducer a whole type's history at 100 TB; here no reducer
+    or the driver ever holds more than collect_limit values of any
+    group."""
+    from .stages.aggregate import grouped_exact_median
+
     ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
-
-    def med(df):
-        import numpy as np
-        import pandas as pd
-
-        return pd.DataFrame(
-            [
-                {
-                    "event_type": df["event_type"].iloc[0],
-                    "median_value": float(
-                        np.percentile(df["value"].to_numpy(), 50, method="linear")
-                    ),
-                }
-            ]
-        )
-
-    return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+    return grouped_exact_median(ds, key="event_type", value_col="value")
 
 
 def _sql_events_median_value(sf_dir: str) -> str:
@@ -1732,32 +1720,58 @@ FROM parsed WHERE parse_ok GROUP BY service"""
 
 def events_moving_sum(sf_dir: str) -> Dataset:
     """Per-type rolling window: 3-row moving sum of value-cents over
-    (ts, event_id) order — the sliding-window aggregate shape. Keyed
-    shuffle co-locates each type's history; the window itself is a
-    vectorized pandas rolling over the sorted group. Cents (floor of
-    value*100) keep both sides integer-exact for the hash compare.
-    Partitioning note: event_type is low-cardinality/hot — at 100 TB
-    salt by time range so one reducer never holds a whole type."""
+    (ts, event_id) order — the sliding-window aggregate shape. Cents
+    (floor of value*100) keep both sides integer-exact for the hash
+    compare.
+
+    Scale shape (event_type is low-cardinality/hot, so a per-type
+    map_groups would hand one reducer a whole type's history): rows are
+    partitioned by (event_type, day bucket) via partitioned_rolling_sum
+    — per-bucket vectorized windows with the <=2-row cross-boundary
+    carry-in collected from bounded bucket tails. No reducer ever holds
+    more than one day of one type."""
+    import numpy as np
+
+    from .stages.aggregate import partitioned_rolling_sum
+
     ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
     )
 
-    def window_group(df):
-        import numpy as np
-
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        cents = np.floor(df["value"].to_numpy() * 100).astype("int64")
-        mov = (
-            __import__("pandas").Series(cents)
-            .rolling(3, min_periods=1)
-            .sum()
-            .astype("int64")
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
         )
-        return df.assign(mov_sum3=mov.to_numpy())[
-            ["event_id", "event_type", "mov_sum3"]
-        ]
+        day = pc.cast(
+            pc.floor(
+                pc.divide(
+                    pc.cast(t["ts"], pa.int64()),  # microseconds since epoch
+                    pa.scalar(86_400_000_000, pa.int64()),
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "event_type": t["event_type"],
+                "cents": cents,
+                "day": day,
+            }
+        )
 
-    return ds.groupby("event_type").map_groups(window_group, batch_format="pandas")
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return partitioned_rolling_sum(
+        prepped,
+        key="event_type",
+        order_cols=["ts", "event_id"],
+        value_col="cents",
+        window=3,
+        bucket_col="day",
+        out_col="mov_sum3",
+        keep_cols=["event_id", "event_type"],
+    )
 
 
 def _sql_events_moving_sum(sf_dir: str) -> str:

@@ -27,10 +27,12 @@ Reference quirks reproduced (documented, not accidental):
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
-from ray.data.aggregate import Max, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _partial_counts(keys: list[str]):
@@ -313,3 +315,346 @@ def grouped_top_k(
 
     pruned = ds.map_batches(local, batch_format="pandas")
     return pruned.groupby(group_keys).map_groups(local, batch_format="pandas")
+
+
+def partitioned_rolling_sum(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    bucket_col: str,
+    out_col: str = "rolling_sum",
+    keep_cols: list[str] | None = None,
+) -> Dataset:
+    """Rolling ``window``-row sum of ``value_col`` per ``key``, ordered
+    by ``order_cols`` — WITHOUT ever co-locating a whole key on one
+    reducer (keys like event_type are low-cardinality/hot: at 100 TB a
+    per-key map_groups would hand one reducer an entire type's
+    history).
+
+    Scale shape: rows are grouped by (key, bucket_col) — bucket_col
+    must be a monotone function of the leading order column (e.g. a
+    day number from ts), so bucket order == row order across buckets.
+    A rolling window of w rows needs only the previous w-1 rows across
+    a bucket boundary, so:
+
+      pass 1 (bounded): each batch emits its per-(key, bucket) last
+        w-1 rows; the concatenated tails (<= (w-1) x keys x buckets x
+        blocks rows, tiny) reduce on the driver to the true global
+        last w-1 rows preceding every bucket, broadcast via ray.put.
+      pass 2 (the real work): groupby((key, bucket)).map_groups sorts
+        ONE bucket, prepends its <= w-1 carry-in values, computes the
+        vectorized rolling sum and emits only its own rows.
+
+    Each reducer therefore holds max one bucket of one key; choose the
+    bucket granularity so that bound fits a worker.  ``value_col``
+    must be integer (exactness under the hash compare).
+    """
+    import pandas as pd
+
+    import ray
+
+    carry_n = window - 1
+    sort_by = [bucket_col] + order_cols
+
+    def tails(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(sort_by, kind="mergesort")
+        return df.groupby([key, bucket_col], sort=False).tail(carry_n)[
+            [key, bucket_col, *order_cols, value_col]
+        ]
+
+    tail_parts = ds.map_batches(tails, batch_format="pandas").to_pandas()
+    # driver-side final reduce over the bounded tail table: for each
+    # (key, bucket) the carry-in is the last w-1 rows among ALL
+    # preceding buckets; since every bucket contributed its own last
+    # w-1 rows, the global answer lies within the concatenated tails.
+    carry: dict = {}
+    for k, g in tail_parts.groupby(key, sort=False):
+        g = g.sort_values(sort_by, kind="mergesort")
+        buckets = g[bucket_col].to_numpy()
+        vals = g[value_col].to_numpy()
+        for b in pd.unique(buckets):
+            before = vals[buckets < b]
+            if len(before):
+                carry[(k, b)] = before[-carry_n:]
+    carry_ref = ray.put(carry)
+
+    keep = keep_cols if keep_cols is not None else [key, *order_cols]
+
+    def window_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        cmap = ray.get(carry_ref)
+        df = df.sort_values(order_cols, kind="mergesort")
+        pre = cmap.get((df[key].iloc[0], df[bucket_col].iloc[0]), ())
+        vals = np.concatenate(
+            [np.asarray(pre, dtype="int64"), df[value_col].to_numpy()]
+        )
+        roll = (
+            pd.Series(vals).rolling(window, min_periods=1).sum().astype("int64")
+        )
+        out = df[keep].copy()
+        out[out_col] = roll.to_numpy()[len(pre):]
+        return out
+
+    return ds.groupby([key, bucket_col]).map_groups(
+        window_group, batch_format="pandas"
+    )
+
+
+
+
+def grouped_exact_median(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    n_buckets: int = 2048,
+    collect_limit: int = 262_144,
+    max_iters: int = 8,
+) -> pa.Table:
+    """EXACT per-group median (linear interpolation, = DuckDB
+    quantile_cont 0.5) via distributed selection — no reducer or the
+    driver ever holds a whole group's values.
+
+    Exact quantiles are not partial-mergeable, so a hot key (the
+    event_type shape) breaks per-key map_groups at scale. Instead each
+    target rank (two when the group count is even) gets its own
+    selection bracket:
+
+      1. per-group (count, min, max) via native mergeable aggregates;
+      2. iterate: one streaming pass histograms each active bracket's
+         values into ``n_buckets`` equi-width buckets (per-batch
+         np.bincount partials -> small keyed sum; the shuffle is
+         O(brackets x buckets)); the driver narrows each bracket to the
+         single bucket holding its rank, with half a bucket of slack
+         each side so float edge-rounding can never drop the rank —
+         in-bracket count shrinks ~n_buckets/2 x per pass;
+      3. when a bracket holds <= ``collect_limit`` values, or is
+         narrower than ~450 ulps (a repeated value dominating it —
+         only a handful of distinct floats fit), a final pass collects
+         its DISTINCT values with counts; the rank is resolved against
+         fresh exact below-bracket counts (value comparisons only, so
+         bucket-edge float behavior cannot skew ranks).
+
+    Driver state is O(#brackets) + O(distinct collected values), the
+    same order as the result table itself. Returns an Arrow table
+    (key, median_value:float64) sorted by key.
+    """
+    import pandas as pd
+
+    import ray
+
+    base = ds.map_batches(
+        lambda t: t.select([key, value_col]).filter(pc.is_valid(t[value_col])),
+        batch_format="pyarrow",
+    )
+    stats = base.groupby(key).aggregate(
+        Count(value_col, alias_name="n"),
+        Min(value_col, alias_name="lo"),
+        Max(value_col, alias_name="hi"),
+    ).to_pandas()
+    if not len(stats):
+        return pa.table({key: pa.array([], pa.string()),
+                         "median_value": pa.array([], pa.float64())})
+
+    # one selection bracket per (group, target rank); n even -> two
+    # ranks m1 != m2, interpolated at the end
+    st: dict = {}
+    meta: dict = {}
+    for _, r in stats.iterrows():
+        n = int(r["n"])
+        h = (n - 1) * 0.5
+        m1, m2 = int(np.floor(h)), int(np.ceil(h))
+        meta[r[key]] = {"h": h, "m1": m1, "m2": m2}
+        for rank in {m1, m2}:
+            st[(r[key], rank)] = {
+                "r": rank, "lo": float(r["lo"]), "hi": float(r["hi"]),
+                "below": 0, "in": n,
+            }
+    rank_val: dict = {}
+
+    def _width_collapsed(s: dict) -> bool:
+        scale = max(abs(s["lo"]), abs(s["hi"]), 1e-300)
+        return (s["hi"] - s["lo"]) <= 1e-13 * scale
+
+    def _maybe_finish(bk: tuple) -> None:
+        s = st[bk]
+        if s["hi"] <= s["lo"]:  # all remaining bracket values equal
+            rank_val[bk] = s["lo"]
+            del st[bk]
+
+    for bk in list(st):
+        _maybe_finish(bk)
+
+    def _broadcast(active: dict):
+        # group rows map to up to two brackets; broadcast per-group
+        # arrays of both brackets' bounds (NaN = slot inactive)
+        gkeys = sorted({k for k, _ in active})
+        gidx = {k: i for i, k in enumerate(gkeys)}
+        bounds = np.full((len(gkeys), 2, 2), np.nan)  # [group, slot, (lo,hi)]
+        # deterministic slot assignment: order brackets per group
+        slot_of: dict = {}
+        per_group: dict = {}
+        for bk in sorted(active, key=lambda b: (str(b[0]), b[1])):
+            i = per_group.setdefault(bk[0], [])
+            slot_of[bk] = len(i)
+            i.append(bk)
+            bounds[gidx[bk[0]], slot_of[bk]] = (active[bk]["lo"], active[bk]["hi"])
+        return pa.array(gkeys), bounds, slot_of
+
+    nb = n_buckets
+    for _ in range(max_iters):
+        active = {
+            bk: s
+            for bk, s in st.items()
+            if s["in"] > collect_limit and not _width_collapsed(s)
+        }
+        if not active:
+            break
+        keys_arr, bounds, slot_of = _broadcast(active)
+        ref = ray.put((keys_arr, bounds))
+
+        def hist_partial(t: pa.Table, _ref=ref) -> pa.Table:
+            ks, bds = ray.get(_ref)
+            gi = pc.index_in(t[key], value_set=ks).to_numpy(zero_copy_only=False)
+            ok = gi >= 0 if gi.dtype.kind == "i" else ~np.isnan(gi)
+            gi = np.where(ok, gi, 0).astype(np.int64)
+            v = t[value_col].to_numpy(zero_copy_only=False)
+            span = nb + 1  # slot layout: [below, b0..b(nb-1)] per slot
+            flat = np.zeros(len(ks) * 2 * span, dtype=np.int64)
+            for sl in (0, 1):
+                lo, hi = bds[gi, sl, 0], bds[gi, sl, 1]
+                has = ok & ~np.isnan(lo)
+                inb = has & (v >= lo) & (v <= hi)
+                blw = has & (v < lo)
+                width = np.maximum(hi - lo, 1e-300)
+                bkt = np.clip(((v - lo) / width * nb).astype(np.int64), 0, nb - 1)
+                pos = np.where(inb, bkt + 1, 0)
+                keep = inb | blw
+                flat += np.bincount(
+                    (gi[keep] * 2 + sl) * span + pos[keep],
+                    minlength=len(flat),
+                )
+            nz = np.nonzero(flat)[0]
+            return pa.table(
+                {
+                    key: pc.take(ks, pa.array(nz // (2 * span))),
+                    "slot": pa.array((nz // span) % 2, pa.int64()),
+                    "pos": pa.array(nz % span, pa.int64()),
+                    "cnt": pa.array(flat[nz], pa.int64()),
+                }
+            )
+
+        hist = (
+            base.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby([key, "slot", "pos"]).sum("cnt")
+            .to_pandas()
+        )
+        col = "sum(cnt)" if "sum(cnt)" in hist.columns else "cnt"
+        for (k, sl), g in hist.groupby([key, "slot"], sort=False):
+            bks = [bk for bk, s in slot_of.items() if bk[0] == k and s == sl]
+            if not bks:
+                continue
+            bk = bks[0]
+            s = st[bk]
+            counts = np.zeros(nb + 1, dtype=np.int64)
+            counts[g["pos"].to_numpy()] = g[col].to_numpy()
+            below_fresh = int(counts[0])
+            cum = below_fresh + np.cumsum(counts[1:])
+            b = int(np.searchsorted(cum, s["r"] + 1))
+            if b >= nb:  # rank past histogram (float edge): retry
+                continue
+            w = (s["hi"] - s["lo"]) / nb
+            new_lo = max(s["lo"], s["lo"] + (b - 0.5) * w)
+            new_hi = min(s["hi"], s["lo"] + (b + 1.5) * w)
+            s["below"] = int(cum[b - 1]) if b else below_fresh
+            s["in"] = int(cum[b] - s["below"])
+            s["lo"], s["hi"] = new_lo, new_hi
+            _maybe_finish(bk)
+
+    if st:
+        over = {
+            bk: s["in"]
+            for bk, s in st.items()
+            if s["in"] > collect_limit and not _width_collapsed(s)
+        }
+        if over:
+            raise RuntimeError(
+                f"grouped_exact_median brackets did not shrink under "
+                f"collect_limit within {max_iters} passes: {over}"
+            )
+        keys_arr, bounds, slot_of = _broadcast(st)
+        ref = ray.put((keys_arr, bounds))
+
+        def collect(t: pa.Table, _ref=ref) -> pa.Table:
+            # DISTINCT in-bracket values with counts per (group, slot)
+            # + per-slot below-bracket counts as NaN sentinel rows
+            ks, bds = ray.get(_ref)
+            gi = pc.index_in(t[key], value_set=ks).to_numpy(zero_copy_only=False)
+            ok = gi >= 0 if gi.dtype.kind == "i" else ~np.isnan(gi)
+            gi = np.where(ok, gi, 0).astype(np.int64)
+            v = t[value_col].to_numpy(zero_copy_only=False)
+            parts = []
+            for sl in (0, 1):
+                lo, hi = bds[gi, sl, 0], bds[gi, sl, 1]
+                has = ok & ~np.isnan(lo)
+                inb = has & (v >= lo) & (v <= hi)
+                blw = np.bincount(gi[has & (v < lo)], minlength=len(ks))
+                if inb.any():
+                    pairs, cnts = np.unique(
+                        np.stack([gi[inb], v[inb]]), axis=1, return_counts=True
+                    )
+                else:
+                    pairs = np.empty((2, 0))
+                    cnts = np.empty(0, np.int64)
+                parts.append(
+                    (
+                        np.concatenate([pairs[0].astype(np.int64),
+                                        np.arange(len(ks))]),
+                        np.full(len(pairs[0]) + len(ks), sl, np.int64),
+                        np.concatenate([pairs[1], np.full(len(ks), np.nan)]),
+                        np.concatenate([cnts.astype(np.int64),
+                                        np.zeros(len(ks), np.int64)]),
+                        np.concatenate([np.zeros(len(cnts), np.int64), blw]),
+                    )
+                )
+            return pa.table(
+                {
+                    key: pc.take(ks, pa.array(
+                        np.concatenate([p[0] for p in parts]))),
+                    "slot": pa.array(np.concatenate([p[1] for p in parts])),
+                    "v": pa.array(np.concatenate([p[2] for p in parts])),
+                    "cnt": pa.array(np.concatenate([p[3] for p in parts])),
+                    "blw": pa.array(np.concatenate([p[4] for p in parts])),
+                }
+            )
+
+        got = base.map_batches(collect, batch_format="pyarrow").to_pandas()
+        inv_slot = {(bk[0], sl): bk for bk, sl in slot_of.items()}
+        for (k, sl), g in got.groupby([key, "slot"], sort=False):
+            bk = inv_slot.get((k, sl))
+            if bk is None or bk not in st:
+                continue
+            s = st[bk]
+            below = int(g["blw"].sum())
+            vg = g[~g["v"].isna()].groupby("v", sort=True)["cnt"].sum()
+            vals, cum = vg.index.to_numpy(), vg.to_numpy().cumsum()
+            i = int(np.searchsorted(cum, s["r"] - below + 1))
+            if not (s["r"] >= below and len(cum) and i < len(vals)):
+                raise RuntimeError(
+                    f"median bracket {bk!r} missed its rank "
+                    f"(below={below}, in-distinct={len(vals)})"
+                )
+            rank_val[bk] = float(vals[i])
+
+    ks_sorted = sorted(meta)
+    out = []
+    for k in ks_sorted:
+        m = meta[k]
+        v1, v2 = rank_val[(k, m["m1"])], rank_val[(k, m["m2"])]
+        frac = m["h"] - m["m1"]
+        out.append(float(v1 + frac * (v2 - v1)))
+    return pa.table(
+        {key: pa.array(ks_sorted), "median_value": pa.array(out, pa.float64())}
+    )

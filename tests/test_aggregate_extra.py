@@ -97,3 +97,111 @@ def test_hash_sample_deterministic_and_partition_invariant(ray_session):
     )
     assert a == b
     assert 0.05 < len(a) / 5000 < 0.15
+
+
+def test_partitioned_rolling_sum_skewed_key(ray_session):
+    """One hot key holds 90% of all rows (the event_type shape): the
+    (key, bucket) partitioning must (a) reproduce the exact global
+    per-key rolling sum across bucket boundaries, (b) never hand any
+    reducer the full hot key — the max (key, bucket) group is a small
+    fraction of the hot key's rows."""
+    import numpy as np
+    import pandas as pd
+
+    from logpipe_ray.stages.aggregate import partitioned_rolling_sum
+
+    rng = np.random.default_rng(5)
+    n_hot, n_cold = 9000, 1000
+    key = np.array(["hot"] * n_hot + ["cold"] * n_cold)
+    order = np.concatenate([np.arange(n_hot), np.arange(n_cold)])
+    bucket = order // 250  # 36 buckets for the hot key
+    val = rng.integers(0, 1000, n_hot + n_cold)
+    df = pd.DataFrame({"k": key, "o": order, "b": bucket, "v": val})
+
+    # no reducer sees the full hot key: groups are exactly (k, b)
+    max_group = df.groupby(["k", "b"]).size().max()
+    assert max_group <= 250 < n_hot
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = (
+        partitioned_rolling_sum(
+            ds, key="k", order_cols=["o"], value_col="v",
+            window=3, bucket_col="b", out_col="r",
+        )
+        .to_pandas()
+        .sort_values(["k", "o"], ignore_index=True)
+    )
+    want = df.sort_values(["k", "o"], ignore_index=True)
+    want["r"] = (
+        want.groupby("k", sort=False)["v"]
+        .transform(lambda s: s.rolling(3, min_periods=1).sum())
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "o", "r"]], want[["k", "o", "r"]]
+    )
+
+
+def test_partitioned_rolling_sum_sparse_buckets(ray_session):
+    """Carry-in must come from the closest PRECEDING bucket even when
+    buckets are sparse and the previous one has fewer than window-1
+    rows."""
+    import pandas as pd
+
+    from logpipe_ray.stages.aggregate import partitioned_rolling_sum
+
+    # bucket 0: two rows, bucket 5: one row, bucket 9: two rows
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 5,
+            "o": [0, 1, 2, 3, 4],
+            "b": [0, 0, 5, 9, 9],
+            "v": [10, 20, 30, 40, 50],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = (
+        partitioned_rolling_sum(
+            ds, key="k", order_cols=["o"], value_col="v",
+            window=3, bucket_col="b", out_col="r",
+        )
+        .to_pandas()
+        .sort_values("o", ignore_index=True)
+    )
+    assert got["r"].tolist() == [10, 30, 60, 90, 120]
+
+
+def test_grouped_exact_median_distributed_selection(ray_session):
+    """Force the histogram-refinement path (tiny collect_limit /
+    n_buckets): results must equal numpy linear-interpolation medians
+    exactly, including even/odd group sizes, heavy duplicates, an
+    all-equal group (zero-width bracket) and negative values."""
+    import numpy as np
+    import pandas as pd
+
+    from logpipe_ray.stages.aggregate import grouped_exact_median
+
+    rng = np.random.default_rng(17)
+    groups = {
+        "hot": rng.normal(0, 100, 20001),          # odd n
+        "even": rng.uniform(-50, 50, 5000),        # even n
+        "dupes": np.repeat(rng.integers(0, 5, 40).astype(float), 100),
+        "const": np.full(777, 3.25),               # all equal
+        "tiny": np.array([1.0, 2.0]),
+    }
+    df = pd.DataFrame(
+        {
+            "k": np.concatenate([[k] * len(v) for k, v in groups.items()]),
+            "v": np.concatenate(list(groups.values())),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = grouped_exact_median(
+        ds, key="k", value_col="v", n_buckets=16, collect_limit=64,
+        max_iters=25,
+    ).to_pandas()
+    want = {
+        k: float(np.percentile(v, 50, method="linear"))
+        for k, v in groups.items()
+    }
+    assert dict(zip(got["k"], got["median_value"])) == want
