@@ -104,6 +104,26 @@ def input_shards(input_dir: str) -> list[str]:
 
 PARSE_CHUNK_ROWS = 8192
 
+
+def routed_chunks(shard_tbl: pa.Table, chunk_rows: int = PARSE_CHUNK_ROWS):
+    """Yield parse->enrich->route output for ``shard_tbl`` in bounded
+    row slices. Chunking caps the per-task transient working set (the
+    regex extraction allocates ~16 string columns per pass) — it
+    measurably improves 32-worker throughput on this VM (page-fault
+    pressure) and keeps arbitrary-size shards from spiking worker
+    heaps at 100 TB. Shared by the fused flagship shard task and the
+    fused aggregate-query path (queries._routed_partials). A zero-row
+    shard still yields one (empty, schema-typed) chunk."""
+    from ..stages.enrich import enrich_batch
+    from ..stages.parse import parse_batch
+    from ..stages.route import route_batch
+
+    for off in range(0, max(shard_tbl.num_rows, 1), chunk_rows):
+        yield route_batch(
+            enrich_batch(parse_batch(shard_tbl.slice(off, chunk_rows)))
+        )
+
+
 _PROC_HTTP_SINKS: dict = {}
 
 
@@ -155,18 +175,12 @@ def _process_shard_fused(batch: pa.Table) -> pa.Table:
         t0 = time.time()
         shard_tbl = pq.read_table(path)
         n_rows = shard_tbl.num_rows
-        # parse in bounded chunks: caps the per-task transient working
-        # set (regex extraction allocates ~16 string columns per pass)
-        # — measurably improves 32-worker throughput on this VM
-        # (page-fault pressure) and keeps arbitrary-size shards from
-        # spiking worker heaps at 100 TB. Sink writes still need the
-        # whole routed shard, so chunks are only retained when writing.
+        # bounded-chunk parse (see routed_chunks). Sink writes still
+        # need the whole routed shard, so chunks are only retained
+        # when writing.
         chunk_counts = []
         retained = []
-        for off in range(0, n_rows, PARSE_CHUNK_ROWS):
-            r = route_batch(
-                enrich_batch(parse_batch(shard_tbl.slice(off, PARSE_CHUNK_ROWS)))
-            )
+        for r in routed_chunks(shard_tbl):
             chunk_counts.append(pa.table({"source": r["source"], "sink": r["sink"]}))
             if out:
                 retained.append(r)

@@ -61,15 +61,15 @@ def _routed(sf_dir: str) -> Dataset:
 
 def _routed_partials(sf_dir: str, partial_fn) -> Dataset:
     """Fused per-shard partial computation: each task reads its shard,
-    runs parse->enrich->route in-process, and emits only
-    ``partial_fn(routed_table)`` — the aggregation-query analog of the
-    fused flagship (no row-level object-store traffic; the shuffle
-    moves partials only)."""
+    runs parse->enrich->route in-process (in PARSE_CHUNK_ROWS slices —
+    the same bounded-working-set loop as the fused flagship, via the
+    shared routed_chunks helper), and emits only ``partial_fn(chunk)``
+    per chunk — the aggregation-query analog of the fused flagship (no
+    row-level object-store traffic; the shuffle moves mergeable
+    partials only, now bounded regardless of shard size)."""
     import glob as _glob
 
-    from .stages.enrich import enrich_batch
-    from .stages.parse import parse_batch
-    from .stages.route import route_batch
+    from .pipelines.flagship import routed_chunks
 
     seq_dir = ensure_sequences(sf_dir)
     files = sorted(_glob.glob(f"{seq_dir}/*.parquet"))
@@ -79,8 +79,8 @@ def _routed_partials(sf_dir: str, partial_fn) -> Dataset:
 
         parts = []
         for path in batch["path"].to_pylist():
-            t = pq.read_table(path)
-            parts.append(partial_fn(route_batch(enrich_batch(parse_batch(t)))))
+            for chunk in routed_chunks(pq.read_table(path)):
+                parts.append(partial_fn(chunk))
         return pa.concat_tables(parts)
 
     items = rd.from_items(
