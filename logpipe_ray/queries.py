@@ -2064,6 +2064,20 @@ def ann_ivf_topk(sf_dir: str):
     return out[["query_id", "rank", "vec_id"]]
 
 
+def ann_hnsw_topk(sf_dir: str):
+    """Graph-based ANN: shard-parallel HNSW (pure-numpy graphs built
+    per shard, broadcast queries, exact merge of per-shard survivors).
+    Approximate — recall >= 0.9 vs brute force asserted in pytest
+    (tests/test_ann.py), so the driver row is rows-only."""
+    from .functions.ann import hnsw_topk
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = hnsw_topk(ds, _query_vectors(sf_dir), k=10)
+    return out[["query_id", "rank", "vec_id"]]
+
+
 def mm_resized(sf_dir: str):
     """Multimodal resize plumbing: actor-pool aspect-preserving resize
     over the deterministic synthetic media table (decode stubbed;
@@ -2192,8 +2206,9 @@ REGISTRY: dict = {
     "seq_token_frequency": (seq_token_frequency, _sql_seq_token_frequency),
     "seq_pack_stats": (seq_pack_stats, None),
     "seq_vocab_coverage": (seq_vocab_coverage, _sql_seq_vocab_coverage),
-    # -- ANN (1) --
+    # -- ANN (2) --
     "ann_brute_topk": (ann_brute_topk, _sql_ann_brute_topk),
+    "ann_hnsw_topk": (ann_hnsw_topk, None),  # new r3: graph-based ANN
     # ================= PARKED (after driver's 50-entry window) =======
     # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
     # of in-window queries, kept for the library surface + mini-driver.

@@ -137,3 +137,72 @@ def test_knn_self_join_ivf_route_recall(ray_session):
         hits += len(want & got)
         total += len(want)
     assert total > 0 and hits / total >= 0.8
+
+
+def test_hnsw_recall(ray_session, emb_table):
+    """Shard-parallel HNSW recall >= 0.9 vs brute force on clustered
+    fixtures (verdict r2 #5), including multi-shard merge (batch_size
+    forces 4 shards)."""
+    from logpipe_ray.functions.ann import hnsw_topk
+
+    ds = rd.from_arrow(emb_table)
+    qs = np.stack(emb_table["embedding"].to_pylist())[[3, 77, 201, 350]].astype(
+        np.float64
+    )
+    exact = brute_force_topk(ds, qs, k=10)
+    approx = hnsw_topk(ds, qs, k=10, batch_size=128)
+    recall = 0.0
+    for qi in range(len(qs)):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recall += len(e & a) / len(e)
+    assert recall / len(qs) >= 0.9
+
+
+def test_hnsw_index_exact_on_small():
+    """Single-graph search with generous ef must be near-exact."""
+    from logpipe_ray.functions.ann import HNSWIndex
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((500, 32))
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    idx = HNSWIndex(vecs, ids=np.arange(500) * 10)
+    hits = 0
+    for qi in range(20):
+        q = unit[qi * 13]
+        got, sims = idx.search(q, 5, ef=128)
+        want = (np.argsort(-(unit @ q))[:5] * 10).tolist()
+        hits += len(set(got.tolist()) & set(want))
+        assert np.all(np.diff(sims) <= 1e-12)  # sims sorted desc
+    assert hits / (20 * 5) >= 0.95
+
+
+def test_hnsw_query_stage_actor_pool(ray_session, emb_table):
+    """Built-once-per-actor HNSW serving a query stream."""
+    import ray as _ray
+
+    from logpipe_ray.functions.ann import HNSWQueryStage, _vec_matrix
+
+    ids = np.asarray(emb_table["vec_id"], dtype=np.int64)
+    vecs = _vec_matrix(emb_table["embedding"])
+    base_ref = _ray.put((ids, vecs))
+    queries = pa.table(
+        {
+            "query_id": pa.array(np.arange(8, dtype=np.int64)),
+            "embedding": emb_table["embedding"].slice(0, 8),
+        }
+    )
+    out = (
+        rd.from_arrow(queries)
+        .map_batches(
+            HNSWQueryStage,
+            fn_constructor_kwargs={"base_ref": base_ref, "k": 5},
+            concurrency=(1, 2),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    assert len(out) == 8 * 5
+    # rank-0 neighbor of a base vector queried by itself is itself
+    r0 = out[(out["rank"] == 0)].set_index("query_id")["vec_id"]
+    assert (r0.loc[np.arange(8)] == np.arange(8)).all()
