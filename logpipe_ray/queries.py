@@ -2064,6 +2064,69 @@ def ann_ivf_topk(sf_dir: str):
     return out[["query_id", "rank", "vec_id"]]
 
 
+def lineitem_price_band_join(sf_dir: str) -> Dataset:
+    """Distributed interval (range) join: lineitem prices against 22
+    OVERLAPPING price bands (width 10k, stride 5k — each price matches
+    ~2 bands, so this is a true range join, not bucketing). The
+    bucketed co-partitioned range_join does one equality shuffle on
+    the bucket key; revenue uses floor(price) so both sides stay
+    integer-exact for the hash compare."""
+    import numpy as np
+
+    from .stages.join import range_join
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    bands = rd.from_arrow(
+        pa.table(
+            {
+                "band_id": pa.array(np.arange(22, dtype=np.int64)),
+                "lo": pa.array(np.arange(22) * 5000.0),
+                "hi": pa.array(np.arange(22) * 5000.0 + 10000.0),
+            }
+        )
+    )
+    joined = range_join(
+        li, bands, "l_extendedprice", ("lo", "hi"), bucket_width=5000.0,
+        closed="left",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        fl = pc.cast(pc.floor(t["l_extendedprice"]), pa.int64())
+        g = (
+            pa.table({"band_id": t["band_id"], "fl": fl})
+            .group_by("band_id")
+            .aggregate([("fl", "count"), ("fl", "sum")])
+        )
+        return g.rename_columns(["band_id", "p_cnt", "p_sum"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("band_id")
+        .aggregate(
+            Sum("p_cnt", alias_name="cnt"),
+            Sum("p_sum", alias_name="sum_price_floor"),
+        )
+    )
+
+
+def _sql_lineitem_price_band_join(sf_dir: str) -> str:
+    return """
+WITH bands AS (
+  SELECT CAST(i AS BIGINT) AS band_id,
+         CAST(i * 5000 AS DOUBLE) AS lo,
+         CAST(i * 5000 + 10000 AS DOUBLE) AS hi
+  FROM range(0, 22) t(i)
+)
+SELECT b.band_id, count(*) AS cnt,
+       CAST(sum(CAST(floor(l.l_extendedprice) AS BIGINT)) AS BIGINT)
+         AS sum_price_floor
+FROM lineitem l JOIN bands b
+  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+GROUP BY b.band_id"""
+
+
 def ann_hnsw_topk(sf_dir: str):
     """Graph-based ANN: shard-parallel HNSW (pure-numpy graphs built
     per shard, broadcast queries, exact merge of per-shard survivors).
@@ -2184,6 +2247,10 @@ REGISTRY: dict = {
         _sql_purchases_asof_last_click,
     ),
     "lineitem_semi_high_value": (lineitem_semi_high_value, _sql_lineitem_semi_high_value),
+    "lineitem_price_band_join": (  # new r3: distributed interval join
+        lineitem_price_band_join,
+        _sql_lineitem_price_band_join,
+    ),
     # -- events / windows / sketches (4) --
     "events_hourly": (events_hourly, _sql_events_hourly),
     "events_sessionize": (events_sessionize, _sql_events_sessionize),

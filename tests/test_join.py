@@ -64,3 +64,29 @@ def test_semi_join_null_keys_dropped(ray_session):
     anti = semi_join_filter(ds, "k", ref, anti=True).to_pandas()
     assert sorted(semi["k"]) == [1, 2]
     assert sorted(anti["k"]) == [3]  # NULL NOT IN (...) -> dropped
+
+
+def test_range_join_overlapping_intervals(ray_session):
+    """Bucketed interval join vs brute-force cross check: overlapping
+    intervals, values on bucket edges, both closed modes."""
+    import numpy as np
+
+    from logpipe_ray.stages.join import range_join
+
+    rng = np.random.default_rng(2)
+    vals = np.concatenate([rng.uniform(0, 100, 2000), [0.0, 10.0, 50.0, 99.9]])
+    left = pa.table({"id": pa.array(np.arange(len(vals))), "v": pa.array(vals)})
+    lo = np.concatenate([rng.uniform(0, 90, 40), [10.0]])
+    hi = np.concatenate([lo[:40] + rng.uniform(0.5, 25, 40), [20.0]])
+    right = pa.table(
+        {"band": pa.array(np.arange(len(lo))), "lo": pa.array(lo), "hi": pa.array(hi)}
+    )
+    for closed, op in (("left", np.less), ("both", np.less_equal)):
+        out = range_join(
+            rd.from_arrow(left), rd.from_arrow(right), "v", ("lo", "hi"),
+            bucket_width=10.0, closed=closed,
+        ).to_pandas()
+        m = (vals[:, None] >= lo[None, :]) & op(vals[:, None], hi[None, :])
+        ii, jj = np.nonzero(m)
+        assert set(zip(out["id"], out["band"])) == set(zip(ii.tolist(), jj.tolist()))
+        assert len(out) == m.sum()  # exactly-once, no dup pass needed
