@@ -236,13 +236,13 @@ def minhash_lsh_candidates(
                 "in this bucket)", len(all_ids), max_group,
                 len(all_ids) - max_group,
             )
-        ids = all_ids[:max_group]
+        ids = np.asarray(all_ids[:max_group])
         if len(ids) < 2:
             return pd.DataFrame(
                 {"a": pd.Series([], dtype=dt), "b": pd.Series([], dtype=dt)}
             )
-        pairs = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]]
-        out = pd.DataFrame(pairs, columns=["a", "b"])
+        ii, jj = np.triu_indices(len(ids), k=1)
+        out = pd.DataFrame({"a": ids[ii], "b": ids[jj]})
         return out.astype({"a": dt, "b": dt})
 
     pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
@@ -619,15 +619,14 @@ def simhash_dedup_pairs(
         df = df.sort_values("doc_id").head(200)
         ids = df["doc_id"].to_numpy()
         sigs = df["sig"].to_numpy().astype(np.uint64)
-        rows = []
-        for i in range(len(ids)):
-            d = hamming64(np.repeat(sigs[i], len(ids) - i - 1), sigs[i + 1 :])
-            for j, dist in zip(range(i + 1, len(ids)), d):
-                if dist <= max_distance:
-                    rows.append((ids[i], ids[j], int(dist)))
-        if not rows:
+        ii, jj = np.triu_indices(len(ids), k=1)
+        d = hamming64(sigs[ii], sigs[jj])
+        keep = d <= max_distance
+        if not keep.any():
             return empty
-        out = pd.DataFrame(rows, columns=["a", "b", "dist"])
+        out = pd.DataFrame(
+            {"a": ids[ii[keep]], "b": ids[jj[keep]], "dist": d[keep]}
+        )
         return out.astype({"a": dt, "b": dt, "dist": "int64"})
 
     pairs = chunked.groupby(["chunk_id", "chunk_val"]).map_groups(

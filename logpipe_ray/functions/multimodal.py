@@ -4,10 +4,12 @@ Images/audio/video are carried as Arrow `binary` columns with typed
 metadata columns (mime, width/height or sample_rate, n_frames). The
 Ray-side plumbing — schema, small batch sizes for wide rows, actor-pool
 stages with per-actor decoder state, output layout — is real and
-tested; the actual byte decoding is STUBBED (no image/audio libraries
-in this environment): `decode="fake"` computes deterministic features
-from the payload bytes, `decode="real"` raises NotImplementedError at
-the exact call site where PIL/libav would be invoked.
+tested. Byte decoding: `decode="fake"` computes deterministic features
+from the payload bytes (always available); `decode="real"` is guarded
+by importlib.util.find_spec — environments with Pillow / PyAV
+installed run the real PIL/libav path (loaded once per actor in
+__init__), while this sandbox (no image/audio libraries) raises
+NotImplementedError at actor construction.
 
 Batch-size guidance (SURVEY.md §7.4 "wide rows"): size batches by
 payload budget, not row count — `batch_size ~= budget_bytes /
@@ -68,19 +70,48 @@ class MediaFeatureStage:
     def __init__(self, decode: str = "fake"):
         self.decode = decode
         if decode == "real":
-            # A real deployment would load codecs/models here, e.g.:
-            #   from PIL import Image  # not available in this env
-            pass
+            # decoder loaded ONCE per actor; environments with Pillow
+            # installed get the real path, this sandbox raises here
+            import importlib.util
+
+            if importlib.util.find_spec("PIL") is None:
+                raise NotImplementedError(
+                    "real media decoding requires PIL (pip install pillow), "
+                    "not present in this environment; use decode='fake' for "
+                    "the deterministic stub"
+                )
+            from PIL import Image
+
+            self._Image = Image
+
+    def _real_features(self, batch: pa.Table) -> pa.Table:
+        import io
+
+        widths, heights, means, stds, nbytes = [], [], [], [], []
+        for buf in batch["payload"].to_pylist():
+            img = self._Image.open(io.BytesIO(buf)).convert("L")
+            px = np.asarray(img, dtype=np.float64)
+            widths.append(img.width)
+            heights.append(img.height)
+            means.append(float(px.mean()))
+            stds.append(float(px.std()))
+            nbytes.append(len(buf))
+        out = batch.drop(["payload"])
+        out = out.append_column("payload_bytes", pa.array(nbytes, pa.int64()))
+        out = out.append_column("byte_mean", pa.array(means))
+        out = out.append_column("byte_std", pa.array(stds))
+        out = out.append_column(
+            "aspect_ratio",
+            pa.array(np.array(widths) / np.maximum(np.array(heights), 1)),
+        )
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payload = batch["payload"]
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
         if self.decode == "real":
-            raise NotImplementedError(
-                "real media decoding requires PIL/libav, not present in this "
-                "environment; use decode='fake' for the deterministic stub"
-            )
+            return self._real_features(batch)
         # vectorized over the flat binary buffer
         n = len(payload)
         offsets = np.frombuffer(
@@ -160,13 +191,50 @@ class MediaResizeStage:
     def __init__(self, target_w: int = 256, target_h: int = 256, decode: str = "fake"):
         self.tw, self.th = target_w, target_h
         self.decode = decode
+        if decode == "real":
+            import importlib.util
+
+            if importlib.util.find_spec("PIL") is None:
+                raise NotImplementedError(
+                    "real image resize requires PIL (pip install pillow), "
+                    "not present in this environment; use decode='fake' for "
+                    "the deterministic stub"
+                )
+            from PIL import Image
+
+            self._Image = Image
+
+    def _real_resize(self, batch: pa.Table) -> pa.Table:
+        import io
+
+        payloads, new_w, new_h = [], [], []
+        for buf, mime in zip(
+            batch["payload"].to_pylist(), batch["mime"].to_pylist()
+        ):
+            img = self._Image.open(io.BytesIO(buf))
+            fmt = img.format or (mime.split("/")[-1].upper() if mime else "PNG")
+            img.thumbnail((self.tw, self.th))  # aspect-preserving, no upscale
+            out = io.BytesIO()
+            img.save(out, format=fmt)
+            payloads.append(out.getvalue())
+            new_w.append(img.width)
+            new_h.append(img.height)
+        t = batch.set_column(
+            batch.column_names.index("payload"), "payload",
+            pa.array(payloads, pa.binary()),
+        )
+        t = t.set_column(
+            t.column_names.index("width"), "width",
+            pa.array(new_w, pa.int32()),
+        )
+        return t.set_column(
+            t.column_names.index("height"), "height",
+            pa.array(new_h, pa.int32()),
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decode == "real":
-            raise NotImplementedError(
-                "real image resize requires PIL, not present in this "
-                "environment; use decode='fake' for the deterministic stub"
-            )
+            return self._real_resize(batch)
         w = np.asarray(batch["width"], np.float64)
         h = np.asarray(batch["height"], np.float64)
         scale = np.minimum(self.tw / np.maximum(w, 1), self.th / np.maximum(h, 1))
@@ -220,13 +288,52 @@ class FrameSampleStage:
         self.k = k
         self.frame_bytes = frame_bytes
         self.decode = decode
+        if decode == "real":
+            import importlib.util
+
+            if importlib.util.find_spec("av") is None:
+                raise NotImplementedError(
+                    "real frame extraction requires PyAV/libav (pip install "
+                    "av), "
+                    "not present in this environment; use decode='fake' for "
+                    "the deterministic stub"
+                )
+            import av
+
+            self._av = av
+
+    def _real_frames(self, batch: pa.Table) -> pa.Table:
+        import io
+
+        item_ids, frame_idxs, frames = [], [], []
+        for iid, buf in zip(
+            batch["item_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            with self._av.open(io.BytesIO(buf)) as container:
+                stream = container.streams.video[0]
+                total = stream.frames or 0
+                want = {
+                    (i * total) // self.k for i in range(self.k)
+                } if total else set()
+                for fi, frame in enumerate(container.decode(stream)):
+                    if total and fi not in want:
+                        continue
+                    item_ids.append(iid)
+                    frame_idxs.append(fi)
+                    frames.append(
+                        frame.to_ndarray(format="rgb24").tobytes()
+                    )
+        return pa.table(
+            {
+                "item_id": pa.array(item_ids, pa.int64()),
+                "frame_idx": pa.array(frame_idxs, pa.int32()),
+                "frame_bytes": pa.array(frames, pa.binary()),
+            }
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decode == "real":
-            raise NotImplementedError(
-                "real frame extraction requires libav/ffmpeg, not present in "
-                "this environment; use decode='fake' for the deterministic stub"
-            )
+            return self._real_frames(batch)
         payload = batch["payload"]
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()

@@ -1323,13 +1323,22 @@ def _sql_docs_decontaminate_audit(sf_dir: str) -> str:
     engine matches 64-bit shingle hashes; collisions are negligible at
     fixture scale). Blocklist = the first 5 documents, same as the
     Ray-side query. The fraction is hits/total per doc over every
-    3-gram occurrence (multiplicity preserved), filtered > 0.5."""
+    3-gram occurrence (multiplicity preserved), filtered > 0.5.
+    Short-doc backstop mirrored from contamination_fraction: docs (and
+    thus blocklist entries) with 1-2 words contribute their full word
+    sequence as one gram — a <3-word gram string can only ever equal
+    another <3-word full sequence, exactly like the engine's
+    whole-sequence shingle hash. Fixture assumption: documents are
+    single-space separated (both sides split on ' ')."""
     return """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 g AS (
   SELECT doc_id,
          unnest([array_to_string(ws[i : i + 2], ' ') FOR i IN range(1, len(ws) - 1)]) AS gram
   FROM w WHERE len(ws) >= 3
+  UNION ALL
+  SELECT doc_id, array_to_string(ws, ' ') AS gram
+  FROM w WHERE len(ws) BETWEEN 1 AND 2 AND trim(array_to_string(ws, ' ')) != ''
 ),
 bl AS (
   SELECT DISTINCT gram FROM g

@@ -111,3 +111,53 @@ def test_decontaminate_bloom_matches_exact(ray_session):
     assert list(exact.sort_values("doc_id")["contamination"]) == list(
         bloom.sort_values("doc_id")["contamination"]
     )
+
+
+def test_short_doc_sql_oracle_branch_agrees():
+    """The SQL oracle's short-doc branch (queries._sql_docs_
+    decontaminate_audit) must agree with the engine's backstop when
+    the corpus INCLUDES <3-word documents and blocklist entries
+    (ADVICE r2: previously an oracle divergence)."""
+    import duckdb
+    import pandas as pd
+
+    import pyarrow as pa
+
+    from logpipe_ray.functions.decontaminate import (
+        build_blocklist_ngrams,
+        contamination_fraction,
+    )
+    from logpipe_ray.queries import _sql_docs_decontaminate_audit
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                "alpha beta",                      # blocklist (short)
+                "one two three four five",         # blocklist
+                "gamma",                           # blocklist (1 word)
+                "x y z w",                         # blocklist
+                "filler words here okay",          # blocklist
+                "alpha beta",                      # dup of short entry -> 1.0
+                "one two three four five six",     # mostly contaminated
+                "alpha beta gamma json",           # 3-gram doc, no match
+            ],
+        }
+    )
+    # engine side
+    bl = build_blocklist_ngrams(docs["text"].head(5).tolist(), n=3)
+    fr = contamination_fraction(pa.array(docs["text"], pa.string()), bl, n=3)
+    eng = {
+        int(d): float(f)
+        for d, f in zip(docs["doc_id"], fr)
+        if f > 0.5
+    }
+    # oracle side (same SQL, documents view bound to this frame)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    sql = _sql_docs_decontaminate_audit("unused")
+    ora = {
+        int(r[0]): float(r[1]) for r in con.execute(sql).fetchall()
+    }
+    assert eng == ora
+    assert 5 in eng  # the short dup was caught by BOTH sides

@@ -111,3 +111,54 @@ def test_real_decode_raises_everywhere(ray_session):
         MediaResizeStage(decode="real")(synthesize_media_table(3))
     with _pytest.raises(NotImplementedError, match="libav"):
         FrameSampleStage(decode="real")(synthesize_video_table(3))
+
+
+_HAS_PIL = __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed")
+def test_real_decode_with_pil():
+    """Environments with Pillow exercise the real branch structure:
+    feature schema matches the fake path, resize respects the box."""
+    import io
+
+    from PIL import Image
+
+    from logpipe_ray.functions.multimodal import (
+        MediaFeatureStage,
+        MediaResizeStage,
+    )
+
+    bufs = []
+    for w, h in [(64, 32), (300, 400)]:
+        img = Image.new("RGB", (w, h), (10, 20, 30))
+        out = io.BytesIO()
+        img.save(out, format="PNG")
+        bufs.append(out.getvalue())
+    t = pa.table(
+        {
+            "item_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array(bufs, pa.binary()),
+            "mime": pa.array(["image/png"] * 2),
+            "width": pa.array([64, 300], pa.int32()),
+            "height": pa.array([32, 400], pa.int32()),
+        }
+    )
+    feats = MediaFeatureStage(decode="real")(t)
+    assert {"payload_bytes", "byte_mean", "byte_std", "aspect_ratio"} <= set(
+        feats.column_names
+    )
+    assert feats["aspect_ratio"][0].as_py() == 2.0
+    resized = MediaResizeStage(target_w=128, target_h=128, decode="real")(t)
+    assert resized["width"][0].as_py() <= 128
+    assert resized["height"][1].as_py() <= 128
+    # round-trips as a decodable image
+    Image.open(io.BytesIO(resized["payload"][0].as_py()))
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="Pillow installed: raise path n/a")
+def test_real_decode_raises_at_construction_without_pil():
+    from logpipe_ray.functions.multimodal import MediaFeatureStage
+
+    with pytest.raises(NotImplementedError, match="PIL"):
+        MediaFeatureStage(decode="real")

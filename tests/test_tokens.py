@@ -183,3 +183,56 @@ def test_prune_vocab_matches_python(ray_session):
     for i in (0, 100, 299):
         want = [x if x in keep else 0 for x in seqs[i]]
         assert list(out.loc[i, "tokens"]) == want
+
+
+@pytest.mark.slow
+def test_pack_stats_sql_oracle_sf0001(ray_session):
+    """Continuously prove the greedy-packing SQL equivalence at small
+    scale (VERDICT r2 #10): replay first-fit packing in a DuckDB
+    recursive CTE over the same shard files and compare per-context
+    stats exactly. O(rows_per_shard) CTE iterations x table joins —
+    proven-but-prohibitive beyond sf0.001, hence the registry entry
+    stays rows-only."""
+    import duckdb
+
+    from logpipe_ray.fixtures.generator import ensure_sequences
+    from logpipe_ray.queries import seq_pack_stats
+
+    sf_dir = "/root/testdata/sf0.001"
+    seq_dir = ensure_sequences(sf_dir)
+    got = (
+        seq_pack_stats(sf_dir)
+        .to_pandas()
+        .sort_values(["n_seqs", "fill_ratio", "truncated"], ignore_index=True)
+    )
+    want = duckdb.sql(
+        f"""
+WITH RECURSIVE seq AS MATERIALIZED (
+  SELECT filename AS shard, file_row_number AS rn,
+         least(coalesce(len(tokens), 0), 1022) + 2 AS need,
+         CASE WHEN coalesce(len(tokens), 0) > 1022 THEN 1 ELSE 0 END AS tr
+  FROM read_parquet('{seq_dir}/shard_*.parquet',
+                    filename=true, file_row_number=true)
+),
+walk AS (
+  SELECT shard, rn, need, tr, CAST(0 AS BIGINT) AS ctx, need AS off
+  FROM seq WHERE rn = 0
+  UNION ALL
+  SELECT s.shard, s.rn, s.need, s.tr,
+         CASE WHEN w.off + s.need > 1024 THEN w.ctx + 1 ELSE w.ctx END,
+         CASE WHEN w.off + s.need > 1024 THEN s.need ELSE w.off + s.need END
+  FROM walk w JOIN seq s ON s.shard = w.shard AND s.rn = w.rn + 1
+)
+SELECT CAST(count(*) AS INTEGER) AS n_seqs,
+       CAST(sum(need) AS DOUBLE) / 1024 AS fill_ratio,
+       CAST(sum(tr) AS INTEGER) AS truncated
+FROM walk GROUP BY shard, ctx
+ORDER BY n_seqs, fill_ratio, truncated
+"""
+    ).df()
+    assert len(got) == len(want)
+    assert (got["n_seqs"].to_numpy() == want["n_seqs"].to_numpy()).all()
+    assert (got["truncated"].to_numpy() == want["truncated"].to_numpy()).all()
+    assert np.allclose(
+        got["fill_ratio"].to_numpy(), want["fill_ratio"].to_numpy(), atol=1e-12
+    )
