@@ -59,14 +59,18 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
     run_flagship(seq_dir, out_dir + ".warm", checkpoint_groups=1, resume=False)
     shutil.rmtree(out_dir + ".warm", ignore_errors=True)
 
-    # best of two timed runs (this VM's memory subsystem is noisy)
-    headline = None
-    for _ in range(2):
+    # best of N timed runs (this VM's throughput drifts up to ~25%
+    # across hours; noise only ever subtracts from capability — same
+    # protocol as the scaling harness). The full band is recorded in
+    # the output so round-over-round comparisons can see the drift.
+    n_runs = int(os.environ.get("LOGPIPE_BENCH_RUNS", "3"))
+    headline_runs = []
+    for _ in range(n_runs):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         summary = run_flagship(seq_dir, out_dir, checkpoint_groups=1, resume=False)
-        wall = time.time() - t0
-        headline = wall if headline is None else min(headline, wall)
+        headline_runs.append(round(time.time() - t0, 3))
+    headline = min(headline_runs)
     rows = summary["rows_in"]
 
     qtimes: dict[str, float] = {}
@@ -88,11 +92,8 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "docs_prep_corpus",
         ]
         all_q = Q.queries()
-        for name in bench_queries:
-            if name not in all_q:
-                continue
-            t = time.time()
-            res = all_q[name](sf_dir)
+
+        def consume(res) -> None:
             # consume the stream without materializing on the driver
             try:
                 from ray.data import Dataset
@@ -102,7 +103,19 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
                         pass
             except ImportError:
                 pass
-            qtimes[name] = round(time.time() - t, 3)
+
+        for name in bench_queries:
+            if name not in all_q:
+                continue
+            # best of two: the first run doubles as the query's warm-up
+            # (fixture/page-cache effects), the min is drift-resistant
+            best = None
+            for _ in range(2):
+                t = time.time()
+                consume(all_q[name](sf_dir))
+                wall = time.time() - t
+                best = wall if best is None else min(best, wall)
+            qtimes[name] = round(best, 3)
 
     import re
 
@@ -112,6 +125,7 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
         "metric": "flagship_parse_enrich_route_aggregate_e2e",
         "value": round(headline, 3),
         "unit": "sec",
+        "headline_runs": headline_runs,
         "queries": qtimes,
         "sf": sf,
         "num_cpus": num_cpus,

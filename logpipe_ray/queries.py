@@ -803,6 +803,24 @@ SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
 FROM o GROUP BY user_id"""
 
 
+def events_p90_value(sf_dir: str) -> pa.Table:
+    """Exact per-group p90 (= quantile_cont 0.9) via the same
+    distributed-selection machinery as the median — the asymmetric
+    rank exercises the two-bracket path harder (even-count targets
+    straddle distinct values more often)."""
+    from .stages.aggregate import grouped_exact_quantile
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out = grouped_exact_quantile(ds, key="event_type", value_col="value", q=0.9)
+    return out.rename_columns(["event_type", "p90_value"])
+
+
+def _sql_events_p90_value(sf_dir: str) -> str:
+    return """
+SELECT event_type, quantile_cont(value, 0.9) AS p90_value
+FROM events GROUP BY event_type"""
+
+
 def events_median_value(sf_dir: str) -> pa.Table:
     """Exact per-group median (linear interpolation, = quantile_cont)
     via distributed selection: histogram-bracket refinement + one
@@ -2268,6 +2286,7 @@ REGISTRY: dict = {
         events_approx_distinct_users,
         _sql_events_approx_distinct_users,
     ),
+    "events_p90_value": (events_p90_value, _sql_events_p90_value),  # new r3
     # -- documents / dedup / decontamination (9) --
     "docs_exact_dedup": (docs_exact_dedup, _sql_docs_exact_dedup),
     "docs_bpe_token_count": (docs_bpe_token_count, _sql_docs_bpe_token_count),
@@ -2278,9 +2297,10 @@ REGISTRY: dict = {
     "docs_dup_clusters": (docs_dup_clusters, None),
     "docs_dedup_corpus": (docs_dedup_corpus, None),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
-    # -- sequences / tokens (3) --
+    # -- sequences / tokens (2; seq_pack_stats parked: rows-only with
+    # green r1+r2 driver rows, SQL equivalence now continuously proven
+    # by the slow-marked recursive-CTE pytest) --
     "seq_token_frequency": (seq_token_frequency, _sql_seq_token_frequency),
-    "seq_pack_stats": (seq_pack_stats, None),
     "seq_vocab_coverage": (seq_vocab_coverage, _sql_seq_vocab_coverage),
     # -- ANN (2) --
     "ann_brute_topk": (ann_brute_topk, _sql_ann_brute_topk),
@@ -2288,6 +2308,7 @@ REGISTRY: dict = {
     # ================= PARKED (after driver's 50-entry window) =======
     # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
     # of in-window queries, kept for the library surface + mini-driver.
+    "seq_pack_stats": (seq_pack_stats, None),
     "lp_count_by_sink": (lp_count_by_sink, _sql_lp_count_by_sink),
     "lp_errors_rows": (lp_errors_rows, _sql_lp_errors_rows),
     "lp_slow_rows": (lp_slow_rows, _sql_lp_slow_rows),

@@ -413,8 +413,26 @@ def grouped_exact_median(
     collect_limit: int = 262_144,
     max_iters: int = 8,
 ) -> pa.Table:
-    """EXACT per-group median (linear interpolation, = DuckDB
-    quantile_cont 0.5) via distributed selection — no reducer or the
+    """EXACT per-group median — grouped_exact_quantile at q=0.5 with
+    the historical `median_value` column name."""
+    out = grouped_exact_quantile(
+        ds, key, value_col, q=0.5, n_buckets=n_buckets,
+        collect_limit=collect_limit, max_iters=max_iters,
+    )
+    return out.rename_columns([key, "median_value"])
+
+
+def grouped_exact_quantile(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    q: float = 0.5,
+    n_buckets: int = 2048,
+    collect_limit: int = 262_144,
+    max_iters: int = 8,
+) -> pa.Table:
+    """EXACT per-group quantile (linear interpolation, = DuckDB
+    quantile_cont q) via distributed selection — no reducer or the
     driver ever holds a whole group's values.
 
     Exact quantiles are not partial-mergeable, so a hot key (the
@@ -456,7 +474,7 @@ def grouped_exact_median(
     ).to_pandas()
     if not len(stats):
         return pa.table({key: pa.array([], pa.string()),
-                         "median_value": pa.array([], pa.float64())})
+                         "quantile_value": pa.array([], pa.float64())})
 
     # one selection bracket per (group, target rank); n even -> two
     # ranks m1 != m2, interpolated at the end
@@ -464,7 +482,7 @@ def grouped_exact_median(
     meta: dict = {}
     for _, r in stats.iterrows():
         n = int(r["n"])
-        h = (n - 1) * 0.5
+        h = (n - 1) * q
         m1, m2 = int(np.floor(h)), int(np.ceil(h))
         meta[r[key]] = {"h": h, "m1": m1, "m2": m2}
         for rank in {m1, m2}:
@@ -656,5 +674,5 @@ def grouped_exact_median(
         frac = m["h"] - m["m1"]
         out.append(float(v1 + frac * (v2 - v1)))
     return pa.table(
-        {key: pa.array(ks_sorted), "median_value": pa.array(out, pa.float64())}
+        {key: pa.array(ks_sorted), "quantile_value": pa.array(out, pa.float64())}
     )

@@ -205,3 +205,31 @@ def test_grouped_exact_median_distributed_selection(ray_session):
         for k, v in groups.items()
     }
     assert dict(zip(got["k"], got["median_value"])) == want
+
+
+def test_grouped_exact_quantile_p90(ray_session):
+    """Arbitrary-q selection (p90) through the refinement path."""
+    import numpy as np
+    import pandas as pd
+
+    from logpipe_ray.stages.aggregate import grouped_exact_quantile
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "k": np.repeat(["a", "b"], [7000, 4001]),
+            "v": np.concatenate(
+                [rng.normal(10, 5, 7000), rng.exponential(3, 4001)]
+            ),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = grouped_exact_quantile(
+        ds, key="k", value_col="v", q=0.9, n_buckets=32, collect_limit=64,
+        max_iters=20,
+    ).to_pandas()
+    want = {
+        k: float(np.percentile(g["v"], 90, method="linear"))
+        for k, g in df.groupby("k")
+    }
+    assert dict(zip(got["k"], got["quantile_value"])) == want
