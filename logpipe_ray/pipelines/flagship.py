@@ -340,7 +340,20 @@ def run_flagship(
                 }
                 for i, p in enumerate(group_files)
             ]
-            shard_ds = rd.from_items(items, override_num_blocks=len(items))
+            # task granularity: default one task per shard (finest
+            # lineage metrics / streaming progress). LOGPIPE_TASKS_PER_CPU=k
+            # coarsens to ~k tasks per CPU (the fused fn already loops
+            # over its batch's shards), cutting scheduling + per-task
+            # first-touch allocation overhead when shards are small
+            # relative to the task fixed cost.
+            n_blocks = len(items)
+            tpc = int(os.environ.get("LOGPIPE_TASKS_PER_CPU", "0"))
+            if tpc > 0:
+                import ray as _ray
+
+                avail = int(_ray.cluster_resources().get("CPU", 1) or 1)
+                n_blocks = max(1, min(len(items), avail * tpc))
+            shard_ds = rd.from_items(items, override_num_blocks=n_blocks)
             partials = shard_ds.map_batches(
                 _process_shard_fused, batch_format="pyarrow", batch_size=None
             )
