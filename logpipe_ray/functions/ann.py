@@ -250,12 +250,18 @@ def knn_self_join(
         # beyond the broadcast budget: route through the distributed
         # IVF co-partitioned join (approximate; recall set by nprobe)
         return knn_self_join_ivf(ds, k=k, vec_col=vec_col, id_col=id_col)
-    base = pa.concat_tables(
-        [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
-    )
-    base_ids = np.asarray(base[id_col], dtype=np.int64)
-    base_mat = _normalize(_vec_matrix(base[vec_col]).astype(np.float64))
-    base_ref = ray.put((base_ids, base_mat))
+
+    # build the broadcast base in a REMOTE task from the block refs, so
+    # the driver never materializes the (guarded, up to ~1 GB) matrix —
+    # it only holds the ObjectRef
+    @ray.remote
+    def _build_base(*blocks: pa.Table):
+        base = pa.concat_tables([t for t in blocks if t.num_columns])
+        ids = np.asarray(base[id_col], dtype=np.int64)
+        mat = _normalize(_vec_matrix(base[vec_col]).astype(np.float64))
+        return ids, mat
+
+    base_ref = _build_base.remote(*ds.to_arrow_refs())
 
     def batch_knn(t: pa.Table) -> pa.Table:
         ids_np, mat = ray.get(base_ref)

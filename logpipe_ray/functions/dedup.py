@@ -764,7 +764,11 @@ def cluster_min_label(
     for _ in range(max_rounds):
         if n_nodes <= broadcast_node_limit:
             # broadcast the label table once; each edge block looks up
-            # label[src] vectorized and emits per-block partial mins
+            # label[src] vectorized and emits per-block partial mins.
+            # Cost note: this pulls <= BROADCAST_NODE_LIMIT rows (~32 MB
+            # at the 2M default) to the driver ONCE PER ROUND — rounds x
+            # 32 MB driver traffic is the price of the zero-shuffle
+            # lookup; the join path above the limit avoids it entirely.
             blocks = [
                 t for t in ray.get(labels.to_arrow_refs()) if t.num_columns
             ]  # empty blocks carry a columnless schema; drop them

@@ -55,3 +55,55 @@ def sample_sql_predicate(id_col: str, pct: int, buckets: int = 100) -> str:
     return (
         f"((({id_col} * {HASH_A} + {HASH_B}) % {HASH_M}) % {buckets}) < {pct}"
     )
+
+
+def stratified_hash_sample(
+    ds: Dataset,
+    strata_col: str,
+    rates: dict[str, int],
+    id_col: str = "doc_id",
+    default_pct: int = 0,
+    buckets: int = 100,
+) -> Dataset:
+    """Mixture sampling: keep each stratum at its own deterministic
+    rate — the "sample sources to target proportions" step of a
+    training-mixture build (e.g. {"web": 10, "wiki": 100, "code": 50}
+    keeps 10% / 100% / 50% of each source).
+
+    Same hash-membership contract as hash_sample (pure function of the
+    id: repeatable across runs, resume-safe, shuffle-free), with the
+    per-stratum threshold gathered via a broadcast-free dictionary
+    lookup vectorized through pc.index_in. Strata not in ``rates`` get
+    ``default_pct``. Exactly replayable in SQL (CASE over the same
+    integer hash) for the oracle.
+    """
+    import numpy as np
+
+    keys = pa.array(list(rates))
+    pcts = np.fromiter(rates.values(), dtype=np.int64, count=len(rates))
+
+    def fn(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t[strata_col], value_set=keys).to_numpy(
+            zero_copy_only=False
+        )
+        ok = idx >= 0 if idx.dtype.kind == "i" else ~np.isnan(idx)
+        thr = np.where(ok, pcts[np.where(ok, idx, 0).astype(np.int64)],
+                       default_pct)
+        bucket = np.asarray(hash_bucket(t[id_col], buckets), dtype=np.int64)
+        return t.filter(pa.array(bucket < thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample_sql_case(
+    strata_col: str, rates: dict[str, int], id_col: str,
+    default_pct: int = 0, buckets: int = 100,
+) -> str:
+    """DuckDB predicate replaying stratified_hash_sample exactly."""
+    branches = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in rates.items()
+    )
+    thr = f"(CASE {strata_col} {branches} ELSE {default_pct} END)"
+    return (
+        f"((({id_col} * {HASH_A} + {HASH_B}) % {HASH_M}) % {buckets}) < {thr}"
+    )

@@ -1372,6 +1372,33 @@ scored AS (
 SELECT doc_id, contamination FROM scored WHERE contamination > 0.5"""
 
 
+MIXTURE_RATES = {"src0": 100, "src1": 80, "src2": 50, "src3": 20}
+
+
+def docs_mixture_sample(sf_dir: str) -> Dataset:
+    """Training-mixture build step: sample each source at its own
+    deterministic rate (hash membership — repeatable across runs and
+    partitioning, shuffle-free). Unlisted sources keep 10%."""
+    from .functions.sampling import stratified_hash_sample
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return stratified_hash_sample(
+        ds, strata_col="source", rates=MIXTURE_RATES, id_col="doc_id",
+        default_pct=10,
+    )
+
+
+def _sql_docs_mixture_sample(sf_dir: str) -> str:
+    from .functions.sampling import stratified_sample_sql_case
+
+    pred = stratified_sample_sql_case(
+        "source", MIXTURE_RATES, "doc_id", default_pct=10
+    )
+    return f"SELECT doc_id, source FROM documents WHERE {pred}"
+
+
 def docs_minhash_dedup(sf_dir: str):
     from .functions.dedup import minhash_dedup_pairs
 
@@ -2290,7 +2317,7 @@ REGISTRY: dict = {
     # -- documents / dedup / decontamination (9) --
     "docs_exact_dedup": (docs_exact_dedup, _sql_docs_exact_dedup),
     "docs_bpe_token_count": (docs_bpe_token_count, _sql_docs_bpe_token_count),
-    "docs_redacted": (docs_redacted, _sql_docs_redacted),
+    "docs_mixture_sample": (docs_mixture_sample, _sql_docs_mixture_sample),  # r3
     "docs_decontaminate_audit": (docs_decontaminate_audit, _sql_docs_decontaminate_audit),
     "docs_minhash_dedup": (docs_minhash_dedup, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
@@ -2309,6 +2336,7 @@ REGISTRY: dict = {
     # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
     # of in-window queries, kept for the library surface + mini-driver.
     "seq_pack_stats": (seq_pack_stats, None),
+    "docs_redacted": (docs_redacted, _sql_docs_redacted),
     "lp_count_by_sink": (lp_count_by_sink, _sql_lp_count_by_sink),
     "lp_errors_rows": (lp_errors_rows, _sql_lp_errors_rows),
     "lp_slow_rows": (lp_slow_rows, _sql_lp_slow_rows),

@@ -233,3 +233,35 @@ def test_grouped_exact_quantile_p90(ray_session):
         for k, g in df.groupby("k")
     }
     assert dict(zip(got["k"], got["quantile_value"])) == want
+
+
+def test_stratified_hash_sample(ray_session):
+    """Per-stratum deterministic rates: each stratum is sampled by the
+    SAME membership function regardless of partitioning; rates land
+    near targets; unlisted strata use default_pct; repeat run
+    identical."""
+    import numpy as np
+    import pandas as pd
+
+    from logpipe_ray.functions.sampling import stratified_hash_sample
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4000),
+            "src": np.repeat(["a", "b", "c", "d"], 1000),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    rates = {"a": 100, "b": 50, "c": 0}
+    out1 = stratified_hash_sample(
+        ds, "src", rates, id_col="doc_id", default_pct=10
+    ).to_pandas()
+    out2 = stratified_hash_sample(
+        ds.repartition(7), "src", rates, id_col="doc_id", default_pct=10
+    ).to_pandas()
+    c = out1.groupby("src").size()
+    assert c.get("a", 0) == 1000            # 100%
+    assert 400 < c.get("b", 0) < 600        # ~50%
+    assert c.get("c", 0) == 0               # 0%
+    assert 50 < c.get("d", 0) < 200         # default 10%
+    assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])  # partition-stable
