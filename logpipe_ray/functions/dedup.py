@@ -139,6 +139,11 @@ def band_table(
     return pa.concat_tables(parts)
 
 
+# whole banded (band_id, band_hash, doc_id) tables under this many rows
+# (~50 MB) collapse candidate generation into one driver pass
+BANDED_DRIVER_LIMIT = 2_000_000
+
+
 def minhash_lsh_candidates(
     ds: Dataset,
     text_col: str = "text",
@@ -165,6 +170,57 @@ def minhash_lsh_candidates(
         return band_table(ids, sig, bands=bands)
 
     banded = ds.map_batches(to_bands, batch_format="pyarrow").materialize()
+
+    # Bounded-fan-in fast path (same design language as
+    # DRIVER_PAIR_LIMIT / BROADCAST_*): when the whole (band_id,
+    # band_hash, doc_id) table fits under BANDED_DRIVER_LIMIT rows
+    # (~50 MB), bucket-count + filter + pair-emit + distinct collapse
+    # into ONE vectorized driver pass — replacing three keyed exchanges
+    # whose per-block fixed costs dominate at small scale. Above the
+    # limit (docs x bands at 100 TB), the distributed path below runs.
+    import ray as _ray
+
+    n_banded = banded.count()
+    if n_banded <= BANDED_DRIVER_LIMIT:
+        blocks = [t for t in _ray.get(banded.to_arrow_refs()) if t.num_columns]
+        tbl = pa.concat_tables(blocks) if blocks else None
+        if tbl is None or tbl.num_rows == 0:
+            return _ray.data.from_arrow(_PAIR_I64.empty_table())
+        if pa.types.is_integer(tbl["doc_id"].type):
+            bh = np.asarray(tbl["band_hash"], np.int64)
+            bid = np.asarray(tbl["band_id"], np.int64)
+            ids = np.asarray(tbl["doc_id"], np.int64)
+            order = np.lexsort((ids, bh, bid))
+            bh_s, bid_s, ids_s = bh[order], bid[order], ids[order]
+            change = np.concatenate(
+                [[True], (bh_s[1:] != bh_s[:-1]) | (bid_s[1:] != bid_s[:-1])]
+            )
+            starts = np.flatnonzero(change)
+            sizes = np.diff(np.concatenate([starts, [len(ids_s)]]))
+            pa_, pb_ = [], []
+            for s0, sz in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+                if sz > max_group:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "LSH band bucket of %d docs capped to %d (%d ids "
+                        "not paired in this bucket)", sz, max_group,
+                        sz - max_group,
+                    )
+                    sz = max_group
+                grp = ids_s[s0 : s0 + sz]
+                ii, jj = np.triu_indices(int(sz), k=1)
+                pa_.append(grp[ii])
+                pb_.append(grp[jj])
+            if not pa_:
+                return _ray.data.from_arrow(_PAIR_I64.empty_table())
+            ab = np.unique(
+                np.stack([np.concatenate(pa_), np.concatenate(pb_)]), axis=1
+            )
+            return _ray.data.from_arrow(
+                pa.table({"a": pa.array(ab[0]), "b": pa.array(ab[1])})
+            )
+        # non-integer ids: fall through to the distributed path
 
     # Nearly all LSH buckets are singletons; running the pair-emitter
     # per bucket via map_groups costs one Python call per bucket. A
@@ -321,6 +377,14 @@ _EMPTY_VERIFIED = pa.table(
 # distributed hash join so nothing unbounded ever lands on the driver.
 BROADCAST_PAIR_LIMIT = 500_000
 
+# Below this many candidate pairs, verification short-circuits to one
+# bounded driver pass: the (<= 2 x pairs) candidate docs' texts are
+# pulled once and exact Jaccard runs locally — replacing two hash
+# joins + a unique + an exploded group_by whose fixed costs dominate
+# when candidates are sparse (the common case: LSH at a high
+# threshold). Conservative default: 20k pairs (~40k docs of text).
+VERIFY_DRIVER_PAIRS = 20_000
+
 
 def _verify_pairs_ds(
     ds: Dataset,
@@ -347,6 +411,55 @@ def _verify_pairs_ds(
     n_cand = cand.count()
     if n_cand == 0:
         return ray.data.from_arrow(_EMPTY_VERIFIED)
+    if n_cand <= min(VERIFY_DRIVER_PAIRS, broadcast_limit):
+        # bounded driver verification (see VERIFY_DRIVER_PAIRS; a
+        # sub-case of the broadcast regime, so broadcast_limit=0 still
+        # forces the fully distributed path in tests): one
+        # broadcast-filtered pass collects just the candidate docs
+        ct = pa.concat_tables(
+            [t for t in ray.get(cand.to_arrow_refs()) if t.num_columns]
+        )
+        a_ids = np.asarray(ct["a"], np.int64)
+        b_ids = np.asarray(ct["b"], np.int64)
+        wanted_ref = ray.put(
+            pa.array(np.unique(np.concatenate([a_ids, b_ids])))
+        )
+
+        def pick_docs(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t[id_col], value_set=ray.get(wanted_ref))
+            return t.filter(mask).select([id_col, text_col])
+
+        docs_t = pa.concat_tables(
+            [
+                t
+                for t in ray.get(
+                    ds.map_batches(pick_docs, batch_format="pyarrow")
+                    .materialize()
+                    .to_arrow_refs()
+                )
+                if t.num_columns
+            ]
+        )
+        text_of = dict(
+            zip(
+                np.asarray(docs_t[id_col], np.int64).tolist(),
+                docs_t[text_col].to_pylist(),
+            )
+        )
+        jac = exact_jaccard(
+            [text_of[i] for i in a_ids.tolist()],
+            [text_of[i] for i in b_ids.tolist()],
+        )
+        keep = jac >= threshold
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array(a_ids[keep]),
+                    "b": pa.array(b_ids[keep]),
+                    "jaccard": pa.array(jac[keep]),
+                }
+            )
+        )
     n_parts = max(2, min(64, n_cand // 50_000 + 2))
     # aggregate outputs can carry empty columnless blocks that break
     # Acero joins ("No match for key field reference"); repartition

@@ -220,3 +220,38 @@ def test_dedup_corpus_distributed_path_matches_driver(ray_session, corpus):
     )
     assert a == b
     assert 0 < len(a) < 202  # the planted dups were dropped
+
+
+def test_lsh_candidates_driver_path_matches_distributed(ray_session, corpus):
+    """The bounded driver fast path and the distributed exchange path
+    must emit identical candidate pair sets."""
+    import logpipe_ray.functions.dedup as D
+
+    ds = rd.from_arrow(corpus)
+    kw = dict(num_perm=64, bands=16, shingle_k=2)
+    fast = D.minhash_lsh_candidates(ds, **kw).to_pandas()
+    orig = D.BANDED_DRIVER_LIMIT
+    try:
+        D.BANDED_DRIVER_LIMIT = 0  # force the distributed path
+        dist = D.minhash_lsh_candidates(ds, **kw).to_pandas()
+    finally:
+        D.BANDED_DRIVER_LIMIT = orig
+    assert set(zip(fast["a"], fast["b"])) == set(zip(dist["a"], dist["b"]))
+    assert len(fast) == len(dist)
+
+
+def test_verify_driver_path_matches_distributed(ray_session, corpus):
+    """The bounded driver verification must equal the Dataset join
+    verification exactly."""
+    import logpipe_ray.functions.dedup as D
+
+    ds = rd.from_arrow(corpus)
+    kw = dict(threshold=0.8, num_perm=64, bands=16)
+    fast = minhash_dedup_pairs(ds, **kw)
+    orig = D.VERIFY_DRIVER_PAIRS
+    try:
+        D.VERIFY_DRIVER_PAIRS = 0  # force the join verification
+        dist = minhash_dedup_pairs(ds, **kw)
+    finally:
+        D.VERIFY_DRIVER_PAIRS = orig
+    assert fast.equals(dist)
