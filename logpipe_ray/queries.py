@@ -803,6 +803,61 @@ SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
 FROM o GROUP BY user_id"""
 
 
+def events_running_total(sf_dir: str) -> Dataset:
+    """Per-type running total of value-cents over (ts, event_id) order
+    — the distributed SCAN pattern (partitioned_running_sum): bucket
+    totals -> bounded driver prefix -> per-bucket local cumsum. No
+    reducer ever holds more than one day of one (hot) type."""
+    from .stages.aggregate import partitioned_running_sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
+        )
+        day = pc.cast(
+            pc.floor(
+                pc.divide(
+                    pc.cast(t["ts"], pa.int64()),
+                    pa.scalar(86_400_000_000, pa.int64()),
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "event_type": t["event_type"],
+                "cents": cents,
+                "day": day,
+            }
+        )
+
+    return partitioned_running_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="event_type",
+        order_cols=["ts", "event_id"],
+        value_col="cents",
+        bucket_col="day",
+        out_col="running_cents",
+        keep_cols=["event_id", "event_type"],
+    )
+
+
+def _sql_events_running_total(sf_dir: str) -> str:
+    return """
+SELECT event_id, event_type,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+         PARTITION BY event_type ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS running_cents
+FROM events"""
+
+
 def events_p90_value(sf_dir: str) -> pa.Table:
     """Exact per-group p90 (= quantile_cont 0.9) via the same
     distributed-selection machinery as the median — the asymmetric
@@ -1370,6 +1425,39 @@ scored AS (
   GROUP BY g.doc_id
 )
 SELECT doc_id, contamination FROM scored WHERE contamination > 0.5"""
+
+
+def docs_rollup_lang_source(sf_dir: str) -> pa.Table:
+    """ROLLUP(lang, source) counts: leaf combos + per-lang subtotals +
+    grand total (NULL markers, matching SQL ROLLUP semantics). Scale
+    shape: ONE streaming pass builds mergeable (lang, source) leaf
+    partials; the subtotal levels are derived from the bounded leaf
+    table (O(distinct combos)) — never a second scan of the data."""
+    from .stages.aggregate import count_groupby
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+    leaf = count_groupby(ds, ["lang", "source"], alias="cnt").to_pandas()
+    by_lang = leaf.groupby("lang", as_index=False)["cnt"].sum()
+    by_lang["source"] = None
+    total = leaf[["cnt"]].sum().to_frame().T
+    total["lang"] = None
+    total["source"] = None
+    import pandas as pd
+
+    out = pd.concat(
+        [leaf, by_lang[["lang", "source", "cnt"]], total[["lang", "source", "cnt"]]],
+        ignore_index=True,
+    )
+    out["cnt"] = out["cnt"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+
+def _sql_docs_rollup_lang_source(sf_dir: str) -> str:
+    return """
+SELECT lang, source, count(*) AS cnt
+FROM documents GROUP BY ROLLUP (lang, source)"""
 
 
 MIXTURE_RATES = {"src0": 100, "src1": 80, "src2": 50, "src3": 20}
@@ -2274,6 +2362,7 @@ REGISTRY: dict = {
         _sql_lp_pivot_level_by_service,
     ),
     "events_moving_sum": (events_moving_sum, _sql_events_moving_sum),
+    "events_running_total": (events_running_total, _sql_events_running_total),  # r3
     "docs_prep_corpus": (docs_prep_corpus, _sql_docs_prep_corpus),
     # -- never-driver-checked round-2 additions, rows-only (6) --
     "embeddings_neardup": (embeddings_neardup, None),
@@ -2300,13 +2389,11 @@ REGISTRY: dict = {
         purchases_asof_last_click,
         _sql_purchases_asof_last_click,
     ),
-    "lineitem_semi_high_value": (lineitem_semi_high_value, _sql_lineitem_semi_high_value),
     "lineitem_price_band_join": (  # new r3: distributed interval join
         lineitem_price_band_join,
         _sql_lineitem_price_band_join,
     ),
     # -- events / windows / sketches (4) --
-    "events_hourly": (events_hourly, _sql_events_hourly),
     "events_sessionize": (events_sessionize, _sql_events_sessionize),
     "events_median_value": (events_median_value, _sql_events_median_value),
     "events_approx_distinct_users": (
@@ -2318,6 +2405,10 @@ REGISTRY: dict = {
     "docs_exact_dedup": (docs_exact_dedup, _sql_docs_exact_dedup),
     "docs_bpe_token_count": (docs_bpe_token_count, _sql_docs_bpe_token_count),
     "docs_mixture_sample": (docs_mixture_sample, _sql_docs_mixture_sample),  # r3
+    "docs_rollup_lang_source": (  # r3: ROLLUP levels from one pass
+        docs_rollup_lang_source,
+        _sql_docs_rollup_lang_source,
+    ),
     "docs_decontaminate_audit": (docs_decontaminate_audit, _sql_docs_decontaminate_audit),
     "docs_minhash_dedup": (docs_minhash_dedup, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
@@ -2336,6 +2427,8 @@ REGISTRY: dict = {
     # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
     # of in-window queries, kept for the library surface + mini-driver.
     "seq_pack_stats": (seq_pack_stats, None),
+    "lineitem_semi_high_value": (lineitem_semi_high_value, _sql_lineitem_semi_high_value),
+    "events_hourly": (events_hourly, _sql_events_hourly),
     "docs_redacted": (docs_redacted, _sql_docs_redacted),
     "lp_count_by_sink": (lp_count_by_sink, _sql_lp_count_by_sink),
     "lp_errors_rows": (lp_errors_rows, _sql_lp_errors_rows),

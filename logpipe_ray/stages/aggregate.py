@@ -676,3 +676,70 @@ def grouped_exact_quantile(
     return pa.table(
         {key: pa.array(ks_sorted), "quantile_value": pa.array(out, pa.float64())}
     )
+
+
+def partitioned_running_sum(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    bucket_col: str,
+    out_col: str = "running_sum",
+    keep_cols: list[str] | None = None,
+) -> Dataset:
+    """Per-key running (prefix) sum of ``value_col`` over ``order_cols``
+    — the distributed SCAN pattern, without co-locating a whole key.
+
+    Two passes (same (key, bucket) partitioning contract as
+    partitioned_rolling_sum; bucket_col must be monotone in the leading
+    order column):
+
+      pass 1: per-(key, bucket) TOTALS via per-batch Arrow partials +
+        one tiny keyed aggregate (O(keys x buckets) rows);
+      driver: exclusive prefix over each key's bucket totals in bucket
+        order — bounded state, the same order as the bucket count;
+      pass 2: groupby((key, bucket)).map_groups sorts ONE bucket,
+        local cumsum + the bucket's carried-in prefix offset.
+
+    ``value_col`` must be integer (exactness under the hash compare).
+    """
+    import pandas as pd
+
+    import ray
+
+    def totals_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([key, bucket_col, value_col])
+            .group_by([key, bucket_col])
+            .aggregate([(value_col, "sum")])
+        )
+        return g.rename_columns([key, bucket_col, "p"])
+
+    totals = (
+        ds.map_batches(totals_partial, batch_format="pyarrow")
+        .groupby([key, bucket_col])
+        .sum("p")
+        .to_pandas()
+    )
+    col = "sum(p)" if "sum(p)" in totals.columns else "p"
+    prefix: dict = {}
+    for k, g in totals.groupby(key, sort=False):
+        g = g.sort_values(bucket_col, kind="mergesort")
+        run = g[col].cumsum().shift(fill_value=0)  # exclusive prefix
+        for b, off in zip(g[bucket_col], run):
+            prefix[(k, b)] = int(off)
+    prefix_ref = ray.put(prefix)
+
+    keep = keep_cols if keep_cols is not None else [key, *order_cols]
+
+    def scan_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        pmap = ray.get(prefix_ref)
+        df = df.sort_values(order_cols, kind="mergesort")
+        off = pmap.get((df[key].iloc[0], df[bucket_col].iloc[0]), 0)
+        out = df[keep].copy()
+        out[out_col] = df[value_col].cumsum().to_numpy() + off
+        return out
+
+    return ds.groupby([key, bucket_col]).map_groups(
+        scan_group, batch_format="pandas"
+    )

@@ -265,3 +265,37 @@ def test_stratified_hash_sample(ray_session):
     assert c.get("c", 0) == 0               # 0%
     assert 50 < c.get("d", 0) < 200         # default 10%
     assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])  # partition-stable
+
+
+def test_partitioned_running_sum_skewed_key(ray_session):
+    """Distributed prefix sum: exact per-key cumulative sums across
+    bucket boundaries with a 90%-hot key, no reducer holding the full
+    key (groups are (k, b))."""
+    import numpy as np
+    import pandas as pd
+
+    from logpipe_ray.stages.aggregate import partitioned_running_sum
+
+    rng = np.random.default_rng(7)
+    n_hot, n_cold = 9000, 1000
+    df = pd.DataFrame(
+        {
+            "k": np.array(["hot"] * n_hot + ["cold"] * n_cold),
+            "o": np.concatenate([np.arange(n_hot), np.arange(n_cold)]),
+            "v": rng.integers(-100, 1000, n_hot + n_cold),
+        }
+    )
+    df["b"] = df["o"] // 250
+    assert df.groupby(["k", "b"]).size().max() <= 250 < n_hot
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = (
+        partitioned_running_sum(
+            ds, key="k", order_cols=["o"], value_col="v",
+            bucket_col="b", out_col="r",
+        )
+        .to_pandas()
+        .sort_values(["k", "o"], ignore_index=True)
+    )
+    want = df.sort_values(["k", "o"], ignore_index=True)
+    want["r"] = want.groupby("k", sort=False)["v"].cumsum()
+    pd.testing.assert_frame_equal(got[["k", "o", "r"]], want[["k", "o", "r"]])
