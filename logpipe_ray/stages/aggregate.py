@@ -488,13 +488,21 @@ def grouped_exact_quantile(
         for rank in {m1, m2}:
             st[(r[key], rank)] = {
                 "r": rank, "lo": float(r["lo"]), "hi": float(r["hi"]),
+                "w0": float(r["hi"]) - float(r["lo"]),
                 "below": 0, "in": n,
             }
     rank_val: dict = {}
 
     def _width_collapsed(s: dict) -> bool:
+        # two floors: ~450 ulps of the bracket bounds, AND 1e-15 of the
+        # group's ORIGINAL range — the latter covers brackets pinned at
+        # 0.0 (scale of the bounds alone collapses to the width itself,
+        # so a relative-only test could never fire). Values within
+        # 1e-15 x range of each other are float-indistinguishable for
+        # any realistic data, so the distinct-value collect stays tiny.
         scale = max(abs(s["lo"]), abs(s["hi"]), 1e-300)
-        return (s["hi"] - s["lo"]) <= 1e-13 * scale
+        w = s["hi"] - s["lo"]
+        return w <= 1e-13 * scale or w <= 1e-15 * max(s["w0"], 1e-300)
 
     def _maybe_finish(bk: tuple) -> None:
         s = st[bk]

@@ -299,3 +299,39 @@ def test_partitioned_running_sum_skewed_key(ray_session):
     want = df.sort_values(["k", "o"], ignore_index=True)
     want["r"] = want.groupby("k", sort=False)["v"].cumsum()
     pd.testing.assert_frame_equal(got[["k", "o", "r"]], want[["k", "o", "r"]])
+
+
+def test_grouped_exact_quantile_distributions(ray_session):
+    """Exactness across distribution shapes and q values — heavy ties,
+    integer-valued, bimodal, tiny groups, q near the edges."""
+    import numpy as np
+    import pandas as pd
+
+    from logpipe_ray.stages.aggregate import grouped_exact_quantile
+
+    rng = np.random.default_rng(31)
+    groups = {
+        "ties": np.repeat([1.0, 2.0, 3.0], [500, 400, 300]),
+        "ints": rng.integers(0, 50, 3000).astype(float),
+        "bimodal": np.concatenate(
+            [rng.normal(-100, 1, 1500), rng.normal(100, 1, 1501)]
+        ),
+        "three": np.array([5.0, -2.0, 9.0]),
+    }
+    df = pd.DataFrame(
+        {
+            "k": np.concatenate([[k] * len(v) for k, v in groups.items()]),
+            "v": np.concatenate(list(groups.values())),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        got = grouped_exact_quantile(
+            ds, key="k", value_col="v", q=q, n_buckets=16, collect_limit=32,
+            max_iters=30,
+        ).to_pandas()
+        want = {
+            k: float(np.percentile(v, q * 100, method="linear"))
+            for k, v in groups.items()
+        }
+        assert dict(zip(got["k"], got["quantile_value"])) == want, f"q={q}"
