@@ -364,7 +364,18 @@ def partitioned_rolling_sum(
             [key, bucket_col, *order_cols, value_col]
         ]
 
-    tail_parts = ds.map_batches(tails, batch_format="pandas").to_pandas()
+    # per-batch tails -> keyed reduce to the GLOBAL per-(key, bucket)
+    # tail -> driver. The shuffle moves only tail partials; the driver
+    # table is O(keys x buckets) rows with no blocks factor.
+    tail_parts = (
+        ds.map_batches(tails, batch_format="pandas")
+        .groupby([key, bucket_col])
+        .map_groups(
+            lambda df: df.sort_values(sort_by, kind="mergesort").tail(carry_n),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
     # driver-side final reduce over the bounded tail table: for each
     # (key, bucket) the carry-in is the last w-1 rows among ALL
     # preceding buckets; since every bucket contributed its own last
