@@ -589,11 +589,11 @@ def grouped_exact_quantile(
             .to_pandas()
         )
         col = "sum(cnt)" if "sum(cnt)" in hist.columns else "cnt"
+        inv_slot = {(bk[0], sl): bk for bk, sl in slot_of.items()}
         for (k, sl), g in hist.groupby([key, "slot"], sort=False):
-            bks = [bk for bk, s in slot_of.items() if bk[0] == k and s == sl]
-            if not bks:
+            bk = inv_slot.get((k, sl))
+            if bk is None:
                 continue
-            bk = bks[0]
             s = st[bk]
             counts = np.zeros(nb + 1, dtype=np.int64)
             counts[g["pos"].to_numpy()] = g[col].to_numpy()

@@ -273,9 +273,10 @@ def range_join(
         # exactly below — correctness is unaffected
         spans = (b1 - b0 + 1).clip(min=0)
         idx = np.repeat(np.arange(len(lo)), spans)
-        offs = np.concatenate([np.arange(s) for s in spans]) if len(spans) else (
+        starts = np.concatenate([[0], np.cumsum(spans)[:-1]]) if len(spans) else (
             np.empty(0, np.int64)
         )
+        offs = np.arange(int(spans.sum())) - np.repeat(starts, spans)
         buckets = b0[idx] + offs
         out = t.take(pa.array(idx))
         return out.append_column("_rj_bucket", pa.array(buckets, pa.int64()))
