@@ -128,3 +128,124 @@ def approx_quantiles(
         for v, w in zip(parts_df["vals"], parts_df["wts"])
     ]
     return quantile_merge_query(parts, qs)
+
+
+def heavy_hitters_topk(
+    ds,
+    key_col: str,
+    k: int = 20,
+    capacity: int = 4096,
+) -> "pa.Table":
+    """EXACT top-k keys by count over an UNBOUNDED-cardinality key —
+    the two-pass heavy-hitters pattern (exact per-key counting would
+    shuffle every distinct key; a hot-key top-k needs none of that):
+
+      pass 1: per-batch Misra-Gries summaries (exact in-batch counts,
+        compressed to ``capacity`` counters by subtracting the
+        (capacity+1)-th count) -> driver MG merge with the TOTAL
+        decrement tracked exactly;
+      pass 2: the <= capacity candidate keys broadcast; one streaming
+        pass counts ONLY candidates exactly (per-batch filtered
+        value_counts partials, bounded merge);
+      guard: Misra-Gries guarantees any key with true count >
+        total_decrement survives pass 1, so the result is PROVABLY
+        exact iff the k-th exact count > total_decrement — otherwise
+        this raises (increase ``capacity``).
+
+    Ties at the k-th boundary resolve deterministically
+    (count desc, key asc). Returns (key, cnt) sorted the same way.
+    """
+    import ray
+
+    # NOTE: per-batch decrement must reach the driver too — carry it as
+    # one sentinel row per batch (null key)
+    def mg_partial_with_dec(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = pa.compute.value_counts(pa.compute.drop_null(col))
+        keys = pa.compute.struct_field(vc, "values")
+        cnts = np.asarray(pa.compute.struct_field(vc, "counts"), np.int64)
+        dec = 0
+        if len(cnts) > capacity:
+            order = np.argsort(-cnts, kind="stable")
+            dec = int(cnts[order[capacity]])
+            keep = cnts - dec > 0
+            keys = keys.take(pa.array(np.nonzero(keep)[0]))
+            cnts = cnts[keep] - dec
+        sentinel_key = pa.array([None], keys.type)
+        return pa.table(
+            {
+                "key": pa.concat_arrays([keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys, sentinel_key]),
+                "c": pa.array(np.concatenate([cnts, [0]]), pa.int64()),
+                "dec": pa.array(
+                    np.concatenate([np.zeros(len(cnts), np.int64), [dec]]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    import pandas as pd
+
+    # driver MG merge, streaming over partial batches: counters dict
+    # capped at `capacity`, total decrement tracked exactly
+    counters: dict = {}
+    total_dec = 0
+    parts = ds.map_batches(mg_partial_with_dec, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        total_dec += int(pa.compute.sum(b["dec"]).as_py() or 0)
+        keys = b["key"].to_pylist()
+        cnts = b["c"].to_pylist()
+        for key, c in zip(keys, cnts):
+            if key is None or c == 0:
+                continue
+            counters[key] = counters.get(key, 0) + c
+        if len(counters) > capacity:
+            vals = np.fromiter(counters.values(), np.int64, len(counters))
+            dec = int(np.partition(vals, -capacity - 1)[-capacity - 1]) if len(
+                vals
+            ) > capacity else 0
+            if dec:
+                total_dec += dec
+                counters = {
+                    key: c - dec for key, c in counters.items() if c - dec > 0
+                }
+    if not counters:
+        empty = pa.table({key_col: pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        return empty
+
+    cand = list(counters)
+    cand_ref = ray.put(pa.array(cand))
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mask = pa.compute.is_in(col, value_set=ray.get(cand_ref))
+        vc = pa.compute.value_counts(col.filter(mask))
+        return pa.table(
+            {
+                "key": pa.compute.struct_field(vc, "values"),
+                "c": pa.compute.struct_field(vc, "counts"),
+            }
+        )
+
+    ex = ds.map_batches(exact_partial, batch_format="pyarrow").to_pandas()
+    exact = ex.groupby("key", sort=False)["c"].sum().reset_index()
+    exact = exact.sort_values(
+        ["c", "key"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    kth = int(exact["c"].iloc[-1]) if len(exact) >= k else 0
+    if len(exact) >= k and kth <= total_dec:
+        raise RuntimeError(
+            f"heavy_hitters_topk not provably exact: k-th count {kth} <= "
+            f"Misra-Gries decrement bound {total_dec}; increase capacity "
+            f"(={capacity})"
+        )
+    return pa.table(
+        {
+            key_col: pa.array(exact["key"].to_numpy()),
+            "cnt": pa.array(exact["c"].to_numpy(), pa.int64()),
+        }
+    )

@@ -858,6 +858,25 @@ SELECT event_id, event_type,
 FROM events"""
 
 
+def events_top_users(sf_dir: str) -> pa.Table:
+    """Exact top-20 users by event count over an unbounded-cardinality
+    key: two-pass heavy hitters (per-batch Misra-Gries summaries ->
+    driver merge with tracked decrement -> broadcast candidates ->
+    exact counting pass), provably exact via the k-th-count >
+    decrement guard. No per-key all-to-all shuffle ever happens."""
+    from .functions.sketches import heavy_hitters_topk
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return heavy_hitters_topk(ds, "user_id", k=20, capacity=4096)
+
+
+def _sql_events_top_users(sf_dir: str) -> str:
+    return """
+SELECT user_id, count(*) AS cnt
+FROM events GROUP BY user_id
+ORDER BY cnt DESC, user_id LIMIT 20"""
+
+
 def events_p90_value(sf_dir: str) -> pa.Table:
     """Exact per-group p90 (= quantile_cont 0.9) via the same
     distributed-selection machinery as the median — the asymmetric
@@ -2384,7 +2403,6 @@ REGISTRY: dict = {
     "lp_union_errors_slow": (lp_union_errors_slow, _sql_lp_union_errors_slow),
     # -- relational / join representatives (4) --
     "q1_lineitem": (q1_lineitem, _sql_q1_lineitem),
-    "revenue_by_orderpriority": (revenue_by_orderpriority, _sql_revenue_by_orderpriority),
     "purchases_asof_last_click": (
         purchases_asof_last_click,
         _sql_purchases_asof_last_click,
@@ -2401,6 +2419,7 @@ REGISTRY: dict = {
         _sql_events_approx_distinct_users,
     ),
     "events_p90_value": (events_p90_value, _sql_events_p90_value),  # new r3
+    "events_top_users": (events_top_users, _sql_events_top_users),  # new r3
     # -- documents / dedup / decontamination (9) --
     "docs_exact_dedup": (docs_exact_dedup, _sql_docs_exact_dedup),
     "docs_bpe_token_count": (docs_bpe_token_count, _sql_docs_bpe_token_count),
@@ -2429,6 +2448,7 @@ REGISTRY: dict = {
     "seq_pack_stats": (seq_pack_stats, None),
     "lineitem_semi_high_value": (lineitem_semi_high_value, _sql_lineitem_semi_high_value),
     "events_hourly": (events_hourly, _sql_events_hourly),
+    "revenue_by_orderpriority": (revenue_by_orderpriority, _sql_revenue_by_orderpriority),
     "docs_redacted": (docs_redacted, _sql_docs_redacted),
     "lp_count_by_sink": (lp_count_by_sink, _sql_lp_count_by_sink),
     "lp_errors_rows": (lp_errors_rows, _sql_lp_errors_rows),

@@ -86,3 +86,42 @@ def test_quantile_sketch_exact_small():
     part = quantile_sketch(v, buckets=256)  # n <= buckets: exact
     assert quantile_merge_query([part], [0.5]) == [3.0]
     assert quantile_merge_query([part], [1.0]) == [5.0]
+
+
+def test_heavy_hitters_exact_topk(ray_session):
+    """Forced MG compression (capacity << distinct keys): result must
+    equal the exact top-k with deterministic tiebreaks; the
+    provably-exact guard must raise when capacity is hopeless."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logpipe_ray.functions.sketches import heavy_hitters_topk
+
+    rng = np.random.default_rng(13)
+    # zipf-ish: heavy keys 0..9, long uniform tail 10..2009
+    heavy = np.repeat(np.arange(10), (10 - np.arange(10)) * 500)
+    tail = rng.integers(10, 2010, 30_000)
+    keys = np.concatenate([heavy, tail])
+    rng.shuffle(keys)
+    df = pd.DataFrame({"user_id": keys.astype(np.int64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(8)
+
+    got = heavy_hitters_topk(ds, "user_id", k=10, capacity=64).to_pandas()
+    want = (
+        df.groupby("user_id").size().reset_index(name="cnt")
+        .sort_values(["cnt", "user_id"], ascending=[False, True],
+                     kind="mergesort")
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["cnt"].tolist() == want["cnt"].tolist()
+
+    # uniform data with k-th count below the decrement bound: the
+    # exactness guard must refuse rather than silently approximate
+    uni = pd.DataFrame({"user_id": rng.integers(0, 5000, 20_000)})
+    ds_u = rd.from_arrow(pa.Table.from_pandas(uni, preserve_index=False)).repartition(8)
+    with pytest.raises(RuntimeError, match="not provably exact"):
+        heavy_hitters_topk(ds_u, "user_id", k=10, capacity=16)
