@@ -381,6 +381,8 @@ def partitioned_rolling_sum(
     # preceding buckets; since every bucket contributed its own last
     # w-1 rows, the global answer lies within the concatenated tails.
     carry: dict = {}
+    if tail_parts.empty and key not in tail_parts.columns:
+        tail_parts = pd.DataFrame(columns=[key, bucket_col, *order_cols, value_col])
     for k, g in tail_parts.groupby(key, sort=False):
         g = g.sort_values(sort_by, kind="mergesort")
         buckets = g[bucket_col].to_numpy()
@@ -742,6 +744,8 @@ def partitioned_running_sum(
     )
     col = "sum(p)" if "sum(p)" in totals.columns else "p"
     prefix: dict = {}
+    if totals.empty and key not in totals.columns:
+        totals = pd.DataFrame(columns=[key, bucket_col, col])
     for k, g in totals.groupby(key, sort=False):
         g = g.sort_values(bucket_col, kind="mergesort")
         run = g[col].cumsum().shift(fill_value=0)  # exclusive prefix

@@ -245,6 +245,14 @@ def range_join(
 
     ``closed``: "left" = lo <= v < hi, "both" = lo <= v <= hi.
     Output: left columns + the right row's columns for each match.
+
+    Known edge: a left dataset with ZERO total rows produces columnless
+    empty blocks in this Ray version, which Acero's join rejects
+    ("no match for key field"); the right side is repartitioned (cheap,
+    it is the interval table) which drops its empty blocks, but the
+    left side is not (an extra full pass at scale is not worth the
+    degenerate case). Callers with possibly-empty LEFT inputs should
+    short-circuit before joining.
     """
     import numpy as np
     import pyarrow.compute as pc
