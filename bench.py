@@ -90,6 +90,10 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "seq_bigram_topk",
             "embeddings_knn_join",
             "docs_prep_corpus",
+            # round-3 additions: scan, interval join, heavy hitters
+            "events_running_total",
+            "lineitem_price_band_join",
+            "events_top_users",
         ]
         all_q = Q.queries()
 

@@ -218,6 +218,12 @@ def semi_anti_join_ds(
     )
 
 
+# interval tables at or under this many rows broadcast (ray.put the
+# bucket->intervals index once; zero shuffle); larger ones go through
+# the bucketed co-partitioned exchange below
+RANGE_JOIN_BROADCAST_ROWS = 100_000
+
+
 def range_join(
     left: Dataset,
     right: Dataset,
@@ -226,6 +232,7 @@ def range_join(
     bucket_width: float,
     closed: str = "left",
     num_partitions: int = 16,
+    broadcast_limit_rows: int = RANGE_JOIN_BROADCAST_ROWS,
 ) -> Dataset:
     """Distributed interval (range) join: left rows match right rows
     where ``left[value_col]`` falls inside ``[right[lo], right[hi]]``
@@ -260,6 +267,63 @@ def range_join(
     lo_col, hi_col = bounds
     if closed not in ("left", "both"):
         raise ValueError(f"closed must be 'left' or 'both', got {closed!r}")
+
+    n_right = right.count()
+    if n_right <= broadcast_limit_rows:
+        # broadcast plan — the common 100 TB shape (facts x small
+        # interval dimension): build the bucket -> interval-ids index
+        # once, ray.put it, and stream the left side through one
+        # map_batches with zero shuffle. Each left row probes its
+        # single bucket; candidates filter exactly by bounds.
+        import ray
+
+        blocks = [t for t in ray.get(right.to_arrow_refs()) if t.num_columns]
+        rt = pa.concat_tables(blocks) if blocks else None
+        if rt is None or rt.num_rows == 0:
+            return left.limit(0)
+        r_lo = np.asarray(rt[lo_col], np.float64)
+        r_hi = np.asarray(rt[hi_col], np.float64)
+        b0 = np.floor(r_lo / bucket_width).astype(np.int64)
+        b1 = np.floor(r_hi / bucket_width).astype(np.int64)
+        spans = (b1 - b0 + 1).clip(min=0)
+        ividx = np.repeat(np.arange(len(r_lo)), spans)
+        sstarts = np.concatenate([[0], np.cumsum(spans)[:-1]]) if len(spans) else (
+            np.empty(0, np.int64)
+        )
+        buckets = b0[ividx] + (
+            np.arange(int(spans.sum())) - np.repeat(sstarts, spans)
+        )
+        order = np.argsort(buckets, kind="stable")
+        bkt_sorted, iv_sorted = buckets[order], ividx[order]
+        uniq, ustarts = np.unique(bkt_sorted, return_index=True)
+        uends = np.append(ustarts[1:], len(bkt_sorted))
+        idx_ref = ray.put((uniq, ustarts, uends, iv_sorted, r_lo, r_hi, rt))
+
+        def probe(t: pa.Table) -> pa.Table:
+            uniq_, us_, ue_, iv_, lo_, hi_, rt_ = ray.get(idx_ref)
+            v = np.asarray(pc.cast(t[value_col], pa.float64()))
+            vb = np.floor(v / bucket_width).astype(np.int64)
+            pos = np.searchsorted(uniq_, vb)
+            pos_c = np.clip(pos, 0, len(uniq_) - 1)
+            has = (pos < len(uniq_)) & (uniq_[pos_c] == vb)
+            counts = np.where(has, ue_[pos_c] - us_[pos_c], 0)
+            rep = np.repeat(np.arange(len(v)), counts)
+            cstart = np.concatenate([[0], np.cumsum(counts)[:-1]]) if len(
+                counts
+            ) else np.empty(0, np.int64)
+            within = np.arange(int(counts.sum())) - np.repeat(cstart, counts)
+            cand = iv_[us_[pos_c][rep] + within]
+            ge = v[rep] >= lo_[cand]
+            lt_ = v[rep] < hi_[cand] if closed == "left" else v[rep] <= hi_[cand]
+            keep = ge & lt_
+            lrows = t.take(pa.array(rep[keep]))
+            rrows = rt_.take(pa.array(cand[keep]))
+            for name in rrows.column_names:
+                out_name = name + "_r" if name in lrows.column_names else name
+                lrows = lrows.append_column(out_name, rrows[name])
+            return lrows
+
+        return left.map_batches(probe, batch_format="pyarrow")
 
     def tag_left(t: pa.Table) -> pa.Table:
         v = t[value_col]

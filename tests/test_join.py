@@ -82,11 +82,13 @@ def test_range_join_overlapping_intervals(ray_session):
         {"band": pa.array(np.arange(len(lo))), "lo": pa.array(lo), "hi": pa.array(hi)}
     )
     for closed, op in (("left", np.less), ("both", np.less_equal)):
-        out = range_join(
-            rd.from_arrow(left), rd.from_arrow(right), "v", ("lo", "hi"),
-            bucket_width=10.0, closed=closed,
-        ).to_pandas()
         m = (vals[:, None] >= lo[None, :]) & op(vals[:, None], hi[None, :])
         ii, jj = np.nonzero(m)
-        assert set(zip(out["id"], out["band"])) == set(zip(ii.tolist(), jj.tolist()))
-        assert len(out) == m.sum()  # exactly-once, no dup pass needed
+        want = set(zip(ii.tolist(), jj.tolist()))
+        for blim in (100_000, 0):  # broadcast plan AND co-partitioned plan
+            out = range_join(
+                rd.from_arrow(left), rd.from_arrow(right), "v", ("lo", "hi"),
+                bucket_width=10.0, closed=closed, broadcast_limit_rows=blim,
+            ).to_pandas()
+            assert set(zip(out["id"], out["band"])) == want
+            assert len(out) == m.sum()  # exactly-once, no dup pass needed
