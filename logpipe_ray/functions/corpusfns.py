@@ -1,0 +1,168 @@
+"""Corpus-statistics operators for training-data curation: Gopher-style
+per-document repetition signals, corpus-level n-gram novelty (inter-
+document overlap), and TF-IDF term scoring.
+
+These complement textfns.py (language ID / quality / fingerprint): the
+signals here are the repetition/overlap family used by large-scale
+pretraining-data filters (duplicate-word fraction, top-n-gram fraction,
+fraction of a document's n-grams already seen earlier in the corpus).
+All per-document computations are single Arrow/numpy passes; the
+corpus-level ones reduce to one groupby + one hash join (documented in
+the queries that use them).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _combine(col):
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """concat([arange(c) for c in counts]) without the Python loop."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def _words_flat(text: pa.Array):
+    """Split on single spaces; return (flat word values, per-row word
+    counts, per-row start offsets into the flat array)."""
+    words = _combine(pc.split_pattern(text, " "))
+    flat = pc.list_flatten(words)
+    lengths = np.asarray(pc.list_value_length(words).fill_null(0), dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    return flat, lengths, offsets
+
+
+# ------------------------------------------------------- repetition stats
+
+
+def repetition_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Per-document repetition signals (Gopher-style filters):
+    duplicate-word fraction, top-unigram fraction, top-bigram fraction.
+
+    Embarrassingly parallel (no cross-document state). Vectorized: one
+    Arrow group_by over (row, word) and one over (row, bigram) per
+    batch — no per-row Python.
+    """
+    text = _combine(batch[text_col])
+    ids = _combine(batch[id_col])
+    n = len(text)
+    flat, lengths, offsets = _words_flat(text)
+
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    wt = pa.table({"d": pa.array(doc_idx), "w": flat})
+    g = wt.group_by(["d", "w"]).aggregate([([], "count_all")])
+    s = g.group_by("d").aggregate(
+        [("count_all", "sum"), ("count_all", "count"), ("count_all", "max")]
+    )
+    d = np.asarray(s["d"])
+    n_words = np.zeros(n, dtype=np.int64)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    max_word = np.zeros(n, dtype=np.int64)
+    n_words[d] = np.asarray(s["count_all_sum"])
+    n_distinct[d] = np.asarray(s["count_all_count"])
+    max_word[d] = np.asarray(s["count_all_max"])
+
+    # bigrams: adjacent word pairs within each row
+    nb = np.maximum(lengths - 1, 0)
+    if nb.sum():
+        idx = np.repeat(offsets[:-1], nb) + _ranges(nb)
+        w0 = flat.take(pa.array(idx))
+        w1 = flat.take(pa.array(idx + 1))
+        big = pc.binary_join_element_wise(w0, w1, " ")
+        bt = pa.table(
+            {"d": pa.array(np.repeat(np.arange(n, dtype=np.int64), nb)), "b": big}
+        )
+        bg = bt.group_by(["d", "b"]).aggregate([([], "count_all")])
+        bs = bg.group_by("d").aggregate([("count_all", "max")])
+        max_big = np.zeros(n, dtype=np.int64)
+        max_big[np.asarray(bs["d"])] = np.asarray(bs["count_all_max"])
+    else:
+        max_big = np.zeros(n, dtype=np.int64)
+
+    nw_safe = np.maximum(n_words, 1).astype(np.float64)
+    dup_word_frac = (n_words - n_distinct) / nw_safe
+    top_word_frac = max_word / nw_safe
+    top_bigram_frac = max_big / np.maximum(n_words - 1, 1).astype(np.float64)
+
+    return pa.table(
+        {
+            "doc_id": ids,
+            "n_words": pa.array(n_words),
+            "n_distinct_words": pa.array(n_distinct),
+            "dup_word_frac": pa.array(dup_word_frac),
+            "top_word_frac": pa.array(top_word_frac),
+            "top_bigram_frac": pa.array(top_bigram_frac),
+        }
+    )
+
+
+# ------------------------------------------------------------ n-grams
+
+
+def ngram_batch(
+    batch: pa.Table, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Explode each document into its DISTINCT word n-grams:
+    (doc_id, gram) rows. Vectorized: the n shifted takes over the flat
+    word buffer + one element-wise join build every gram in the batch
+    at once; distinctness via one Arrow group_by.
+
+    Documents shorter than ``n`` words emit no rows (same convention as
+    the SQL oracles that replay this)."""
+    text = _combine(batch[text_col])
+    ids = np.asarray(_combine(batch[id_col]))
+    flat, lengths, offsets = _words_flat(text)
+    ng = np.maximum(lengths - (n - 1), 0)
+    if ng.sum() == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "gram": pa.array([], pa.string())}
+        )
+    idx = np.repeat(offsets[:-1], ng) + _ranges(ng)
+    parts = [flat.take(pa.array(idx + j)) for j in range(n)]
+    gram = pc.binary_join_element_wise(*parts, " ")
+    doc_rep = np.repeat(np.arange(len(lengths), dtype=np.int64), ng)
+    t = pa.table({"doc_id": pa.array(ids[doc_rep]), "gram": gram})
+    return t.group_by(["doc_id", "gram"]).aggregate([])
+
+
+# ------------------------------------------------------------- tf partials
+
+
+def tf_partial(batch: pa.Table, lang_col: str = "lang", text_col: str = "text"):
+    """Per-batch (lang, term) occurrence counts — mergeable partial for
+    the TF side of TF-IDF."""
+    text = _combine(batch[text_col])
+    langs = _combine(batch[lang_col])
+    flat, lengths, _ = _words_flat(text)
+    lang_rep = langs.take(
+        pa.array(np.repeat(np.arange(len(lengths), dtype=np.int64), lengths))
+    )
+    t = pa.table({"lang": lang_rep, "term": flat})
+    g = t.group_by(["lang", "term"]).aggregate([([], "count_all")])
+    return g.rename_columns(["lang", "term", "p"])
+
+
+def df_partial(batch: pa.Table, text_col: str = "text"):
+    """Per-batch document-frequency partial: distinct (doc, term) within
+    the batch collapsed to per-term doc counts. Rows are whole documents,
+    so within-batch distinctness is globally exact."""
+    text = _combine(batch[text_col])
+    flat, lengths, _ = _words_flat(text)
+    doc_idx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    t = pa.table({"d": pa.array(doc_idx), "term": flat})
+    dist = t.group_by(["d", "term"]).aggregate([])
+    g = dist.group_by("term").aggregate([([], "count_all")])
+    return g.rename_columns(["term", "p"])

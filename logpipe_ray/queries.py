@@ -16,6 +16,7 @@ Never calls ray.init(): the driver owns the session.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1309,6 +1310,79 @@ SELECT token_id, count(*) AS cnt FROM (
 ) GROUP BY token_id ORDER BY cnt DESC, token_id LIMIT 50"""
 
 
+# largest token-count LUT the driver will hold for broadcast scoring
+# (ids are vocab-bounded, not corpus-bounded; 50M x 8 B = 400 MB cap)
+FREQ_LUT_MAX_ID = 50_000_000
+
+
+def seq_mean_token_freq(sf_dir: str) -> Dataset:
+    """Unigram-LM corpus scoring (perplexity-proxy): for every sequence,
+    the mean corpus-wide frequency of its tokens — the classic
+    "score every document against a model built from the whole corpus"
+    pattern.
+
+    Scale shape: pass 1 builds the global token-count table with
+    mergeable partials (vocab-bounded); the counts become a dense
+    numpy LUT ray.put ONCE and read zero-copy in every map_batches
+    task (broadcast, never re-shipped per batch); pass 2 is one
+    vectorized gather + segment-sum over the flat token buffer. The
+    LUT is vocab-bounded (FREQ_LUT_MAX_ID guard), independent of
+    corpus size."""
+    from .functions.tokens import token_frequency
+
+    seq_dir = ensure_sequences(sf_dir)
+    ds = read_parquet_clean(seq_dir, columns=["doc_id", "tokens"])
+    counts = token_frequency(ds).to_pandas()
+    max_id = int(counts["token_id"].max())
+    if max_id > FREQ_LUT_MAX_ID:
+        raise ValueError(
+            f"token id space {max_id} exceeds FREQ_LUT_MAX_ID: "
+            "route through a hash join on token_id instead of the LUT"
+        )
+    lut = np.zeros(max_id + 1, dtype=np.int64)
+    lut[counts["token_id"].to_numpy()] = counts["cnt"].to_numpy()
+    lut_ref = ray.put(lut)
+
+    def score(t: pa.Table) -> pa.Table:
+        lut_local = ray.get(lut_ref)  # zero-copy plasma read
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(pc.list_flatten(col), dtype=np.int64)
+        lengths = np.asarray(pc.list_value_length(col).fill_null(0), dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lut_local[flat])])
+        starts = np.concatenate([[0], np.cumsum(lengths)])
+        sums = offsets[starts[1:]] - offsets[starts[:-1]]
+        # empty sequences have no tokens to score — dropped (same
+        # convention as the SQL oracle's inner join on exploded tokens)
+        keep = lengths > 0
+        mean = sums[keep] / lengths[keep].astype(np.float64)
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": ids.filter(pa.array(keep)),
+                "n_tok": pa.array(lengths[keep]),
+                "freq_sum": pa.array(sums[keep]),
+                "mean_tok_freq": pa.array(mean),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _sql_seq_mean_token_freq(sf_dir: str) -> str:
+    path = ensure_sequences(sf_dir)
+    return f"""
+WITH tok AS (SELECT doc_id, CAST(unnest(tokens) AS BIGINT) AS t
+             FROM read_parquet('{path}/shard_*.parquet')),
+cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
+SELECT doc_id, count(*) AS n_tok, CAST(sum(c) AS BIGINT) AS freq_sum,
+       CAST(sum(c) AS DOUBLE) / count(*) AS mean_tok_freq
+FROM tok JOIN cnt USING (t) GROUP BY doc_id"""
+
+
 def seq_len_histogram(sf_dir: str) -> Dataset:
     """Sequence-length histogram (64-token bins) — the length profile a
     packing/truncation policy is tuned against."""
@@ -1504,6 +1578,171 @@ def _sql_docs_mixture_sample(sf_dir: str) -> str:
         "source", MIXTURE_RATES, "doc_id", default_pct=10
     )
     return f"SELECT doc_id, source FROM documents WHERE {pred}"
+
+
+def docs_repetition_stats(sf_dir: str) -> Dataset:
+    """Gopher-style per-document repetition signals: duplicate-word
+    fraction, top-unigram fraction, top-bigram fraction. Embarrassingly
+    parallel — one map_batches, no shuffle; each batch runs two Arrow
+    group_bys (row x word, row x bigram). The filters these feed
+    (Rae et al. 2021 §A1) drop boilerplate/spam docs before training."""
+    from .functions.corpusfns import repetition_batch
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+def _sql_docs_repetition_stats(sf_dir: str) -> str:
+    """Same integer-derived stats via unnest + two grouped counts; the
+    ratio divisions are single IEEE double ops on exact integers, so
+    values hash-match bitwise."""
+    return """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+uni AS (SELECT doc_id, unnest(words) AS w FROM w),
+ucnt AS (SELECT doc_id, w, count(*) c FROM uni GROUP BY doc_id, w),
+ustat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_words,
+                 count(*) n_distinct_words, CAST(max(c) AS BIGINT) max_word
+          FROM ucnt GROUP BY doc_id),
+pos AS (SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM w),
+big AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS b FROM pos),
+bcnt AS (SELECT doc_id, b, count(*) c FROM big GROUP BY doc_id, b),
+bstat AS (SELECT doc_id, CAST(max(c) AS BIGINT) max_big FROM bcnt GROUP BY doc_id)
+SELECT u.doc_id, n_words, n_distinct_words,
+  CAST(n_words - n_distinct_words AS DOUBLE) / greatest(n_words, 1) AS dup_word_frac,
+  CAST(max_word AS DOUBLE) / greatest(n_words, 1) AS top_word_frac,
+  CAST(coalesce(max_big, 0) AS DOUBLE) / greatest(n_words - 1, 1) AS top_bigram_frac
+FROM ustat u LEFT JOIN bstat USING (doc_id)"""
+
+
+def docs_ngram_novelty(sf_dir: str) -> Dataset:
+    """Corpus-level inter-document 5-gram overlap: for each document,
+    how many of its distinct 5-grams already appeared in an EARLIER
+    document (by doc_id) — the novelty signal behind cross-document
+    boilerplate removal.
+
+    Scale shape: explode distinct (doc, gram) pairs per batch (no
+    cross-batch state), groupby(gram) -> min(doc_id) (ONE keyed
+    shuffle over distinct grams), distributed hash join back on gram,
+    then per-batch (doc, seen) partials -> tiny groupby(doc_id). No
+    driver materialization; gram strings never leave the exchange
+    un-aggregated twice."""
+    from .functions.corpusfns import ngram_batch
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    grams = ds.map_batches(
+        lambda t: ngram_batch(t, n=5), batch_format="pyarrow"
+    )
+    firsts = grams.groupby("gram").aggregate(Min("doc_id", alias_name="first_doc"))
+    joined = grams.join(
+        firsts, join_type="inner", num_partitions=16, on=("gram",)
+    )
+
+    def per_doc_partial(t: pa.Table) -> pa.Table:
+        seen = pc.cast(pc.less(t["first_doc"], t["doc_id"]), pa.int64())
+        tt = pa.table({"doc_id": t["doc_id"].combine_chunks() if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"], "s": seen})
+        g = tt.group_by("doc_id").aggregate([("s", "sum"), ([], "count_all")])
+        return pa.table(
+            {"doc_id": g["doc_id"], "seen_p": g["s_sum"], "n_p": g["count_all"]}
+        )
+
+    agg = joined.map_batches(per_doc_partial, batch_format="pyarrow").groupby(
+        "doc_id"
+    ).aggregate(
+        Sum("seen_p", alias_name="n_seen_before"),
+        Sum("n_p", alias_name="n_grams"),
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        ns = np.asarray(t["n_seen_before"], dtype=np.float64)
+        ng = np.asarray(t["n_grams"], dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pc.cast(t["n_grams"], pa.int64()),
+                "n_seen_before": pc.cast(t["n_seen_before"], pa.int64()),
+                "novelty_frac": pa.array(1.0 - ns / ng),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def _sql_docs_ngram_novelty(sf_dir: str) -> str:
+    return """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+pos AS (SELECT doc_id, words, unnest(range(1, greatest(len(words) - 3, 1))) AS i FROM w),
+grams AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS gram FROM pos),
+firsts AS (SELECT gram, min(doc_id) fd FROM grams GROUP BY gram)
+SELECT g.doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN f.fd < g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen_before,
+       1.0 - CAST(sum(CASE WHEN f.fd < g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS novelty_frac
+FROM grams g JOIN firsts f USING (gram) GROUP BY g.doc_id"""
+
+
+def docs_tfidf_top_terms(sf_dir: str) -> Dataset:
+    """Top-10 terms per language by TF-IDF with linear idf
+    (score = tf x N/df; linear rather than log idf so the score is an
+    exact rational of integer counts — the ranking is what matters).
+
+    Scale shape: TF side = per-batch (lang, term) count partials ->
+    groupby (shuffle bounded by langs x vocab x batches); DF side =
+    within-batch-distinct (doc, term) -> per-term partials -> groupby
+    (vocab-bounded); one vocab-keyed hash join; per-group top-k with
+    local pruning (grouped_top_k). N comes from parquet metadata —
+    no extra scan."""
+    import pyarrow.parquet as _pq
+
+    from .functions.corpusfns import df_partial, tf_partial
+    from .stages.aggregate import grouped_top_k
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = _pq.ParquetFile(path).metadata.num_rows
+    ds = read_parquet_clean(path, columns=["doc_id", "lang", "text"])
+    tf = (
+        ds.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("p", alias_name="tf"))
+    )
+    df = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("p", alias_name="df"))
+    )
+    joined = tf.join(df, join_type="inner", num_partitions=8, on=("term",))
+
+    def score(t: pa.Table) -> pa.Table:
+        tfv = np.asarray(t["tf"], dtype=np.float64)
+        dfv = np.asarray(t["df"], dtype=np.float64)
+        sc = tfv * (float(n_docs) / dfv)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "term": t["term"],
+                "tf": pc.cast(t["tf"], pa.int64()),
+                "df": pc.cast(t["df"], pa.int64()),
+                "score": pa.array(sc),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return grouped_top_k(
+        scored, ["lang"], [("score", "descending"), ("term", "ascending")], 10
+    )
+
+
+def _sql_docs_tfidf_top_terms(sf_dir: str) -> str:
+    return """
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY lang, term),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term),
+scored AS (
+  SELECT lang, term, tf, df,
+         tf * (CAST((SELECT count(*) FROM documents) AS DOUBLE) / df) AS score
+  FROM tf JOIN df USING (term))
+SELECT lang, term, tf, df, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rn
+  FROM scored) WHERE rn <= 10"""
 
 
 def docs_minhash_dedup(sf_dir: str):
@@ -2401,12 +2640,14 @@ REGISTRY: dict = {
     "lp_user_sessions": (lp_user_sessions, _sql_lp_user_sessions),
     "lp_anti_filter": (lp_anti_filter, _sql_lp_anti_filter),
     "lp_union_errors_slow": (lp_union_errors_slow, _sql_lp_union_errors_slow),
-    # -- relational / join representatives (4) --
+    # -- new round-3 corpus-statistics operators (4, all oracled) --
+    "docs_repetition_stats": (docs_repetition_stats, _sql_docs_repetition_stats),
+    "docs_ngram_novelty": (docs_ngram_novelty, _sql_docs_ngram_novelty),
+    "docs_tfidf_top_terms": (docs_tfidf_top_terms, _sql_docs_tfidf_top_terms),
+    "seq_mean_token_freq": (seq_mean_token_freq, _sql_seq_mean_token_freq),
+    # -- relational / join representatives (2; q1 kept as the TPC-H
+    # representative, asof parked with green r1+r2 rows) --
     "q1_lineitem": (q1_lineitem, _sql_q1_lineitem),
-    "purchases_asof_last_click": (
-        purchases_asof_last_click,
-        _sql_purchases_asof_last_click,
-    ),
     "lineitem_price_band_join": (  # new r3: distributed interval join
         lineitem_price_band_join,
         _sql_lineitem_price_band_join,
@@ -2414,15 +2655,10 @@ REGISTRY: dict = {
     # -- events / windows / sketches (4) --
     "events_sessionize": (events_sessionize, _sql_events_sessionize),
     "events_median_value": (events_median_value, _sql_events_median_value),
-    "events_approx_distinct_users": (
-        events_approx_distinct_users,
-        _sql_events_approx_distinct_users,
-    ),
     "events_p90_value": (events_p90_value, _sql_events_p90_value),  # new r3
     "events_top_users": (events_top_users, _sql_events_top_users),  # new r3
-    # -- documents / dedup / decontamination (9) --
+    # -- documents / dedup / decontamination (8) --
     "docs_exact_dedup": (docs_exact_dedup, _sql_docs_exact_dedup),
-    "docs_bpe_token_count": (docs_bpe_token_count, _sql_docs_bpe_token_count),
     "docs_mixture_sample": (docs_mixture_sample, _sql_docs_mixture_sample),  # r3
     "docs_rollup_lang_source": (  # r3: ROLLUP levels from one pass
         docs_rollup_lang_source,
@@ -2438,7 +2674,6 @@ REGISTRY: dict = {
     # green r1+r2 driver rows, SQL equivalence now continuously proven
     # by the slow-marked recursive-CTE pytest) --
     "seq_token_frequency": (seq_token_frequency, _sql_seq_token_frequency),
-    "seq_vocab_coverage": (seq_vocab_coverage, _sql_seq_vocab_coverage),
     # -- ANN (2) --
     "ann_brute_topk": (ann_brute_topk, _sql_ann_brute_topk),
     "ann_hnsw_topk": (ann_hnsw_topk, None),  # new r3: graph-based ANN
@@ -2446,6 +2681,16 @@ REGISTRY: dict = {
     # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
     # of in-window queries, kept for the library surface + mini-driver.
     "seq_pack_stats": (seq_pack_stats, None),
+    "purchases_asof_last_click": (
+        purchases_asof_last_click,
+        _sql_purchases_asof_last_click,
+    ),
+    "events_approx_distinct_users": (
+        events_approx_distinct_users,
+        _sql_events_approx_distinct_users,
+    ),
+    "docs_bpe_token_count": (docs_bpe_token_count, _sql_docs_bpe_token_count),
+    "seq_vocab_coverage": (seq_vocab_coverage, _sql_seq_vocab_coverage),
     "lineitem_semi_high_value": (lineitem_semi_high_value, _sql_lineitem_semi_high_value),
     "events_hourly": (events_hourly, _sql_events_hourly),
     "revenue_by_orderpriority": (revenue_by_orderpriority, _sql_revenue_by_orderpriority),

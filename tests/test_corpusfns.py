@@ -1,0 +1,95 @@
+"""Corpus-statistics operators: repetition signals, n-gram novelty,
+TF-IDF partials (logpipe_ray/functions/corpusfns.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from logpipe_ray.functions.corpusfns import (
+    df_partial,
+    ngram_batch,
+    repetition_batch,
+    tf_partial,
+)
+
+
+def _docs(texts, langs=None):
+    n = len(texts)
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs or ["en"] * n, pa.string()),
+        }
+    )
+
+
+def test_repetition_known_values():
+    t = _docs(["a a a b", "x y z w", "q"])
+    r = repetition_batch(t).to_pydict()
+    # doc 0: 4 words, 2 distinct, max word cnt 3, bigrams: "a a" x2, "a b" x1
+    assert r["n_words"] == [4, 4, 1]
+    assert r["n_distinct_words"] == [2, 4, 1]
+    assert r["dup_word_frac"][0] == (4 - 2) / 4
+    assert r["top_word_frac"][0] == 3 / 4
+    assert r["top_bigram_frac"][0] == 2 / 3
+    # doc 1: all distinct
+    assert r["dup_word_frac"][1] == 0.0
+    assert r["top_bigram_frac"][1] == 1 / 3
+    # doc 2: single word, no bigrams -> 0 over the guard divisor
+    assert r["top_bigram_frac"][2] == 0.0
+
+
+def test_ngram_batch_distinct_and_short_docs():
+    t = _docs(["a b c d e f", "a b c d e", "too short"])
+    g = ngram_batch(t, n=5).to_pydict()
+    got = sorted(zip(g["doc_id"], g["gram"]))
+    assert got == [
+        (0, "a b c d e"),
+        (0, "b c d e f"),
+        (1, "a b c d e"),
+    ]
+    # repeated gram within one doc is emitted once
+    t2 = _docs(["a b a b a b a b a b a b"])
+    g2 = ngram_batch(t2, n=2).to_pydict()
+    assert sorted(g2["gram"]) == ["a b", "b a"]
+
+
+def test_ngram_batch_all_short_is_empty():
+    g = ngram_batch(_docs(["a b", "c"]), n=5)
+    assert g.num_rows == 0
+    assert g.column_names == ["doc_id", "gram"]
+
+
+def test_tf_df_partials():
+    t = _docs(["a b a", "b c"], langs=["en", "de"])
+    tf = tf_partial(t).to_pydict()
+    tf_map = {(l, w): c for l, w, c in zip(tf["lang"], tf["term"], tf["p"])}
+    assert tf_map == {("en", "a"): 2, ("en", "b"): 1, ("de", "b"): 1, ("de", "c"): 1}
+    df = df_partial(t).to_pydict()
+    df_map = dict(zip(df["term"], df["p"]))
+    assert df_map == {"a": 1, "b": 2, "c": 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_novelty_end_to_end(tmp_path):
+    """Planted overlap: doc 1 repeats doc 0's text verbatim (all grams
+    seen before), doc 2 is fresh."""
+    import pyarrow.parquet as pq
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7"
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([base, base, "f0 f1 f2 f3 f4 f5"], pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    from logpipe_ray.queries import docs_ngram_novelty
+
+    out = docs_ngram_novelty(str(d)).to_pandas().sort_values("doc_id")
+    assert out.n_grams.tolist() == [4, 4, 2]
+    assert out.n_seen_before.tolist() == [0, 4, 0]
+    assert out.novelty_frac.tolist() == [1.0, 0.0, 1.0]
