@@ -1332,7 +1332,11 @@ def seq_mean_token_freq(sf_dir: str) -> Dataset:
 
     seq_dir = ensure_sequences(sf_dir)
     ds = read_parquet_clean(seq_dir, columns=["doc_id", "tokens"])
-    counts = token_frequency(ds).to_pandas()
+    # pass 1 prunes to the tokens column alone — doc_id's string decode
+    # is ~2s at sf0.1 and the count pass never looks at it
+    counts = token_frequency(
+        read_parquet_clean(seq_dir, columns=["tokens"])
+    ).to_pandas()
     max_id = int(counts["token_id"].max())
     if max_id > FREQ_LUT_MAX_ID:
         raise ValueError(
@@ -1614,32 +1618,96 @@ SELECT u.doc_id, n_words, n_distinct_words,
 FROM ustat u LEFT JOIN bstat USING (doc_id)"""
 
 
+# first-appearance tables at or under this many distinct grams are
+# driver-merged and ray.put ONCE for vectorized index_in lookups
+# (~40 B/gram string -> ~200 MB at the cap); larger corpora go through
+# the distributed groupby + hash-join exchange
+NOVELTY_BROADCAST_GRAMS = 5_000_000
+
+
 def docs_ngram_novelty(sf_dir: str) -> Dataset:
     """Corpus-level inter-document 5-gram overlap: for each document,
     how many of its distinct 5-grams already appeared in an EARLIER
     document (by doc_id) — the novelty signal behind cross-document
     boilerplate removal.
 
-    Scale shape: explode distinct (doc, gram) pairs per batch (no
-    cross-batch state), groupby(gram) -> min(doc_id) (ONE keyed
-    shuffle over distinct grams), distributed hash join back on gram,
-    then per-batch (doc, seen) partials -> tiny groupby(doc_id). No
-    driver materialization; gram strings never leave the exchange
-    un-aggregated twice."""
+    Scale shape: per-batch (gram -> min doc) partials (no cross-batch
+    state). Under NOVELTY_BROADCAST_GRAMS the first-appearance table is
+    one bounded driver Arrow group_by, broadcast once, and scoring is a
+    single shuffle-free map_batches (vectorized index_in lookup;
+    per-doc counts complete in-batch because docs are whole rows).
+    Above the guard: groupby(gram).min (ONE keyed shuffle over distinct
+    grams) + distributed hash join back + per-batch partials -> tiny
+    groupby(doc_id). Both paths tested equal."""
     from .functions.corpusfns import ngram_batch
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    grams = ds.map_batches(
-        lambda t: ngram_batch(t, n=5), batch_format="pyarrow"
-    )
-    firsts = grams.groupby("gram").aggregate(Min("doc_id", alias_name="first_doc"))
+
+    def gram_min_partial(t: pa.Table) -> pa.Table:
+        g = ngram_batch(t, n=5)
+        m = g.group_by("gram").aggregate([("doc_id", "min")])
+        return pa.table({"gram": m["gram"], "fd_p": m["doc_id_min"]})
+
+    partials = ds.map_batches(gram_min_partial, batch_format="pyarrow").materialize()
+    if partials.count() <= NOVELTY_BROADCAST_GRAMS:
+        tbl = pa.concat_tables(
+            [t for t in ray.get(partials.to_arrow_refs()) if t.num_columns]
+        )
+        firsts_tbl = tbl.group_by("gram").aggregate([("fd_p", "min")])
+        gram_vals = firsts_tbl["gram"]
+        if isinstance(gram_vals, pa.ChunkedArray):
+            gram_vals = gram_vals.combine_chunks()
+        fd_vals = np.asarray(firsts_tbl["fd_p_min"], dtype=np.int64)
+        ref = ray.put((gram_vals, fd_vals))
+
+        def score(t: pa.Table) -> pa.Table:
+            grams_b, fd = ray.get(ref)  # zero-copy plasma read
+            g = ngram_batch(t, n=5)
+            if g.num_rows == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "n_grams": pa.array([], pa.int64()),
+                        "n_seen_before": pa.array([], pa.int64()),
+                        "novelty_frac": pa.array([], pa.float64()),
+                    }
+                )
+            idx = np.asarray(pc.index_in(g["gram"], value_set=grams_b))
+            seen = pc.cast(
+                pa.array(fd[idx] < np.asarray(g["doc_id"])), pa.int64()
+            )
+            tt = pa.table({"doc_id": g["doc_id"], "s": seen})
+            a = tt.group_by("doc_id").aggregate([("s", "sum"), ([], "count_all")])
+            ns = np.asarray(a["s_sum"], dtype=np.float64)
+            ng = np.asarray(a["count_all"], dtype=np.float64)
+            return pa.table(
+                {
+                    "doc_id": a["doc_id"],
+                    "n_grams": pc.cast(a["count_all"], pa.int64()),
+                    "n_seen_before": pc.cast(a["s_sum"], pa.int64()),
+                    "novelty_frac": pa.array(1.0 - ns / ng),
+                }
+            )
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # ---- distributed route: groupby + hash join back on gram ----
+    grams = ds.map_batches(lambda t: ngram_batch(t, n=5), batch_format="pyarrow")
+    # repartition unifies schemas / drops empty columnless aggregate
+    # blocks before the join (same guard as semi_anti_join_ds)
+    firsts = partials.groupby("gram").aggregate(
+        Min("fd_p", alias_name="first_doc")
+    ).repartition(8)
     joined = grams.join(
         firsts, join_type="inner", num_partitions=16, on=("gram",)
     )
 
     def per_doc_partial(t: pa.Table) -> pa.Table:
         seen = pc.cast(pc.less(t["first_doc"], t["doc_id"]), pa.int64())
-        tt = pa.table({"doc_id": t["doc_id"].combine_chunks() if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"], "s": seen})
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        tt = pa.table({"doc_id": ids, "s": seen})
         g = tt.group_by("doc_id").aggregate([("s", "sum"), ([], "count_all")])
         return pa.table(
             {"doc_id": g["doc_id"], "seen_p": g["s_sum"], "n_p": g["count_all"]}
@@ -1708,6 +1776,9 @@ def docs_tfidf_top_terms(sf_dir: str) -> Dataset:
         ds.map_batches(df_partial, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("p", alias_name="df"))
+        # drop empty columnless aggregate blocks before the join
+        # (same guard as semi_anti_join_ds)
+        .repartition(4)
     )
     joined = tf.join(df, join_type="inner", num_partitions=8, on=("term",))
 

@@ -93,3 +93,18 @@ def test_ngram_novelty_end_to_end(tmp_path):
     assert out.n_grams.tolist() == [4, 4, 2]
     assert out.n_seen_before.tolist() == [0, 4, 0]
     assert out.novelty_frac.tolist() == [1.0, 0.0, 1.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_novelty_paths_equal(monkeypatch):
+    """The broadcast-lookup fast path and the distributed
+    groupby+join route produce identical results."""
+    import logpipe_ray.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    fast = Q.docs_ngram_novelty(sf).to_pandas().sort_values("doc_id", ignore_index=True)
+    monkeypatch.setattr(Q, "NOVELTY_BROADCAST_GRAMS", 0)
+    dist = Q.docs_ngram_novelty(sf).to_pandas().sort_values("doc_id", ignore_index=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(fast, dist[fast.columns])
