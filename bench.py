@@ -94,6 +94,9 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "events_running_total",
             "lineitem_price_band_join",
             "events_top_users",
+            # round-3 corpus statistics: cross-doc overlap + LM scoring
+            "docs_ngram_novelty",
+            "seq_mean_token_freq",
         ]
         all_q = Q.queries()
 

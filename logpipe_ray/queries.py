@@ -1816,6 +1816,62 @@ SELECT lang, term, tf, df, score FROM (
   FROM scored) WHERE rn <= 10"""
 
 
+def docs_streaming_dedup(sf_dir: str) -> pa.Table:
+    """Streaming/incremental exact dedup across ingest waves: the
+    documents table arrives as two waves (doc_id halves); each wave is
+    filtered through the shared sharded seen-key index
+    (`state/dedup_index.py`) so later waves drop texts already admitted
+    earlier — the micro-batch-ingest dedup the pure Dataset API cannot
+    express (state outlives each Dataset run).
+
+    Output is the deterministic per-wave admission count (survivor
+    CHOICE among same-wave duplicates is arrival-order-dependent;
+    counts are exactly-one-per-key guaranteed). Oracle equivalence
+    assumes no 64-bit key-hash collisions."""
+    import pyarrow.parquet as _pq
+
+    from .state.dedup_index import DedupIndex
+
+    path = f"{sf_dir}/documents.parquet"
+    cutoff = _pq.ParquetFile(path).metadata.num_rows // 2
+    idx = DedupIndex(num_shards=4)
+    try:
+        rows = []
+        for wave, pred in (
+            (1, lambda t: t.filter(pc.less(t["doc_id"], cutoff))),
+            (2, lambda t: t.filter(pc.greater_equal(t["doc_id"], cutoff))),
+        ):
+            ds = read_parquet_clean(path, columns=["doc_id", "text"]).map_batches(
+                pred, batch_format="pyarrow"
+            )
+            n_in = ds.count()
+            n_kept = idx.filter_new(ds, "text").count()
+            rows.append((wave, n_in, n_kept))
+        return pa.table(
+            {
+                "wave": pa.array([r[0] for r in rows], pa.int64()),
+                "n_in": pa.array([r[1] for r in rows], pa.int64()),
+                "n_kept": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    finally:
+        idx.shutdown()
+
+
+def _sql_docs_streaming_dedup(sf_dir: str) -> str:
+    return """
+WITH cut AS (SELECT count(*) // 2 AS c FROM documents),
+w1 AS (SELECT DISTINCT text FROM documents WHERE doc_id < (SELECT c FROM cut)),
+w2 AS (SELECT DISTINCT text FROM documents WHERE doc_id >= (SELECT c FROM cut))
+SELECT CAST(1 AS BIGINT) AS wave,
+       (SELECT count(*) FROM documents WHERE doc_id < (SELECT c FROM cut)) AS n_in,
+       (SELECT count(*) FROM w1) AS n_kept
+UNION ALL
+SELECT CAST(2 AS BIGINT),
+       (SELECT count(*) FROM documents WHERE doc_id >= (SELECT c FROM cut)),
+       (SELECT count(*) FROM w2 WHERE text NOT IN (SELECT text FROM w1))"""
+
+
 def docs_minhash_dedup(sf_dir: str):
     from .functions.dedup import minhash_dedup_pairs
 
@@ -2740,7 +2796,10 @@ REGISTRY: dict = {
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "docs_dup_clusters": (docs_dup_clusters, None),
     "docs_dedup_corpus": (docs_dedup_corpus, None),
-    "docs_simhash_pairs": (docs_simhash_pairs, None),
+    "docs_streaming_dedup": (  # r3: shared-index streaming dedup
+        docs_streaming_dedup,
+        _sql_docs_streaming_dedup,
+    ),
     # -- sequences / tokens (2; seq_pack_stats parked: rows-only with
     # green r1+r2 driver rows, SQL equivalence now continuously proven
     # by the slow-marked recursive-CTE pytest) --
@@ -2752,6 +2811,7 @@ REGISTRY: dict = {
     # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
     # of in-window queries, kept for the library surface + mini-driver.
     "seq_pack_stats": (seq_pack_stats, None),
+    "docs_simhash_pairs": (docs_simhash_pairs, None),
     "purchases_asof_last_click": (
         purchases_asof_last_click,
         _sql_purchases_asof_last_click,

@@ -1,0 +1,108 @@
+"""Distributed streaming exact-dedup index: a sharded, shared, mutable
+seen-key set held in Ray actors.
+
+This is the one operator family the Dataset API genuinely cannot
+express (SURVEY.md §2.6 note on custom operators): first-occurrence
+filtering ACROSS micro-batches / incremental ingest waves needs state
+that outlives any single Dataset execution. Batch dedup should use
+``functions/dedup.py`` (hash-partition + per-group first — one
+shuffle, no actors); this index is for the streaming / incremental
+path (``scripts/stream_ingest.py``-style loops) where each wave must
+drop keys already admitted by earlier waves.
+
+Shape: N index actors, each owning the keys whose ``hash64 % N``
+lands on it. A filtering ``map_batches`` stage hashes the key column,
+splits the batch by owning shard, and calls ``check_and_add`` on each
+— the actor serializes calls, so "exactly one survivor per key" holds
+under any concurrency. WHICH duplicate survives is
+arrival-order-dependent when batches race (documented streaming-dedup
+semantics); process waves sequentially for deterministic survivors.
+
+At 100 TB the index holds one 8-byte hash per distinct key, sharded:
+1e10 distinct keys over 256 shards is ~320 MB per actor. Keys are
+64-bit hashes of the key column (collision odds ~n^2/2^65 — the same
+trade every hash-based exact dedup makes; feed a longer digest column
+as the key for cryptographic certainty).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+@ray.remote(num_cpus=0.25)
+class DedupIndexShard:
+    """One shard of the seen-key index. ``check_and_add`` is atomic
+    per shard (actor calls serialize): each key is admitted exactly
+    once across the shard's lifetime."""
+
+    def __init__(self) -> None:
+        self._seen: set[int] = set()
+
+    def check_and_add(self, keys: np.ndarray) -> np.ndarray:
+        """Return a mask of keys seen for the FIRST time (admitting
+        them); repeats — within the call or vs. history — get False."""
+        seen = self._seen
+        out = np.empty(len(keys), dtype=bool)
+        for i, k in enumerate(keys.tolist()):
+            if k in seen:
+                out[i] = False
+            else:
+                seen.add(k)
+                out[i] = True
+        return out
+
+    def size(self) -> int:
+        return len(self._seen)
+
+
+class DedupIndex:
+    """Handle owning the shard actors; survives across Dataset runs so
+    successive waves share the index."""
+
+    def __init__(self, num_shards: int = 8):
+        self.num_shards = num_shards
+        self.shards = [DedupIndexShard.remote() for _ in range(num_shards)]
+
+    def filter_new(self, ds: Dataset, key_col: str) -> Dataset:
+        """Keep only rows whose key is globally unseen (and admit them).
+        One map_batches; per batch: vectorized hash, split by owning
+        shard, one actor call per touched shard (in flight together)."""
+        shards = self.shards
+        n_shards = self.num_shards
+
+        def filt(t: pa.Table) -> pa.Table:
+            from ..stages.transform import hash64_strings
+
+            col = t[key_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if not pa.types.is_string(col.type):
+                import pyarrow.compute as pc
+
+                col = pc.cast(col, pa.string())
+            keys = hash64_strings(col)
+            owner = (keys % np.uint64(n_shards)).astype(np.int64)
+            mask = np.empty(len(keys), dtype=bool)
+            pending = []
+            for s in range(n_shards):
+                m = owner == s
+                if m.any():
+                    pending.append((m, shards[s].check_and_add.remote(keys[m])))
+            for m, fut in pending:
+                mask[m] = ray.get(fut)
+            return t.filter(pa.array(mask))
+
+        return ds.map_batches(filt, batch_format="pyarrow")
+
+    def total_keys(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
