@@ -138,6 +138,87 @@ def ngram_batch(
     return t.group_by(["doc_id", "gram"]).aggregate([])
 
 
+# ------------------------------------------------------------ C4-style gate
+
+# rule thresholds (C4-flavored, Raffel et al. 2020 §2.2 adapted to the
+# space-separated fixtures — no sentence punctuation to test against)
+C4_MIN_WORDS = 10
+C4_MAX_WORDS = 1_000
+C4_MIN_MEAN_WLEN = 2.0
+C4_MAX_MEAN_WLEN = 12.0
+C4_MAX_DUP_WORD_FRAC = 0.5
+
+# first matching rule (in order) becomes the drop reason
+_C4_RULES = [
+    "too_few_words",
+    "too_many_words",
+    "bad_mean_word_len",
+    "repetitive",
+    "no_stopword",
+]
+
+
+def c4_filter_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """C4-style cleaning gate with reason codes: every document gets
+    (keep, reason) where reason names the FIRST failing rule (word
+    count bounds, mean word length, duplicate-word fraction, english
+    stopword presence) or null when kept. One pass, no shuffle; all
+    features are the same exact integer-derived expressions the
+    repetition/quality oracles replay."""
+    import pyarrow.compute as pc
+
+    text = _combine(batch[text_col])
+    ids = _combine(batch[id_col])
+    n = len(text)
+    flat, lengths, offsets = _words_flat(text)
+    n_chars = np.asarray(pc.utf8_length(text), dtype=np.float64)
+    n_words = lengths.astype(np.float64)
+    nw_safe = np.maximum(n_words, 1)
+    mean_wlen = (n_chars - (n_words - 1)) / nw_safe
+
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    dist = (
+        pa.table({"d": pa.array(doc_idx), "w": flat})
+        .group_by(["d", "w"])
+        .aggregate([])
+        .group_by("d")
+        .aggregate([([], "count_all")])
+    )
+    n_distinct = np.zeros(n, dtype=np.float64)
+    n_distinct[np.asarray(dist["d"])] = np.asarray(dist["count_all"])
+    dup_frac = (n_words - n_distinct) / nw_safe
+
+    lower = pc.utf8_lower(text)
+    stop_hits = np.zeros(n, dtype=np.float64)
+    from .textfns import _STOPWORDS
+
+    for w in _STOPWORDS:
+        stop_hits += np.asarray(pc.count_substring(lower, f" {w} "), np.float64)
+
+    conds = [
+        n_words < C4_MIN_WORDS,
+        n_words > C4_MAX_WORDS,
+        (mean_wlen < C4_MIN_MEAN_WLEN) | (mean_wlen > C4_MAX_MEAN_WLEN),
+        dup_frac > C4_MAX_DUP_WORD_FRAC,
+        stop_hits == 0,
+    ]
+    reason = np.full(n, None, dtype=object)
+    unset = np.ones(n, dtype=bool)
+    for cond, name in zip(conds, _C4_RULES):
+        hit = unset & cond
+        reason[hit] = name
+        unset &= ~cond
+    return pa.table(
+        {
+            "doc_id": ids,
+            "keep": pa.array(unset),
+            "reason": pa.array(reason, pa.string()),
+        }
+    )
+
+
 # ------------------------------------------------------------- tf partials
 
 

@@ -1816,6 +1816,60 @@ SELECT lang, term, tf, df, score FROM (
   FROM scored) WHERE rn <= 10"""
 
 
+def docs_c4_filter(sf_dir: str) -> Dataset:
+    """C4-style cleaning gate with reason codes (first failing rule or
+    null when kept): word-count bounds, mean word length, duplicate-word
+    fraction, stopword presence. Embarrassingly parallel — one
+    map_batches, no shuffle."""
+    from .functions.corpusfns import c4_filter_batch
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(c4_filter_batch, batch_format="pyarrow")
+
+
+def _sql_docs_c4_filter(sf_dir: str) -> str:
+    """Replays the gate rule-by-rule: features are the exact
+    integer-derived expressions proven bitwise in the quality /
+    repetition oracles, thresholds the same literals, CASE order the
+    same rule order."""
+    from .functions.corpusfns import (
+        C4_MAX_DUP_WORD_FRAC,
+        C4_MAX_MEAN_WLEN,
+        C4_MAX_WORDS,
+        C4_MIN_MEAN_WLEN,
+        C4_MIN_WORDS,
+    )
+    from .functions.textfns import _STOPWORDS
+
+    stop_terms = " + ".join(
+        f"(length(lw) - length(replace(lw, ' {w} ', ''))) / {len(w) + 2}"
+        for w in sorted(_STOPWORDS)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, text, lower(text) AS lw,
+                  string_split(text, ' ') AS words FROM documents),
+uni AS (SELECT doc_id, unnest(words) AS u FROM w),
+dstat AS (SELECT doc_id, count(DISTINCT u) AS n_distinct FROM uni GROUP BY doc_id),
+feat AS (SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(len(words) AS DOUBLE) AS n_words,
+    CAST({stop_terms} AS DOUBLE) AS stop_hits
+  FROM w),
+j AS (SELECT f.doc_id, n_words, stop_hits,
+        (n_chars - (n_words - 1)) / greatest(n_words, 1) AS mean_wlen,
+        (n_words - CAST(n_distinct AS DOUBLE)) / greatest(n_words, 1) AS dup_frac
+      FROM feat f JOIN dstat USING (doc_id)),
+r AS (SELECT doc_id,
+  CASE WHEN n_words < {C4_MIN_WORDS} THEN 'too_few_words'
+       WHEN n_words > {C4_MAX_WORDS} THEN 'too_many_words'
+       WHEN mean_wlen < {C4_MIN_MEAN_WLEN} OR mean_wlen > {C4_MAX_MEAN_WLEN}
+         THEN 'bad_mean_word_len'
+       WHEN dup_frac > {C4_MAX_DUP_WORD_FRAC} THEN 'repetitive'
+       WHEN stop_hits = 0 THEN 'no_stopword'
+       END AS reason FROM j)
+SELECT doc_id, reason IS NULL AS keep, reason FROM r"""
+
+
 def docs_streaming_dedup(sf_dir: str) -> pa.Table:
     """Streaming/incremental exact dedup across ingest waves: the
     documents table arrives as two waves (doc_id halves); each wave is
@@ -2792,8 +2846,8 @@ REGISTRY: dict = {
         _sql_docs_rollup_lang_source,
     ),
     "docs_decontaminate_audit": (docs_decontaminate_audit, _sql_docs_decontaminate_audit),
+    "docs_c4_filter": (docs_c4_filter, _sql_docs_c4_filter),  # r3
     "docs_minhash_dedup": (docs_minhash_dedup, None),
-    "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "docs_dup_clusters": (docs_dup_clusters, None),
     "docs_dedup_corpus": (docs_dedup_corpus, None),
     "docs_streaming_dedup": (  # r3: shared-index streaming dedup
@@ -2812,6 +2866,7 @@ REGISTRY: dict = {
     # of in-window queries, kept for the library surface + mini-driver.
     "seq_pack_stats": (seq_pack_stats, None),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
+    "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "purchases_asof_last_click": (
         purchases_asof_last_click,
         _sql_purchases_asof_last_click,

@@ -71,6 +71,37 @@ def test_tf_df_partials():
     assert df_map == {"a": 1, "b": 2, "c": 1}
 
 
+def test_c4_filter_reason_codes():
+    from logpipe_ray.functions.corpusfns import c4_filter_batch
+
+    docs = _docs(
+        [
+            "the cat sat on the mat with the hat and the bat now",  # keep
+            "too short",  # too_few_words
+            "xxxxxxxxxxxxxxxxxxxxxxxxxxxxx " * 12,  # bad_mean_word_len
+            ("dup " * 11 + "the quick brown fox on it").strip(),  # repetitive
+            "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",  # no_stopword
+        ]
+    )
+    out = c4_filter_batch(docs).to_pydict()
+    assert out["keep"] == [True, False, False, False, False]
+    assert out["reason"] == [
+        None,
+        "too_few_words",
+        "bad_mean_word_len",
+        "repetitive",
+        "no_stopword",
+    ]
+
+
+def test_c4_filter_first_rule_wins():
+    from logpipe_ray.functions.corpusfns import c4_filter_batch
+
+    # fails both too_few_words AND no_stopword -> first rule reported
+    out = c4_filter_batch(_docs(["zz qq"])).to_pydict()
+    assert out["reason"] == ["too_few_words"]
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_ngram_novelty_end_to_end(tmp_path):
     """Planted overlap: doc 1 repeats doc 0's text verbatim (all grams
