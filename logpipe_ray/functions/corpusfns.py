@@ -138,6 +138,64 @@ def ngram_batch(
     return t.group_by(["doc_id", "gram"]).aggregate([])
 
 
+# ------------------------------------------------------- span explode
+
+# span_idx must fit under this stride so (doc_id, span_idx) packs into
+# one int64 global-first key: doc_id < 2^39 and spans/doc < 2^24
+# (16.7M spans = a 134M-word document at k=8)
+SPAN_STRIDE = 1 << 24
+
+
+def span_batch(
+    batch: pa.Table, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Explode each document into non-overlapping ``k``-word spans:
+    (doc_id, span_idx, span, packed) rows — the C4 duplicate-span
+    removal unit (Raffel et al. 2020 remove repeated three-sentence
+    spans; the fixture corpus has no sentence boundaries, so the span
+    unit is k words). ``packed = doc_id * SPAN_STRIDE + span_idx`` is
+    the global first-occurrence order key.
+
+    Vectorized: spans tile the flat word buffer contiguously, so the
+    concatenated span starts ARE valid list offsets — one ListArray
+    rebuild + one binary_join builds every span string in the batch.
+    A document always emits >= 1 span (splitting "" yields one empty
+    word, matching the SQL oracle's string_split)."""
+    text = _combine(batch[text_col])
+    ids = np.asarray(_combine(batch[id_col]), dtype=np.int64)
+    flat, lengths, offsets = _words_flat(text)
+    n_spans = (lengths + k - 1) // k
+    total = int(n_spans.sum())
+    if total == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "span_idx": pa.array([], pa.int64()),
+                "span": pa.array([], pa.string()),
+                "packed": pa.array([], pa.int64()),
+            }
+        )
+    rep = np.repeat(np.arange(len(lengths), dtype=np.int64), n_spans)
+    within = _ranges(n_spans)
+    if within.size and int(within.max()) >= SPAN_STRIDE:
+        raise ValueError("document exceeds SPAN_STRIDE spans; raise k")
+    starts = offsets[:-1][rep] + k * within
+    list_offsets = np.append(starts, offsets[-1])
+    spans_words = pa.ListArray.from_arrays(
+        pa.array(list_offsets, pa.int32()), flat
+    )
+    span = pc.binary_join(spans_words, " ")
+    doc_rep = ids[rep]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_rep),
+            "span_idx": pa.array(within),
+            "span": span,
+            "packed": pa.array(doc_rep * SPAN_STRIDE + within),
+        }
+    )
+
+
 # ------------------------------------------------------------ C4-style gate
 
 # rule thresholds (C4-flavored, Raffel et al. 2020 §2.2 adapted to the

@@ -139,3 +139,62 @@ def test_ngram_novelty_paths_equal(monkeypatch):
     import pandas as pd
 
     pd.testing.assert_frame_equal(fast, dist[fast.columns])
+
+
+def test_span_batch_known_values():
+    from logpipe_ray.functions.corpusfns import SPAN_STRIDE, span_batch
+
+    t = _docs(["a b c d e f g", "a b c x", "", "a b c x"])
+    g = span_batch(t, k=3).to_pydict()
+    assert g["span"] == ["a b c", "d e f", "g", "a b c", "x", "", "a b c", "x"]
+    assert g["doc_id"] == [0, 0, 0, 1, 1, 2, 3, 3]
+    assert g["span_idx"] == [0, 1, 2, 0, 1, 0, 0, 1]
+    assert g["packed"][3] == 1 * SPAN_STRIDE + 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_span_dedup_end_to_end(tmp_path):
+    """Planted duplicate spans: doc 1 repeats doc 0's first span and
+    adds fresh words; doc 3 repeats doc 0 verbatim (rewritten to "");
+    the empty doc keeps its first-"" span."""
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["a b c d e f g", "a b c x", "", "a b c d e f g"], pa.string()
+            ),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    from logpipe_ray.queries import docs_span_dedup
+
+    out = (
+        docs_span_dedup(str(d), k=3)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # doc 0 spans: "a b c","d e f","g"; doc 1: "a b c"(dup),"x";
+    # doc 2: ""(first); doc 3: all three dup
+    assert out.text_dedup.tolist() == ["a b c d e f g", "x", "", ""]
+    assert out.n_spans.tolist() == [3, 2, 1, 3]
+    assert out.n_dropped.tolist() == [0, 1, 0, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_span_dedup_paths_equal(monkeypatch):
+    """Broadcast rewrite vs distributed groupby+join+regroup routes
+    are identical over the fixture corpus."""
+    import pandas as pd
+
+    import logpipe_ray.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    fast = Q.docs_span_dedup(sf).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert fast.n_dropped.sum() > 0  # the operator actually bites
+    monkeypatch.setattr(Q, "SPAN_DEDUP_BROADCAST_LIMIT", 0)
+    dist = Q.docs_span_dedup(sf).to_pandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(fast, dist[fast.columns])
