@@ -97,6 +97,8 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             # round-3 corpus statistics: cross-doc overlap + LM scoring
             "docs_ngram_novelty",
             "seq_mean_token_freq",
+            # round-3 duplicate-span removal (C4-style rewrite)
+            "docs_span_dedup",
         ]
         all_q = Q.queries()
 
