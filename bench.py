@@ -97,8 +97,11 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             # round-3 corpus statistics: cross-doc overlap + LM scoring
             "docs_ngram_novelty",
             "seq_mean_token_freq",
-            # round-3 duplicate-span removal (C4-style rewrite)
+            # round-3 duplicate-span removal (C4-style rewrite) and the
+            # end-to-end corpus build (gate -> dedups -> decontaminate
+            # -> tokenize -> pack -> shards)
             "docs_span_dedup",
+            "corpus_build_stats",
         ]
         all_q = Q.queries()
 

@@ -1870,121 +1870,18 @@ r AS (SELECT doc_id,
 SELECT doc_id, reason IS NULL AS keep, reason FROM r"""
 
 
-SPAN_DEDUP_BROADCAST_LIMIT = 2_000_000  # distinct-span partial rows
 SPAN_DEDUP_K = 8  # words per span (the fixture corpus has no sentences)
 
 
 def docs_span_dedup(sf_dir: str, k: int = SPAN_DEDUP_K) -> Dataset:
-    """C4-style corpus-wide duplicate-span removal (Raffel et al. 2020
-    §2.2 drop every repeated three-sentence span except its first
-    occurrence; span unit here = ``k`` words — no sentence boundaries
-    in the fixtures): explode docs into spans, keep each distinct span
-    only at its globally-first (doc_id, span_idx), reassemble the
-    survivors in order. Unlike whole-doc dedup this REWRITES documents
-    — a doc whose every span appeared earlier survives as "".
-
-    Scale shape: per-batch (span -> min packed-key) partials collapse
-    duplicates locally before any exchange. Under
-    SPAN_DEDUP_BROADCAST_LIMIT the first-occurrence table is one
-    bounded driver group_by, broadcast once (ray.put), and the rewrite
-    is a single shuffle-free map_batches (index_in lookup + one
-    ListArray rebuild per batch). Above the guard: groupby(span).min —
-    ONE keyed shuffle over distinct spans — + distributed hash join
-    back + per-doc regroup (group size = one document's spans, never a
-    hot key). Both paths tested equal. At 100 TB key the shuffle on a
-    128-bit span hash; at fixture scale the key is the span text
-    itself so the DuckDB oracle replays it exactly."""
-    from .functions.corpusfns import span_batch
+    """C4-style corpus-wide duplicate-span removal — see
+    functions/dedup.py:span_dedup_corpus for semantics and the
+    100-TB scale shape (broadcast rewrite under guard, one keyed
+    shuffle + hash join + per-doc regroup above it)."""
+    from .functions.dedup import span_dedup_corpus
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def span_min_partial(t: pa.Table) -> pa.Table:
-        g = span_batch(t, k=k)
-        m = (
-            pa.table({"span": g["span"], "packed": g["packed"]})
-            .group_by("span")
-            .aggregate([("packed", "min")])
-        )
-        return pa.table({"span": m["span"], "mp": m["packed_min"]})
-
-    partials = ds.map_batches(span_min_partial, batch_format="pyarrow").materialize()
-    if partials.count() <= SPAN_DEDUP_BROADCAST_LIMIT:
-        tbl = pa.concat_tables(
-            [t for t in ray.get(partials.to_arrow_refs()) if t.num_columns]
-        )
-        firsts = tbl.group_by("span").aggregate([("mp", "min")])
-        span_vals = firsts["span"]
-        if isinstance(span_vals, pa.ChunkedArray):
-            span_vals = span_vals.combine_chunks()
-        mp_vals = np.asarray(firsts["mp_min"], dtype=np.int64)
-        ref = ray.put((span_vals, mp_vals))
-
-        def rewrite(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return pa.table(
-                    {
-                        "doc_id": pa.array([], pa.int64()),
-                        "text_dedup": pa.array([], pa.string()),
-                        "n_spans": pa.array([], pa.int64()),
-                        "n_dropped": pa.array([], pa.int64()),
-                    }
-                )
-            spans_b, mp = ray.get(ref)  # zero-copy plasma read
-            g = span_batch(t, k=k)
-            idx = np.asarray(pc.index_in(g["span"], value_set=spans_b))
-            keep = np.asarray(g["packed"], dtype=np.int64) == mp[idx]
-            # span rows are emitted in input-row order; span_idx == 0
-            # marks each new document
-            rep = np.cumsum(np.asarray(g["span_idx"], dtype=np.int64) == 0) - 1
-            n_rows = t.num_rows
-            kept_cnt = np.bincount(rep[keep], minlength=n_rows)
-            offs = np.concatenate([[0], np.cumsum(kept_cnt)])
-            vals = g["span"]
-            if isinstance(vals, pa.ChunkedArray):
-                vals = vals.combine_chunks()
-            lst = pa.ListArray.from_arrays(
-                pa.array(offs, pa.int32()), vals.filter(pa.array(keep))
-            )
-            n_spans = np.bincount(rep, minlength=n_rows)
-            return pa.table(
-                {
-                    "doc_id": t["doc_id"],
-                    "text_dedup": pc.binary_join(lst, " "),
-                    "n_spans": pa.array(n_spans.astype(np.int64)),
-                    "n_dropped": pa.array((n_spans - kept_cnt).astype(np.int64)),
-                }
-            )
-
-        return ds.map_batches(rewrite, batch_format="pyarrow")
-
-    # ---- distributed route: groupby + hash join back on span ----
-    import functools
-
-    spans = ds.map_batches(
-        functools.partial(span_batch, k=k), batch_format="pyarrow"
-    )
-    firsts_ds = (
-        partials.groupby("span")
-        .aggregate(Min("mp", alias_name="mp_min"))
-        .repartition(8)
-    )
-    joined = spans.join(firsts_ds, join_type="inner", num_partitions=16, on=("span",))
-
-    def regroup(df):
-        df = df.sort_values("span_idx")
-        keep = df["packed"].to_numpy() == df["mp_min"].to_numpy()
-        import pandas as pd
-
-        return pd.DataFrame(
-            {
-                "doc_id": [int(df["doc_id"].iloc[0])],
-                "text_dedup": [" ".join(df["span"].to_numpy()[keep])],
-                "n_spans": [len(df)],
-                "n_dropped": [int((~keep).sum())],
-            }
-        )
-
-    return joined.groupby("doc_id").map_groups(regroup, batch_format="pandas")
+    return span_dedup_corpus(ds, k=k)
 
 
 def _sql_docs_span_dedup(sf_dir: str) -> str:
@@ -2008,6 +1905,101 @@ SELECT doc_id,
   count(*) AS n_spans,
   CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
 FROM k2 GROUP BY doc_id"""
+
+
+def corpus_build_stats(sf_dir: str) -> pa.Table:
+    """End-to-end corpus build (pipelines/corpus.py): C4 gate ->
+    duplicate-span removal -> decontamination -> exact dedup ->
+    byte-tokenize -> pack -> training shards. Returns the per-stage
+    (stage, n) funnel through tokens_total — every count SQL-replayable
+    (the packing tail is covered by the byte-equal pack tests +
+    slow-marked recursive-CTE oracle instead)."""
+    import shutil
+    import tempfile
+
+    from .pipelines.corpus import build_corpus
+
+    out = tempfile.mkdtemp(prefix="logpipe_corpus_build_")
+    try:
+        s = build_corpus(sf_dir, out, context_len=512)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    stages = [
+        "input",
+        "c4_kept",
+        "span_nonempty",
+        "decontaminated",
+        "deduped",
+        "tokens_total",
+    ]
+    return pa.table(
+        {
+            "stage": pa.array(stages, pa.string()),
+            "n": pa.array([int(s[k]) for k in stages], pa.int64()),
+        }
+    )
+
+
+def _sql_corpus_build_stats(sf_dir: str) -> str:
+    """Replays the whole curate funnel in one CTE chain: the c4 gate
+    (rule-by-rule oracle), span dedup (window-fn oracle), the
+    decontamination gram scoring with the short-doc branch, exact
+    dedup by text, and byte-token totals (byte-level tokenizer =>
+    tokens per doc == length(text) on the ascii fixtures)."""
+    from .functions.corpusfns import SPAN_STRIDE
+
+    k = SPAN_DEDUP_K
+    c4 = _sql_docs_c4_filter(sf_dir).strip()
+    return f"""
+WITH c4 AS ({c4}),
+kept AS (SELECT d.doc_id, d.text FROM documents d
+         JOIN c4 USING (doc_id) WHERE c4.keep),
+sw AS (SELECT doc_id, string_split(text, ' ') AS words FROM kept),
+sp AS (SELECT doc_id, words,
+       unnest(range(0, (len(words) + {k - 1}) // {k})) AS span_idx FROM sw),
+spans AS (SELECT doc_id, span_idx,
+    array_to_string(words[span_idx*{k}+1 : least((span_idx+1)*{k}, len(words))],
+                    ' ') AS span FROM sp),
+keyed AS (SELECT doc_id, span_idx, span,
+          doc_id * {SPAN_STRIDE} + span_idx AS packed FROM spans),
+k2 AS (SELECT doc_id, span_idx, span,
+       packed = min(packed) OVER (PARTITION BY span) AS keep FROM keyed),
+sd AS (SELECT doc_id,
+  coalesce(string_agg(span, ' ' ORDER BY span_idx) FILTER (WHERE keep), '')
+    AS text FROM k2 GROUP BY doc_id),
+sdn AS (SELECT doc_id, text FROM sd WHERE text <> ''),
+gw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM sdn),
+g AS (SELECT doc_id,
+        unnest([array_to_string(ws[i : i + 2], ' ')
+                FOR i IN range(1, len(ws) - 1)]) AS gram
+      FROM gw WHERE len(ws) >= 3
+      UNION ALL
+      SELECT doc_id, array_to_string(ws, ' ') FROM gw
+      WHERE len(ws) BETWEEN 1 AND 2 AND trim(array_to_string(ws, ' ')) != ''),
+blw AS (SELECT string_split(text, ' ') AS ws FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)),
+bl AS (SELECT DISTINCT gram FROM (
+    SELECT unnest([array_to_string(ws[i : i + 2], ' ')
+                   FOR i IN range(1, len(ws) - 1)]) AS gram
+    FROM blw WHERE len(ws) >= 3
+    UNION ALL
+    SELECT array_to_string(ws, ' ') FROM blw
+    WHERE len(ws) BETWEEN 1 AND 2 AND trim(array_to_string(ws, ' ')) != '') u),
+scored AS (SELECT g.doc_id,
+    CAST(sum(CASE WHEN bl.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      / count(*) AS cont
+  FROM g LEFT JOIN bl ON g.gram = bl.gram GROUP BY g.doc_id),
+clean AS (SELECT s.doc_id, s.text FROM sdn s
+          LEFT JOIN scored sc USING (doc_id)
+          WHERE coalesce(sc.cont, 0) <= 0.5),
+ded AS (SELECT min(doc_id) AS doc_id, text FROM clean GROUP BY text)
+SELECT 'input' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
+UNION ALL SELECT 'c4_kept', count(*) FROM kept
+UNION ALL SELECT 'span_nonempty', count(*) FROM sdn
+UNION ALL SELECT 'decontaminated', count(*) FROM clean
+UNION ALL SELECT 'deduped', count(*) FROM ded
+UNION ALL SELECT 'tokens_total',
+  CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM ded"""
 
 
 def docs_streaming_dedup(sf_dir: str) -> pa.Table:
@@ -2974,14 +2966,16 @@ REGISTRY: dict = {
         lineitem_price_band_join,
         _sql_lineitem_price_band_join,
     ),
-    # -- events / windows / sketches (4) --
-    "events_sessionize": (events_sessionize, _sql_events_sessionize),
+    # -- events / windows / sketches (3; events_sessionize parked with
+    # green r1+r2 rows — lp_user_sessions covers gap-sessionize
+    # in-window) --
     "events_median_value": (events_median_value, _sql_events_median_value),
     "events_p90_value": (events_p90_value, _sql_events_p90_value),  # new r3
     "events_top_users": (events_top_users, _sql_events_top_users),  # new r3
     # -- documents / dedup / decontamination (9) --
     "docs_exact_dedup": (docs_exact_dedup, _sql_docs_exact_dedup),
     "docs_span_dedup": (docs_span_dedup, _sql_docs_span_dedup),  # r3
+    "corpus_build_stats": (corpus_build_stats, _sql_corpus_build_stats),  # r3
     "docs_mixture_sample": (docs_mixture_sample, _sql_docs_mixture_sample),  # r3
     "docs_rollup_lang_source": (  # r3: ROLLUP levels from one pass
         docs_rollup_lang_source,
@@ -3046,6 +3040,7 @@ REGISTRY: dict = {
     "lineitem_anti_high_value": (lineitem_anti_high_value, _sql_lineitem_anti_high_value),
     "seq_len_histogram": (seq_len_histogram, _sql_seq_len_histogram),
     "lp_count_by_level": (lp_count_by_level, _sql_lp_count_by_level),
+    "events_sessionize": (events_sessionize, _sql_events_sessionize),
 }
 
 

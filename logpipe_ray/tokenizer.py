@@ -30,6 +30,25 @@ def encode_lines(lines: list[bytes]) -> pa.ListArray:
                                     pa.array(flat, type=pa.int32()))
 
 
+def encode_array(text: pa.Array | pa.ChunkedArray) -> pa.ListArray:
+    """Vectorized encode of a whole Arrow string column: reuse the
+    StringArray's own offsets/value buffers (one numpy add over the
+    flat byte buffer, no per-row Python). Equivalent to
+    ``encode_lines([s.encode() for s in text])`` — tested byte-equal."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    raw = np.frombuffer(text.buffers()[1], dtype=np.int32)
+    off = raw[text.offset : text.offset + len(text) + 1]
+    data = np.frombuffer(text.buffers()[2], dtype=np.uint8)[
+        off[0] : off[-1]
+    ].astype(np.int32)
+    data += TOKEN_OFFSET
+    return pa.ListArray.from_arrays(
+        pa.array((off - off[0]).astype(np.int32), pa.int32()),
+        pa.array(data, pa.int32()),
+    )
+
+
 def _as_list_array(tokens: pa.Array | pa.ChunkedArray) -> pa.ListArray:
     if isinstance(tokens, pa.ChunkedArray):
         tokens = tokens.combine_chunks()

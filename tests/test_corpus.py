@@ -1,0 +1,87 @@
+"""End-to-end corpus build (pipelines/corpus.py): curate funnel,
+tokenize, pack, resume; vectorized encode_array equivalence."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from logpipe_ray.pipelines.corpus import build_corpus
+
+
+def test_encode_array_matches_encode_lines():
+    from logpipe_ray.tokenizer import encode_array, encode_lines
+
+    texts = ["hello world", "", "x", "a b c " * 50]
+    arr = pa.array(texts, pa.string())
+    got = encode_array(arr)
+    expect = encode_lines([t.encode() for t in texts])
+    assert got.equals(expect)
+    # sliced input (offset != 0) must still read the right buffer range
+    got2 = encode_array(arr.slice(1, 2))
+    assert got2.to_pylist() == expect.slice(1, 2).to_pylist()
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("corpus") / "out")
+    stats = build_corpus("/root/testdata/sf0.001", out, context_len=256)
+    return out, stats
+
+
+def test_corpus_funnel_monotone_and_bites(built):
+    out, s = built
+    assert s["input"] >= s["c4_kept"] >= s["span_nonempty"] >= s["decontaminated"]
+    assert s["decontaminated"] >= s["deduped"] > 0
+    assert s["c4_kept"] < s["input"]  # the gate actually bites
+    assert s["tokens_total"] > 0 and s["contexts"] > 0
+    assert 0.0 < s["fill_ratio_mean"] <= 1.0
+
+
+def test_corpus_output_round_trip(built):
+    out, s = built
+    cur = pq.read_table(os.path.join(out, "curated"))
+    assert cur.num_rows == s["deduped"]
+    assert set(cur.schema.names) >= {"doc_id", "tokens", "n_tok"}
+    import pyarrow.compute as pc
+
+    assert pc.sum(cur["n_tok"]).as_py() == s["tokens_total"]
+    from logpipe_ray.pipelines.shards import read_training_shards
+
+    packed = read_training_shards(os.path.join(out, "shards"))
+    assert packed.count() == s["contexts"]
+
+
+def test_corpus_resume_skips_both_phases(built):
+    out, s = built
+    shard_files = sorted(glob.glob(os.path.join(out, "shards", "packed_*.parquet")))
+    mtimes = [os.path.getmtime(f) for f in shard_files]
+    again = build_corpus("/root/testdata/sf0.001", out, context_len=256)
+    assert again["curate_skipped"] and again["skipped_shards"] == len(shard_files)
+    assert again["deduped"] == s["deduped"]
+    assert again["tokens_total"] == s["tokens_total"]
+    assert [os.path.getmtime(f) for f in shard_files] == mtimes
+
+
+def test_corpus_streaming_mode_same_output(ray_session, built, tmp_path):
+    """collect_stats=False (one fused streaming pass) must produce the
+    identical curated corpus."""
+    out, s = built
+    out2 = str(tmp_path / "stream")
+    s2 = build_corpus(
+        "/root/testdata/sf0.001", out2, context_len=256, collect_stats=False
+    )
+    a = (
+        pq.read_table(os.path.join(out, "curated"))
+        .sort_by("doc_id")
+        .select(["doc_id", "tokens", "n_tok"])
+    )
+    b = (
+        pq.read_table(os.path.join(out2, "curated"))
+        .sort_by("doc_id")
+        .select(["doc_id", "tokens", "n_tok"])
+    )
+    assert a.equals(b)
+    assert s2["contexts"] == s["contexts"]

@@ -195,6 +195,8 @@ def test_span_dedup_paths_equal(monkeypatch):
     sf = "/root/testdata/sf0.001"
     fast = Q.docs_span_dedup(sf).to_pandas().sort_values("doc_id", ignore_index=True)
     assert fast.n_dropped.sum() > 0  # the operator actually bites
-    monkeypatch.setattr(Q, "SPAN_DEDUP_BROADCAST_LIMIT", 0)
+    import logpipe_ray.functions.dedup as D
+
+    monkeypatch.setattr(D, "SPAN_DEDUP_BROADCAST_LIMIT", 0)
     dist = Q.docs_span_dedup(sf).to_pandas().sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(fast, dist[fast.columns])
