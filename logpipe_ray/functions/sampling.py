@@ -107,3 +107,101 @@ def stratified_sample_sql_case(
     return (
         f"((({id_col} * {HASH_A} + {HASH_B}) % {HASH_M}) % {buckets}) < {thr}"
     )
+
+
+# ------------------------------------------------- global shuffle rank
+
+SEED_C = 97_531  # seed -> multiplier mixer; keeps the hash int64-exact
+
+
+def _seed_mult(seed: int) -> int:
+    """Seed-dependent multiplier. A seed must change the MULTIPLIER,
+    not add a constant: (x*A + B + seed*C) % M is a constant shift of
+    every key, which preserves the order except at the (rare)
+    wraparound — near-identical permutations per seed. Multiplication
+    by a different non-zero constant mod the prime M is a genuinely
+    independent bijection."""
+    return (HASH_A + seed * SEED_C) % HASH_M or HASH_A
+
+
+def shuffle_hash(ids: pa.Array | pa.ChunkedArray, seed: int = 0):
+    """Deterministic shuffle key in [0, HASH_M): same exact-int64
+    contract as hash_bucket, so the SQL oracle replays it bitwise
+    (valid for ids below ~9e9 at any seed: id * mult < 2^63)."""
+    import numpy as np
+
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    x = np.asarray(pc.cast(ids, pa.int64()), dtype=np.int64)
+    return (x * _seed_mult(seed) + HASH_B) % HASH_M
+
+
+def global_shuffle_rank(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Assign every row its position in a deterministic global shuffle
+    — the epoch-shuffle step before training-shard writing. Order is
+    (shuffle_hash(id, seed), id): a pure function of the ids, so the
+    permutation is identical across runs, partitionings and CPU
+    counts (unlike random_shuffle), and a different ``seed`` gives an
+    independent epoch order. Returns (id_col, shuffle_rank).
+
+    Scale shape (distributed rank / zip-with-index): the hash is
+    uniform, so order-preserving range buckets ``h * B // M`` are
+    balanced by construction — no skew, no sampling pass. Stage 1:
+    per-batch bucket-count partials -> bounded driver merge
+    (O(batches x B) rows) -> exclusive prefix offsets (B ints,
+    captured in the stage-2 closure). Stage 2: ONE keyed shuffle on
+    bucket; each group sorts its own ~N/B rows and adds its offset.
+    Pick ``n_buckets`` ~ N x row_bytes / target_partition_bytes so a
+    group fits a worker; the driver never holds more than B integers.
+    """
+    import numpy as np
+
+    def keyed(t: pa.Table) -> pa.Table:
+        h = shuffle_hash(t[id_col], seed)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "h": pa.array(h),
+                "bucket": pa.array(h * n_buckets // HASH_M),
+            }
+        )
+
+    with_key = ds.map_batches(keyed, batch_format="pyarrow")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["bucket"]).group_by("bucket").aggregate([([], "count_all")])
+        return pa.table({"bucket": g["bucket"], "c": g["count_all"]})
+
+    parts = with_key.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    merged = parts.groupby("bucket")["c"].sum()
+    counts[merged.index.to_numpy()] = merged.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    def rank_group(df):
+        import pandas as pd
+
+        df = df.sort_values(["h", id_col])
+        base = int(offsets[int(df["bucket"].iloc[0])])
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "shuffle_rank": base + np.arange(len(df), dtype=np.int64),
+            }
+        )
+
+    return with_key.groupby("bucket").map_groups(rank_group, batch_format="pandas")
+
+
+def shuffle_rank_sql(table: str, id_col: str, seed: int = 0) -> str:
+    """DuckDB replay: row_number over the same exact-int64 hash."""
+    h = f"(({id_col} * {_seed_mult(seed)} + {HASH_B}) % {HASH_M})"
+    return (
+        f"SELECT {id_col}, CAST(row_number() OVER (ORDER BY {h}, {id_col}) - 1"
+        f" AS BIGINT) AS shuffle_rank FROM {table}"
+    )

@@ -2615,6 +2615,24 @@ def _sql_docs_hash_sample(sf_dir: str) -> str:
     return f"SELECT doc_id FROM documents WHERE {sample_sql_predicate('doc_id', 10)}"
 
 
+def docs_shuffle_rank(sf_dir: str) -> Dataset:
+    """Deterministic global epoch shuffle: every document's position in
+    the seed-42 permutation (see functions/sampling.py:
+    global_shuffle_rank for the distributed-rank scale shape — uniform
+    order-preserving range buckets, one keyed shuffle, driver holds
+    only n_buckets integers)."""
+    from .functions.sampling import global_shuffle_rank
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return global_shuffle_rank(ds, seed=42)
+
+
+def _sql_docs_shuffle_rank(sf_dir: str) -> str:
+    from .functions.sampling import shuffle_rank_sql
+
+    return shuffle_rank_sql("documents", "doc_id", seed=42)
+
+
 def seq_bigram_topk(sf_dir: str) -> Dataset:
     """Top-100 token bigrams over the training sequences (n-gram
     statistics; per-batch packed-int64 value_counts partials, shuffle
@@ -2972,8 +2990,10 @@ REGISTRY: dict = {
     "events_median_value": (events_median_value, _sql_events_median_value),
     "events_p90_value": (events_p90_value, _sql_events_p90_value),  # new r3
     "events_top_users": (events_top_users, _sql_events_top_users),  # new r3
-    # -- documents / dedup / decontamination (9) --
-    "docs_exact_dedup": (docs_exact_dedup, _sql_docs_exact_dedup),
+    # -- documents / dedup / decontamination (9; docs_exact_dedup
+    # parked double-green — its keyed hash-dedup shape stays in-window
+    # inside docs_prep_corpus and corpus_build_stats) --
+    "docs_shuffle_rank": (docs_shuffle_rank, _sql_docs_shuffle_rank),  # r3
     "docs_span_dedup": (docs_span_dedup, _sql_docs_span_dedup),  # r3
     "corpus_build_stats": (corpus_build_stats, _sql_corpus_build_stats),  # r3
     "docs_mixture_sample": (docs_mixture_sample, _sql_docs_mixture_sample),  # r3
@@ -3041,6 +3061,7 @@ REGISTRY: dict = {
     "seq_len_histogram": (seq_len_histogram, _sql_seq_len_histogram),
     "lp_count_by_level": (lp_count_by_level, _sql_lp_count_by_level),
     "events_sessionize": (events_sessionize, _sql_events_sessionize),
+    "docs_exact_dedup": (docs_exact_dedup, _sql_docs_exact_dedup),
 }
 
 

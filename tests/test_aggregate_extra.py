@@ -335,3 +335,43 @@ def test_grouped_exact_quantile_distributions(ray_session):
             for k, v in groups.items()
         }
         assert dict(zip(got["k"], got["quantile_value"])) == want, f"q={q}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_shuffle_rank_exact_and_deterministic():
+    """Rank equals the brute-force (hash, id) sort position; identical
+    across partitionings; different seeds give different permutations."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from logpipe_ray.functions.sampling import (
+        HASH_B,
+        HASH_M,
+        _seed_mult,
+        global_shuffle_rank,
+    )
+
+    ids = np.arange(1000, dtype=np.int64) * 7 + 3
+    t = pa.table({"doc_id": pa.array(ids)})
+
+    def brute(seed):
+        h = (ids * _seed_mult(seed) + HASH_B) % HASH_M
+        order = np.lexsort((ids, h))
+        rank = np.empty(len(ids), np.int64)
+        rank[order] = np.arange(len(ids))
+        return dict(zip(ids.tolist(), rank.tolist()))
+
+    for blocks in (1, 7):
+        ds = rd.from_arrow(t).repartition(blocks)
+        got = global_shuffle_rank(ds, seed=5, n_buckets=16).to_pandas()
+        expect = brute(5)
+        assert {
+            int(r.doc_id): int(r.shuffle_rank) for r in got.itertuples()
+        } == expect
+
+    r5 = global_shuffle_rank(rd.from_arrow(t), seed=5, n_buckets=16).to_pandas()
+    r6 = global_shuffle_rank(rd.from_arrow(t), seed=6, n_buckets=16).to_pandas()
+    m5 = r5.set_index("doc_id")["shuffle_rank"]
+    m6 = r6.set_index("doc_id")["shuffle_rank"]
+    assert (m5 != m6.loc[m5.index]).any()
