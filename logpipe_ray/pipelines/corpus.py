@@ -152,6 +152,7 @@ def build_corpus(
     bench_docs: int = 5,
     resume: bool = True,
     collect_stats: bool = True,
+    shuffle_seed: int | None = None,
 ) -> dict:
     """Run the full corpus build over ``{sf_dir}/documents.parquet``
     into ``out_dir/curated`` (sequences parquet) and ``out_dir/shards``
@@ -159,7 +160,13 @@ def build_corpus(
 
     ``collect_stats=False`` skips the per-stage counts so the curate
     phase runs as ONE fused streaming pass (stats each add a bounded
-    aggregate over the already-materialized stage). Returns
+    aggregate over the already-materialized stage).
+
+    ``shuffle_seed`` (epoch shuffle): when set, the curated corpus is
+    globally ordered by the deterministic shuffle hash (see
+    functions/sampling.py:shuffle_hash) before packing, so training
+    shards read out in the seed's permutation — one distributed sort,
+    same permutation at any CPU count. Returns
     {input, c4_kept, span_nonempty, decontaminated, deduped,
     tokens_total, contexts, fill_ratio_mean, shards, skipped_shards,
     curate_skipped}.
@@ -198,6 +205,19 @@ def build_corpus(
             seqs = seqs.materialize()
             tot = seqs.aggregate(Sum("n_tok", alias_name="tokens_total"))
             stats["tokens_total"] = int(tot["tokens_total"] or 0)
+        if shuffle_seed is not None:
+            from ..functions.sampling import shuffle_hash
+
+            def add_h(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "h", pa.array(shuffle_hash(t["doc_id"], shuffle_seed))
+                )
+
+            seqs = (
+                seqs.map_batches(add_h, batch_format="pyarrow")
+                .sort(["h", "doc_id"])
+                .drop_columns(["h"])
+            )
         tmp = curated + f".tmp.{os.getpid()}"
         seqs.write_parquet(tmp)
         with open(os.path.join(tmp, "_SUCCESS"), "w"):
