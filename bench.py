@@ -102,6 +102,12 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             # -> tokenize -> pack -> shards)
             "docs_span_dedup",
             "corpus_build_stats",
+            # late round-3: search, bigram LM, semantic dedup,
+            # canonicalized dedup
+            "docs_bm25_topk",
+            "seq_mean_bigram_freq",
+            "embeddings_semdedup",
+            "docs_normalized_dedup",
         ]
         all_q = Q.queries()
 

@@ -1303,3 +1303,104 @@ def span_dedup_corpus(
         )
 
     return joined.groupby(id_col).map_groups(regroup, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ SemDeDup
+
+SEMDEDUP_MAX_CLUSTER = 4000  # pairwise-cosine cap per k-means cluster
+
+
+def semdedup_ids(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    threshold: float = 0.92,
+    seed: int = 11,
+    max_cluster: int = SEMDEDUP_MAX_CLUSTER,
+) -> Dataset:
+    """SemDeDup (Abbas et al. 2023): semantic dedup via k-means over
+    the embedding space, then exact pairwise cosine ONLY within each
+    cluster; a vector is dropped when a same-cluster neighbor with a
+    smaller id has cosine >= threshold (keep-min-id, the same
+    deterministic survivor rule the text dedup family uses).
+
+    Scale shape: k-means reuses the mergeable Lloyd partial-sum pass
+    (build_ivf_centroids) — only (k x dim) floats shuffle per batch;
+    assignment is one broadcast matmul per batch; the quadratic step
+    is confined to clusters (n_clusters scales with corpus size so
+    cluster population stays bounded; oversized clusters are capped to
+    ``max_cluster`` rows and logged, like every bucket cap here).
+    Returns the surviving (id, cluster) rows.
+    """
+    import pandas as pd
+
+    from .ann import _vec_matrix, build_ivf_centroids
+
+    cents = build_ivf_centroids(
+        ds, n_centroids=n_clusters, vec_col=vec_col, seed=seed, id_col=id_col
+    )
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1)[:, None], 1e-12)
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = _vec_matrix(t[vec_col]).astype(np.float64)
+        unit = m / np.maximum(np.linalg.norm(m, axis=1)[:, None], 1e-12)
+        cid = np.argmax(unit @ cn.T, axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster_id": pa.array(cid.astype(np.int64)),
+                "unit": pa.array(list(unit.astype(np.float32))),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def survivors(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        df = df.sort_values(id_col)
+        tail = df.iloc[0:0]
+        if len(df) > max_cluster:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "semdedup cluster of %d vectors: only the first %d are "
+                "pairwise-inspected; the tail passes through as survivors",
+                len(df),
+                max_cluster,
+            )
+            # the cap bounds the O(m^2) work; rows past it must NOT be
+            # dropped from the corpus — they simply go uninspected
+            tail = df.iloc[max_cluster:]
+            df = df.head(max_cluster)
+        ids = df[id_col].to_numpy()
+        if len(df) < 2:
+            dropped = np.zeros(len(df), dtype=bool)
+        else:
+            mat = np.stack(df["unit"].to_numpy()).astype(np.float64)
+            # row blocks bound the sims working set to m x block floats
+            dropped = np.zeros(len(df), dtype=bool)
+            for lo in range(1, len(df), 512):
+                hi = min(lo + 512, len(df))
+                sims = mat[lo:hi] @ mat.T
+                # similarity to ANY smaller-id row (ids sorted asc):
+                # strictly-lower-triangle columns only
+                col_idx = np.arange(len(df))
+                mask = col_idx[None, :] < np.arange(lo, hi)[:, None]
+                dropped[lo:hi] = ((sims >= threshold) & mask).any(axis=1)
+        out = pd.DataFrame(
+            {
+                id_col: ids[~dropped],
+                "cluster_id": df["cluster_id"].to_numpy()[~dropped],
+            }
+        )
+        if len(tail):
+            out = pd.concat(
+                [out, tail[[id_col, "cluster_id"]]], ignore_index=True
+            )
+        return out
+
+    return assigned.groupby("cluster_id").map_groups(
+        survivors, batch_format="pandas"
+    )

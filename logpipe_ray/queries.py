@@ -2920,6 +2920,275 @@ def mm_features(sf_dir: str):
     return media_features(rd2.from_arrow(t), concurrency=(1, 4), batch_size=256)
 
 
+# ------------------------------------------------- round-3 late: LM / search
+
+
+# largest dense bigram LUT the driver will broadcast: V^2 cells x 8 B
+# (byte-level vocab -> 67k cells; a BPE vocab of 50k would exceed this
+# and must route through a hash join on the packed key instead)
+BIGRAM_LUT_MAX_CELLS = 200_000_000
+
+
+def seq_mean_bigram_freq(sf_dir: str) -> Dataset:
+    """Bigram-LM corpus scoring: for every sequence, the mean
+    corpus-wide frequency of its adjacent token pairs — the 2-gram
+    extension of seq_mean_token_freq (score each document against a
+    model built from the whole corpus; low mean bigram frequency =
+    unusual token transitions, a perplexity proxy without a log).
+
+    Scale shape: pass 1 builds global bigram counts with mergeable
+    packed-int64 partials (bounded by bigram vocabulary, not corpus);
+    the counts become a dense V x V LUT ray.put ONCE (guarded by
+    BIGRAM_LUT_MAX_CELLS — vocab-bounded, corpus-independent); pass 2
+    is one vectorized gather + segment sum over the flat token buffer.
+    """
+    from .functions.tokens import bigram_frequency
+
+    seq_dir = ensure_sequences(sf_dir)
+    counts = bigram_frequency(
+        read_parquet_clean(seq_dir, columns=["tokens"])
+    ).to_pandas()
+    vmax = int(max(counts["t1"].max(), counts["t2"].max()))
+    v = vmax + 1
+    if v * v > BIGRAM_LUT_MAX_CELLS:
+        raise ValueError(
+            f"bigram LUT {v}x{v} exceeds BIGRAM_LUT_MAX_CELLS: "
+            "route through a hash join on the packed bigram key instead"
+        )
+    lut = np.zeros(v * v, dtype=np.int64)
+    lut[counts["t1"].to_numpy() * v + counts["t2"].to_numpy()] = counts[
+        "cnt"
+    ].to_numpy()
+    lut_ref = ray.put(lut)
+
+    empty = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("n_bigrams", pa.int64()),
+            ("freq_sum", pa.int64()),
+            ("mean_bigram_freq", pa.float64()),
+        ]
+    ).empty_table()
+
+    def score(t: pa.Table) -> pa.Table:
+        lut_local = ray.get(lut_ref)  # zero-copy plasma read
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.int64)
+        if len(flat) < 2:
+            return empty
+        lengths = np.asarray(pc.list_value_length(col).fill_null(0), dtype=np.int64)
+        # mask bigram positions that would cross a row border (same
+        # trick as tokens.bigram_frequency)
+        ends = np.cumsum(lengths[lengths > 0]) - 1
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        valid[ends[ends < len(flat) - 1]] = False
+        vals = lut_local[flat[:-1][valid] * v + flat[1:][valid]]
+        bl = np.maximum(lengths - 1, 0)
+        starts = np.concatenate([[0], np.cumsum(bl)])
+        csum = np.concatenate([[0], np.cumsum(vals)])
+        sums = csum[starts[1:]] - csum[starts[:-1]]
+        keep = lengths >= 2
+        mean = sums[keep] / bl[keep].astype(np.float64)
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": ids.filter(pa.array(keep)),
+                "n_bigrams": pa.array(bl[keep]),
+                "freq_sum": pa.array(sums[keep]),
+                "mean_bigram_freq": pa.array(mean),
+            }
+        )
+
+    ds = read_parquet_clean(seq_dir, columns=["doc_id", "tokens"])
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _sql_seq_mean_bigram_freq(sf_dir: str) -> str:
+    path = ensure_sequences(sf_dir)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, CAST(unnest(tokens) AS BIGINT) AS t,
+         generate_subscripts(tokens, 1) AS i
+  FROM read_parquet('{path}/shard_*.parquet')
+),
+bg AS (
+  SELECT a.doc_id, a.t AS t1, b.t AS t2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+cnt AS (SELECT t1, t2, count(*) AS c FROM bg GROUP BY t1, t2)
+SELECT doc_id, count(*) AS n_bigrams, CAST(sum(c) AS BIGINT) AS freq_sum,
+       CAST(sum(c) AS DOUBLE) / count(*) AS mean_bigram_freq
+FROM bg JOIN cnt USING (t1, t2) GROUP BY doc_id"""
+
+
+BM25_QUERY_TERMS = ["join", "hash", "scan", "merge"]
+
+
+def docs_bm25_topk(sf_dir: str) -> Dataset:
+    """Keyword search: top-25 documents by (log-free) BM25 relevance
+    against a fixed 4-term query. See functions/search.py for the
+    scale shape (two streaming passes, integer-partial stats
+    broadcast, per-block local top-k) and the IEEE-determinism note."""
+    from .functions.search import bm25_topk
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bm25_topk(ds, BM25_QUERY_TERMS, k=25)
+
+
+def _sql_docs_bm25_topk(sf_dir: str) -> str:
+    from .functions.search import bm25_sql
+
+    return bm25_sql("documents", BM25_QUERY_TERMS, k=25)
+
+
+def events_user_interarrival(sf_dir: str) -> Dataset:
+    """Per-user inter-arrival profile: event count, active span, mean
+    and max gap (microseconds). The gap math happens per user after a
+    keyed shuffle co-locates each user's events — user cardinality
+    grows with the data, so no reducer is hot (unlike event_type).
+
+    Determinism: gaps are integer microseconds; the mean is computed
+    as span/(n-1) — the telescoped sum, a single exact division — and
+    the gap MULTISET is invariant to how equal timestamps are ordered,
+    so max_gap is stable; (ts, event_id) ordering pins it completely.
+    """
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def gaps(df):
+        import pandas as pd
+
+        if len(df) < 2:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "span_us": pd.Series([], dtype="int64"),
+                    "avg_gap_us": pd.Series([], dtype="float64"),
+                    "max_gap_us": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["ts", "event_id"])
+        tsu = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = np.diff(tsu)
+        span = int(tsu[-1] - tsu[0])
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "n_events": [len(df)],
+                "span_us": [span],
+                "avg_gap_us": [float(span) / (len(df) - 1)],
+                "max_gap_us": [int(d.max())],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+
+def _sql_events_user_interarrival(sf_dir: str) -> str:
+    return """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tsu,
+         tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+           AS gap
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(max(tsu) - min(tsu) AS BIGINT) AS span_us,
+       CAST(max(tsu) - min(tsu) AS DOUBLE) / (count(*) - 1) AS avg_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM e GROUP BY user_id HAVING count(*) >= 2"""
+
+
+def docs_normalized_dedup(sf_dir: str) -> Dataset:
+    """Exact dedup after text canonicalization (lowercase, collapse
+    every non-alphanumeric run to one space, trim) — catches the
+    near-trivial duplicate class (case/punctuation/whitespace
+    variants) that pure exact dedup misses, at exact-dedup cost.
+
+    Same scale shape as docs_exact_dedup: per-batch local collapse on
+    (hash, canon) partials before one keyed aggregate; canon equality
+    inside the key defeats 64-bit hash collisions."""
+    from .stages.transform import hash_column
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        c = pc.utf8_lower(t["text"])
+        c = pc.replace_substring_regex(c, "[^a-z0-9]+", " ")
+        c = pc.utf8_trim(c, " ")
+        return pa.table({"doc_id": t["doc_id"], "canon": c})
+
+    ds = ds.map_batches(canon, batch_format="pyarrow")
+    ds = ds.map_batches(hash_column("canon", "canon_hash"), batch_format="pyarrow")
+
+    def local_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["canon_hash", "canon", "doc_id"])
+            .group_by(["canon_hash", "canon"])
+            .aggregate([("doc_id", "min"), ([], "count_all")])
+        )
+        return g.rename_columns(["canon_hash", "canon", "min_id", "cnt"])
+
+    out_schema = pa.schema(
+        [
+            ("keep_id", pa.int64()),
+            ("dup_cnt", pa.int64()),
+            ("canon_n_chars", pa.int64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "keep_id": t["min(min_id)"],
+                "dup_cnt": t["sum(cnt)"],
+                "canon_n_chars": pc.utf8_length(t["canon"]).cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(local_partial, batch_format="pyarrow")
+        .groupby(["canon_hash", "canon"])
+        .aggregate(Min("min_id"), Sum("cnt"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def _sql_docs_normalized_dedup(sf_dir: str) -> str:
+    return """
+SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS dup_cnt,
+       CAST(length(canon) AS BIGINT) AS canon_n_chars
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS canon
+  FROM documents
+)
+GROUP BY canon"""
+
+
+def embeddings_semdedup(sf_dir: str) -> Dataset:
+    """SemDeDup survivors over the embeddings table (k-means clusters
+    + within-cluster cosine, keep-min-id). Non-SQL-expressible
+    (iterative k-means) -> rows-only driver check; exactness vs a
+    brute-force per-cluster reference is pytest-proven."""
+    from .functions.dedup import semdedup_ids
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semdedup_ids(ds, n_clusters=16, threshold=0.92)
+
+
 # ----------------------------------------------------------------- registry
 
 # name -> (ray_fn, sql_fn | None)
@@ -2968,7 +3237,6 @@ REGISTRY: dict = {
     "lp_deadletter_rows": (lp_deadletter_rows, _sql_lp_deadletter_rows),
     "lp_parsed_fields": (lp_parsed_fields, _sql_lp_parsed_fields),
     "lp_enriched": (lp_enriched, _sql_lp_enriched),
-    "lp_filter_regex": (lp_filter_regex, _sql_lp_filter_regex),
     "lp_user_sessions": (lp_user_sessions, _sql_lp_user_sessions),
     "lp_anti_filter": (lp_anti_filter, _sql_lp_anti_filter),
     "lp_union_errors_slow": (lp_union_errors_slow, _sql_lp_union_errors_slow),
@@ -2977,6 +3245,11 @@ REGISTRY: dict = {
     "docs_ngram_novelty": (docs_ngram_novelty, _sql_docs_ngram_novelty),
     "docs_tfidf_top_terms": (docs_tfidf_top_terms, _sql_docs_tfidf_top_terms),
     "seq_mean_token_freq": (seq_mean_token_freq, _sql_seq_mean_token_freq),
+    "seq_mean_bigram_freq": (  # late r3: bigram-LM corpus scoring
+        seq_mean_bigram_freq,
+        _sql_seq_mean_bigram_freq,
+    ),
+    "docs_bm25_topk": (docs_bm25_topk, _sql_docs_bm25_topk),  # late r3
     # -- relational / join representatives (2; q1 kept as the TPC-H
     # representative, asof parked with green r1+r2 rows) --
     "q1_lineitem": (q1_lineitem, _sql_q1_lineitem),
@@ -2987,8 +3260,11 @@ REGISTRY: dict = {
     # -- events / windows / sketches (3; events_sessionize parked with
     # green r1+r2 rows — lp_user_sessions covers gap-sessionize
     # in-window) --
-    "events_median_value": (events_median_value, _sql_events_median_value),
     "events_p90_value": (events_p90_value, _sql_events_p90_value),  # new r3
+    "events_user_interarrival": (  # late r3: per-user gap profile
+        events_user_interarrival,
+        _sql_events_user_interarrival,
+    ),
     "events_top_users": (events_top_users, _sql_events_top_users),  # new r3
     # -- documents / dedup / decontamination (9; docs_exact_dedup
     # parked double-green — its keyed hash-dedup shape stays in-window
@@ -3003,13 +3279,15 @@ REGISTRY: dict = {
     ),
     "docs_decontaminate_audit": (docs_decontaminate_audit, _sql_docs_decontaminate_audit),
     "docs_c4_filter": (docs_c4_filter, _sql_docs_c4_filter),  # r3
-    "docs_minhash_dedup": (docs_minhash_dedup, None),
-    "docs_dup_clusters": (docs_dup_clusters, None),
-    "docs_dedup_corpus": (docs_dedup_corpus, None),
+    "docs_normalized_dedup": (  # late r3: canonicalized exact dedup
+        docs_normalized_dedup,
+        _sql_docs_normalized_dedup,
+    ),
     "docs_streaming_dedup": (  # r3: shared-index streaming dedup
         docs_streaming_dedup,
         _sql_docs_streaming_dedup,
     ),
+    "embeddings_semdedup": (embeddings_semdedup, None),  # late r3
     # -- sequences / tokens (2; seq_pack_stats parked: rows-only with
     # green r1+r2 driver rows, SQL equivalence now continuously proven
     # by the slow-marked recursive-CTE pytest) --
@@ -3020,6 +3298,11 @@ REGISTRY: dict = {
     # ================= PARKED (after driver's 50-entry window) =======
     # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
     # of in-window queries, kept for the library surface + mini-driver.
+    "docs_minhash_dedup": (docs_minhash_dedup, None),
+    "docs_dup_clusters": (docs_dup_clusters, None),
+    "docs_dedup_corpus": (docs_dedup_corpus, None),
+    "events_median_value": (events_median_value, _sql_events_median_value),
+    "lp_filter_regex": (lp_filter_regex, _sql_lp_filter_regex),
     "seq_pack_stats": (seq_pack_stats, None),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
