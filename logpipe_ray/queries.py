@@ -3176,6 +3176,20 @@ FROM (
 GROUP BY canon"""
 
 
+def docs_topic_clusters(sf_dir: str) -> Dataset:
+    """Topic clustering of the documents table: hashing-trick TF
+    features (no vocabulary build) + mergeable-Lloyd k-means; returns
+    the per-cluster summary. Non-SQL-expressible (iterative k-means)
+    -> rows-only driver check; planted-topic purity and block-layout
+    determinism are pytest-proven."""
+    from .functions.cluster import topic_clusters
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return topic_clusters(ds, n_clusters=8)
+
+
 def embeddings_semdedup(sf_dir: str) -> Dataset:
     """SemDeDup survivors over the embeddings table (k-means clusters
     + within-cluster cosine, keep-min-id). Non-SQL-expressible
@@ -3277,7 +3291,6 @@ REGISTRY: dict = {
         docs_rollup_lang_source,
         _sql_docs_rollup_lang_source,
     ),
-    "docs_decontaminate_audit": (docs_decontaminate_audit, _sql_docs_decontaminate_audit),
     "docs_c4_filter": (docs_c4_filter, _sql_docs_c4_filter),  # r3
     "docs_normalized_dedup": (  # late r3: canonicalized exact dedup
         docs_normalized_dedup,
@@ -3288,6 +3301,7 @@ REGISTRY: dict = {
         _sql_docs_streaming_dedup,
     ),
     "embeddings_semdedup": (embeddings_semdedup, None),  # late r3
+    "docs_topic_clusters": (docs_topic_clusters, None),  # late r3
     # -- sequences / tokens (2; seq_pack_stats parked: rows-only with
     # green r1+r2 driver rows, SQL equivalence now continuously proven
     # by the slow-marked recursive-CTE pytest) --
@@ -3298,6 +3312,7 @@ REGISTRY: dict = {
     # ================= PARKED (after driver's 50-entry window) =======
     # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
     # of in-window queries, kept for the library surface + mini-driver.
+    "docs_decontaminate_audit": (docs_decontaminate_audit, _sql_docs_decontaminate_audit),
     "docs_minhash_dedup": (docs_minhash_dedup, None),
     "docs_dup_clusters": (docs_dup_clusters, None),
     "docs_dedup_corpus": (docs_dedup_corpus, None),

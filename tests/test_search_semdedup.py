@@ -161,3 +161,68 @@ def test_semdedup_cap_passes_tail_through(ray_session):
     # nothing is near-dup at 0.999 on random vectors; with the cap at
     # 10 the other 50 rows must still pass through
     assert sorted(out["vec_id"]) == list(range(60))
+
+
+# ---------------------------------------------------------- topic clusters
+
+
+def test_topic_clusters_planted_purity(ray_session):
+    """Docs drawn from two disjoint vocabularies separate perfectly."""
+    import ray.data as rd
+
+    from logpipe_ray.functions.cluster import topic_clusters
+
+    rng = np.random.default_rng(7)
+    vocab_a = ["kernel", "driver", "memory", "thread", "cache", "stack"]
+    vocab_b = ["recipe", "butter", "flour", "oven", "sugar", "dough"]
+    texts, ids = [], []
+    for i in range(60):
+        v = vocab_a if i % 2 == 0 else vocab_b
+        texts.append(" ".join(rng.choice(v, 12)))
+        ids.append(i)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    out = topic_clusters(ds, n_clusters=2, dim=64).to_pandas()
+    assert len(out) == 2
+    assert int(out["n_docs"].sum()) == 60
+    # perfect split: each cluster is all-even or all-odd ids
+    from logpipe_ray.functions.cluster import hashed_tf_features
+    from logpipe_ray.functions.ann import build_ivf_centroids, _vec_matrix
+
+    feats = hashed_tf_features(ds, dim=64).materialize()
+    cents = build_ivf_centroids(
+        feats, n_centroids=2, vec_col="feat", seed=11, id_col="doc_id"
+    )
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1)[:, None], 1e-12)
+    fp = feats.to_pandas().sort_values("doc_id")
+    m = np.stack(fp["feat"].to_numpy()).astype(np.float64)
+    cid = np.argmax(m @ cn.T, axis=1)
+    for c in (0, 1):
+        parities = {i % 2 for i in fp["doc_id"].to_numpy()[cid == c]}
+        assert len(parities) == 1
+
+
+def test_topic_clusters_block_layout_invariant(ray_session):
+    """Same clustering whether the input is 1 block or 8."""
+    import ray.data as rd
+
+    from logpipe_ray.functions.cluster import topic_clusters
+
+    rng = np.random.default_rng(13)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(rng.choice(words, 10)) for _ in range(80)]
+    tbl = pa.table({"doc_id": list(range(80)), "text": texts})
+    a = (
+        topic_clusters(rd.from_arrow(tbl), n_clusters=4, dim=32)
+        .to_pandas()
+        .sort_values("cluster_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        topic_clusters(
+            rd.from_arrow(tbl).repartition(8), n_clusters=4, dim=32
+        )
+        .to_pandas()
+        .sort_values("cluster_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
