@@ -3176,6 +3176,71 @@ FROM (
 GROUP BY canon"""
 
 
+def customers_order_profile(sf_dir: str) -> Dataset:
+    """Per-customer order profile via a distributed LEFT OUTER join —
+    every customer appears, including the ones with zero orders (the
+    join type the rest of the join inventory doesn't cover).
+
+    Scale shape: orders collapse to per-custkey (count, cents) partials
+    inside map_batches before ONE keyed aggregate (the orders table
+    never moves whole), then a native hash left_outer join against
+    customer; money is exact integer cents so the oracle hashes
+    bitwise."""
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        g = (
+            pa.table({"o_custkey": t["o_custkey"], "cents": cents})
+            .group_by("o_custkey")
+            .aggregate([([], "count_all"), ("cents", "sum")])
+        )
+        return g.rename_columns(["o_custkey", "n", "cents"])
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("cents", alias_name="total_cents"))
+    )
+    joined = cust.repartition(8).join(
+        per_cust.repartition(8),
+        join_type="left_outer",
+        num_partitions=8,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_mktsegment": t["c_mktsegment"],
+                "n_orders": pc.fill_null(t["n_orders"], 0).cast(pa.int64()),
+                "total_cents": pc.fill_null(t["total_cents"], 0).cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sql_customers_order_profile(sf_dir: str) -> str:
+    return """
+SELECT c.c_custkey, c.c_mktsegment,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(o.total_cents, 0) AS total_cents
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey"""
+
+
 def docs_topic_clusters(sf_dir: str) -> Dataset:
     """Topic clustering of the documents table: hashing-trick TF
     features (no vocabulary build) + mergeable-Lloyd k-means; returns
@@ -3248,7 +3313,6 @@ REGISTRY: dict = {
     # level shape with a strictly stronger check) --
     "lp_route_counts": (lp_route_counts, _sql_lp_route_counts),
     "lp_stats_by_level": (lp_stats_by_level, _sql_lp_stats_by_level),
-    "lp_deadletter_rows": (lp_deadletter_rows, _sql_lp_deadletter_rows),
     "lp_parsed_fields": (lp_parsed_fields, _sql_lp_parsed_fields),
     "lp_enriched": (lp_enriched, _sql_lp_enriched),
     "lp_user_sessions": (lp_user_sessions, _sql_lp_user_sessions),
@@ -3270,6 +3334,10 @@ REGISTRY: dict = {
     "lineitem_price_band_join": (  # new r3: distributed interval join
         lineitem_price_band_join,
         _sql_lineitem_price_band_join,
+    ),
+    "customers_order_profile": (  # late r3: LEFT OUTER join rep
+        customers_order_profile,
+        _sql_customers_order_profile,
     ),
     # -- events / windows / sketches (3; events_sessionize parked with
     # green r1+r2 rows — lp_user_sessions covers gap-sessionize
@@ -3312,6 +3380,7 @@ REGISTRY: dict = {
     # ================= PARKED (after driver's 50-entry window) =======
     # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
     # of in-window queries, kept for the library surface + mini-driver.
+    "lp_deadletter_rows": (lp_deadletter_rows, _sql_lp_deadletter_rows),
     "docs_decontaminate_audit": (docs_decontaminate_audit, _sql_docs_decontaminate_audit),
     "docs_minhash_dedup": (docs_minhash_dedup, None),
     "docs_dup_clusters": (docs_dup_clusters, None),
