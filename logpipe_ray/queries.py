@@ -3176,6 +3176,116 @@ FROM (
 GROUP BY canon"""
 
 
+def events_hourly_anomaly(sf_dir: str) -> Dataset:
+    """Statistical anomaly detection: hours whose event count deviates
+    >= 2 sigma from that event type's hourly mean — the monitoring
+    query a pipeline operator runs over ingest volumes.
+
+    Scale shape: pass 1 is the tumbling-window count (partials before
+    one keyed aggregate, bounded by types x hours); per-type moment
+    sums (n, Sx, Sxx — three ints per type) collapse from the counts
+    and broadcast by closure; pass 2 re-scores the counts table
+    vectorized. No whole-type co-location anywhere.
+
+    Determinism (bitwise oracle parity): mean and variance come from
+    EXACT integer sums — var = (n*Sxx - Sx^2) / n^2, one subtraction
+    of int64s then one division — and IEEE sqrt/divide are correctly
+    rounded, so z is bit-identical to the SQL replay of the same
+    expression tree."""
+    counts = events_hourly(sf_dir).materialize()
+
+    def moments(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["cnt"], dtype=np.int64)
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "one": np.ones(len(c), dtype=np.int64),
+                    "sx": c,
+                    "sxx": c * c,
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("one", "sum"), ("sx", "sum"), ("sxx", "sum")])
+        )
+        return g.rename_columns(["event_type", "n", "sx", "sxx"])
+
+    stats = (
+        counts.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .to_pandas()
+    )
+    lut = {
+        r["event_type"]: (int(r["n"]), int(r["sx"]), int(r["sxx"]))
+        for _, r in stats.iterrows()
+    }
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("hour", pa.timestamp("us")),
+            ("cnt", pa.int64()),
+            ("z", pa.float64()),
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        types = t["event_type"].to_pylist()
+        c = np.asarray(t["cnt"], dtype=np.int64).astype(np.float64)
+        z = np.zeros(len(c))
+        ok = np.zeros(len(c), dtype=bool)
+        for et in set(types):
+            n, sx, sxx = lut[et]
+            var_num = n * sxx - sx * sx  # exact int64
+            if var_num <= 0:  # constant series: no deviation possible
+                continue
+            mask = np.asarray([x == et for x in types])
+            # same tree as the SQL: (cnt - (sx/n)) / sqrt(num/(n*n))
+            z[mask] = (c[mask] - (float(sx) / n)) / np.sqrt(
+                float(var_num) / (n * n)
+            )
+            ok[mask] = True
+        keep = ok & (np.abs(z) >= 2.0)
+        return pa.table(
+            {
+                "event_type": pa.array([x for x, k in zip(types, keep) if k]),
+                "hour": t["hour"].filter(pa.array(keep)),
+                "cnt": t["cnt"].filter(pa.array(keep)),
+                "z": pa.array(z[keep]),
+            }
+        )
+
+    return counts.map_batches(score, batch_format="pyarrow")
+
+
+def _sql_events_hourly_anomaly(sf_dir: str) -> str:
+    return """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+  FROM events GROUP BY event_type, hour
+),
+m AS (
+  SELECT event_type, count(*) AS n, CAST(sum(cnt) AS BIGINT) AS sx,
+         CAST(sum(cnt * cnt) AS BIGINT) AS sxx
+  FROM c GROUP BY event_type
+)
+SELECT c.event_type, c.hour, c.cnt,
+       (c.cnt - (CAST(m.sx AS DOUBLE) / m.n))
+         / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) / (m.n * m.n)) AS z
+FROM c JOIN m USING (event_type)
+WHERE m.n * m.sxx - m.sx * m.sx > 0
+  AND abs((c.cnt - (CAST(m.sx AS DOUBLE) / m.n))
+      / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) / (m.n * m.n)))
+      >= 2.0::DOUBLE"""
+
+
 def customers_order_profile(sf_dir: str) -> Dataset:
     """Per-customer order profile via a distributed LEFT OUTER join —
     every customer appears, including the ones with zero orders (the
@@ -3348,6 +3458,10 @@ REGISTRY: dict = {
         _sql_events_user_interarrival,
     ),
     "events_top_users": (events_top_users, _sql_events_top_users),  # new r3
+    "events_hourly_anomaly": (  # late r3: z-score volume anomalies
+        events_hourly_anomaly,
+        _sql_events_hourly_anomaly,
+    ),
     # -- documents / dedup / decontamination (9; docs_exact_dedup
     # parked double-green — its keyed hash-dedup shape stays in-window
     # inside docs_prep_corpus and corpus_build_stats) --
@@ -3373,13 +3487,13 @@ REGISTRY: dict = {
     # -- sequences / tokens (2; seq_pack_stats parked: rows-only with
     # green r1+r2 driver rows, SQL equivalence now continuously proven
     # by the slow-marked recursive-CTE pytest) --
-    "seq_token_frequency": (seq_token_frequency, _sql_seq_token_frequency),
     # -- ANN (2) --
     "ann_brute_topk": (ann_brute_topk, _sql_ann_brute_topk),
     "ann_hnsw_topk": (ann_hnsw_topk, None),  # new r3: graph-based ANN
     # ================= PARKED (after driver's 50-entry window) =======
     # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
     # of in-window queries, kept for the library surface + mini-driver.
+    "seq_token_frequency": (seq_token_frequency, _sql_seq_token_frequency),
     "lp_deadletter_rows": (lp_deadletter_rows, _sql_lp_deadletter_rows),
     "docs_decontaminate_audit": (docs_decontaminate_audit, _sql_docs_decontaminate_audit),
     "docs_minhash_dedup": (docs_minhash_dedup, None),
