@@ -3176,6 +3176,70 @@ FROM (
 GROUP BY canon"""
 
 
+def events_incremental_hourly(sf_dir: str) -> Dataset:
+    """Materialized-view maintenance: the hourly (type, hour) counts
+    built INCREMENTALLY — events arrive in three waves, each merged
+    into the persisted CountState (state/aggstate.py) with one keyed
+    aggregate over (old state union new partials); the final state
+    must equal the from-scratch aggregate (same oracle as
+    events_hourly). Exactly-once: replaying an applied wave is a
+    detected no-op (pytest-proven along with crash-safety).
+
+    Scale shape: each merge costs O(distinct keys + wave partials),
+    independent of history volume — the reason this exists at 100 TB.
+    """
+    import shutil as _shutil
+    import zlib as _zlib
+
+    from .state.aggstate import CountState
+
+    root = f"/tmp/logpipe_aggstate/q_{_zlib.crc32(sf_dir.encode()):x}"
+    _shutil.rmtree(root, ignore_errors=True)
+    st = CountState(root, keys=["event_type", "hour_us"], value_col="cnt")
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts"]
+    )
+
+    for wave in range(3):
+
+        def partial(t: pa.Table, _w=wave) -> pa.Table:
+            ids = np.asarray(t["event_id"], dtype=np.int64)
+            sub = t.filter(pa.array(ids % 3 == _w))
+            hour = pc.floor_temporal(sub["ts"], unit="hour").cast(
+                pa.timestamp("us")
+            )
+            g = (
+                pa.table(
+                    {
+                        "event_type": sub["event_type"],
+                        "hour_us": hour.cast(pa.int64()),
+                    }
+                )
+                .group_by(["event_type", "hour_us"])
+                .aggregate([([], "count_all")])
+            )
+            return g.rename_columns(["event_type", "hour_us", "cnt"])
+
+        st.update(
+            f"wave{wave}", ds.map_batches(partial, batch_format="pyarrow")
+        )
+
+    def present(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": t["hour_us"].cast(pa.int64()).cast(pa.timestamp("us")),
+                "cnt": t["cnt"],
+            }
+        )
+
+    return st.read().map_batches(present, batch_format="pyarrow")
+
+
+def _sql_events_incremental_hourly(sf_dir: str) -> str:
+    return _sql_events_hourly(sf_dir)
+
+
 def events_hourly_anomaly(sf_dir: str) -> Dataset:
     """Statistical anomaly detection: hours whose event count deviates
     >= 2 sigma from that event type's hourly mean — the monitoring
@@ -3427,7 +3491,6 @@ REGISTRY: dict = {
     "lp_enriched": (lp_enriched, _sql_lp_enriched),
     "lp_user_sessions": (lp_user_sessions, _sql_lp_user_sessions),
     "lp_anti_filter": (lp_anti_filter, _sql_lp_anti_filter),
-    "lp_union_errors_slow": (lp_union_errors_slow, _sql_lp_union_errors_slow),
     # -- new round-3 corpus-statistics operators (4, all oracled) --
     "docs_repetition_stats": (docs_repetition_stats, _sql_docs_repetition_stats),
     "docs_ngram_novelty": (docs_ngram_novelty, _sql_docs_ngram_novelty),
@@ -3462,6 +3525,10 @@ REGISTRY: dict = {
         events_hourly_anomaly,
         _sql_events_hourly_anomaly,
     ),
+    "events_incremental_hourly": (  # late r3: materialized-view merge
+        events_incremental_hourly,
+        _sql_events_incremental_hourly,
+    ),
     # -- documents / dedup / decontamination (9; docs_exact_dedup
     # parked double-green — its keyed hash-dedup shape stays in-window
     # inside docs_prep_corpus and corpus_build_stats) --
@@ -3493,6 +3560,7 @@ REGISTRY: dict = {
     # ================= PARKED (after driver's 50-entry window) =======
     # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
     # of in-window queries, kept for the library surface + mini-driver.
+    "lp_union_errors_slow": (lp_union_errors_slow, _sql_lp_union_errors_slow),
     "seq_token_frequency": (seq_token_frequency, _sql_seq_token_frequency),
     "lp_deadletter_rows": (lp_deadletter_rows, _sql_lp_deadletter_rows),
     "docs_decontaminate_audit": (docs_decontaminate_audit, _sql_docs_decontaminate_audit),
