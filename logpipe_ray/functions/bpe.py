@@ -1,0 +1,234 @@
+"""Distributed BPE tokenizer training (byte-pair-encoding merges).
+
+Learns the top-k BPE merges from a tokenized corpus — the "train a
+tokenizer on the corpus" step of an LLM data pipeline. Classic BPE
+semantics: each round counts all adjacent token pairs (overlapping
+occurrences included, the textbook counting), picks the most frequent
+pair (deterministic tiebreak: smallest (t1, t2)), assigns it a fresh
+token id, and rewrites the corpus by replacing non-overlapping
+occurrences greedily left-to-right.
+
+Scale shape per round: pair counting is the packed-int64 partial
+pattern (only (pair, count) rows shuffle — bounded by distinct pairs,
+never corpus size; the final merge reuses tokens._merge_count_partials
+with its bounded-driver/keyed-aggregate routing); the winning pair is
+found by per-block local top-1 then a driver pick over <= #blocks
+candidates. The rewrite is one fully vectorized map_batches pass
+(match mask -> run-parity non-overlap resolution -> flat-buffer
+delete/rebuild) and the result is materialized because the next
+round's counts re-read it (k rounds = 2k corpus passes; standard
+practice at scale is to train on a hash-sample — ``sample_mod``).
+
+BPE training is inherently sequential in k (each merge changes the
+pair statistics), so k drives latency, not corpus size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+# pack (t1, t2) into one int64; ids stay far below this after any
+# practical number of merges (byte vocab + k new ids)
+_PACK = np.int64(1) << np.int64(21)
+
+
+def _pair_count_partial(tokens_col: str):
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.int64)
+        empty = pa.table(
+            {"key": pa.array([], pa.int64()), "p": pa.array([], pa.int64())}
+        )
+        if len(flat) < 2:
+            return empty
+        L = np.asarray(pc.list_value_length(col).fill_null(0), dtype=np.int64)
+        ends = np.cumsum(L[L > 0]) - 1
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        valid[ends[ends < len(flat) - 1]] = False
+        keys = flat[:-1][valid] * _PACK + flat[1:][valid]
+        vc = pc.value_counts(pa.array(keys, pa.int64()))
+        return pa.table(
+            {
+                "key": pc.struct_field(vc, "values"),
+                "p": pc.struct_field(vc, "counts"),
+            }
+        )
+
+    return partial
+
+
+def _top_pair(ds: Dataset, tokens_col: str) -> tuple[int, int, int] | None:
+    """(t1, t2, count) of the globally most frequent adjacent pair;
+    ties break to the smallest packed key. None if no pairs exist."""
+    from .tokens import _merge_count_partials
+
+    partials = ds.map_batches(
+        _pair_count_partial(tokens_col), batch_format="pyarrow", batch_size=None
+    )
+    counts = _merge_count_partials(partials, "key", "cnt")
+
+    def local_top(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        c = np.asarray(t["cnt"], dtype=np.int64)
+        k = np.asarray(t["key"], dtype=np.int64)
+        best = np.lexsort((k, -c))[0]
+        return pa.table({"key": k[best : best + 1], "cnt": c[best : best + 1]})
+
+    cand = counts.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return None
+    cand = cand.sort_values(["cnt", "key"], ascending=[False, True])
+    key = int(cand["key"].iloc[0])
+    cnt = int(cand["cnt"].iloc[0])
+    return key // int(_PACK), key % int(_PACK), cnt
+
+
+def apply_merge_batch(
+    t: pa.Table, t1: int, t2: int, new_id: int, tokens_col: str = "tokens"
+) -> pa.Table:
+    """Replace non-overlapping (t1, t2) adjacencies with new_id,
+    greedily left-to-right — one vectorized pass over the flat buffer.
+
+    Overlaps (only possible as runs of consecutive match positions,
+    e.g. (a, a) inside "aaaa") resolve by keeping even offsets within
+    each run, which IS the greedy scan's choice."""
+    col = t[tokens_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.int32)
+    L = np.asarray(pc.list_value_length(col).fill_null(0), dtype=np.int64)
+    if len(flat) >= 2:
+        m = (flat[:-1] == t1) & (flat[1:] == t2)
+        ends = np.cumsum(L[L > 0]) - 1
+        m[ends[ends < len(flat) - 1]] = False
+        pos = np.where(m)[0]
+    else:
+        pos = np.empty(0, dtype=np.int64)
+    if pos.size:
+        run_start = np.concatenate([[True], np.diff(pos) > 1])
+        run_id = np.cumsum(run_start) - 1
+        first = pos[run_start][run_id]
+        sel = pos[((pos - first) % 2) == 0]
+        out = flat.copy()
+        out[sel] = new_id
+        delete = np.zeros(len(flat), dtype=bool)
+        delete[sel + 1] = True
+        row_of = np.repeat(np.arange(len(L)), L)
+        merged_per_row = np.bincount(row_of[sel], minlength=len(L))
+        new_l = L - merged_per_row
+        new_flat = out[~delete]
+    else:
+        new_l = L
+        new_flat = flat
+    offsets = np.zeros(len(L) + 1, dtype=np.int32)
+    np.cumsum(new_l, out=offsets[1:])
+    arr = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(new_flat, pa.int32())
+    )
+    i = t.column_names.index(tokens_col)
+    return t.set_column(i, tokens_col, arr)
+
+
+def learn_bpe_merges(
+    ds: Dataset,
+    k_merges: int = 12,
+    tokens_col: str = "tokens",
+    first_new_id: int | None = None,
+    sample_mod: int | None = None,
+    id_col: str | None = None,
+) -> pa.Table:
+    """Learn ``k_merges`` BPE merges; returns the merge table
+    (rank, t1, t2, new_id, cnt). ``sample_mod``: train on the
+    deterministic hash-sample ``hash(id) % mod == 0`` (requires
+    ``id_col``) — the standard scale move, since merge quality
+    converges long before the full corpus is counted."""
+    if sample_mod is not None:
+        if id_col is None:
+            raise ValueError("sample_mod requires id_col")
+        from ..stages.transform import hash64_strings
+
+        def pick(t: pa.Table) -> pa.Table:
+            col = t[id_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_integer(col.type):
+                h = np.asarray(col, dtype=np.int64).astype(np.uint64)
+            else:
+                h = hash64_strings(col)
+            return t.filter(pa.array(h % np.uint64(sample_mod) == 0))
+
+        ds = ds.map_batches(pick, batch_format="pyarrow")
+
+    cur = ds.select_columns([tokens_col]).materialize()
+    if first_new_id is None:
+        maxes = cur.map_batches(
+            lambda t: pa.table(
+                {
+                    "m": pa.array(
+                        [
+                            int(
+                                pc.max(pc.list_flatten(t[tokens_col])).as_py()
+                                or 0
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        first_new_id = int(maxes["m"].max()) + 1
+
+    rows = []
+    next_id = first_new_id
+    for rank in range(k_merges):
+        top = _top_pair(cur, tokens_col)
+        if top is None or top[2] < 2:
+            break
+        t1, t2, cnt = top
+        rows.append((rank, t1, t2, next_id, cnt))
+        cur = cur.map_batches(
+            lambda t, _a=t1, _b=t2, _n=next_id: apply_merge_batch(
+                t, _a, _b, _n, tokens_col
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        next_id += 1
+
+    return pa.table(
+        {
+            "rank": pa.array([r[0] for r in rows], pa.int64()),
+            "t1": pa.array([r[1] for r in rows], pa.int64()),
+            "t2": pa.array([r[2] for r in rows], pa.int64()),
+            "new_id": pa.array([r[3] for r in rows], pa.int64()),
+            "cnt": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+def apply_merges(
+    ds: Dataset, merges: pa.Table, tokens_col: str = "tokens"
+) -> Dataset:
+    """Re-tokenize a corpus with a learned merge table: the merges
+    apply in rank order (each as one vectorized pass, fused into a
+    single task chain by the streaming executor)."""
+    for rank in range(merges.num_rows):
+        t1 = int(merges["t1"][rank].as_py())
+        t2 = int(merges["t2"][rank].as_py())
+        nid = int(merges["new_id"][rank].as_py())
+        ds = ds.map_batches(
+            lambda t, _a=t1, _b=t2, _n=nid: apply_merge_batch(
+                t, _a, _b, _n, tokens_col
+            ),
+            batch_format="pyarrow",
+        )
+    return ds

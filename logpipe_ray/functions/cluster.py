@@ -78,6 +78,11 @@ def topic_clusters(
 
     from .ann import _vec_matrix, build_ivf_centroids
 
+    # materialize: the feature table ((rows x dim) float32, ~0.05% of
+    # the text volume at dim=128) is re-read by every Lloyd iteration
+    # plus the assignment pass — recomputing featurization 5x would
+    # re-read the full text instead; the object store spills it if
+    # it outgrows memory
     feats = hashed_tf_features(ds, text_col, id_col, dim=dim).materialize()
     cents = build_ivf_centroids(
         feats, n_centroids=n_clusters, vec_col="feat", seed=seed, id_col=id_col

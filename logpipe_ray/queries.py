@@ -3176,6 +3176,19 @@ FROM (
 GROUP BY canon"""
 
 
+def seq_bpe_merges(sf_dir: str) -> pa.Table:
+    """Tokenizer training: the top-12 BPE merges learned from the
+    sequences corpus (functions/bpe.py — distributed pair counting +
+    vectorized corpus rewrite per round). Iterative, so rows-only for
+    the driver; a pure-Python reference BPE proves the merge table
+    byte-equal in pytest."""
+    from .functions.bpe import learn_bpe_merges
+
+    seq_dir = ensure_sequences(sf_dir)
+    ds = read_parquet_clean(seq_dir, columns=["tokens"])
+    return learn_bpe_merges(ds, k_merges=12)
+
+
 def events_incremental_hourly(sf_dir: str) -> Dataset:
     """Materialized-view maintenance: the hourly (type, hour) counts
     built INCREMENTALLY — events arrive in three waves, each merged
@@ -3480,7 +3493,6 @@ REGISTRY: dict = {
     "ann_ivf_topk": (ann_ivf_topk, None),
     "mm_features": (mm_features, None),
     "mm_resized": (mm_resized, None),
-    "mm_frame_sample": (mm_frame_sample, None),
     "events_value_quantiles": (events_value_quantiles, None),
     # -- SURVEY-§2 log-pipeline core (9; lp_count_by_level parked with
     # green r1+r2 rows — lp_stats_by_level covers the same group-by-
@@ -3500,6 +3512,7 @@ REGISTRY: dict = {
         seq_mean_bigram_freq,
         _sql_seq_mean_bigram_freq,
     ),
+    "seq_bpe_merges": (seq_bpe_merges, None),  # late r3: BPE training
     "docs_bm25_topk": (docs_bm25_topk, _sql_docs_bm25_topk),  # late r3
     # -- relational / join representatives (2; q1 kept as the TPC-H
     # representative, asof parked with green r1+r2 rows) --
@@ -3560,6 +3573,7 @@ REGISTRY: dict = {
     # ================= PARKED (after driver's 50-entry window) =======
     # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
     # of in-window queries, kept for the library surface + mini-driver.
+    "mm_frame_sample": (mm_frame_sample, None),
     "lp_union_errors_slow": (lp_union_errors_slow, _sql_lp_union_errors_slow),
     "seq_token_frequency": (seq_token_frequency, _sql_seq_token_frequency),
     "lp_deadletter_rows": (lp_deadletter_rows, _sql_lp_deadletter_rows),
