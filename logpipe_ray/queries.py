@@ -3176,6 +3176,80 @@ FROM (
 GROUP BY canon"""
 
 
+def suppliers_pagerank(sf_dir: str) -> Dataset:
+    """Iterative graph analytics: 8 rounds of DETERMINISTIC fixed-point
+    PageRank over the symmetric customer<->supplier affinity graph
+    (edges = distinct (cust, supp) pairs from orders x lineitem, both
+    directions), top-20 nodes. Every quantity is an int64 fixed-point
+    rational (functions/graph.py), so the result is bit-reproducible
+    and the oracle replays the identical integer expressions with the
+    iterations unrolled — a HASH-CHECKED iterative algorithm."""
+    from .functions.graph import pagerank_fixed
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    joined = lineitem.join(
+        orders.repartition(8),
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def edges_fwd(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["o_custkey"], dtype=np.int64) * 2
+        su = np.asarray(t["l_suppkey"], dtype=np.int64) * 2 + 1
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([c, su])),
+                "dst": pa.array(np.concatenate([su, c])),
+            }
+        )
+
+    edges = joined.map_batches(edges_fwd, batch_format="pyarrow")
+    ranks = pagerank_fixed(edges, iters=8)
+    return top_k(ranks, [("rank_fp", "descending"), ("node", "ascending")], 20)
+
+
+def _sql_suppliers_pagerank(sf_dir: str) -> str:
+    from .functions.graph import SCALE
+
+    sc = int(SCALE)
+    sql = f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+st AS (SELECT count(*) AS n FROM nodes),
+r0 AS (
+  SELECT node, CAST({sc} // s.n AS BIGINT) AS rank_fp
+  FROM nodes CROSS JOIN st s
+)"""
+    for k in range(8):
+        sql += f""",
+r{k + 1} AS (
+  SELECT n.node,
+         CAST(coalesce(sum((r.rank_fp * 17) // (20 * d.d)), 0)
+              + (3 * {sc}) // (20 * s.n) AS BIGINT) AS rank_fp
+  FROM nodes n
+  CROSS JOIN st s
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN r{k} r ON r.node = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY n.node, s.n
+)"""
+    sql += """
+SELECT node, rank_fp FROM r8 ORDER BY rank_fp DESC, node LIMIT 20"""
+    return sql
+
+
 def seq_bpe_merges(sf_dir: str) -> pa.Table:
     """Tokenizer training: the top-12 BPE merges learned from the
     sequences corpus (functions/bpe.py — distributed pair counting +
@@ -3490,7 +3564,6 @@ REGISTRY: dict = {
     "docs_prep_corpus": (docs_prep_corpus, _sql_docs_prep_corpus),
     # -- never-driver-checked round-2 additions, rows-only (6) --
     "embeddings_neardup": (embeddings_neardup, None),
-    "ann_ivf_topk": (ann_ivf_topk, None),
     "mm_features": (mm_features, None),
     "mm_resized": (mm_resized, None),
     "events_value_quantiles": (events_value_quantiles, None),
@@ -3524,6 +3597,10 @@ REGISTRY: dict = {
     "customers_order_profile": (  # late r3: LEFT OUTER join rep
         customers_order_profile,
         _sql_customers_order_profile,
+    ),
+    "suppliers_pagerank": (  # late r3: deterministic fixed-point PR
+        suppliers_pagerank,
+        _sql_suppliers_pagerank,
     ),
     # -- events / windows / sketches (3; events_sessionize parked with
     # green r1+r2 rows — lp_user_sessions covers gap-sessionize
@@ -3573,6 +3650,7 @@ REGISTRY: dict = {
     # ================= PARKED (after driver's 50-entry window) =======
     # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
     # of in-window queries, kept for the library surface + mini-driver.
+    "ann_ivf_topk": (ann_ivf_topk, None),
     "mm_frame_sample": (mm_frame_sample, None),
     "lp_union_errors_slow": (lp_union_errors_slow, _sql_lp_union_errors_slow),
     "seq_token_frequency": (seq_token_frequency, _sql_seq_token_frequency),

@@ -109,6 +109,17 @@ def main() -> int:
     qs = queries()
     sqls = oracle_sql(sf_dir)
     failed = []
+    if not only:
+        # the real driver smoke-checks entry() before the queries:
+        # runs at sf0.001 and must yield >= 0 rows with a stable schema
+        try:
+            import __ray_entry__ as _entry
+
+            edf = to_pandas(_entry.entry())
+            print(f"ok   entry(): {len(edf)} rows, cols {sorted(edf.columns)}")
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL entry(): {type(exc).__name__}: {exc}")
+            failed.append("entry")
     for name, fn in qs.items():
         if only and name not in only:
             continue
