@@ -3176,6 +3176,72 @@ FROM (
 GROUP BY canon"""
 
 
+def events_funnel_stages(sf_dir: str) -> Dataset:
+    """Funnel analysis: per user, the furthest stage reached through
+    view -> click -> purchase with strictly increasing timestamps
+    (earliest-first greedy traversal — the standard product-analytics
+    funnel). Keyed by user like sessionize, so no hot reducer; stage
+    logic is integer-microsecond mins, hash-exact vs the staged-CTE
+    oracle."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def funnel(df):
+        import pandas as pd
+
+        tsu = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+        stage = 0
+        v = tsu[et == "view"]
+        if v.size:
+            stage, t = 1, v.min()
+            c = tsu[(et == "click") & (tsu > t)]
+            if c.size:
+                stage, t = 2, c.min()
+                p = tsu[(et == "purchase") & (tsu > t)]
+                if p.size:
+                    stage = 3
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "stage_reached": [stage],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(funnel, batch_format="pandas")
+
+
+def _sql_events_funnel_stages(sf_dir: str) -> str:
+    return """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+s1 AS (
+  SELECT user_id,
+         min(tsu) FILTER (WHERE event_type = 'view') AS t1
+  FROM e GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id,
+         min(e.tsu) FILTER (
+           WHERE e.event_type = 'click' AND e.tsu > s1.t1
+         ) AS t2
+  FROM e JOIN s1 USING (user_id) GROUP BY e.user_id, s1.t1
+),
+s3 AS (
+  SELECT e.user_id,
+         min(e.tsu) FILTER (
+           WHERE e.event_type = 'purchase' AND e.tsu > s2.t2
+         ) AS t3
+  FROM e JOIN s2 USING (user_id) GROUP BY e.user_id, s2.t2
+)
+SELECT s1.user_id,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 WHEN s1.t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage_reached
+FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)"""
+
+
 def suppliers_pagerank(sf_dir: str) -> Dataset:
     """Iterative graph analytics: 8 rounds of DETERMINISTIC fixed-point
     PageRank over the symmetric customer<->supplier affinity graph
@@ -3574,7 +3640,6 @@ REGISTRY: dict = {
     "lp_stats_by_level": (lp_stats_by_level, _sql_lp_stats_by_level),
     "lp_parsed_fields": (lp_parsed_fields, _sql_lp_parsed_fields),
     "lp_enriched": (lp_enriched, _sql_lp_enriched),
-    "lp_user_sessions": (lp_user_sessions, _sql_lp_user_sessions),
     "lp_anti_filter": (lp_anti_filter, _sql_lp_anti_filter),
     # -- new round-3 corpus-statistics operators (4, all oracled) --
     "docs_repetition_stats": (docs_repetition_stats, _sql_docs_repetition_stats),
@@ -3609,6 +3674,10 @@ REGISTRY: dict = {
     "events_user_interarrival": (  # late r3: per-user gap profile
         events_user_interarrival,
         _sql_events_user_interarrival,
+    ),
+    "events_funnel_stages": (  # late r3: product-analytics funnel
+        events_funnel_stages,
+        _sql_events_funnel_stages,
     ),
     "events_top_users": (events_top_users, _sql_events_top_users),  # new r3
     "events_hourly_anomaly": (  # late r3: z-score volume anomalies
@@ -3650,6 +3719,7 @@ REGISTRY: dict = {
     # ================= PARKED (after driver's 50-entry window) =======
     # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
     # of in-window queries, kept for the library surface + mini-driver.
+    "lp_user_sessions": (lp_user_sessions, _sql_lp_user_sessions),
     "ann_ivf_topk": (ann_ivf_topk, None),
     "mm_frame_sample": (mm_frame_sample, None),
     "lp_union_errors_slow": (lp_union_errors_slow, _sql_lp_union_errors_slow),
