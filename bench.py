@@ -108,6 +108,15 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "seq_mean_bigram_freq",
             "embeddings_semdedup",
             "docs_normalized_dedup",
+            # late round-3: analytics + systems operators
+            "suppliers_pagerank",
+            "events_hourly_anomaly",
+            "customers_order_profile",
+            "events_funnel_stages",
+            "events_incremental_hourly",
+            # late round-3: tokenizer training (12 BPE merge rounds --
+            # iterative by nature; benched for an honest cost record)
+            "seq_bpe_merges",
         ]
         all_q = Q.queries()
 
