@@ -235,3 +235,64 @@ def read_parquet_clean(path, **kw) -> Dataset:
     return rd.read_parquet(path, **kw).map_batches(
         strip_pandas_metadata, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def read_parquet_harmonized(
+    paths: list[str] | str,
+    target_schema: pa.Schema,
+    strict_casts: bool = False,
+) -> Dataset:
+    """Read parquet shards whose schemas have DRIFTED (columns added,
+    dropped or re-typed over the corpus's life — the normal state of a
+    100 TB lake) and harmonize every batch to ``target_schema``:
+    missing columns become typed nulls, extra columns are dropped,
+    mismatched types are cast (``strict_casts=False`` uses safe=False
+    casts, e.g. int64 -> int32 truncates like a relational CAST).
+
+    The harmonization is fused into the read task — one vectorized
+    pass, no extra pipeline stage, so the cost is a per-batch schema
+    touch-up, not a second scan.
+    """
+
+    def harmonize(t: pa.Table) -> pa.Table:
+        cols = []
+        for field in target_schema:
+            if field.name in t.column_names:
+                col = t[field.name]
+                if col.type != field.type:
+                    col = pc.cast(col, field.type, safe=strict_casts)
+                cols.append(col)
+            else:
+                cols.append(pa.nulls(t.num_rows, field.type))
+        return pa.table(dict(zip(target_schema.names, cols)))
+
+    with _plain_list_columns():
+        ds = rd.read_parquet(paths)
+    return ds.map_batches(harmonize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def compact_shards(
+    in_dir: str,
+    out_dir: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Small-file compaction — the lake-maintenance pass that turns
+    thousands of tiny shards (streaming ingest, per-key partitioned
+    writes) into size-targeted files. One streaming repartition, no
+    driver materialization; atomic tmp+rename commit so readers never
+    observe a half-compacted directory. Returns {files_in, files_out,
+    rows}."""
+    import glob as _glob
+    import shutil as _shutil
+
+    files_in = len(_glob.glob(os.path.join(in_dir, "*.parquet")))
+    ds = read_parquet_clean(in_dir)
+    rows = ds.count()
+    n_files = max(1, -(-rows // target_rows_per_file))  # ceil
+    tmp = out_dir + ".tmp"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    ds.repartition(n_files).write_parquet(tmp)
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp, out_dir)
+    files_out = len(_glob.glob(os.path.join(out_dir, "*.parquet")))
+    return {"files_in": files_in, "files_out": files_out, "rows": rows}

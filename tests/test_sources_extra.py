@@ -1,0 +1,50 @@
+"""Schema-harmonizing reader + shard compaction (late round 3)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_read_parquet_harmonized_drifted_schemas(ray_session, tmp_path):
+    pq.write_table(
+        pa.table({"a": pa.array([1, 2], pa.int64()), "b": ["x", "y"]}),
+        tmp_path / "old.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {"a": pa.array([3, 4], pa.int32()), "c": [1.0, 2.0]}
+        ),  # re-typed a, dropped b, added c
+        tmp_path / "new.parquet",
+    )
+    from logpipe_ray.sources.factory import read_parquet_harmonized
+
+    target = pa.schema(
+        [("a", pa.int64()), ("b", pa.string()), ("d", pa.float64())]
+    )
+    out = (
+        read_parquet_harmonized(str(tmp_path), target)
+        .to_pandas()
+        .sort_values("a")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["a", "b", "d"]
+    assert out["a"].tolist() == [1, 2, 3, 4]
+    assert out["b"].tolist()[:2] == ["x", "y"]
+    assert out["b"].isna().tolist() == [False, False, True, True]
+    assert out["d"].isna().all()  # column never existed -> typed nulls
+
+
+def test_compact_shards_roundtrip(ray_session, tmp_path):
+    src = tmp_path / "tiny"
+    src.mkdir()
+    for i in range(20):
+        pq.write_table(
+            pa.table({"v": pa.array(range(i * 10, i * 10 + 10), pa.int64())}),
+            src / f"part_{i:03d}.parquet",
+        )
+    from logpipe_ray.sources.factory import compact_shards, read_parquet_clean
+
+    out = tmp_path / "compact"
+    stats = compact_shards(str(src), str(out), target_rows_per_file=100)
+    assert stats == {"files_in": 20, "files_out": 2, "rows": 200}
+    vals = sorted(read_parquet_clean(str(out)).to_pandas()["v"])
+    assert vals == list(range(200))
