@@ -3176,6 +3176,31 @@ FROM (
 GROUP BY canon"""
 
 
+def docs_length_deciles(sf_dir: str) -> pa.Table:
+    """Exact NTILE(10) profile of document lengths (n_chars): per
+    decile the doc count and character range — the distribution view
+    a length-cutoff / packing policy is tuned from. See
+    stages/aggregate.py:ntile_summary for why no per-row global rank
+    is needed (per-tile aggregates are tie-invariant)."""
+    from .stages.aggregate import ntile_summary
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    out = ntile_summary(ds, "n_chars", n_tiles=10)
+    return out.rename_columns(["decile", "n_docs", "lo_chars", "hi_chars"])
+
+
+def _sql_docs_length_deciles(sf_dir: str) -> str:
+    return """
+WITH t AS (
+  SELECT n_chars, NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS lo_chars,
+       CAST(max(n_chars) AS BIGINT) AS hi_chars
+FROM t GROUP BY decile"""
+
+
 def events_funnel_stages(sf_dir: str) -> Dataset:
     """Funnel analysis: per user, the furthest stage reached through
     view -> click -> purchase with strictly increasing timestamps
@@ -3695,6 +3720,10 @@ REGISTRY: dict = {
     "docs_span_dedup": (docs_span_dedup, _sql_docs_span_dedup),  # r3
     "corpus_build_stats": (corpus_build_stats, _sql_corpus_build_stats),  # r3
     "docs_mixture_sample": (docs_mixture_sample, _sql_docs_mixture_sample),  # r3
+    "docs_length_deciles": (  # late r3: exact NTILE profile
+        docs_length_deciles,
+        _sql_docs_length_deciles,
+    ),
     "docs_rollup_lang_source": (  # r3: ROLLUP levels from one pass
         docs_rollup_lang_source,
         _sql_docs_rollup_lang_source,
@@ -3713,12 +3742,12 @@ REGISTRY: dict = {
     # -- sequences / tokens (2; seq_pack_stats parked: rows-only with
     # green r1+r2 driver rows, SQL equivalence now continuously proven
     # by the slow-marked recursive-CTE pytest) --
-    # -- ANN (2) --
-    "ann_brute_topk": (ann_brute_topk, _sql_ann_brute_topk),
+    # -- ANN --
     "ann_hnsw_topk": (ann_hnsw_topk, None),  # new r3: graph-based ANN
     # ================= PARKED (after driver's 50-entry window) =======
     # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
     # of in-window queries, kept for the library surface + mini-driver.
+    "ann_brute_topk": (ann_brute_topk, _sql_ann_brute_topk),
     "lp_user_sessions": (lp_user_sessions, _sql_lp_user_sessions),
     "ann_ivf_topk": (ann_ivf_topk, None),
     "mm_frame_sample": (mm_frame_sample, None),

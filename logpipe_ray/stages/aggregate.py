@@ -766,3 +766,79 @@ def partitioned_running_sum(
     return ds.groupby([key, bucket_col]).map_groups(
         scan_group, batch_format="pandas"
     )
+
+
+# ----------------------------------------------------------------- ntile
+
+NTILE_DISTINCT_LIMIT = 5_000_000  # driver-held (value, count) rows
+
+
+def ntile_summary(
+    ds, value_col: str, n_tiles: int = 10,
+    distinct_limit: int = NTILE_DISTINCT_LIMIT,
+) -> "pa.Table":
+    """Exact NTILE(n) summary over an integer column: per tile the row
+    count and [lo, hi] value range — the distribution profile a
+    curation policy (length cutoffs, packing budgets) is tuned from.
+
+    The per-tile aggregate is a pure function of the (value, count)
+    table: a tile boundary inside a tie-run moves only WHICH same-value
+    rows cross it, never the counts or value ranges — so the engine
+    needs no per-row global rank at all. One keyed count aggregate
+    (bounded by distinct values, guarded by ``distinct_limit``), then
+    integer NTILE arithmetic on the driver over that bounded table.
+    Matches SQL ``NTILE(n) OVER (ORDER BY value, id)`` aggregated per
+    tile, for ANY deterministic tiebreak.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[value_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = pc.value_counts(col)
+        return pa.table(
+            {
+                "v": pc.cast(pc.struct_field(vc, "values"), pa.int64()),
+                "p": pc.struct_field(vc, "counts"),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("p", alias_name="c"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    if len(counts) > distinct_limit:
+        raise ValueError(
+            f"{len(counts)} distinct values exceed NTILE_DISTINCT_LIMIT: "
+            "use sampled split points (Dataset.sort) instead"
+        )
+    vals = counts["v"].to_numpy()
+    cnt = counts["c"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1]) if len(cum) else 0
+    rows = []
+    start = 0
+    big = n // n_tiles + 1
+    small = n // n_tiles
+    n_big = n % n_tiles
+    for d in range(n_tiles):
+        size = big if d < n_big else small
+        if size == 0:
+            continue
+        end = start + size  # exclusive
+        lo = vals[np.searchsorted(cum, start, side="right")]
+        hi = vals[np.searchsorted(cum, end - 1, side="right")]
+        rows.append((d + 1, size, int(lo), int(hi)))
+        start = end
+    return pa.table(
+        {
+            "tile": pa.array([r[0] for r in rows], pa.int64()),
+            "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+            "lo": pa.array([r[2] for r in rows], pa.int64()),
+            "hi": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

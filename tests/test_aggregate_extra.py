@@ -375,3 +375,37 @@ def test_global_shuffle_rank_exact_and_deterministic():
     m5 = r5.set_index("doc_id")["shuffle_rank"]
     m6 = r6.set_index("doc_id")["shuffle_rank"]
     assert (m5 != m6.loc[m5.index]).any()
+
+
+def test_ntile_summary_tie_runs(ray_session):
+    """Tile boundaries inside tie-runs: counts and ranges match the
+    window-function NTILE regardless of which tied rows cross."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logpipe_ray.stages.aggregate import ntile_summary
+
+    vals = [5] * 7 + [9] * 6 + [2] * 4 + [11] * 6  # 23 rows, heavy ties
+    tbl = pa.table(
+        {"doc_id": list(range(len(vals))), "n_chars": pa.array(vals, pa.int64())}
+    )
+    out = (
+        ntile_summary(rd.from_arrow(tbl), "n_chars", n_tiles=4)
+        .to_pandas()
+        .sort_values("tile")
+        .reset_index(drop=True)
+    )
+    ref = duckdb.sql(
+        """
+        WITH t AS (SELECT n_chars,
+                          NTILE(4) OVER (ORDER BY n_chars, doc_id) AS tile
+                   FROM tbl)
+        SELECT CAST(tile AS BIGINT) AS tile, count(*) AS n_rows,
+               CAST(min(n_chars) AS BIGINT) AS lo,
+               CAST(max(n_chars) AS BIGINT) AS hi
+        FROM t GROUP BY tile ORDER BY tile"""
+    ).df()
+    assert out["n_rows"].tolist() == ref["n_rows"].tolist()
+    assert out["lo"].tolist() == ref["lo"].tolist()
+    assert out["hi"].tolist() == ref["hi"].tolist()
