@@ -3176,6 +3176,83 @@ FROM (
 GROUP BY canon"""
 
 
+def brand_nation_revenue(sf_dir: str) -> Dataset:
+    """Star-schema 3-way join: lineitem against TWO broadcast
+    dimensions at once (part -> brand, supplier -> nation) — both dim
+    arrays ship once via ray.put, each fact batch does two pc.index_in
+    lookups and a local pre-aggregate, and only (brand, nation,
+    partials) rows reach the one keyed aggregate. Revenue is exact
+    integer cents (discount applied as cents x (100 - pct) // 100 —
+    same integer tree in the oracle)."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    pref = ray.put(
+        (part["p_partkey"].combine_chunks(), part["p_brand"].combine_chunks())
+    )
+    sref = ray.put(
+        (supp["s_suppkey"].combine_chunks(), supp["s_nationkey"].combine_chunks())
+    )
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def join(t: pa.Table) -> pa.Table:
+        pkeys, brands = ray.get(pref)
+        skeys, nations = ray.get(sref)
+        brand = pc.take(brands, pc.index_in(t["l_partkey"], pkeys))
+        nation = pc.take(nations, pc.index_in(t["l_suppkey"], skeys))
+        price_c = np.asarray(
+            pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+            )
+        )
+        disc_pct = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        )
+        rev_c = price_c * (100 - disc_pct) // 100
+        g = (
+            pa.table(
+                {
+                    "p_brand": brand,
+                    "s_nationkey": nation,
+                    "rev": pa.array(rev_c),
+                }
+            )
+            .group_by(["p_brand", "s_nationkey"])
+            .aggregate([("rev", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["p_brand", "s_nationkey", "p_rev", "p_cnt"])
+
+    return (
+        ds.map_batches(join, batch_format="pyarrow")
+        .groupby(["p_brand", "s_nationkey"])
+        .aggregate(
+            Sum("p_rev", alias_name="revenue_cents"),
+            Sum("p_cnt", alias_name="n_items"),
+        )
+    )
+
+
+def _sql_brand_nation_revenue(sf_dir: str) -> str:
+    return """
+SELECT p.p_brand, CAST(s.s_nationkey AS BIGINT) AS s_nationkey,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) // 100)
+            AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY p.p_brand, s.s_nationkey"""
+
+
 def docs_length_deciles(sf_dir: str) -> pa.Table:
     """Exact NTILE(10) profile of document lengths (n_chars): per
     decile the doc count and character range — the distribution view
@@ -3679,10 +3756,13 @@ REGISTRY: dict = {
     "docs_bm25_topk": (docs_bm25_topk, _sql_docs_bm25_topk),  # late r3
     # -- relational / join representatives (2; q1 kept as the TPC-H
     # representative, asof parked with green r1+r2 rows) --
-    "q1_lineitem": (q1_lineitem, _sql_q1_lineitem),
     "lineitem_price_band_join": (  # new r3: distributed interval join
         lineitem_price_band_join,
         _sql_lineitem_price_band_join,
+    ),
+    "brand_nation_revenue": (  # late r3: 3-way star join, 2 dims
+        brand_nation_revenue,
+        _sql_brand_nation_revenue,
     ),
     "customers_order_profile": (  # late r3: LEFT OUTER join rep
         customers_order_profile,
@@ -3747,6 +3827,7 @@ REGISTRY: dict = {
     # ================= PARKED (after driver's 50-entry window) =======
     # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
     # of in-window queries, kept for the library surface + mini-driver.
+    "q1_lineitem": (q1_lineitem, _sql_q1_lineitem),
     "ann_brute_topk": (ann_brute_topk, _sql_ann_brute_topk),
     "lp_user_sessions": (lp_user_sessions, _sql_lp_user_sessions),
     "ann_ivf_topk": (ann_ivf_topk, None),
