@@ -30,6 +30,9 @@ import pyarrow as pa
 from ray.data import Dataset
 
 
+MERGE_DRIVER_ROWS = 5_000_000  # driver-merge guard, ~tokens._merge_count_partials
+
+
 class CountState:
     """Versioned (keys -> int64 sum) state under ``root``."""
 
@@ -76,15 +79,39 @@ class CountState:
         if head["state_dir"] is not None:
             old = rd.read_parquet(os.path.join(self.root, head["state_dir"]))
             merged = merged.union(old)
-        out = merged.groupby(self.keys).aggregate(
-            Sum(self.value_col, alias_name=self.value_col)
-        )
 
         new_ver = head["version"] + 1
         new_dir = f"state_v{new_ver}"
         tmp_dir = os.path.join(self.root, new_dir + ".tmp")
         shutil.rmtree(tmp_dir, ignore_errors=True)
-        out.write_parquet(tmp_dir)
+        merged = merged.materialize()
+        if merged.count() <= MERGE_DRIVER_ROWS:
+            # bounded driver merge: below the guard the whole (state ∪
+            # partials) table is a few MB and one Arrow group_by beats
+            # the keyed exchange's ~1 s fixed cost (same routing rule
+            # as tokens._merge_count_partials); above it the
+            # distributed keyed aggregate runs
+            import pyarrow.parquet as pq
+            import ray as _ray
+
+            blocks = [
+                t
+                for t in _ray.get(merged.to_arrow_refs())
+                if t.num_columns
+            ]
+            tbl = (
+                pa.concat_tables(blocks)
+                .group_by(self.keys)
+                .aggregate([(self.value_col, "sum")])
+                .rename_columns(self.keys + [self.value_col])
+            )
+            os.makedirs(tmp_dir, exist_ok=True)
+            pq.write_table(tbl, os.path.join(tmp_dir, "state.parquet"))
+        else:
+            out = merged.groupby(self.keys).aggregate(
+                Sum(self.value_col, alias_name=self.value_col)
+            )
+            out.write_parquet(tmp_dir)
         os.rename(tmp_dir, os.path.join(self.root, new_dir))
         new_head = {
             "version": new_ver,
