@@ -2227,9 +2227,10 @@ def docs_quality_score(sf_dir: str) -> Dataset:
     )
 
 
-def _sql_docs_quality_score(sf_dir: str) -> str:
-    """quality_batch's composite score replayed in SQL. Every term is
-    the same sequence of IEEE double ops as the numpy expression
+def _quality_score_sql() -> str:
+    """quality_batch's composite score replayed in SQL (shared by
+    docs_quality_score and docs_quality_topfrac). Every term is the
+    same sequence of IEEE double ops as the numpy expression
     (left-associated multiply-adds), so values hash-match bitwise."""
     from .functions.textfns import _STOPWORDS
 
@@ -2261,6 +2262,10 @@ SELECT doc_id,
        + least(greatest(1.0 - punct_ratio * 5, 0), 1) * 0.2
        + least(greatest(1.0 - upper_ratio * 5, 0), 1) * 0.1 AS quality_score
 FROM ratios"""
+
+
+def _sql_docs_quality_score(sf_dir: str) -> str:
+    return _quality_score_sql()
 
 
 def docs_fingerprint(sf_dir: str) -> Dataset:
@@ -3697,6 +3702,151 @@ def embeddings_semdedup(sf_dir: str) -> Dataset:
     return semdedup_ids(ds, n_clusters=16, threshold=0.92)
 
 
+def events_latest_per_user(sf_dir: str) -> Dataset:
+    """CDC latest-snapshot / upsert primitive: the newest event per
+    user (ORDER BY ts DESC, event_id DESC), over an unbounded-
+    cardinality key. Two-level argmax (``latest_by_key``): each block
+    collapses to one candidate per key before the keyed shuffle, so a
+    hot user with millions of updates contributes at most one row per
+    block to its reducer — the "merge a change stream into a keyed
+    snapshot" shape (reference has no analog; training-data/systems
+    surface)."""
+    from .stages.aggregate import latest_by_key
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "last_ts": t["ts"],
+                "last_event_id": t["event_id"],
+                "last_event_type": t["event_type"],
+                "last_cents": cents,
+            }
+        )
+
+    return latest_by_key(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="user_id",
+        order_cols=["last_ts", "last_event_id"],
+    )
+
+
+def _sql_events_latest_per_user(sf_dir: str) -> str:
+    return """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_event_type,
+       CAST(floor(value * 100) AS BIGINT) AS last_cents
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1"""
+
+
+def monthly_order_ship_balance(sf_dir: str) -> Dataset:
+    """FULL OUTER JOIN representative: orders placed vs lineitems
+    shipped per calendar month. Ship months trail order months (ship
+    = order date + up to ~4 months), so both unmatched sides genuinely
+    occur. Each side pre-aggregates to per-month counts (partial
+    combiner), then ``full_outer_merge`` unions the two keyed
+    aggregates through one groupby whose groups hold at most two rows
+    — no broadcast, either side may be arbitrarily large."""
+    from .stages.aggregate import count_groupby
+    from .stages.join import full_outer_merge
+
+    def month_of(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            month = pc.add(
+                pc.multiply(
+                    pc.cast(pc.year(t[col]), pa.int64()),
+                    pa.scalar(100, pa.int64()),
+                ),
+                pc.cast(pc.month(t[col]), pa.int64()),
+            )
+            return pa.table({"month": month})
+
+        return fn
+
+    o = count_groupby(
+        read_parquet_clean(
+            f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+        ).map_batches(month_of("o_orderdate"), batch_format="pyarrow"),
+        ["month"],
+        alias="n_orders",
+    )
+    s = count_groupby(
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet", columns=["l_shipdate"]
+        ).map_batches(month_of("l_shipdate"), batch_format="pyarrow"),
+        ["month"],
+        alias="n_ship",
+    )
+    return full_outer_merge(
+        o, s, "month",
+        left_cols={"n_orders": pa.int64()},
+        right_cols={"n_ship": pa.int64()},
+        fill=0,
+    )
+
+
+def _sql_monthly_order_ship_balance(sf_dir: str) -> str:
+    return """
+WITH o AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS month,
+         count(*) AS n_ship
+  FROM lineitem GROUP BY 1)
+SELECT coalesce(o.month, s.month) AS month,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(s.n_ship, 0) AS n_ship
+FROM o FULL OUTER JOIN s ON o.month = s.month"""
+
+
+def docs_quality_topfrac(sf_dir: str) -> Dataset:
+    """Exact global top-25% of the corpus by quality score (doc_id
+    tiebreak) — the curation cut "keep the best quarter", where k is
+    far too large for a driver heap and a global sort would be an
+    all-to-all. ``global_topk_filter`` instead finds the k-th (score,
+    id) boundary with bounded distributed selection passes and
+    streams a filter — composition proof that the selection machinery
+    + the bitwise-reproducible score give a hash-green top-k at any
+    scale."""
+    from .functions.textfns import quality_batch
+    from .stages.aggregate import global_topk_filter
+
+    ds = (
+        read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(quality_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "quality_score"])
+    )
+    k = ds.count() // 4
+    return global_topk_filter(ds, "quality_score", "doc_id", k)
+
+
+def _sql_docs_quality_topfrac(sf_dir: str) -> str:
+    return f"""
+WITH scored AS ({_quality_score_sql()}),
+ranked AS (
+  SELECT doc_id, quality_score,
+         row_number() OVER (ORDER BY quality_score DESC, doc_id) AS rn
+  FROM scored)
+SELECT doc_id, quality_score FROM ranked
+WHERE rn <= (SELECT count(*) // 4 FROM documents)"""
+
+
 # ----------------------------------------------------------------- registry
 
 # name -> (ray_fn, sql_fn | None)
@@ -3735,14 +3885,26 @@ REGISTRY: dict = {
     "mm_features": (mm_features, None),
     "mm_resized": (mm_resized, None),
     "events_value_quantiles": (events_value_quantiles, None),
-    # -- SURVEY-§2 log-pipeline core (9; lp_count_by_level parked with
-    # green r1+r2 rows — lp_stats_by_level covers the same group-by-
-    # level shape with a strictly stronger check) --
+    # -- SURVEY-§2 log-pipeline core (2 representatives in-window;
+    # lp_stats_by_level / lp_enriched / lp_anti_filter parked this
+    # round with green r1+r2 rows on record, making room for the
+    # round-3 session additions below which have never had a driver
+    # row) --
     "lp_route_counts": (lp_route_counts, _sql_lp_route_counts),
-    "lp_stats_by_level": (lp_stats_by_level, _sql_lp_stats_by_level),
     "lp_parsed_fields": (lp_parsed_fields, _sql_lp_parsed_fields),
-    "lp_enriched": (lp_enriched, _sql_lp_enriched),
-    "lp_anti_filter": (lp_anti_filter, _sql_lp_anti_filter),
+    # -- round-3 session additions (selection / CDC / outer join) --
+    "events_latest_per_user": (  # r3: CDC latest-snapshot argmax
+        events_latest_per_user,
+        _sql_events_latest_per_user,
+    ),
+    "monthly_order_ship_balance": (  # r3: FULL OUTER join rep
+        monthly_order_ship_balance,
+        _sql_monthly_order_ship_balance,
+    ),
+    "docs_quality_topfrac": (  # r3: exact global top-k selection
+        docs_quality_topfrac,
+        _sql_docs_quality_topfrac,
+    ),
     # -- new round-3 corpus-statistics operators (4, all oracled) --
     "docs_repetition_stats": (docs_repetition_stats, _sql_docs_repetition_stats),
     "docs_ngram_novelty": (docs_ngram_novelty, _sql_docs_ngram_novelty),
@@ -3828,6 +3990,9 @@ REGISTRY: dict = {
     # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
     # of in-window queries, kept for the library surface + mini-driver.
     "q1_lineitem": (q1_lineitem, _sql_q1_lineitem),
+    "lp_stats_by_level": (lp_stats_by_level, _sql_lp_stats_by_level),
+    "lp_enriched": (lp_enriched, _sql_lp_enriched),
+    "lp_anti_filter": (lp_anti_filter, _sql_lp_anti_filter),
     "ann_brute_topk": (ann_brute_topk, _sql_ann_brute_topk),
     "lp_user_sessions": (lp_user_sessions, _sql_lp_user_sessions),
     "ann_ivf_topk": (ann_ivf_topk, None),

@@ -842,3 +842,270 @@ def ntile_summary(
             "hi": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+# ------------------------------------------------------- global selection
+
+
+def exact_rank_value(
+    ds: Dataset,
+    col: str,
+    rank: int,
+    n_buckets: int = 8192,
+    collect_limit: int = 262_144,
+    max_iters: int = 16,
+):
+    """Value at ascending 0-based ``rank`` among the non-null values of
+    ``col`` — EXACT, with no global sort and no reducer ever holding
+    more than ``collect_limit`` values (the ungrouped single-rank
+    cousin of ``grouped_exact_quantile``; same histogram-bracket
+    refinement, same value-comparison-only final resolution so float
+    bucket-edge behavior can never skew the rank).
+
+    Values keep their native dtype end-to-end (int64 stays int64 — the
+    returned threshold is an actual element); only the bucket index
+    arithmetic runs in float64, where a half-bucket slack on each side
+    absorbs any rounding of the cast.
+    """
+    base = ds.map_batches(
+        lambda t, c=col: t.select([c]).filter(pc.is_valid(t[c])),
+        batch_format="pyarrow",
+    )
+    stats = base.aggregate(
+        Count(col, alias_name="n"),
+        Min(col, alias_name="lo"),
+        Max(col, alias_name="hi"),
+    )
+    n = int(stats["n"])
+    if not 0 <= rank < n:
+        raise ValueError(f"rank {rank} outside [0, {n})")
+    lo, hi = stats["lo"], stats["hi"]
+    if rank == 0:
+        return lo
+    if rank == n - 1:
+        return hi
+    flo, fhi = float(lo), float(hi)
+    w0 = max(fhi - flo, 1e-300)
+    inb = n
+    nb = n_buckets
+
+    def _collapsed() -> bool:
+        scale = max(abs(flo), abs(fhi), 1e-300)
+        w = fhi - flo
+        return w <= 1e-13 * scale or w <= 1e-15 * w0
+
+    for _ in range(max_iters):
+        if fhi <= flo or inb <= collect_limit or _collapsed():
+            break
+
+        def hist_partial(t: pa.Table, _lo=flo, _hi=fhi) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False)
+            vf = v.astype(np.float64, copy=False)
+            in_m = (vf >= _lo) & (vf <= _hi)
+            width = max(_hi - _lo, 1e-300)
+            bkt = np.clip(
+                ((vf[in_m] - _lo) / width * nb).astype(np.int64), 0, nb - 1
+            )
+            flat = np.concatenate(
+                [[int((vf < _lo).sum())], np.bincount(bkt, minlength=nb)]
+            )
+            nz = np.nonzero(flat)[0]
+            return pa.table(
+                {"pos": pa.array(nz, pa.int64()),
+                 "cnt": pa.array(flat[nz], pa.int64())}
+            )
+
+        hist = (
+            base.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("pos").sum("cnt").to_pandas()
+        )
+        ccol = "sum(cnt)" if "sum(cnt)" in hist.columns else "cnt"
+        counts = np.zeros(nb + 1, dtype=np.int64)
+        counts[hist["pos"].to_numpy()] = hist[ccol].to_numpy()
+        cum = counts[0] + np.cumsum(counts[1:])
+        b = int(np.searchsorted(cum, rank + 1))
+        if b >= nb:  # float edge pushed the rank past the histogram
+            break
+        w = (fhi - flo) / nb
+        new_lo = max(flo, flo + (b - 0.5) * w)
+        new_hi = min(fhi, flo + (b + 1.5) * w)
+        below = int(cum[b - 1]) if b else int(counts[0])
+        inb = int(cum[b] - below)
+        flo, fhi = new_lo, new_hi
+
+    if inb > collect_limit and not _collapsed():
+        raise RuntimeError(
+            f"exact_rank_value bracket did not shrink under "
+            f"{collect_limit} within {max_iters} passes (in={inb})"
+        )
+
+    def collect(t: pa.Table, _lo=flo, _hi=fhi) -> pa.Table:
+        # one sentinel null-v row per batch carries the exact
+        # below-bracket count; schema stays stable whatever the batch
+        # contents
+        v = t[col].to_numpy(zero_copy_only=False)
+        vf = v.astype(np.float64, copy=False)
+        in_m = (vf >= _lo) & (vf <= _hi)
+        if in_m.any():
+            vals, cnts = np.unique(v[in_m], return_counts=True)
+        else:
+            vals, cnts = np.empty(0, v.dtype), np.empty(0, np.int64)
+        return pa.table(
+            {
+                "v": pa.concat_arrays(
+                    [pa.array(vals).cast(t.schema.field(col).type),
+                     pa.nulls(1, t.schema.field(col).type)]
+                ),
+                "cnt": pa.array(
+                    np.concatenate([cnts.astype(np.int64), [0]])),
+                "blw": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(vals), np.int64),
+                         [int((vf < _lo).sum())]])),
+            }
+        )
+
+    import ray as _ray
+
+    # resolve in Arrow (not pandas) so an int64 column with the null
+    # sentinel row is not promoted to float64 — the returned threshold
+    # keeps the column's native dtype
+    got = pa.concat_tables(
+        _ray.get(
+            base.map_batches(collect, batch_format="pyarrow").to_arrow_refs()
+        )
+    )
+    below = int(pc.sum(got["blw"]).as_py() or 0)
+    vt = (
+        got.filter(pc.is_valid(got["v"]))
+        .group_by("v").aggregate([("cnt", "sum")])
+        .sort_by("v")
+    )
+    cum = np.cumsum(vt["cnt_sum"].to_numpy())
+    i = int(np.searchsorted(cum, rank - below + 1))
+    if not (rank >= below and len(cum) and i < vt.num_rows):
+        raise RuntimeError(
+            f"exact_rank_value missed its rank (rank={rank}, below={below}, "
+            f"in-distinct={vt.num_rows})"
+        )
+    return vt["v"][i].as_py()
+
+
+def global_topk_filter(
+    ds: Dataset,
+    value_col: str,
+    tiebreak_col: str,
+    k: int,
+    collect_limit: int = 262_144,
+) -> Dataset:
+    """EXACTLY the ``k`` best rows by (``value_col`` DESC,
+    ``tiebreak_col`` ASC) — equivalent to SQL
+    ``row_number() OVER (ORDER BY v DESC, id) <= k`` — WITHOUT a global
+    sort, for k far too large for driver top-k heaps (e.g. "keep the
+    best 25% of the corpus by quality score").
+
+    Three bounded selection steps, each a streaming pass:
+      1. the k-th largest value = ``exact_rank_value(rank = n-k)``;
+      2. count of rows strictly above that threshold (always < k);
+      3. among the TIE rows (value == threshold) select the remaining
+         quota by smallest tiebreak id — another exact_rank_value, this
+         time over the tie subset's id column.
+    The returned Dataset is the input filtered by the two thresholds —
+    fully streaming, no materialization of the winners.
+
+    ``tiebreak_col`` must be unique per row (a doc_id); duplicates
+    would make the final cut ambiguous. ``value_col`` comparisons are
+    exact (same dtype both sides), so this composes with any
+    bitwise-reproducible score.
+    """
+    base = ds.map_batches(
+        lambda t, c=value_col: t.filter(pc.is_valid(t[c])),
+        batch_format="pyarrow",
+    )
+    n = base.count()
+    if k <= 0:
+        return base.filter(lambda row: False)
+    if k >= n:
+        return base
+    vthr = exact_rank_value(
+        base, value_col, rank=n - k, collect_limit=collect_limit
+    )
+
+    def gt_count(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c": pa.array(
+                [pc.sum(pc.greater(t[value_col], vthr)).as_py() or 0],
+                pa.int64())}
+        )
+
+    n_gt = int(
+        base.map_batches(gt_count, batch_format="pyarrow")
+        .aggregate(Sum("c", alias_name="s"))["s"]
+    )
+    need = k - n_gt  # >= 1 by construction (the threshold row itself)
+    ties = base.map_batches(
+        lambda t, c=value_col: t.filter(pc.equal(t[c], vthr)),
+        batch_format="pyarrow",
+    )
+    tthr = exact_rank_value(
+        ties, tiebreak_col, rank=need - 1, collect_limit=collect_limit
+    )
+
+    def final_filter(t: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.greater(t[value_col], vthr),
+            pc.and_(
+                pc.equal(t[value_col], vthr),
+                pc.less_equal(t[tiebreak_col], tthr),
+            ),
+        )
+        return t.filter(keep)
+
+    return base.map_batches(final_filter, batch_format="pyarrow")
+
+
+def latest_by_key(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+) -> Dataset:
+    """Latest row per key — the CDC / upsert snapshot primitive: of all
+    rows sharing ``key``, keep the one with the lexicographically
+    LARGEST ``order_cols`` tuple (deterministic iff the tuple is unique
+    per key; pass a unique id as the last order column).
+
+    Two-level argmax so no reducer ever sees a whole key's history:
+    each block first collapses to one candidate row per key it contains
+    (vectorized np.lexsort + first-occurrence mask), then a keyed
+    groupby reduces the candidates — the group handed to the reducer
+    holds at most one row per block containing the key, independent of
+    how many updates the key received. Order columns must be integers
+    or timestamps (sorted via int64 view; int64-min excluded).
+    """
+    import pandas as pd
+
+    def _sorted_first(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        kv = t[key].to_numpy(zero_copy_only=False)
+        order_np = []
+        for c in order_cols:
+            col = t[c]
+            if pa.types.is_timestamp(col.type):
+                col = col.cast(pa.int64())
+            order_np.append(-col.to_numpy(zero_copy_only=False))
+        # np.lexsort: LAST key is primary -> (neg order reversed, key)
+        idx = np.lexsort(tuple(reversed(order_np)) + (kv,))
+        ks = kv[idx]
+        first = np.empty(len(ks), dtype=bool)
+        first[0] = True
+        first[1:] = ks[1:] != ks[:-1]
+        return t.take(pa.array(idx[first]))
+
+    partials = ds.map_batches(_sorted_first, batch_format="pyarrow")
+
+    def reduce_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.sort_values(
+            order_cols, ascending=[False] * len(order_cols), kind="stable"
+        ).head(1)
+
+    return partials.groupby(key).map_groups(reduce_group, batch_format="pandas")

@@ -377,3 +377,48 @@ def range_join(
         return t.filter(pc.and_(ge, lt_)).drop(["_rj_bucket"])
 
     return joined.map_batches(exact_filter, batch_format="pyarrow")
+
+
+def full_outer_merge(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    left_cols: dict[str, pa.DataType],
+    right_cols: dict[str, pa.DataType],
+    fill=None,
+) -> Dataset:
+    """FULL OUTER JOIN of two KEYED datasets (each side holds at most
+    one row per ``key`` — the join of two aggregates): every key from
+    either side appears exactly once, the absent side's columns filled
+    with ``fill`` (None keeps typed nulls).
+
+    Distributed shape: tag + union + one keyed groupby; each reducer
+    group holds at most two rows (one per side), so the reduce is O(1)
+    per key regardless of total key count — no broadcast, works when
+    BOTH sides are too big to ship.
+    """
+    import pandas as pd
+
+    all_cols = {**left_cols, **right_cols}
+    unioned = left.map_batches(
+        _tag_side(key, all_cols, left_cols, 0), batch_format="pyarrow"
+    ).union(
+        right.map_batches(_tag_side(key, all_cols, right_cols, 1),
+                          batch_format="pyarrow")
+    )
+
+    def reduce_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        row = {key: df[key].iloc[0]}
+        l = df[df["_side"] == 0]
+        r = df[df["_side"] == 1]
+        for cols, side in ((left_cols, l), (right_cols, r)):
+            for c, typ in cols.items():
+                v = side[c].iloc[0] if len(side) else fill
+                # pandas promotes int columns with the union's typed
+                # nulls to float64 — coerce back to the declared type
+                if v is not None and pa.types.is_integer(typ):
+                    v = int(v)
+                row[c] = v
+        return pd.DataFrame([row])
+
+    return unioned.groupby(key).map_groups(reduce_group, batch_format="pandas")

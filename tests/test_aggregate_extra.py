@@ -409,3 +409,91 @@ def test_ntile_summary_tie_runs(ray_session):
     assert out["n_rows"].tolist() == ref["n_rows"].tolist()
     assert out["lo"].tolist() == ref["lo"].tolist()
     assert out["hi"].tolist() == ref["hi"].tolist()
+
+
+def test_exact_rank_value_floats_and_ints(ray_session):
+    """Distributed single-rank selection == np.sort at every probed
+    rank, with a collect_limit small enough to force histogram
+    iterations; int columns keep their dtype through the null-sentinel
+    resolution path."""
+    import numpy as np
+
+    from logpipe_ray.stages.aggregate import exact_rank_value
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=6000)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(8)
+    sv = np.sort(vals)
+    for r in [0, 1, 2999, 3000, 5998, 5999]:
+        assert exact_rank_value(ds, "v", r, collect_limit=64) == sv[r]
+
+    iv = rng.integers(0, 40, size=4000)  # heavy ties
+    dsi = rd.from_arrow(pa.table({"v": iv})).repartition(5)
+    si = np.sort(iv)
+    for r in [0, 123, 2000, 3999]:
+        got = exact_rank_value(dsi, "v", r, collect_limit=64)
+        assert got == si[r] and isinstance(got, int)
+
+    with pytest.raises(ValueError):
+        exact_rank_value(dsi, "v", 4000)
+
+
+def test_global_topk_filter_exact_under_mass_ties(ray_session):
+    """k best rows by (score DESC, id ASC) == pandas row_number()<=k,
+    on a score column with huge tie groups so the tiebreak selection
+    path does real work. Result is partition-layout invariant."""
+    import numpy as np
+    import pandas as pd
+
+    from logpipe_ray.stages.aggregate import global_topk_filter
+
+    rng = np.random.default_rng(3)
+    score = rng.integers(0, 8, size=5000).astype(float)  # ~625 ties/value
+    ids = rng.permutation(5000)
+    ref = (
+        pd.DataFrame({"id": ids, "s": score})
+        .sort_values(["s", "id"], ascending=[False, True])
+        .head(1234)
+    )
+    for nparts in (3, 11):
+        ds = rd.from_arrow(pa.table({"id": ids, "s": score})).repartition(nparts)
+        out = global_topk_filter(ds, "s", "id", 1234, collect_limit=64).to_pandas()
+        assert len(out) == 1234
+        assert set(zip(out.id, out.s)) == set(zip(ref.id, ref.s))
+
+    # degenerate k
+    ds = rd.from_arrow(pa.table({"id": ids, "s": score})).repartition(4)
+    assert global_topk_filter(ds, "s", "id", 0).count() == 0
+    assert global_topk_filter(ds, "s", "id", 5000).count() == 5000
+
+
+def test_latest_by_key_matches_pandas_and_bounds_groups(ray_session):
+    """Two-level argmax == pandas drop_duplicates on the sorted frame,
+    including a 90%-hot key; the partial pass guarantees each reducer
+    group holds <= one row per block."""
+    import numpy as np
+    import pandas as pd
+
+    from logpipe_ray.stages.aggregate import latest_by_key
+
+    rng = np.random.default_rng(11)
+    n = 9000
+    uid = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 200, size=n))
+    ts = rng.integers(0, 10**7, size=n)
+    eid = np.arange(n)
+    payload = np.array(["x", "y", "z"])[rng.integers(0, 3, size=n)]
+    t = pa.table({"u": uid, "ts": ts, "eid": eid, "p": payload})
+    nparts = 9
+    ds = rd.from_arrow(t).repartition(nparts)
+    out = (
+        latest_by_key(ds, "u", ["ts", "eid"])
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    ref = (
+        pd.DataFrame({"u": uid, "ts": ts, "eid": eid, "p": payload})
+        .sort_values(["u", "ts", "eid"], ascending=[True, False, False])
+        .drop_duplicates("u").sort_values("u").reset_index(drop=True)
+    )
+    assert (out[["u", "ts", "eid"]].values == ref[["u", "ts", "eid"]].values).all()
+    assert (out["p"].values == ref["p"].values).all()
+    assert len(out) == len(ref)

@@ -92,3 +92,40 @@ def test_range_join_overlapping_intervals(ray_session):
             ).to_pandas()
             assert set(zip(out["id"], out["band"])) == want
             assert len(out) == m.sum()  # exactly-once, no dup pass needed
+
+
+def test_full_outer_merge_matches_duckdb(ray_session):
+    """FULL OUTER of two keyed aggregates: every key from either side,
+    absent side filled; int columns keep int64 through the typed-null
+    union."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logpipe_ray.stages.join import full_outer_merge
+
+    l = rd.from_arrow(
+        pa.table({"k": [1, 2, 3, 7], "a": [10, 20, 30, 70]})
+    ).repartition(3)
+    r = rd.from_arrow(
+        pa.table({"k": [2, 3, 4, 9], "b": [200, 300, 400, 900]})
+    ).repartition(2)
+    out = (
+        full_outer_merge(
+            l, r, "k", {"a": pa.int64()}, {"b": pa.int64()}, fill=0
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    ref = duckdb.sql(
+        """
+        WITH l(k, a) AS (VALUES (1,10),(2,20),(3,30),(7,70)),
+             r(k, b) AS (VALUES (2,200),(3,300),(4,400),(9,900))
+        SELECT coalesce(l.k, r.k) AS k, coalesce(a, 0) AS a,
+               coalesce(b, 0) AS b
+        FROM l FULL OUTER JOIN r ON l.k = r.k ORDER BY k
+        """
+    ).df()
+    assert out["k"].tolist() == ref["k"].tolist()
+    assert out["a"].tolist() == ref["a"].tolist()
+    assert out["b"].tolist() == ref["b"].tolist()
+    assert str(out["a"].dtype) == "int64" and str(out["b"].dtype) == "int64"
