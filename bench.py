@@ -117,6 +117,12 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             # late round-3: tokenizer training (12 BPE merge rounds --
             # iterative by nature; benched for an honest cost record)
             "seq_bpe_merges",
+            # round-3 session additions: global selection, CDC argmax,
+            # full outer merge of keyed aggregates
+            "docs_quality_topfrac",
+            "events_latest_per_user",
+            "monthly_order_ship_balance",
+            "events_skew_join_customer",
         ]
         all_q = Q.queries()
 

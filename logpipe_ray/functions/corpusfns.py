@@ -305,3 +305,62 @@ def df_partial(batch: pa.Table, text_col: str = "text"):
     dist = t.group_by(["d", "term"]).aggregate([])
     g = dist.group_by("term").aggregate([([], "count_all")])
     return g.rename_columns(["term", "p"])
+
+
+def chunk_batch(
+    t: pa.Table,
+    chunk_words: int = 64,
+    overlap: int = 16,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Split each document into overlapping fixed-width word windows —
+    the flat_map (1 row -> N rows) primitive of context-window corpus
+    prep (long doc -> training-sized chunks; RAG passage splitting).
+
+    Chunk i covers words [i*step, min(i*step + chunk_words, n)) with
+    step = chunk_words - overlap; the last chunk is the first one that
+    reaches the end of the document, so every word is covered and
+    consecutive chunks share exactly ``overlap`` words (the tail chunk
+    may share more). Every non-empty document yields >= 1 chunk; the
+    chunk count is the closed form 1 + ceil((n - W)/step) for n > W,
+    else 1 — which is what makes the whole expansion one vectorized
+    gather (np.repeat + flat-buffer take + binary_join), no Python
+    loop over rows or chunks.
+
+    Columns out: doc_col, chunk_idx (int64), n_words (int64),
+    chunk_text (words re-joined with single spaces — the corpus's own
+    separator convention, see _words_flat).
+    """
+    if overlap >= chunk_words:
+        raise ValueError("overlap must be < chunk_words")
+    step = chunk_words - overlap
+    text = _combine(t[text_col])
+    flat, lengths, offsets = _words_flat(text)
+    n = lengths
+    k = np.where(
+        n == 0,
+        0,
+        np.where(n <= chunk_words, 1, 1 + (n - chunk_words + step - 1) // step),
+    ).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(n), dtype=np.int64), k)
+    chunk_idx = _ranges(k)
+    start = chunk_idx * step
+    end = np.minimum(start + chunk_words, n[doc_idx])
+    cw = end - start
+    widx = np.repeat(offsets[:-1][doc_idx] + start, cw) + _ranges(cw)
+    chunk_vals = flat.take(pa.array(widx, pa.int64()))
+    loff = np.concatenate([[0], np.cumsum(cw)])
+    lists = pa.LargeListArray.from_arrays(
+        pa.array(loff, pa.int64()), chunk_vals.cast(pa.large_string())
+    )
+    return pa.table(
+        {
+            doc_col: _combine(t[doc_col]).take(pa.array(doc_idx, pa.int64())),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "n_words": pa.array(cw, pa.int64()),
+            "chunk_text": pc.binary_join(
+                lists, pa.scalar(" ", pa.large_string())
+            ).cast(pa.string()),
+        }
+    )

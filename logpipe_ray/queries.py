@@ -3847,6 +3847,158 @@ SELECT doc_id, quality_score FROM ranked
 WHERE rn <= (SELECT count(*) // 4 FROM documents)"""
 
 
+def events_skew_join_customer(sf_dir: str) -> Dataset:
+    """Skew-aware fact-dim inner join: events enriched with the
+    matching customer's segment and nation. ``skew_join`` is the
+    planner: a dimension under the broadcast guard (customer at test
+    scales) joins in ONE map pass with no shuffle; above it, keys with
+    >= hot_threshold events take a broadcast-hot-slice map-join (no
+    reducer ever receives a hot key's full row set) and the cold
+    residual takes the native hash join. All three routes are
+    pytest-proven equal (test_skew_join_planted_hot_key); the driver
+    check pins the broadcast route's correctness against the plain
+    inner-join oracle."""
+    from .stages.join import skew_join
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "cents": cents,
+            }
+        )
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_nationkey"],
+    )
+    return skew_join(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        cust,
+        key="user_id",
+        dim_key="c_custkey",
+        dim_cols=["c_mktsegment", "c_nationkey"],
+        hot_threshold=70,
+    )
+
+
+def _sql_events_skew_join_customer(sf_dir: str) -> str:
+    return """
+SELECT e.event_id, e.user_id, e.event_type,
+       CAST(floor(e.value * 100) AS BIGINT) AS cents,
+       c.c_mktsegment, c.c_nationkey
+FROM events e JOIN customer c ON e.user_id = c.c_custkey"""
+
+
+def docs_chunked(sf_dir: str) -> Dataset:
+    """flat_map representative: every document split into overlapping
+    64-word windows (step 48) — one row in, N rows out, fully
+    vectorized (``chunk_batch``: closed-form chunk counts, np.repeat
+    gather over the flat word buffer, binary_join). The chunk layout
+    is a pure per-document function, so the result is block-layout
+    and CPU-count invariant."""
+    from .functions.corpusfns import chunk_batch
+
+    return read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: chunk_batch(t, chunk_words=64, overlap=16),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_docs_chunked(sf_dir: str) -> str:
+    # W=64, step=48; DuckDB list slice is 1-based INCLUSIVE; both
+    # engines split on single spaces and agree that '' -> [''] (n=1)
+    return """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+k AS (
+  SELECT doc_id, words, n,
+         CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END AS k
+  FROM w),
+c AS (
+  SELECT doc_id, words, n,
+         unnest(range(0, k)) AS chunk_idx
+  FROM k)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(least(chunk_idx * 48 + 64, n) - chunk_idx * 48 AS BIGINT)
+         AS n_words,
+       array_to_string(
+         words[chunk_idx * 48 + 1 : least(chunk_idx * 48 + 64, n)], ' ')
+         AS chunk_text
+FROM c"""
+
+
+def events_validation_report(sf_dir: str) -> Dataset:
+    """Declarative data-contract check over the events stream: five
+    rules (nullness, numeric range, categorical domain, JSON-shape
+    regex) evaluated in ONE streaming pass; the report is 5 rows of
+    exact integer counts so it hash-matches the SQL replay. The
+    range and domain rules are deliberately violated by the fixture
+    (values above 250; signup/error types) so the report carries
+    non-zero findings."""
+    from .stages.validate import validation_report
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value", "props"],
+    )
+    return validation_report(
+        ds,
+        [
+            {"col": "event_id", "check": "not_null"},
+            {"col": "user_id", "check": "not_null"},
+            {"col": "value", "check": "between", "lo": 0, "hi": 250},
+            {
+                "col": "event_type",
+                "check": "in_set",
+                "values": ["view", "click", "purchase"],
+            },
+            {"col": "props", "check": "regex", "pattern": r"^\{.*\}$"},
+        ],
+    )
+
+
+def _sql_events_validation_report(sf_dir: str) -> str:
+    # violation = NOT coalesce(pred, FALSE); DuckDB regexp_matches is
+    # RE2, same engine as pyarrow's match_substring_regex
+    return r"""
+SELECT 'not_null:event_id' AS rule, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations FROM events
+UNION ALL
+SELECT 'not_null:user_id', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+UNION ALL
+SELECT 'between:value', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN NOT coalesce(value >= 0 AND value <= 250, FALSE)
+                THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL
+SELECT 'in_set:event_type', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN NOT coalesce(
+                  event_type IN ('view', 'click', 'purchase'), FALSE)
+                THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL
+SELECT 'regex:props', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN NOT coalesce(regexp_matches(props, '^\{.*\}$'),
+                                       FALSE)
+                THEN 1 ELSE 0 END) AS BIGINT) FROM events"""
+
+
 # ----------------------------------------------------------------- registry
 
 # name -> (ray_fn, sql_fn | None)
@@ -3885,14 +4037,18 @@ REGISTRY: dict = {
     "mm_features": (mm_features, None),
     "mm_resized": (mm_resized, None),
     "events_value_quantiles": (events_value_quantiles, None),
-    # -- SURVEY-§2 log-pipeline core (2 representatives in-window;
-    # lp_stats_by_level / lp_enriched / lp_anti_filter parked this
-    # round with green r1+r2 rows on record, making room for the
-    # round-3 session additions below which have never had a driver
-    # row) --
+    # -- SURVEY-§2 log-pipeline core (1 representative in-window;
+    # lp_stats_by_level / lp_enriched / lp_anti_filter /
+    # lp_parsed_fields parked this round with green r1+r2 rows on
+    # record, making room for the round-3 session additions below
+    # which have never had a driver row) --
     "lp_route_counts": (lp_route_counts, _sql_lp_route_counts),
-    "lp_parsed_fields": (lp_parsed_fields, _sql_lp_parsed_fields),
-    # -- round-3 session additions (selection / CDC / outer join) --
+    # -- round-3 session additions (selection / CDC / outer join /
+    # skew join) --
+    "events_skew_join_customer": (  # r3: skew-aware fact-dim join
+        events_skew_join_customer,
+        _sql_events_skew_join_customer,
+    ),
     "events_latest_per_user": (  # r3: CDC latest-snapshot argmax
         events_latest_per_user,
         _sql_events_latest_per_user,
@@ -3990,6 +4146,16 @@ REGISTRY: dict = {
     # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
     # of in-window queries, kept for the library surface + mini-driver.
     "q1_lineitem": (q1_lineitem, _sql_q1_lineitem),
+    # docs_chunked is new this session but out-of-window (the window
+    # already holds only never-driver-checked queries + lp_route_counts);
+    # it is oracled, mini-driver-checked and pytest-covered — rotate it
+    # in next round.
+    "docs_chunked": (docs_chunked, _sql_docs_chunked),
+    "events_validation_report": (
+        events_validation_report,
+        _sql_events_validation_report,
+    ),
+    "lp_parsed_fields": (lp_parsed_fields, _sql_lp_parsed_fields),
     "lp_stats_by_level": (lp_stats_by_level, _sql_lp_stats_by_level),
     "lp_enriched": (lp_enriched, _sql_lp_enriched),
     "lp_anti_filter": (lp_anti_filter, _sql_lp_anti_filter),

@@ -422,3 +422,182 @@ def full_outer_merge(
         return pd.DataFrame([row])
 
     return unioned.groupby(key).map_groups(reduce_group, batch_format="pandas")
+
+
+def skew_join(
+    fact: Dataset,
+    dim: Dataset,
+    key: str,
+    dim_key: str,
+    dim_cols: list[str],
+    hot_threshold: int,
+    dim_hot_limit: int = 1_000_000,
+    num_partitions: int | None = None,
+    dim_broadcast_rows: int = 100_000,
+) -> Dataset:
+    """Inner join of a SKEWED fact dataset against a dimension, hot
+    keys handled out-of-band so no reducer ever receives a hot key's
+    full row set (the classic skew-join split; reference has no joins —
+    SURVEY §2.6 / north-rule scale surface).
+
+    Planner fast path: a dimension with <= ``dim_broadcast_rows`` rows
+    is broadcast WHOLE and the join is a single map pass with no
+    shuffle and no count pass at all (the standard broadcast-join
+    choice; the hash-join aggregator pool alone costs seconds of fixed
+    setup, measured in BASELINE.md round 3). The skew machinery below
+    is the big-dimension route; set ``dim_broadcast_rows=0`` to force
+    it (path-equality is pytest-proven).
+
+    Route split (dimension above the broadcast guard):
+      * one bounded count pass finds the HOT keys (count >=
+        ``hot_threshold``); by construction there are at most
+        ``total_rows / hot_threshold`` of them, so the driver-side hot
+        list is bounded by the caller's threshold choice, not by data
+        skew;
+      * hot fact rows NEVER enter a shuffle: the dimension rows for hot
+        keys (guarded by ``dim_hot_limit``, raises when exceeded) are
+        broadcast once via ``ray.put`` and map-joined batch-locally
+        with searchsorted + np.repeat expansion (many-to-many safe);
+      * cold fact rows take the native hash join, whose per-reducer
+        load is now bounded by ``hot_threshold``.
+
+    Output columns: all fact columns + ``dim_cols`` (never
+    ``dim_key``), identical order on both routes so the union is
+    schema-stable. Null fact keys are dropped (inner-join semantics).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from .aggregate import count_groupby
+
+    if num_partitions is None:
+        # the hash-join aggregator pool needs CPU slots; asking for
+        # more partitions than the cluster has cores DEADLOCKS on
+        # small sessions (measured: 32 partitions on a 4-cpu session
+        # never schedules), so size to the cluster
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    dim_proj = dim.select_columns([dim_key] + list(dim_cols))
+    fact_cols = fact.schema().names
+    out_cols = list(fact_cols) + list(dim_cols)
+
+    def _map_join_fn(dim_ref):
+        """Batch-local many-to-many join of (valid-key rows of) a fact
+        batch against a broadcast dimension table sorted by ``key``:
+        searchsorted range lookup + np.repeat expansion."""
+
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t[key]))
+            d = ray.get(dim_ref)
+            dk = d[key].to_numpy(zero_copy_only=False)
+            fk = t[key].to_numpy(zero_copy_only=False)
+            start = np.searchsorted(dk, fk, side="left")
+            end = np.searchsorted(dk, fk, side="right")
+            cnt = end - start
+            total = int(cnt.sum())
+            fact_idx = np.repeat(np.arange(len(fk)), cnt)
+            csum = np.cumsum(cnt)
+            offs = np.arange(total) - np.repeat(csum - cnt, cnt)
+            dim_idx = np.repeat(start, cnt) + offs
+            left = t.take(pa.array(fact_idx, pa.int64()))
+            cols = {c: left[c] for c in fact_cols}
+            taken = d.take(pa.array(dim_idx, pa.int64()))
+            for c in dim_cols:
+                cols[c] = taken[c]
+            return pa.table(cols)
+
+        return fn
+
+    def _renamed(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t[dim_key])).rename_columns(
+            [key] + list(dim_cols)
+        )
+
+    # the guard is checked BEFORE any driver-side collect (a count is
+    # metadata-cheap on parquet reads and one streaming pass otherwise)
+    if dim_broadcast_rows > 0 and dim_proj.count() <= dim_broadcast_rows:
+        whole = pa.concat_tables(
+            ray.get(
+                dim_proj.map_batches(_renamed, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+        )
+        ref = ray.put(whole.sort_by(key))
+        return fact.map_batches(_map_join_fn(ref), batch_format="pyarrow")
+
+    counts = count_groupby(fact, [key], alias="_sj_cnt")
+    hot_tbl = pa.concat_tables(
+        ray.get(
+            counts.map_batches(
+                lambda t: t.filter(
+                    pc.greater_equal(t["_sj_cnt"], hot_threshold)
+                ).select([key]),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
+    )
+    hot_keys = np.sort(hot_tbl[key].to_numpy(zero_copy_only=False))
+
+    def _native(f: Dataset, d: Dataset) -> Dataset:
+        joined = f.join(
+            d,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(key,),
+            right_on=(dim_key,),
+        )
+        return joined.select_columns(out_cols)
+
+    if len(hot_keys) == 0:
+        return _native(fact, dim_proj)
+
+    hot_arr = pa.array(hot_keys)
+
+    def _split(hot: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t[key], value_set=hot_arr)
+            if not hot:
+                m = pc.and_(pc.invert(pc.fill_null(m, False)),
+                            pc.is_valid(t[key]))
+            else:
+                m = pc.fill_null(m, False)
+            return t.filter(m)
+
+        return fn
+
+    # broadcast the hot slice of the dimension, sorted by key for
+    # searchsorted range lookup (many-to-many: contiguous runs)
+    def _dim_hot_slice(t: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.is_in(t[dim_key], value_set=hot_arr), False)
+        return _renamed(t.filter(m))
+
+    dim_hot = pa.concat_tables(
+        ray.get(
+            dim_proj.map_batches(_dim_hot_slice, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+    if dim_hot.num_rows > dim_hot_limit:
+        raise ValueError(
+            f"skew_join: hot dimension slice has {dim_hot.num_rows} rows "
+            f"> dim_hot_limit={dim_hot_limit}; raise the limit or "
+            f"hot_threshold"
+        )
+    dim_hot_ref = ray.put(dim_hot.sort_by(key))
+
+    hot_out = fact.map_batches(_split(True), batch_format="pyarrow").map_batches(
+        _map_join_fn(dim_hot_ref), batch_format="pyarrow"
+    )
+    cold_out = _native(
+        fact.map_batches(_split(False), batch_format="pyarrow"),
+        dim_proj.map_batches(
+            lambda t: t.filter(
+                pc.invert(
+                    pc.fill_null(pc.is_in(t[dim_key], value_set=hot_arr), False)
+                )
+            ),
+            batch_format="pyarrow",
+        ),
+    )
+    return hot_out.union(cold_out)

@@ -200,3 +200,71 @@ def test_span_dedup_paths_equal(monkeypatch):
     monkeypatch.setattr(D, "SPAN_DEDUP_BROADCAST_LIMIT", 0)
     dist = Q.docs_span_dedup(sf).to_pandas().sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(fast, dist[fast.columns])
+
+
+def test_chunk_batch_matches_duckdb_and_reference_loop():
+    """Vectorized chunking == a plain per-doc Python reference AND the
+    SQL oracle's closed-form expansion, across short docs (< W), exact
+    multiples, long docs, and the ''-> [''] edge."""
+    import duckdb
+    import pyarrow as pa
+
+    from logpipe_ray.functions.corpusfns import chunk_batch
+
+    W, OV = 8, 3
+    step = W - OV
+    texts = [
+        "a b c",                              # n < W -> 1 chunk
+        " ".join(f"w{i}" for i in range(8)),  # n == W -> 1 chunk
+        " ".join(f"x{i}" for i in range(9)),  # n == W+1 -> 2 chunks
+        " ".join(f"y{i}" for i in range(23)), # long, ragged tail
+        " ".join(f"z{i}" for i in range(13)), # 8 + 5 = exactly 2
+        "",                                   # '' -> [''] -> 1 chunk
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = chunk_batch(t, chunk_words=W, overlap=OV).to_pandas()
+
+    # reference loop
+    ref = []
+    for d, txt in enumerate(texts):
+        ws = txt.split(" ")
+        s = 0
+        i = 0
+        while True:
+            e = min(s + W, len(ws))
+            ref.append((d, i, e - s, " ".join(ws[s:e])))
+            if s + W >= len(ws):
+                break
+            s += step
+            i += 1
+    got = list(zip(out.doc_id, out.chunk_idx, out.n_words, out.chunk_text))
+    assert got == ref
+
+    # every word covered; consecutive chunks overlap by >= OV words
+    for d, txt in enumerate(texts):
+        ws = txt.split(" ")
+        chunks = out[out.doc_id == d]
+        assert sum(chunks.n_words) >= len(ws)
+        joined_last = None
+        for _, row in chunks.iterrows():
+            if joined_last is not None:
+                assert joined_last.split(" ")[-OV:] == row.chunk_text.split(" ")[:OV] or len(ws) <= W
+            joined_last = row.chunk_text
+
+    # SQL oracle parity on the same table (W=64/step=48 form scaled in
+    # the registry; here replayed with the test's W/step)
+    sql = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS n FROM t_arrow),
+k AS (
+  SELECT doc_id, words, n,
+         CASE WHEN n <= 8 THEN 1 ELSE 1 + (n - 8 + 4) // 5 END AS k FROM w),
+c AS (SELECT doc_id, words, n, unnest(range(0, k)) AS chunk_idx FROM k)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(least(chunk_idx * 5 + 8, n) - chunk_idx * 5 AS BIGINT) AS n_words,
+       array_to_string(words[chunk_idx * 5 + 1 : least(chunk_idx * 5 + 8, n)], ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_idx"""
+    t_arrow = t
+    oref = duckdb.sql(sql).df()
+    assert list(zip(oref.doc_id, oref.chunk_idx, oref.n_words, oref.chunk_text)) == ref

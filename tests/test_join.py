@@ -129,3 +129,73 @@ def test_full_outer_merge_matches_duckdb(ray_session):
     assert out["a"].tolist() == ref["a"].tolist()
     assert out["b"].tolist() == ref["b"].tolist()
     assert str(out["a"].dtype) == "int64" and str(out["b"].dtype) == "int64"
+
+
+def test_skew_join_planted_hot_key(ray_session):
+    """95%-hot-key fact many-to-many joined against a dimension ==
+    DuckDB inner join; both the broadcast-hot and native-cold routes
+    carry rows; no-hot-keys threshold degrades to the pure native
+    join."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logpipe_ray.stages.join import skew_join
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    k = np.where(rng.random(n) < 0.95, 7, rng.integers(0, 50, size=n))
+    v = rng.integers(0, 1000, size=n)
+    fact_t = pa.table({"k": k, "v": v})
+    # dim: keys 0..39 only (some fact keys unmatched), key 7 has THREE
+    # rows (many-to-many through the hot route)
+    dk = np.concatenate([np.arange(40), [7, 7]])
+    dv = np.concatenate([np.arange(40) * 10, [999, 998]])
+    dlab = np.array([f"d{i}" for i in dk])
+    dim_t = pa.table({"dk": dk, "dv": dv, "lab": dlab})
+
+    ref = duckdb.sql(
+        """
+        SELECT f.k, f.v, d.dv, d.lab
+        FROM fact_t f JOIN dim_t d ON f.k = d.dk
+        """
+    ).arrow()
+
+    fact = rd.from_arrow(fact_t).repartition(8)
+    dim = rd.from_arrow(dim_t).repartition(2)
+    refp = ref.to_pandas()
+    key_of = lambda df: sorted(zip(df.k, df.v, df.dv, df.lab))
+
+    # route 1 (default): small dim -> broadcast fast path, no shuffle
+    out = skew_join(
+        fact, dim, "k", "dk", ["dv", "lab"], hot_threshold=1000
+    ).to_pandas()
+    assert len(out) == len(refp)
+    assert key_of(out) == key_of(refp)
+    # hot key's many-to-many expansion is exact
+    assert (out.k == 7).sum() == (refp.k == 7).sum() > 0.9 * len(refp) / 3
+
+    # route 2: forced skew split (broadcast guard off) — hot keys via
+    # the map-join, cold residual via the native hash join
+    out2 = skew_join(
+        fact, dim, "k", "dk", ["dv", "lab"],
+        hot_threshold=1000, dim_broadcast_rows=0,
+    ).to_pandas()
+    assert key_of(out2) == key_of(refp)
+
+    # route 3: no hot keys -> pure native hash join
+    out3 = skew_join(
+        fact, dim, "k", "dk", ["dv", "lab"],
+        hot_threshold=10**9, dim_broadcast_rows=0,
+    ).to_pandas()
+    assert key_of(out3) == key_of(refp)
+
+    # guard: hot dim slice larger than the limit raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim_hot_limit"):
+        skew_join(
+            fact, dim, "k", "dk", ["dv", "lab"],
+            hot_threshold=1000, dim_hot_limit=1, dim_broadcast_rows=0,
+        ).materialize()

@@ -176,3 +176,45 @@ def test_parse_handles_batch_of_only_bad_lines():
     out = route_batch(EnrichStage()(parse_batch(tbl)))
     assert out["parse_ok"].to_pylist() == [False, False, False]
     assert set(out["sink"].to_pylist()) == {"deadletter"}
+
+
+def test_validation_report_null_hostile_counts(ray_session):
+    """Exact per-rule violation counts; predicate NULL counts as a
+    violation (null-hostile), layout-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logpipe_ray.stages.validate import validation_report
+
+    t = pa.table(
+        {
+            "a": [1, None, 3, None, 5, 6],
+            "s": ["x", "y", None, "x", "zz", "x"],
+            "v": [0.5, 2.0, -1.0, None, 9.0, 3.0],
+        }
+    )
+    rules = [
+        {"col": "a", "check": "not_null"},
+        {"col": "s", "check": "in_set", "values": ["x", "y"]},
+        {"col": "v", "check": "between", "lo": 0, "hi": 5},
+        {"col": "s", "check": "regex", "pattern": "^[a-z]$", "name": "one_char"},
+    ]
+    want = {
+        "not_null:a": 2,
+        "in_set:s": 2,      # None + 'zz'
+        "between:v": 3,     # -1.0, None, 9.0
+        "one_char": 2,      # None + 'zz'
+    }
+    for nparts in (1, 4):
+        out = (
+            validation_report(rd.from_arrow(t).repartition(nparts), rules)
+            .to_pandas().set_index("rule")
+        )
+        assert out["n_rows"].tolist() == [6] * 4
+        assert {r: int(out.loc[r, "n_violations"]) for r in want} == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        validation_report(rd.from_arrow(t), [rules[0], rules[0]])
