@@ -3999,6 +3999,79 @@ SELECT 'regex:props', CAST(count(*) AS BIGINT),
                 THEN 1 ELSE 0 END) AS BIGINT) FROM events"""
 
 
+def events_pruned_scan(sf_dir: str) -> Dataset:
+    """Prune-at-the-read representative: the time-window predicate is
+    pushed INTO the parquet scan (``filter=`` forwards to the pyarrow
+    fragment scanner, which skips non-matching row groups by
+    statistics and filters the rest exactly), and only 3 of the 6
+    event columns are read. At 100 TB a retention/window query like
+    this reads the tail of the lake, not the lake. Output: per-day
+    per-type event counts and exact cents totals."""
+    import datetime
+
+    import pyarrow.dataset as pds
+
+    from .stages.aggregate import count_groupby
+
+    cutoff = datetime.datetime(2024, 1, 20)
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "value"],
+        filter=(pds.field("ts") >= pa.scalar(cutoff)),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.add(
+            pc.add(
+                pc.multiply(
+                    pc.cast(pc.year(t["ts"]), pa.int64()),
+                    pa.scalar(10_000, pa.int64()),
+                ),
+                pc.multiply(
+                    pc.cast(pc.month(t["ts"]), pa.int64()),
+                    pa.scalar(100, pa.int64()),
+                ),
+            ),
+            pc.cast(pc.day(t["ts"]), pa.int64()),
+        )
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table(
+            {"day": day, "event_type": t["event_type"], "cents": cents}
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["day", "event_type"]).aggregate(
+            [([], "count_all"), ("cents", "sum")]
+        )
+        return g.rename_columns(["day", "event_type", "pc_n", "pc_cents"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        prepped.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(
+            Sum("pc_n", alias_name="n_events"),
+            Sum("pc_cents", alias_name="cents_total"),
+        )
+    )
+
+
+def _sql_events_pruned_scan(sf_dir: str) -> str:
+    return """
+SELECT CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS BIGINT) AS day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents_total
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-20'
+GROUP BY 1, 2"""
+
+
 # ----------------------------------------------------------------- registry
 
 # name -> (ray_fn, sql_fn | None)
@@ -4155,6 +4228,7 @@ REGISTRY: dict = {
         events_validation_report,
         _sql_events_validation_report,
     ),
+    "events_pruned_scan": (events_pruned_scan, _sql_events_pruned_scan),
     "lp_parsed_fields": (lp_parsed_fields, _sql_lp_parsed_fields),
     "lp_stats_by_level": (lp_stats_by_level, _sql_lp_stats_by_level),
     "lp_enriched": (lp_enriched, _sql_lp_enriched),

@@ -48,3 +48,23 @@ def test_compact_shards_roundtrip(ray_session, tmp_path):
     assert stats == {"files_in": 20, "files_out": 2, "rows": 200}
     vals = sorted(read_parquet_clean(str(out)).to_pandas()["v"])
     assert vals == list(range(200))
+
+
+def test_read_parquet_filter_pushdown_exact(ray_session, tmp_path):
+    """The filter= expression forwarded by read_parquet_clean filters
+    EXACTLY (row-level, not just row-group statistics), across
+    multiple row groups."""
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.sources.factory import read_parquet_clean
+
+    t = pa.table({"x": list(range(1000)), "y": [i % 7 for i in range(1000)]})
+    p = str(tmp_path / "rg.parquet")
+    pq.write_table(t, p, row_group_size=100)
+    assert pq.ParquetFile(p).num_row_groups == 10
+
+    out = read_parquet_clean(p, filter=(pds.field("x") >= 437)).to_pandas()
+    assert sorted(out.x) == list(range(437, 1000))
+    assert (out.y == out.x % 7).all()
