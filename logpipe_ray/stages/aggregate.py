@@ -1067,6 +1067,7 @@ def latest_by_key(
     ds: Dataset,
     key: str,
     order_cols: list[str],
+    num_buckets: int = 64,
 ) -> Dataset:
     """Latest row per key — the CDC / upsert snapshot primitive: of all
     rows sharing ``key``, keep the one with the lexicographically
@@ -1075,13 +1076,13 @@ def latest_by_key(
 
     Two-level argmax so no reducer ever sees a whole key's history:
     each block first collapses to one candidate row per key it contains
-    (vectorized np.lexsort + first-occurrence mask), then a keyed
-    groupby reduces the candidates — the group handed to the reducer
-    holds at most one row per block containing the key, independent of
-    how many updates the key received. Order columns must be integers
-    or timestamps (sorted via int64 view; int64-min excluded).
+    (vectorized np.lexsort + first-occurrence mask), then the
+    candidates hash-shuffle into ``num_buckets`` disjoint key buckets
+    and the SAME vectorized collapse runs once per bucket — no per-key
+    Python anywhere, and a hot key still contributes at most one row
+    per block to its bucket. Order columns must be integers or
+    timestamps (sorted via int64 view; int64-min excluded).
     """
-    import pandas as pd
 
     def _sorted_first(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1090,6 +1091,8 @@ def latest_by_key(
         order_np = []
         for c in order_cols:
             col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
             if pa.types.is_timestamp(col.type):
                 col = col.cast(pa.int64())
             order_np.append(-col.to_numpy(zero_copy_only=False))
@@ -1103,9 +1106,22 @@ def latest_by_key(
 
     partials = ds.map_batches(_sorted_first, batch_format="pyarrow")
 
-    def reduce_group(df: "pd.DataFrame") -> "pd.DataFrame":
-        return df.sort_values(
-            order_cols, ascending=[False] * len(order_cols), kind="stable"
-        ).head(1)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from .transform import hash64_strings
 
-    return partials.groupby(key).map_groups(reduce_group, batch_format="pandas")
+        c = t[key]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if not pa.types.is_string(c.type):
+            c = pc.cast(c, pa.string())
+        b = (hash64_strings(c) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("_bucket", pa.array(b))
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda t: _sorted_first(t.drop(["_bucket"])),
+            batch_format="pyarrow",
+        )
+    )
