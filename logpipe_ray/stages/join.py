@@ -514,34 +514,57 @@ def skew_join(
             [key] + list(dim_cols)
         )
 
+    def _collect(d: Dataset) -> pa.Table | None:
+        """Driver-side collect that tolerates the column-less empty
+        blocks a filter stage can emit (their schema would break
+        concat_tables). None iff every block was empty-schema."""
+        tbls = [t for t in ray.get(d.to_arrow_refs()) if t.num_columns > 0]
+        return pa.concat_tables(tbls) if tbls else None
+
     # the guard is checked BEFORE any driver-side collect (a count is
     # metadata-cheap on parquet reads and one streaming pass otherwise)
     if dim_broadcast_rows > 0 and dim_proj.count() <= dim_broadcast_rows:
-        whole = pa.concat_tables(
-            ray.get(
-                dim_proj.map_batches(_renamed, batch_format="pyarrow")
-                .to_arrow_refs()
-            )
+        whole = _collect(
+            dim_proj.map_batches(_renamed, batch_format="pyarrow")
         )
+        if whole is None:
+            # empty dimension: inner join is empty, but keep the full
+            # output schema (fact cols + typed dim cols)
+            base = dim_proj.schema().base_schema
+            dtypes = {c: base.field(c).type for c in dim_cols}
+
+            def empty_fn(t: pa.Table) -> pa.Table:
+                cols = {c: t[c].slice(0, 0) for c in fact_cols}
+                for c, typ in dtypes.items():
+                    cols[c] = pa.nulls(0, typ)
+                return pa.table(cols)
+
+            return fact.map_batches(empty_fn, batch_format="pyarrow")
         ref = ray.put(whole.sort_by(key))
         return fact.map_batches(_map_join_fn(ref), batch_format="pyarrow")
 
     counts = count_groupby(fact, [key], alias="_sj_cnt")
-    hot_tbl = pa.concat_tables(
-        ray.get(
-            counts.map_batches(
-                lambda t: t.filter(
-                    pc.greater_equal(t["_sj_cnt"], hot_threshold)
-                ).select([key]),
-                batch_format="pyarrow",
-            ).to_arrow_refs()
+    hot_tbl = _collect(
+        counts.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["_sj_cnt"], hot_threshold)
+            ).select([key]),
+            batch_format="pyarrow",
         )
     )
-    hot_keys = np.sort(hot_tbl[key].to_numpy(zero_copy_only=False))
+    hot_keys = (
+        np.sort(hot_tbl[key].to_numpy(zero_copy_only=False))
+        if hot_tbl is not None
+        else np.zeros(0, np.int64)
+    )
 
     def _native(f: Dataset, d: Dataset) -> Dataset:
-        joined = f.join(
-            d,
+        # rebalance both inputs first: a 0-row block produced by an
+        # upstream filter poisons the hash-join aggregator's partition
+        # schema (ArrowInvalid "no match for key field", reproduced on
+        # Ray 2.49); repartition rebuilds blocks with uniform schema
+        joined = f.repartition(num_partitions).join(
+            d.repartition(num_partitions),
             join_type="inner",
             num_partitions=num_partitions,
             on=(key,),
@@ -572,12 +595,15 @@ def skew_join(
         m = pc.fill_null(pc.is_in(t[dim_key], value_set=hot_arr), False)
         return _renamed(t.filter(m))
 
-    dim_hot = pa.concat_tables(
-        ray.get(
-            dim_proj.map_batches(_dim_hot_slice, batch_format="pyarrow")
-            .to_arrow_refs()
-        )
+    dim_hot = _collect(
+        dim_proj.map_batches(_dim_hot_slice, batch_format="pyarrow")
     )
+    if dim_hot is None:
+        # no dimension rows for any hot key: the hot side joins empty,
+        # only the cold native join contributes
+        return _native(
+            fact.map_batches(_split(False), batch_format="pyarrow"), dim_proj
+        )
     if dim_hot.num_rows > dim_hot_limit:
         raise ValueError(
             f"skew_join: hot dimension slice has {dim_hot.num_rows} rows "

@@ -199,3 +199,36 @@ def test_skew_join_planted_hot_key(ray_session):
             fact, dim, "k", "dk", ["dv", "lab"],
             hot_threshold=1000, dim_hot_limit=1, dim_broadcast_rows=0,
         ).materialize()
+
+
+def test_skew_join_string_keys_and_null_facts(ray_session):
+    """String join keys work through every route (is_in + searchsorted
+    on object arrays), and null fact keys are dropped like an inner
+    join."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logpipe_ray.stages.join import skew_join
+
+    fk = (["hot"] * 400 + ["a", "b", "c", "zz"] * 25 + [None] * 7)
+    fact_t = pa.table({"k": fk, "v": list(range(len(fk)))})
+    dim_t = pa.table(
+        {"dk": ["hot", "a", "b", "x"], "tag": ["H", "A", "B", "X"]}
+    )
+    ref = duckdb.sql(
+        "SELECT f.k, f.v, d.tag FROM fact_t f JOIN dim_t d ON f.k = d.dk"
+    ).df()
+    fact = rd.from_arrow(fact_t).repartition(5)
+    dim = rd.from_arrow(dim_t).repartition(1)
+    key_of = lambda df: sorted(zip(df.k, df.v, df.tag))
+    for kw in (
+        {},                                     # broadcast route
+        {"dim_broadcast_rows": 0},              # skew split route
+        {"dim_broadcast_rows": 0, "hot_threshold": 10**9},  # native
+    ):
+        out = skew_join(
+            fact, dim, "k", "dk", ["tag"],
+            hot_threshold=kw.pop("hot_threshold", 100), **kw,
+        ).to_pandas()
+        assert key_of(out) == key_of(ref), kw
