@@ -496,21 +496,15 @@ def _verify_pairs_ds(
         [("a", pa.int64()), ("b", pa.int64()),
          ("text_a", pa.string()), ("text_b", pa.string())]
     )
-    with_a = cand.join(
-        docs,
-        join_type="inner",
-        num_partitions=n_parts,
-        on=("a",),
-        right_on=(id_col,),
+    from ..stages.join import inner_join_safe
+
+    with_a = inner_join_safe(
+        cand, docs, on=("a",), right_on=(id_col,), num_partitions=n_parts
     ).map_batches(
         _tolerant_project(schema_a, ["a", "b", text_col]), batch_format="pyarrow"
     )
-    both = with_a.join(
-        docs,
-        join_type="inner",
-        num_partitions=n_parts,
-        on=("b",),
-        right_on=(id_col,),
+    both = inner_join_safe(
+        with_a, docs, on=("b",), right_on=(id_col,), num_partitions=n_parts
     ).map_batches(
         _tolerant_project(schema_ab, ["a", "b", "text_a", text_col]),
         batch_format="pyarrow",
@@ -901,14 +895,13 @@ def cluster_min_label(
 
             msgs = edges.map_batches(attach, batch_format="pyarrow")
         else:
-            attached = edges.join(
-                # repartition drops the aggregate's empty columnless
-                # blocks, which would otherwise break the Acero join
-                labels.repartition(n_parts),
-                join_type="inner",
+            from ..stages.join import inner_join_safe
+
+            # inner_join_safe launders BOTH sides' 0-row/columnless
+            # blocks (aggregate outputs AND filtered edge blocks)
+            attached = inner_join_safe(
+                edges, labels, on=("src",), right_on=("node",),
                 num_partitions=n_parts,
-                on=("src",),
-                right_on=("node",),
             )
             msgs = attached.map_batches(
                 lambda t: pa.table({"node": t["dst"], "cand": t["label"]}),
@@ -1281,12 +1274,14 @@ def span_dedup_corpus(
 
     # ---- distributed route: groupby + hash join back on span ----
     spans = ds.map_batches(sb, batch_format="pyarrow")
-    firsts_ds = (
-        partials.groupby("span")
-        .aggregate(Min("mp", alias_name="mp_min"))
-        .repartition(8)
+    firsts_ds = partials.groupby("span").aggregate(
+        Min("mp", alias_name="mp_min")
     )
-    joined = spans.join(firsts_ds, join_type="inner", num_partitions=16, on=("span",))
+    from ..stages.join import inner_join_safe
+
+    # a doc shorter than the span width yields a 0-row spans block —
+    # inner_join_safe launders those on both sides
+    joined = inner_join_safe(spans, firsts_ds, on=("span",), num_partitions=16)
 
     def regroup(df):
         import pandas as pd

@@ -211,18 +211,17 @@ def pagerank_fixed(
 
             contribs = dedges.map_batches(contrib, batch_format="pyarrow")
         else:
-            joined = dedges.join(
-                ranks.join(
-                    degs.repartition(8),
-                    join_type="inner",
+            from ..stages.join import inner_join_safe
+
+            joined = inner_join_safe(
+                dedges,
+                inner_join_safe(
+                    ranks, degs, on=("node",), right_on=("src",),
                     num_partitions=8,
-                    on=("node",),
-                    right_on=("src",),
-                ).repartition(8),
-                join_type="inner",
-                num_partitions=8,
+                ),
                 on=("src",),
                 right_on=("node",),
+                num_partitions=8,
             )
             contribs = joined.map_batches(
                 lambda t: pa.table(

@@ -1693,14 +1693,14 @@ def docs_ngram_novelty(sf_dir: str) -> Dataset:
 
     # ---- distributed route: groupby + hash join back on gram ----
     grams = ds.map_batches(lambda t: ngram_batch(t, n=5), batch_format="pyarrow")
-    # repartition unifies schemas / drops empty columnless aggregate
-    # blocks before the join (same guard as semi_anti_join_ds)
     firsts = partials.groupby("gram").aggregate(
         Min("fd_p", alias_name="first_doc")
-    ).repartition(8)
-    joined = grams.join(
-        firsts, join_type="inner", num_partitions=16, on=("gram",)
     )
+    from .stages.join import inner_join_safe
+
+    # launder 0-row blocks on BOTH sides (short docs yield empty gram
+    # blocks; aggregates yield columnless empties)
+    joined = inner_join_safe(grams, firsts, on=("gram",), num_partitions=16)
 
     def per_doc_partial(t: pa.Table) -> pa.Table:
         seen = pc.cast(pc.less(t["first_doc"], t["doc_id"]), pa.int64())
@@ -1776,11 +1776,10 @@ def docs_tfidf_top_terms(sf_dir: str) -> Dataset:
         ds.map_batches(df_partial, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("p", alias_name="df"))
-        # drop empty columnless aggregate blocks before the join
-        # (same guard as semi_anti_join_ds)
-        .repartition(4)
     )
-    joined = tf.join(df, join_type="inner", num_partitions=8, on=("term",))
+    from .stages.join import inner_join_safe
+
+    joined = inner_join_safe(tf, df, on=("term",), num_partitions=8)
 
     def score(t: pa.Table) -> pa.Table:
         tfv = np.asarray(t["tf"], dtype=np.float64)

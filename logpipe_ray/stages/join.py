@@ -23,6 +23,33 @@ import pyarrow as pa
 from ray.data import Dataset
 
 
+def inner_join_safe(
+    left: Dataset,
+    right: Dataset,
+    on: tuple,
+    right_on: tuple | None = None,
+    num_partitions: int = 16,
+) -> Dataset:
+    """``Dataset.join(join_type='inner')`` hardened against the Ray
+    2.49 0-row-block hazard: a block that an upstream filter (or
+    flat-map over a short document) empties poisons the hash-join
+    aggregator's partition schema and the join dies with ArrowInvalid
+    "No match ... for key field reference" on EITHER side (minimal
+    repro in tests/test_join.py). Rebalancing each input with
+    repartition() rebuilds uniform-schema blocks; the cost is one
+    block-level rebalance per side, small next to the join shuffle
+    itself. Use this instead of raw ``Dataset.join`` anywhere an input
+    may contain a fully-filtered block — which is any input downstream
+    of a filter, value-set pick, or per-doc flat-map."""
+    return left.repartition(num_partitions).join(
+        right.repartition(num_partitions),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=on,
+        right_on=right_on,
+    )
+
+
 def _tag_side(key: str, all_cols: dict, own: dict, side: int, extra: list[str] = ()):
     """Schema-aligning union tag: carry own columns (cast to declared
     types), typed nulls for the other side's, plus a _side marker."""
@@ -559,16 +586,9 @@ def skew_join(
     )
 
     def _native(f: Dataset, d: Dataset) -> Dataset:
-        # rebalance both inputs first: a 0-row block produced by an
-        # upstream filter poisons the hash-join aggregator's partition
-        # schema (ArrowInvalid "no match for key field", reproduced on
-        # Ray 2.49); repartition rebuilds blocks with uniform schema
-        joined = f.repartition(num_partitions).join(
-            d.repartition(num_partitions),
-            join_type="inner",
+        joined = inner_join_safe(
+            f, d, on=(key,), right_on=(dim_key,),
             num_partitions=num_partitions,
-            on=(key,),
-            right_on=(dim_key,),
         )
         return joined.select_columns(out_cols)
 

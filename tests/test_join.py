@@ -232,3 +232,40 @@ def test_skew_join_string_keys_and_null_facts(ray_session):
             hot_threshold=kw.pop("hot_threshold", 100), **kw,
         ).to_pandas()
         assert key_of(out) == key_of(ref), kw
+
+
+def test_inner_join_safe_survives_empty_filtered_blocks(ray_session):
+    """Minimal repro of the Ray 2.49 hazard: a block an upstream
+    filter empties poisons Dataset.join's partition schema on either
+    side; inner_join_safe launders it."""
+    import pyarrow.compute as pc
+
+    from logpipe_ray.stages.join import inner_join_safe
+
+    t1 = pa.table({"k": ["hot"] * 50, "v": list(range(50))})
+    t2 = pa.table({"k": ["a", "b", "c", "zz"] * 25, "v": list(range(100))})
+    drop_hot = lambda t: t.filter(
+        pc.invert(pc.is_in(t["k"], value_set=pa.array(["hot"])))
+    )
+    left = rd.from_arrow([t1, t2]).map_batches(drop_hot, batch_format="pyarrow")
+    right = rd.from_arrow(pa.table({"rk": ["a", "b", "x"], "tag": ["A", "B", "X"]}))
+    out = inner_join_safe(
+        left, right, on=("k",), right_on=("rk",), num_partitions=4
+    ).to_pandas()
+    assert sorted(zip(out.k, out.tag)) == sorted(
+        [("a", "A")] * 25 + [("b", "B")] * 25
+    )
+
+    # and with the 0-row block on the RIGHT side
+    rightf = rd.from_arrow(
+        [pa.table({"rk": ["hot"] * 10, "tag": ["H"] * 10}), 
+         pa.table({"rk": ["a", "x"], "tag": ["A", "X"]})]
+    ).map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t["rk"], value_set=pa.array(["hot"])))),
+        batch_format="pyarrow",
+    )
+    left2 = rd.from_arrow(t2)
+    out2 = inner_join_safe(
+        left2, rightf, on=("k",), right_on=("rk",), num_partitions=4
+    ).to_pandas()
+    assert sorted(zip(out2.k, out2.tag)) == sorted([("a", "A")] * 25)
