@@ -4071,6 +4071,62 @@ WHERE ts >= TIMESTAMP '2024-01-20'
 GROUP BY 1, 2"""
 
 
+def events_purchase_click_window(sf_dir: str) -> Dataset:
+    """Time-windowed stream join: EVERY click in the hour before each
+    purchase by the same user (asof gives only the latest; this is the
+    all-matches attribution shape). ``window_join`` buckets both sides
+    by ts//1h, replicates each click to its own and the next bucket
+    (exactly-once by construction), joins on (user, bucket) and
+    applies the exact window batch-locally — reducer load is one
+    user's activity inside ~2 windows, never a whole history."""
+    from .stages.join import window_join
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def side(kind: str, id_name: str, ts_name: str, with_cents: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], kind))
+            cols = {
+                "user_id": t["user_id"],
+                id_name: t["event_id"],
+                ts_name: t["ts"],
+            }
+            if with_cents:
+                cols["click_cents"] = pc.cast(
+                    pc.floor(pc.multiply(t["value"], pa.scalar(100.0))),
+                    pa.int64(),
+                )
+            return pa.table(cols)
+
+        return fn
+
+    purchases = ev.map_batches(
+        side("purchase", "purchase_id", "ts_p", False), batch_format="pyarrow"
+    )
+    clicks = ev.map_batches(
+        side("click", "click_id", "ts_c", True), batch_format="pyarrow"
+    )
+    return window_join(
+        purchases, clicks,
+        key="user_id", left_ts="ts_p", right_ts="ts_c",
+        window_us=3_600_000_000,
+    )
+
+
+def _sql_events_purchase_click_window(sf_dir: str) -> str:
+    return """
+SELECT p.user_id, p.event_id AS purchase_id, p.ts AS ts_p,
+       c.event_id AS click_id, c.ts AS ts_c,
+       CAST(floor(c.value * 100) AS BIGINT) AS click_cents
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""
+
+
 # ----------------------------------------------------------------- registry
 
 # name -> (ray_fn, sql_fn | None)
@@ -4228,6 +4284,10 @@ REGISTRY: dict = {
         _sql_events_validation_report,
     ),
     "events_pruned_scan": (events_pruned_scan, _sql_events_pruned_scan),
+    "events_purchase_click_window": (
+        events_purchase_click_window,
+        _sql_events_purchase_click_window,
+    ),
     "lp_parsed_fields": (lp_parsed_fields, _sql_lp_parsed_fields),
     "lp_stats_by_level": (lp_stats_by_level, _sql_lp_stats_by_level),
     "lp_enriched": (lp_enriched, _sql_lp_enriched),

@@ -647,3 +647,76 @@ def skew_join(
         ),
     )
     return hot_out.union(cold_out)
+
+
+def window_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_us: int,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Time-windowed per-key stream join: every (left, right) pair with
+    the same ``key`` and ``left_ts - window_us <= right_ts <= left_ts``
+    — ALL matches, not just the latest (that one is ``asof_join``); the
+    "attach every click in the hour before each purchase" shape.
+
+    Distributed shape: both sides bucket by ``ts // window_us``; a
+    right row can only match left rows in its own or the NEXT bucket,
+    so it is replicated exactly twice, the join runs on the composite
+    (key, bucket) — one keyed exchange per side, exactly-once by
+    construction (the two replicas live in different buckets) — and a
+    batch-local predicate keeps the true window. Reducer load is
+    bounded by one key's activity inside ~2 windows, not its history.
+
+    Column names must be disjoint across sides except ``key`` (shared
+    name). Timestamp columns may be Arrow timestamps or int64 us.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def _us(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.int64())
+        return col
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key]), pc.is_valid(t[left_ts])))
+        b = pc.divide(_us(t[left_ts]), pa.scalar(window_us, pa.int64()))
+        return t.append_column("_wj_b", pc.cast(b, pa.int64()))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key]), pc.is_valid(t[right_ts])))
+        b = pc.cast(
+            pc.divide(_us(t[right_ts]), pa.scalar(window_us, pa.int64())),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), 2)
+        rep = t.take(pa.array(idx))
+        buckets = np.empty(2 * t.num_rows, dtype=np.int64)
+        buckets[0::2] = b
+        buckets[1::2] = b + 1
+        return rep.append_column("_wj_b", pa.array(buckets))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    joined = inner_join_safe(
+        lt, rt, on=(key, "_wj_b"), num_partitions=num_partitions
+    )
+
+    def exact(t: pa.Table) -> pa.Table:
+        l_us = _us(t[left_ts])
+        r_us = _us(t[right_ts])
+        keep = pc.and_(
+            pc.less_equal(r_us, l_us),
+            pc.greater_equal(
+                r_us, pc.subtract(l_us, pa.scalar(window_us, pa.int64()))
+            ),
+        )
+        return t.filter(keep).drop(["_wj_b"])
+
+    return joined.map_batches(exact, batch_format="pyarrow")

@@ -269,3 +269,58 @@ def test_inner_join_safe_survives_empty_filtered_blocks(ray_session):
         left2, rightf, on=("k",), right_on=("rk",), num_partitions=4
     ).to_pandas()
     assert sorted(zip(out2.k, out2.tag)) == sorted([("a", "A")] * 25)
+
+
+def test_window_join_matches_duckdb_with_boundaries(ray_session):
+    """Bucketed windowed join == DuckDB BETWEEN join, including pairs
+    exactly AT the window edge, at bucket boundaries, ts ties, and
+    multi-match fan-out; exactly-once (no replica double-count)."""
+    import duckdb
+    import numpy as np
+
+    from logpipe_ray.stages.join import window_join
+
+    W = 100  # window in "us"
+    rng = np.random.default_rng(9)
+    n_l, n_r = 300, 500
+    lt = pa.table(
+        {
+            "u": rng.integers(0, 8, size=n_l),
+            "lid": np.arange(n_l),
+            "lts": rng.integers(0, 2000, size=n_l).astype(np.int64),
+        }
+    )
+    # plant exact-boundary cases for user 0: right at lts, lts-W, lts-W-1
+    lt = pa.concat_tables(
+        [lt, pa.table({"u": [0], "lid": [9000], "lts": [1000]})]
+    )
+    rt = pa.table(
+        {
+            "u": np.concatenate([rng.integers(0, 8, size=n_r), [0, 0, 0]]),
+            "rid": np.concatenate([np.arange(n_r) + 10_000, [1, 2, 3]]),
+            "rts": np.concatenate(
+                [rng.integers(0, 2000, size=n_r).astype(np.int64),
+                 [1000, 900, 899]]
+            ),
+        }
+    )
+    ref = duckdb.sql(
+        f"""
+        SELECT l.u, l.lid, l.lts, r.rid, r.rts
+        FROM lt l JOIN rt r
+          ON l.u = r.u AND r.rts <= l.lts AND r.rts >= l.lts - {W}
+        """
+    ).df()
+    out = window_join(
+        rd.from_arrow(lt).repartition(4),
+        rd.from_arrow(rt).repartition(3),
+        key="u", left_ts="lts", right_ts="rts", window_us=W,
+        num_partitions=4,
+    ).to_pandas()
+    kf = lambda df: sorted(zip(df.u, df.lid, df.lts, df.rid, df.rts))
+    assert len(out) == len(ref)
+    assert kf(out) == kf(ref)
+    # the planted boundary triple: rts=1000 and 900 match lid 9000
+    # (inclusive both ends), 899 does not
+    got = set(out[out.lid == 9000].rid)
+    assert {1, 2} <= got and 3 not in got
