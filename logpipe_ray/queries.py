@@ -4127,6 +4127,75 @@ FROM events p JOIN events c
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""
 
 
+def events_retention_cohorts(sf_dir: str) -> Dataset:
+    """Retention/cohort matrix: distinct users active on day D from
+    the cohort first seen on day C. Three bounded exchanges: dedupe
+    (user, day) pairs (partial-combined aggregate), per-user min day
+    (cohort), join activity back to cohorts (inner_join_safe — both
+    sides keyed by user, either may be huge), count per (C, D). Every
+    count is exact integers, so the oracle hashes green."""
+    from ray.data.aggregate import Min, Sum
+
+    from .stages.join import inner_join_safe
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.add(
+            pc.add(
+                pc.multiply(
+                    pc.cast(pc.year(t["ts"]), pa.int64()),
+                    pa.scalar(10_000, pa.int64()),
+                ),
+                pc.multiply(
+                    pc.cast(pc.month(t["ts"]), pa.int64()),
+                    pa.scalar(100, pa.int64()),
+                ),
+            ),
+            pc.cast(pc.day(t["ts"]), pa.int64()),
+        )
+        # local dedupe before the keyed exchange
+        return pa.table({"user_id": t["user_id"], "day": day}).group_by(
+            ["user_id", "day"]
+        ).aggregate([])
+
+    user_days = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .count()
+        .select_columns(["user_id", "day"])
+    )
+    firsts = user_days.groupby("user_id").aggregate(
+        Min("day", alias_name="cohort_day")
+    )
+    joined = inner_join_safe(user_days, firsts, on=("user_id",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["cohort_day", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["cohort_day", "activity_day", "pc_n"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cohort_day", "activity_day"])
+        .aggregate(Sum("pc_n", alias_name="n_users"))
+    )
+
+
+def _sql_events_retention_cohorts(sf_dir: str) -> str:
+    return """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS BIGINT) AS day
+  FROM events),
+f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+SELECT f.cohort_day, d.day AS activity_day,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2"""
+
+
 # ----------------------------------------------------------------- registry
 
 # name -> (ray_fn, sql_fn | None)
@@ -4287,6 +4356,10 @@ REGISTRY: dict = {
     "events_purchase_click_window": (
         events_purchase_click_window,
         _sql_events_purchase_click_window,
+    ),
+    "events_retention_cohorts": (
+        events_retention_cohorts,
+        _sql_events_retention_cohorts,
     ),
     "lp_parsed_fields": (lp_parsed_fields, _sql_lp_parsed_fields),
     "lp_stats_by_level": (lp_stats_by_level, _sql_lp_stats_by_level),
