@@ -123,6 +123,11 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "events_latest_per_user",
             "monthly_order_ship_balance",
             "events_skew_join_customer",
+            "docs_chunked",
+            "events_validation_report",
+            "events_pruned_scan",
+            "events_purchase_click_window",
+            "events_retention_cohorts",
         ]
         all_q = Q.queries()
 
