@@ -4196,6 +4196,63 @@ FROM d JOIN f USING (user_id)
 GROUP BY 1, 2"""
 
 
+def events_clustered_scan(sf_dir: str) -> Dataset:
+    """Data-layout pipeline: cluster the events by ``value`` into 8
+    range-partitioned files (bounds = exact distributed quantiles, so
+    files are balanced), then answer a selective range query
+    (100 <= value <= 250) through the zone map — only the overlapping
+    files are opened, the rest of the lake is never touched. Output:
+    per-type counts + exact cents totals over the range; the oracle is
+    a plain WHERE, so the whole layout round-trip is hash-checked."""
+    import hashlib
+    import os
+
+    from ray.data.aggregate import Sum
+
+    from .sources.layout import cluster_write, pruned_read
+
+    src = f"{sf_dir}/events.parquet"
+    tag = hashlib.sha1(
+        f"{src}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    out_dir = f"/tmp/logpipe_ray_layout/events_value_{tag}"
+    if not os.path.exists(os.path.join(out_dir, "zonemap.json")):
+        ds = read_parquet_clean(src, columns=["event_type", "value"])
+        cluster_write(ds, "value", out_dir, n_ranges=8)
+    pruned, stats = pruned_read(out_dir, lo=100.0, hi=250.0)
+    assert stats["files_read"] < stats["files_total"], stats  # pruning real
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
+        )
+        g = (
+            pa.table({"event_type": t["event_type"], "cents": cents})
+            .group_by(["event_type"])
+            .aggregate([([], "count_all"), ("cents", "sum")])
+        )
+        return g.rename_columns(["event_type", "pc_n", "pc_cents"])
+
+    return (
+        pruned.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("pc_n", alias_name="n_events"),
+            Sum("pc_cents", alias_name="cents_total"),
+        )
+    )
+
+
+def _sql_events_clustered_scan(sf_dir: str) -> str:
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents_total
+FROM events
+WHERE value >= 100.0 AND value <= 250.0
+GROUP BY 1"""
+
+
 # ----------------------------------------------------------------- registry
 
 # name -> (ray_fn, sql_fn | None)
@@ -4360,6 +4417,10 @@ REGISTRY: dict = {
     "events_retention_cohorts": (
         events_retention_cohorts,
         _sql_events_retention_cohorts,
+    ),
+    "events_clustered_scan": (
+        events_clustered_scan,
+        _sql_events_clustered_scan,
     ),
     "lp_parsed_fields": (lp_parsed_fields, _sql_lp_parsed_fields),
     "lp_stats_by_level": (lp_stats_by_level, _sql_lp_stats_by_level),

@@ -1,0 +1,167 @@
+"""Data-layout management: cluster-by-key writes + zone-map pruned reads.
+
+Zone maps (per-file min/max of a clustering column) only pay off when
+the data is clustered, so the two halves ship together:
+
+* ``cluster_write`` range-partitions a Dataset by a column — bounds
+  come from EXACT distributed quantile selection (`exact_rank_value`),
+  so file sizes are balanced whatever the distribution — and writes
+  one parquet per range (tmp+rename atomic) plus a ``zonemap.json``
+  sidecar recording each file's true [min, max].
+* ``pruned_read`` consults the sidecar and reads ONLY the files whose
+  range overlaps the predicate, then applies the exact predicate via
+  the parquet fragment scanner (``filter=``) — at 100 TB a selective
+  range query touches a handful of files, not the lake.
+
+The reference engine has no layout management (it streams whatever
+file it is given); this is the Ray-native lakehouse-style layer a
+100 TB corpus needs (SURVEY §2.6 scale surface).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ray.data import Dataset
+
+ZONEMAP_NAME = "zonemap.json"
+
+
+def cluster_write(
+    ds: Dataset,
+    col: str,
+    out_dir: str,
+    n_ranges: int = 8,
+    bounds: list | None = None,
+) -> dict:
+    """Range-partition ``ds`` by ``col`` into ``n_ranges`` files under
+    ``out_dir``. Rows with ``col`` null are dropped (they cannot be
+    zone-mapped). Returns the zone map {filename: [lo, hi, rows]}.
+
+    Bounds default to the EXACT (i * n / n_ranges)-th ranked values
+    (distributed selection, no sort), so each range holds ~n/n_ranges
+    rows even on skewed data. Range i is [b_{i-1}, b_i) with the last
+    range closed above; ties at a bound all land in one range (the
+    zone map records TRUE per-file min/max, so pruning stays exact
+    whatever the tie layout).
+
+    Files are written tmp+rename atomic, one parquet per range, and
+    the sidecar is written last — a crashed run leaves no sidecar and
+    is simply rebuilt.
+    """
+    from ..stages.aggregate import exact_rank_value
+
+    base = ds.map_batches(
+        lambda t, c=col: t.filter(pc.is_valid(t[c])), batch_format="pyarrow"
+    )
+    if bounds is None:
+        n = base.count()
+        if n == 0:
+            raise ValueError("cluster_write: empty input")
+        ranks = sorted(
+            {min(n - 1, (i * n) // n_ranges) for i in range(1, n_ranges)}
+        )
+        bounds = [exact_rank_value(base, col, r) for r in ranks]
+        # dedupe equal bounds (heavy ties can collapse ranges)
+        bounds = sorted(set(bounds))
+    nb = len(bounds)
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def assign(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = t[col].to_numpy(zero_copy_only=False)
+        rid = np.searchsorted(np.asarray(bounds), v, side="right")
+        return t.append_column("_range", pa.array(rid, pa.int64()))
+
+    assigned = base.map_batches(assign, batch_format="pyarrow")
+
+    # one keyed exchange co-locates each range, then one task per
+    # range writes its file and returns the zone-map row
+    def write_range(t: pa.Table) -> pa.Table:
+        rid = int(t["_range"][0].as_py())
+        body = t.drop(["_range"]).sort_by(col)
+        name = f"range_{rid:05d}.parquet"
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        pq.write_table(body, tmp)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table(
+            {
+                "file": pa.array([name]),
+                "lo": pa.array([body[col][0].as_py()]),
+                "hi": pa.array([body[col][body.num_rows - 1].as_py()]),
+                "rows": pa.array([body.num_rows], pa.int64()),
+            }
+        )
+
+    zones = (
+        assigned.groupby("_range")
+        .map_groups(write_range, batch_format="pyarrow")
+        .to_pandas()
+    )
+    zonemap = {
+        r.file: [r.lo, r.hi, int(r.rows)] for r in zones.itertuples()
+    }
+    tmp = os.path.join(out_dir, f".{ZONEMAP_NAME}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"col": col, "bounds": list(bounds), "zones": zonemap}, f)
+    os.replace(tmp, os.path.join(out_dir, ZONEMAP_NAME))
+    return zonemap
+
+
+def pruned_read(
+    out_dir: str,
+    lo=None,
+    hi=None,
+    columns: list[str] | None = None,
+) -> tuple[Dataset, dict]:
+    """Read only the files whose zone [min, max] overlaps [lo, hi]
+    (either side None = unbounded), then apply the exact predicate in
+    the fragment scanner. Returns (Dataset, stats) where stats records
+    files_total / files_read — the pruning evidence.
+    """
+    import pyarrow.dataset as pds
+
+    import ray.data as rd
+
+    from .factory import strip_pandas_metadata
+
+    with open(os.path.join(out_dir, ZONEMAP_NAME)) as f:
+        meta = json.load(f)
+    col = meta["col"]
+    picked = []
+    for name, (zlo, zhi, _rows) in meta["zones"].items():
+        if lo is not None and zhi < lo:
+            continue
+        if hi is not None and zlo > hi:
+            continue
+        picked.append(os.path.join(out_dir, name))
+    stats = {
+        "files_total": len(meta["zones"]),
+        "files_read": len(picked),
+        "col": col,
+    }
+    if not picked:
+        raise ValueError(
+            f"pruned_read: no file overlaps [{lo}, {hi}] — empty result; "
+            "handle upstream"
+        )
+    expr = None
+    if lo is not None:
+        expr = pds.field(col) >= lo
+    if hi is not None:
+        e2 = pds.field(col) <= hi
+        expr = e2 if expr is None else (expr & e2)
+    kw = {"filter": expr} if expr is not None else {}
+    if columns is not None:
+        kw["columns"] = columns
+    ds = rd.read_parquet(picked, **kw).map_batches(
+        strip_pandas_metadata, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds, stats

@@ -68,3 +68,46 @@ def test_read_parquet_filter_pushdown_exact(ray_session, tmp_path):
     out = read_parquet_clean(p, filter=(pds.field("x") >= 437)).to_pandas()
     assert sorted(out.x) == list(range(437, 1000))
     assert (out.y == out.x % 7).all()
+
+
+def test_cluster_write_pruned_read_roundtrip(ray_session, tmp_path):
+    """Range-clustered layout: balanced files from exact quantile
+    bounds, zone map records true min/max, pruned_read touches only
+    overlapping files, and the filtered union equals a full-scan
+    filter — including boundary values."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logpipe_ray.sources.layout import cluster_write, pruned_read
+
+    rng = np.random.default_rng(13)
+    v = np.concatenate([rng.normal(0, 100, 9000), [250.0, 100.0]])
+    ids = np.arange(len(v))
+    ds = rd.from_arrow(pa.table({"id": ids, "value": v})).repartition(6)
+    out = str(tmp_path / "layout")
+    zm = cluster_write(ds, "value", out, n_ranges=8)
+    assert len(zm) == 8
+    rows = [r for (_, _, r) in zm.values()]
+    assert max(rows) - min(rows) <= 2  # balanced by exact selection
+    meta = json.load(open(f"{out}/zonemap.json"))
+    # zones are disjoint and ordered by construction
+    zs = sorted(meta["zones"].values(), key=lambda z: z[0])
+    for a, b in zip(zs, zs[1:]):
+        assert a[1] <= b[0]
+
+    pruned, stats = pruned_read(out, lo=100.0, hi=250.0)
+    assert stats["files_read"] < stats["files_total"]
+    got = pruned.to_pandas().sort_values("id")
+    m = (v >= 100.0) & (v <= 250.0)
+    assert got["id"].tolist() == ids[m].tolist()
+    assert np.array_equal(got["value"].to_numpy(), v[m])
+
+    # unbounded side + no-overlap guard
+    left, st2 = pruned_read(out, hi=-350.0) if (v <= -350).any() else (None, None)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no file overlaps"):
+        pruned_read(out, lo=1e12)
