@@ -271,6 +271,32 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
     }
 
 
+def run_stats(sf_dir: str, num_cpus: int, query: str) -> None:
+    """Execute one registry query and print its ray.data stats() —
+    the per-operator wall/cpu/rows breakdown used to verify that a
+    stage's wall-time is dominated by useful compute."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from logpipe_ray import queries as Q
+
+    res = Q.REGISTRY[query][0](sf_dir)
+    from ray.data import Dataset
+
+    if isinstance(res, Dataset):
+        res = res.materialize()
+        print(res.stats())
+    else:
+        print(f"(non-Dataset result: {type(res).__name__}; no stats)")
+    ray.shutdown()
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -279,6 +305,9 @@ def main() -> None:
         return
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
+        return
+    if "--stats" in sys.argv:
+        run_stats(sf_dir, num_cpus, sys.argv[sys.argv.index("--stats") + 1])
         return
     headline_only = os.environ.get("LOGPIPE_BENCH_HEADLINE_ONLY") == "1"
     print(json.dumps(run_benchmark(sf_dir, num_cpus, headline_only=headline_only)))

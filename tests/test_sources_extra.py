@@ -111,3 +111,25 @@ def test_cluster_write_pruned_read_roundtrip(ray_session, tmp_path):
 
     with _pytest.raises(ValueError, match="no file overlaps"):
         pruned_read(out, lo=1e12)
+
+
+def test_cluster_write_heavy_ties_collapse_bounds(ray_session, tmp_path):
+    """A column dominated by one value collapses duplicate quantile
+    bounds instead of emitting empty ranges; pruning stays exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logpipe_ray.sources.layout import cluster_write, pruned_read
+
+    v = np.concatenate([np.full(5000, 7.0), np.arange(100, dtype=np.float64)])
+    ds = rd.from_arrow(
+        pa.table({"id": np.arange(len(v)), "value": v})
+    ).repartition(4)
+    out = str(tmp_path / "ties")
+    zm = cluster_write(ds, "value", out, n_ranges=8)
+    assert 1 <= len(zm) <= 8  # collapsed, no empty ranges
+    pruned, stats = pruned_read(out, lo=7.0, hi=7.0)
+    got = pruned.to_pandas()
+    assert len(got) == (v == 7.0).sum()
+    assert (got["value"] == 7.0).all()
