@@ -41,7 +41,8 @@ def _pair_count_partial(tokens_col: str):
         col = t[tokens_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        flat = np.asarray(col.flatten(), dtype=np.int64)
+        # zero-copy int32 view; widened per-subarray in the key pack
+        flat = col.flatten().to_numpy(zero_copy_only=True)
         empty = pa.table(
             {"key": pa.array([], pa.int64()), "p": pa.array([], pa.int64())}
         )
@@ -51,7 +52,7 @@ def _pair_count_partial(tokens_col: str):
         ends = np.cumsum(L[L > 0]) - 1
         valid = np.ones(len(flat) - 1, dtype=bool)
         valid[ends[ends < len(flat) - 1]] = False
-        keys = flat[:-1][valid] * _PACK + flat[1:][valid]
+        keys = np.multiply(flat[:-1][valid], _PACK, dtype=np.int64) + flat[1:][valid]
         vc = pc.value_counts(pa.array(keys, pa.int64()))
         return pa.table(
             {

@@ -104,7 +104,8 @@ def bigram_frequency(
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         L = np.asarray(pc.list_value_length(col).fill_null(0), dtype=np.int64)
-        flat = np.asarray(col.flatten(), dtype=np.int64)
+        # zero-copy int32 view; widened per-subarray in the key pack
+        flat = col.flatten().to_numpy(zero_copy_only=True)
         if flat.size == 0:
             return pa.table(
                 {"key": pa.array([], pa.int64()), "p": pa.array([], pa.int64())}
@@ -120,7 +121,7 @@ def bigram_frequency(
         ends = np.cumsum(L[L > 0]) - 1  # last-token flat positions
         valid = np.ones(len(flat) - 1, dtype=bool)
         valid[ends[ends < len(flat) - 1]] = False
-        keys = (flat[:-1][valid] << 32) | flat[1:][valid]
+        keys = np.left_shift(flat[:-1][valid], 32, dtype=np.int64) | flat[1:][valid]
         vc = pc.value_counts(pa.array(keys, pa.int64()))
         return pa.table(
             {

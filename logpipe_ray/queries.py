@@ -1352,7 +1352,10 @@ def seq_mean_token_freq(sf_dir: str) -> Dataset:
         col = t["tokens"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        flat = np.asarray(pc.list_flatten(col), dtype=np.int64)
+        # zero-copy int32 view, used only as gather indices — the int64
+        # upcast (np.asarray dtype=) measured 265 ms per 3.4M tokens on
+        # this VM, dominating the whole scoring UDF
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=True)
         lengths = np.asarray(pc.list_value_length(col).fill_null(0), dtype=np.int64)
         offsets = np.concatenate([[0], np.cumsum(lut_local[flat])])
         starts = np.concatenate([[0], np.cumsum(lengths)])
@@ -2979,7 +2982,8 @@ def seq_mean_bigram_freq(sf_dir: str) -> Dataset:
         col = t["tokens"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        flat = np.asarray(col.flatten(), dtype=np.int64)
+        # zero-copy int32 view (the int64 upcast was the UDF hot spot)
+        flat = col.flatten().to_numpy(zero_copy_only=True)
         if len(flat) < 2:
             return empty
         lengths = np.asarray(pc.list_value_length(col).fill_null(0), dtype=np.int64)
@@ -2988,7 +2992,10 @@ def seq_mean_bigram_freq(sf_dir: str) -> Dataset:
         ends = np.cumsum(lengths[lengths > 0]) - 1
         valid = np.ones(len(flat) - 1, dtype=bool)
         valid[ends[ends < len(flat) - 1]] = False
-        vals = lut_local[flat[:-1][valid] * v + flat[1:][valid]]
+        # fused int64 widening: one ufunc pass, no full-array astype
+        vals = lut_local[
+            np.multiply(flat[:-1][valid], v, dtype=np.int64) + flat[1:][valid]
+        ]
         bl = np.maximum(lengths - 1, 0)
         starts = np.concatenate([[0], np.cumsum(bl)])
         csum = np.concatenate([[0], np.cumsum(vals)])
