@@ -3831,12 +3831,16 @@ def docs_quality_topfrac(sf_dir: str) -> Dataset:
     from .functions.textfns import quality_batch
     from .stages.aggregate import global_topk_filter
 
+    # materialize the scored 2-column projection once: the count and
+    # the selection passes would otherwise re-run quality_batch over
+    # the whole corpus per pass (measured 13 recomputations)
     ds = (
         read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         .map_batches(quality_batch, batch_format="pyarrow")
         .select_columns(["doc_id", "quality_score"])
+        .materialize()
     )
     k = ds.count() // 4
     return global_topk_filter(ds, "quality_score", "doc_id", k)

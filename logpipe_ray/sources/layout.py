@@ -60,13 +60,17 @@ def cluster_write(
         lambda t, c=col: t.filter(pc.is_valid(t[c])), batch_format="pyarrow"
     )
     if bounds is None:
-        n = base.count()
+        # single-column projection materialized once: each bound is
+        # 2-4 selection passes over it, and re-executing a lazy input
+        # n_ranges x passes times would re-read the lake
+        sel = base.select_columns([col]).materialize()
+        n = sel.count()
         if n == 0:
             raise ValueError("cluster_write: empty input")
         ranks = sorted(
             {min(n - 1, (i * n) // n_ranges) for i in range(1, n_ranges)}
         )
-        bounds = [exact_rank_value(base, col, r) for r in ranks]
+        bounds = [exact_rank_value(sel, col, r) for r in ranks]
         # dedupe equal bounds (heavy ties can collapse ranges)
         bounds = sorted(set(bounds))
     nb = len(bounds)
