@@ -413,18 +413,60 @@ def full_outer_merge(
     left_cols: dict[str, pa.DataType],
     right_cols: dict[str, pa.DataType],
     fill=None,
+    driver_limit: int = 100_000,
 ) -> Dataset:
     """FULL OUTER JOIN of two KEYED datasets (each side holds at most
     one row per ``key`` — the join of two aggregates): every key from
     either side appears exactly once, the absent side's columns filled
     with ``fill`` (None keeps typed nulls).
 
-    Distributed shape: tag + union + one keyed groupby; each reducer
-    group holds at most two rows (one per side), so the reduce is O(1)
+    Both inputs are materialized once (they are aggregate outputs —
+    bounded by distinct keys — and are consumed 2-3 times below).
+    When BOTH sides fit ``driver_limit`` rows the merge happens on the
+    driver (a calendar-keyed aggregate is a few thousand rows; the
+    union+groupby exchange alone costs seconds of fixed setup);
+    otherwise the distributed shape runs: tag + union + one keyed
+    groupby whose groups hold at most two rows, so the reduce is O(1)
     per key regardless of total key count — no broadcast, works when
-    BOTH sides are too big to ship.
+    BOTH sides are too big to ship. Both routes are pytest-proven
+    equal.
     """
+    import numpy as np
     import pandas as pd
+    import pyarrow.compute as _pc
+    import ray
+
+    left = left.materialize()
+    right = right.materialize()
+    if left.count() <= driver_limit and right.count() <= driver_limit:
+        def _tbl(d: Dataset, cols: dict) -> "pd.DataFrame":
+            tbls = [t for t in ray.get(d.to_arrow_refs()) if t.num_columns]
+            t = (
+                pa.concat_tables(tbls)
+                if tbls
+                else pa.table(
+                    {key: pa.array([], pa.int64()),
+                     **{c: pa.array([], typ) for c, typ in cols.items()}}
+                )
+            )
+            return t.select([key] + list(cols)).to_pandas()
+
+        m = _tbl(left, left_cols).merge(
+            _tbl(right, right_cols), on=key, how="outer"
+        )
+        out = {key: pa.array(m[key].to_numpy())}
+        for cols in (left_cols, right_cols):
+            for c, typ in cols.items():
+                v = m[c]
+                if fill is not None:
+                    v = v.fillna(fill)
+                # pandas promotes ints with NaN to float64; cast back
+                out[c] = _pc.cast(
+                    pa.array(v.to_numpy(), from_pandas=True), typ, safe=False
+                )
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table(out))
 
     all_cols = {**left_cols, **right_cols}
     unioned = left.map_batches(

@@ -110,12 +110,15 @@ def test_full_outer_merge_matches_duckdb(ray_session):
     r = rd.from_arrow(
         pa.table({"k": [2, 3, 4, 9], "b": [200, 300, 400, 900]})
     ).repartition(2)
-    out = (
-        full_outer_merge(
-            l, r, "k", {"a": pa.int64()}, {"b": pa.int64()}, fill=0
+    outs = {}
+    for label, kw in (("driver", {}), ("distributed", {"driver_limit": 0})):
+        outs[label] = (
+            full_outer_merge(
+                l, r, "k", {"a": pa.int64()}, {"b": pa.int64()}, fill=0, **kw
+            )
+            .to_pandas().sort_values("k").reset_index(drop=True)
         )
-        .to_pandas().sort_values("k").reset_index(drop=True)
-    )
+    out = outs["driver"]
     ref = duckdb.sql(
         """
         WITH l(k, a) AS (VALUES (1,10),(2,20),(3,30),(7,70)),
@@ -129,6 +132,12 @@ def test_full_outer_merge_matches_duckdb(ray_session):
     assert out["a"].tolist() == ref["a"].tolist()
     assert out["b"].tolist() == ref["b"].tolist()
     assert str(out["a"].dtype) == "int64" and str(out["b"].dtype) == "int64"
+    # distributed route (forced) is identical, schema included
+    d = outs["distributed"]
+    assert d["k"].tolist() == ref["k"].tolist()
+    assert d["a"].tolist() == ref["a"].tolist()
+    assert d["b"].tolist() == ref["b"].tolist()
+    assert str(d["a"].dtype) == "int64" and str(d["b"].dtype) == "int64"
 
 
 def test_skew_join_planted_hot_key(ray_session):
