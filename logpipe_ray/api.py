@@ -121,6 +121,71 @@ class Pipeline:
     def top_k(self, sort_keys: list[tuple[str, str]], k: int) -> "Pipeline":
         return Pipeline(top_k(self._ds, sort_keys, k))
 
+    # --------------------------------------------- round-3 operator families
+    def validate(self, rules: list[dict]) -> "Pipeline":
+        """Declarative data-contract report (stages/validate.py)."""
+        from .stages.validate import validation_report
+
+        return Pipeline(validation_report(self._ds, rules))
+
+    def latest_by(self, key: str, order_cols: list[str], **kw) -> "Pipeline":
+        """CDC latest-snapshot argmax per key (stages/aggregate.py)."""
+        from .stages.aggregate import latest_by_key
+
+        return Pipeline(latest_by_key(self._ds, key, order_cols, **kw))
+
+    def global_top_k(
+        self, value_col: str, tiebreak_col: str, k: int, **kw
+    ) -> "Pipeline":
+        """Exact k best rows by (value DESC, id) with no global sort."""
+        from .stages.aggregate import global_topk_filter
+
+        return Pipeline(global_topk_filter(self._ds, value_col, tiebreak_col, k, **kw))
+
+    def chunk_text(
+        self, chunk_words: int = 64, overlap: int = 16, **kw
+    ) -> "Pipeline":
+        """Overlapping fixed-width word-window chunking (1 row -> N)."""
+        from .functions.corpusfns import chunk_batch
+
+        return self._chain(
+            lambda t: chunk_batch(t, chunk_words=chunk_words, overlap=overlap, **kw)
+        )
+
+    def join_dim(
+        self,
+        dim: "Pipeline | Dataset",
+        key: str,
+        dim_key: str,
+        dim_cols: list[str],
+        hot_threshold: int = 1_000_000,
+        **kw,
+    ) -> "Pipeline":
+        """Skew-aware fact-dim inner join (stages/join.py:skew_join)."""
+        from .stages.join import skew_join
+
+        d = dim.dataset if isinstance(dim, Pipeline) else dim
+        return Pipeline(
+            skew_join(self._ds, d, key, dim_key, dim_cols, hot_threshold, **kw)
+        )
+
+    def join_window(
+        self,
+        other: "Pipeline | Dataset",
+        key: str,
+        left_ts: str,
+        right_ts: str,
+        window_us: int,
+        **kw,
+    ) -> "Pipeline":
+        """Time-windowed per-key stream join (all matches in window)."""
+        from .stages.join import window_join
+
+        o = other.dataset if isinstance(other, Pipeline) else other
+        return Pipeline(
+            window_join(self._ds, o, key, left_ts, right_ts, window_us, **kw)
+        )
+
     # --------------------------------------------------------------- sinks
     def sink(self, sink_type: str, **options) -> dict:
         from .sinks.factory import create_sink

@@ -127,3 +127,49 @@ def test_cli_run_and_flagship(ray_session, tiny_sequences, tmp_path, capsys):
     assert rc == 0
     data = json.loads(capsys.readouterr().out)
     assert data["rows_in"] == 2000
+
+
+def test_pipeline_round3_operator_methods(ray_session):
+    """The fluent Pipeline surface exposes the round-3 operator
+    families; spot-check validate / latest_by / global_top_k /
+    chunk_text / join_dim / join_window end to end."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logpipe_ray.api import Pipeline
+
+    t = pa.table(
+        {
+            "k": [1, 1, 2, 2, 3],
+            "ts": [10, 20, 5, 7, 1],
+            "v": [1.0, 2.0, 3.0, None, 5.0],
+        }
+    )
+    p = Pipeline.from_dataset(rd.from_arrow(t))
+
+    rep = p.validate([{"col": "v", "check": "not_null"}]).to_pandas()
+    assert rep["n_violations"].tolist() == [1]
+
+    latest = p.latest_by("k", ["ts"]).to_pandas().sort_values("k")
+    assert latest["ts"].tolist() == [20, 7, 1]
+
+    got = p.global_top_k("ts", "k", 2).to_pandas()
+    assert sorted(got["ts"]) == [10, 20]
+
+    docs = Pipeline.from_dataset(
+        rd.from_arrow(pa.table({"doc_id": [1], "text": ["a b c d e"]}))
+    )
+    ch = docs.chunk_text(chunk_words=3, overlap=1).to_pandas()
+    assert ch["chunk_text"].tolist() == ["a b c", "c d e"]
+
+    dim = rd.from_arrow(pa.table({"dk": [1, 2], "lab": ["x", "y"]}))
+    j = p.join_dim(dim, "k", "dk", ["lab"], hot_threshold=100).to_pandas()
+    assert sorted(j["lab"]) == ["x", "x", "y", "y"]
+
+    right = Pipeline.from_dataset(
+        rd.from_arrow(pa.table({"k": [1, 1], "rts": [8, 19], "rid": [100, 101]}))
+    )
+    w = p.join_window(right, "k", "ts", "rts", window_us=5).to_pandas()
+    # ts=10 matches rts=8 (within 5 back); ts=20 matches rts=19
+    assert sorted(zip(w["ts"], w["rid"])) == [(10, 100), (20, 101)]
