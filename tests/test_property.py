@@ -172,3 +172,60 @@ def test_dot_path_struct_access(rows):
     assert col.to_pylist() == [r["meta"]["env"] for r in rows]
     missing = get_path(t, "meta.nope.deep")
     assert missing.null_count == len(rows)
+
+
+# --------------------------- distributed selection properties (Ray) ---------
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=5, max_size=400
+    ),
+    nparts=st.integers(min_value=1, max_value=7),
+    rank_frac=st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(max_examples=8, deadline=None)
+def test_exact_rank_value_property(ray_session, vals, nparts, rank_frac):
+    """exact_rank_value == np.sort at an arbitrary rank, under heavy
+    ties, any partitioning, tiny collect limits."""
+    import numpy as np
+    import ray.data as rd
+
+    from logpipe_ray.stages.aggregate import exact_rank_value
+
+    arr = np.array(vals, dtype=np.int64)
+    rank = min(len(arr) - 1, int(rank_frac * len(arr)))
+    ds = rd.from_arrow(pa.table({"v": arr})).repartition(nparts)
+    got = exact_rank_value(ds, "v", rank, collect_limit=16)
+    assert got == int(np.sort(arr)[rank])
+
+
+@given(
+    n=st.integers(min_value=4, max_value=300),
+    distinct=st.integers(min_value=1, max_value=6),
+    k_frac=st.floats(min_value=0.01, max_value=0.99),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=8, deadline=None)
+def test_global_topk_filter_property(ray_session, n, distinct, k_frac, seed):
+    """global_topk_filter == pandas row_number()<=k for random tie
+    density, size and k."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logpipe_ray.stages.aggregate import global_topk_filter
+
+    rng = np.random.default_rng(seed)
+    score = rng.integers(0, distinct, size=n).astype(float)
+    ids = rng.permutation(n)
+    k = max(1, int(k_frac * n))
+    ref = (
+        pd.DataFrame({"id": ids, "s": score})
+        .sort_values(["s", "id"], ascending=[False, True])
+        .head(k)
+    )
+    ds = rd.from_arrow(pa.table({"id": ids, "s": score})).repartition(3)
+    out = global_topk_filter(ds, "s", "id", k, collect_limit=16).to_pandas()
+    assert len(out) == k
+    assert set(zip(out.id, out.s)) == set(zip(ref.id, ref.s))
