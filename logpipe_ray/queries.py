@@ -4264,6 +4264,30 @@ WHERE value >= 100.0 AND value <= 250.0
 GROUP BY 1"""
 
 
+def monthly_balance_long(sf_dir: str) -> Dataset:
+    """UNPIVOT representative: the monthly order/ship FULL OUTER
+    balance melted to long form (month, metric, value) — one streaming
+    ``melt_batch`` pass over the keyed aggregate, no extra exchange."""
+    from .stages.transform import melt_batch
+
+    wide = monthly_order_ship_balance(sf_dir)
+    return wide.map_batches(
+        lambda t: melt_batch(
+            t, ["month"], ["n_orders", "n_ship"],
+            value_type=pa.int64(),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_monthly_balance_long(sf_dir: str) -> str:
+    return f"""
+WITH wide AS ({_sql_monthly_order_ship_balance(sf_dir)})
+SELECT month, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL
+SELECT month, 'n_ship' AS metric, n_ship AS value FROM wide"""
+
+
 # ----------------------------------------------------------------- registry
 
 # name -> (ray_fn, sql_fn | None)
@@ -4433,6 +4457,7 @@ REGISTRY: dict = {
         events_clustered_scan,
         _sql_events_clustered_scan,
     ),
+    "monthly_balance_long": (monthly_balance_long, _sql_monthly_balance_long),
     "lp_parsed_fields": (lp_parsed_fields, _sql_lp_parsed_fields),
     "lp_stats_by_level": (lp_stats_by_level, _sql_lp_stats_by_level),
     "lp_enriched": (lp_enriched, _sql_lp_enriched),

@@ -278,3 +278,41 @@ def hash_column(field: str, result_field: str | None = None, buckets: int | None
         return batch.append_column(res, pa.array(h.astype(np.int64)))
 
     return fn
+
+
+def melt_batch(
+    t: pa.Table,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "metric",
+    value_name: str = "value",
+    value_type: pa.DataType | None = None,
+) -> pa.Table:
+    """UNPIVOT (wide -> long): one output row per (input row, value
+    column) — the reshape inverse of the pivot partials. Vectorized:
+    id columns repeat via a single take, the value block is a concat
+    of casts (``value_type`` defaults to float64 to unify mixed
+    numeric inputs, like SQL UNPIVOT's common supertype)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    vt = value_type or pa.float64()
+    n = t.num_rows
+    k = len(value_cols)
+    idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+    out = {c: t[c].take(idx) for c in id_cols}
+    names = pa.array(value_cols * n, pa.string()) if n else pa.array([], pa.string())
+    # interleave: row-major (row0 col0, row0 col1, ...) to match the
+    # repeat layout of the id columns
+    cols = []
+    for c in value_cols:
+        col = t[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cols.append(col.cast(vt).to_numpy(zero_copy_only=False))
+    stacked = (
+        np.stack(cols, axis=1).reshape(-1) if n else np.empty(0, np.float64)
+    )
+    out[var_name] = names
+    out[value_name] = pa.array(stacked, vt)
+    return pa.table(out)

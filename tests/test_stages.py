@@ -218,3 +218,28 @@ def test_validation_report_null_hostile_counts(ray_session):
 
     with _pytest.raises(ValueError, match="duplicate"):
         validation_report(rd.from_arrow(t), [rules[0], rules[0]])
+
+
+def test_melt_batch_unpivot():
+    """melt_batch == pandas melt (row-major layout), typed values,
+    empty-batch stable schema."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from logpipe_ray.stages.transform import melt_batch
+
+    t = pa.table({"k": [1, 2], "a": [10, 20], "b": [30, 40]})
+    out = melt_batch(t, ["k"], ["a", "b"], value_type=pa.int64()).to_pandas()
+    assert list(zip(out.k, out.metric, out.value)) == [
+        (1, "a", 10), (1, "b", 30), (2, "a", 20), (2, "b", 40)
+    ]
+    ref = (
+        pd.DataFrame({"k": [1, 2], "a": [10, 20], "b": [30, 40]})
+        .melt(id_vars="k", var_name="metric", value_name="value")
+    )
+    assert set(zip(out.k, out.metric, out.value)) == set(
+        zip(ref.k, ref.metric, ref.value)
+    )
+    empty = melt_batch(t.slice(0, 0), ["k"], ["a", "b"], value_type=pa.int64())
+    assert empty.num_rows == 0
+    assert empty.column_names == ["k", "metric", "value"]
