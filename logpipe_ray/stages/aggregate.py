@@ -968,12 +968,22 @@ def exact_rank_value(
 
     # resolve in Arrow (not pandas) so an int64 column with the null
     # sentinel row is not promoted to float64 — the returned threshold
-    # keeps the column's native dtype
-    got = pa.concat_tables(
-        _ray.get(
+    # keeps the column's native dtype. Blocks Ray passed through as
+    # column-less empties (the 0-row-block phenomenon, see
+    # join.inner_join_safe) carry no data and are dropped — their
+    # below-bracket contribution is zero by construction.
+    tbls = [
+        t
+        for t in _ray.get(
             base.map_batches(collect, batch_format="pyarrow").to_arrow_refs()
         )
-    )
+        if t.num_columns > 0
+    ]
+    if not tbls:
+        raise RuntimeError(
+            f"exact_rank_value found no data in its bracket (rank={rank})"
+        )
+    got = pa.concat_tables(tbls)
     below = int(pc.sum(got["blw"]).as_py() or 0)
     vt = (
         got.filter(pc.is_valid(got["v"]))
