@@ -551,6 +551,22 @@ def skew_join(
     fact_cols = fact.schema().names
     out_cols = list(fact_cols) + list(dim_cols)
 
+    def _empty_out() -> Dataset:
+        # empty result with the full output schema — an entirely empty
+        # route cannot go through the hash join (Ray forwards empty
+        # inputs as column-less blocks and the join crashes)
+        import ray.data as rd
+
+        fs = fact.schema()
+        ds_ = dim_proj.schema()
+        cols = {
+            nm: pa.nulls(0, typ) for nm, typ in zip(fs.names, fs.types)
+        }
+        for nm, typ in zip(ds_.names, ds_.types):
+            if nm in dim_cols:
+                cols[nm] = pa.nulls(0, typ)
+        return rd.from_arrow(pa.table(cols))
+
     def _map_join_fn(dim_ref):
         """Batch-local many-to-many join of (valid-key rows of) a fact
         batch against a broadcast dimension table sorted by ``key``:
@@ -612,15 +628,27 @@ def skew_join(
         ref = ray.put(whole.sort_by(key))
         return fact.map_batches(_map_join_fn(ref), batch_format="pyarrow")
 
-    counts = count_groupby(fact, [key], alias="_sj_cnt")
+    # counts materialize once (bounded by distinct keys — the same
+    # volume the aggregate's shuffle already produced) so the hot
+    # collect and the route totals below are metadata-cheap
+    counts = count_groupby(fact, [key], alias="_sj_cnt").materialize()
     hot_tbl = _collect(
         counts.map_batches(
             lambda t: t.filter(
                 pc.greater_equal(t["_sj_cnt"], hot_threshold)
-            ).select([key]),
+            ),
             batch_format="pyarrow",
         )
     )
+    n_total = int(counts.sum("_sj_cnt") or 0) if counts.count() else 0
+    n_hot = (
+        int(pc.sum(hot_tbl["_sj_cnt"]).as_py() or 0)
+        if hot_tbl is not None
+        else 0
+    )
+    nd = dim_proj.count()
+    if n_total == 0 or nd == 0:
+        return _empty_out()
     hot_keys = (
         np.sort(hot_tbl[key].to_numpy(zero_copy_only=False))
         if hot_tbl is not None
@@ -660,9 +688,14 @@ def skew_join(
     dim_hot = _collect(
         dim_proj.map_batches(_dim_hot_slice, batch_format="pyarrow")
     )
-    if dim_hot is None:
+    n_cold = n_total - n_hot
+    n_dim_hot = dim_hot.num_rows if dim_hot is not None else 0
+    n_dim_cold = nd - n_dim_hot
+    if dim_hot is None or n_dim_hot == 0:
         # no dimension rows for any hot key: the hot side joins empty,
-        # only the cold native join contributes
+        # only the cold native join contributes (if it has both sides)
+        if n_cold == 0 or n_dim_cold == 0:
+            return _empty_out()
         return _native(
             fact.map_batches(_split(False), batch_format="pyarrow"), dim_proj
         )
@@ -677,6 +710,10 @@ def skew_join(
     hot_out = fact.map_batches(_split(True), batch_format="pyarrow").map_batches(
         _map_join_fn(dim_hot_ref), batch_format="pyarrow"
     )
+    if n_cold == 0 or n_dim_cold == 0:
+        # everything routes hot: the cold inner join would be empty,
+        # and an empty join input crashes the hash aggregator
+        return hot_out
     cold_out = _native(
         fact.map_batches(_split(False), batch_format="pyarrow"),
         dim_proj.map_batches(
@@ -744,8 +781,25 @@ def window_join(
         buckets[1::2] = b + 1
         return rep.append_column("_wj_b", pa.array(buckets))
 
-    lt = left.map_batches(tag_left, batch_format="pyarrow")
-    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    # materialize the tagged sides (the hash join consumes them whole
+    # anyway) so emptiness is known before the join — an entirely
+    # empty side crashes even the laundered join (Ray forwards empty
+    # inputs as column-less blocks without calling the UDF), and the
+    # inner join with an empty side is just an empty result with the
+    # combined schema of the ORIGINAL inputs (whose schemas survive)
+    lt = left.map_batches(tag_left, batch_format="pyarrow").materialize()
+    rt = right.map_batches(tag_right, batch_format="pyarrow").materialize()
+    if lt.count() == 0 or rt.count() == 0:
+        import ray.data as rd
+
+        cols: dict = {}
+        for sch in (left.schema(), right.schema(), lt.schema(), rt.schema()):
+            if sch is None:
+                continue
+            for nm, typ in zip(sch.names, sch.types):
+                if nm != "_wj_b" and isinstance(typ, pa.DataType):
+                    cols.setdefault(nm, pa.nulls(0, typ))
+        return rd.from_arrow(pa.table(cols))
     joined = inner_join_safe(
         lt, rt, on=(key, "_wj_b"), num_partitions=num_partitions
     )

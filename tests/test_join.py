@@ -333,3 +333,51 @@ def test_window_join_matches_duckdb_with_boundaries(ray_session):
     # (inclusive both ends), 899 does not
     got = set(out[out.lid == 9000].rid)
     assert {1, 2} <= got and 3 not in got
+
+
+def test_skew_join_empty_route_edges(ray_session):
+    """Routes that would hand an empty input to the hash join are
+    short-circuited: all-hot fact (empty cold), hot keys with no dim
+    rows, empty fact, empty dim. Empty results keep the output schema
+    at the Dataset level (Ray's to_pandas drops columns on empty —
+    assert via schema, not pandas)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logpipe_ray.stages.join import skew_join
+
+    fact = rd.from_arrow(
+        pa.table({"k": [7] * 500, "v": list(range(500))})
+    ).repartition(4)
+    dim = rd.from_arrow(pa.table({"dk": [7, 8], "lab": ["H", "X"]}))
+
+    # all rows hot -> cold join skipped, hot route alone answers
+    out = skew_join(
+        fact, dim, "k", "dk", ["lab"],
+        hot_threshold=10, dim_broadcast_rows=0,
+    ).to_pandas()
+    assert len(out) == 500 and set(out.lab) == {"H"}
+
+    # hot keys exist but dim has no rows for them -> cold-only
+    f2 = rd.from_arrow(
+        pa.table({"k": [99] * 300 + [7] * 10, "v": list(range(310))})
+    ).repartition(3)
+    out = skew_join(
+        f2, dim, "k", "dk", ["lab"],
+        hot_threshold=50, dim_broadcast_rows=0,
+    ).to_pandas()
+    assert len(out) == 10 and set(out.k) == {7}
+
+    # empty fact / empty dim -> empty result with full output schema
+    ef = rd.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    ed = rd.from_arrow(
+        pa.table({"dk": pa.array([], pa.int64()), "lab": pa.array([], pa.string())})
+    )
+    for f, d in ((ef, dim), (fact, ed)):
+        res = skew_join(
+            f, d, "k", "dk", ["lab"], hot_threshold=10, dim_broadcast_rows=0
+        )
+        assert res.count() == 0
+        assert res.schema().names == ["k", "v", "lab"]

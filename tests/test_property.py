@@ -229,3 +229,80 @@ def test_global_topk_filter_property(ray_session, n, distinct, k_frac, seed):
     out = global_topk_filter(ds, "s", "id", k, collect_limit=16).to_pandas()
     assert len(out) == k
     assert set(zip(out.id, out.s)) == set(zip(ref.id, ref.s))
+
+
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    nkeys=st.integers(min_value=1, max_value=5),
+    nparts=st.integers(min_value=1, max_value=6),
+    nb=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=8, deadline=None)
+def test_latest_by_key_property(ray_session, n, nkeys, nparts, nb, seed):
+    """latest_by_key == pandas sort+drop_duplicates for random key
+    skew, tie-breaking id, any partitioning and bucket count."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logpipe_ray.stages.aggregate import latest_by_key
+
+    rng = np.random.default_rng(seed)
+    k = rng.integers(0, nkeys, size=n)
+    ts = rng.integers(0, 50, size=n)  # heavy ts ties -> id breaks them
+    eid = rng.permutation(n)
+    ds = rd.from_arrow(pa.table({"k": k, "ts": ts, "id": eid})).repartition(nparts)
+    out = (
+        latest_by_key(ds, "k", ["ts", "id"], num_buckets=nb)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    ref = (
+        pd.DataFrame({"k": k, "ts": ts, "id": eid})
+        .sort_values(["k", "ts", "id"], ascending=[True, False, False])
+        .drop_duplicates("k").sort_values("k").reset_index(drop=True)
+    )
+    assert out[["k", "ts", "id"]].values.tolist() == ref[["k", "ts", "id"]].values.tolist()
+
+
+@given(
+    nl=st.integers(min_value=0, max_value=60),
+    nr=st.integers(min_value=0, max_value=60),
+    w=st.integers(min_value=1, max_value=30),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=8, deadline=None)
+def test_window_join_property(ray_session, nl, nr, w, seed):
+    """window_join == brute-force double loop for random window
+    widths, bucket-edge timestamps and key overlap (exactly-once)."""
+    import numpy as np
+    import ray.data as rd
+
+    from logpipe_ray.stages.join import window_join
+
+    rng = np.random.default_rng(seed)
+    lk = rng.integers(0, 4, size=nl)
+    lts = rng.integers(0, 100, size=nl)
+    rk = rng.integers(0, 4, size=nr)
+    rts = rng.integers(0, 100, size=nr)
+    want = sorted(
+        (int(lk[i]), int(lts[i]), int(rts[j]))
+        for i in range(nl)
+        for j in range(nr)
+        if lk[i] == rk[j] and lts[i] - w <= rts[j] <= lts[i]
+    )
+    left = rd.from_arrow(
+        pa.table({"k": lk, "lts": lts, "lid": np.arange(nl)})
+    ).repartition(3)
+    right = rd.from_arrow(
+        pa.table({"k": rk, "rts": rts, "rid": np.arange(nr)})
+    ).repartition(2)
+    out = window_join(
+        left, right, "k", "lts", "rts", window_us=w, num_partitions=4
+    ).to_pandas()
+    if len(out) == 0:
+        # an entirely empty side may lose its schema inside Ray; the
+        # guaranteed contract there is emptiness, not column layout
+        assert want == []
+    else:
+        assert sorted(zip(out.k, out.lts, out.rts)) == want
