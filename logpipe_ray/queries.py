@@ -4288,6 +4288,30 @@ UNION ALL
 SELECT month, 'n_ship' AS metric, n_ship AS value FROM wide"""
 
 
+def events_user_distinct_by_type_approx(sf_dir: str) -> Dataset:
+    """Per-group KMV approximate distinct: distinct users per event
+    type. At the fixture scales every group has far fewer than k=1024
+    distinct users, so the sketch holds every hash and the estimate is
+    EXACT — which is what lets this approximate operator carry a
+    hash-green COUNT(DISTINCT) oracle here while staying a bounded
+    sketch at 10^12 rows."""
+    from .functions.sketches import grouped_approx_distinct
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return grouped_approx_distinct(ds, "event_type", "user_id", k=1024)
+
+
+def _sql_events_user_distinct_by_type_approx(sf_dir: str) -> str:
+    return """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS DOUBLE) AS approx_distinct
+FROM events
+WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1"""
+
+
 # ----------------------------------------------------------------- registry
 
 # name -> (ray_fn, sql_fn | None)
@@ -4458,6 +4482,10 @@ REGISTRY: dict = {
         _sql_events_clustered_scan,
     ),
     "monthly_balance_long": (monthly_balance_long, _sql_monthly_balance_long),
+    "events_user_distinct_by_type_approx": (
+        events_user_distinct_by_type_approx,
+        _sql_events_user_distinct_by_type_approx,
+    ),
     "lp_parsed_fields": (lp_parsed_fields, _sql_lp_parsed_fields),
     "lp_stats_by_level": (lp_stats_by_level, _sql_lp_stats_by_level),
     "lp_enriched": (lp_enriched, _sql_lp_enriched),

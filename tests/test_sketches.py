@@ -125,3 +125,30 @@ def test_heavy_hitters_exact_topk(ray_session):
     ds_u = rd.from_arrow(pa.Table.from_pandas(uni, preserve_index=False)).repartition(8)
     with pytest.raises(RuntimeError, match="not provably exact"):
         heavy_hitters_topk(ds_u, "user_id", k=10, capacity=16)
+
+
+def test_grouped_approx_distinct_exact_below_k_and_bounded_error(ray_session):
+    """Per-group KMV: exact when group distincts < k; error within
+    ~3/sqrt(k) above k; layout-invariant."""
+    import numpy as np
+    import ray.data as rd
+
+    from logpipe_ray.functions.sketches import grouped_approx_distinct
+
+    rng = np.random.default_rng(21)
+    # group A: 150 distinct (< k=256 -> exact); group B: 20_000 (> k)
+    ga = rng.integers(0, 150, size=5000)
+    gb = rng.integers(0, 20_000, size=40_000)
+    g = np.array(["A"] * len(ga) + ["B"] * len(gb))
+    v = np.concatenate([ga, gb])
+    t = pa.table({"g": g, "v": v})
+    for nparts in (2, 7):
+        out = (
+            grouped_approx_distinct(
+                rd.from_arrow(t).repartition(nparts), "g", "v", k=256
+            )
+            .to_pandas().set_index("g")["approx_distinct"]
+        )
+        assert out["A"] == float(len(np.unique(ga)))  # exact below k
+        true_b = len(np.unique(gb))
+        assert abs(out["B"] - true_b) / true_b < 3 / np.sqrt(256)
