@@ -306,3 +306,47 @@ def test_window_join_property(ray_session, nl, nr, w, seed):
         assert want == []
     else:
         assert sorted(zip(out.k, out.lts, out.rts)) == want
+
+
+@given(
+    n=st.integers(min_value=0, max_value=400),
+    hot_frac=st.floats(min_value=0.0, max_value=1.0),
+    nd=st.integers(min_value=0, max_value=30),
+    thr=st.integers(min_value=1, max_value=200),
+    bcast=st.sampled_from([0, 100_000]),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=8, deadline=None)
+def test_skew_join_property(ray_session, n, hot_frac, nd, thr, bcast, seed):
+    """skew_join == brute-force inner join for random hot fractions
+    (0%..100%), dim sizes (incl. empty), thresholds and both planner
+    modes."""
+    import numpy as np
+    import ray.data as rd
+
+    from logpipe_ray.stages.join import skew_join
+
+    rng = np.random.default_rng(seed)
+    fk = np.where(rng.random(n) < hot_frac, 7, rng.integers(0, 12, size=n))
+    dk = rng.integers(0, 12, size=nd)
+    dv = np.arange(nd) * 10
+    want = sorted(
+        (int(fk[i]), i, int(dv[j]))
+        for i in range(n)
+        for j in range(nd)
+        if fk[i] == dk[j]
+    )
+    fact = rd.from_arrow(
+        pa.table({"k": fk.astype(np.int64), "i": np.arange(n)})
+    ).repartition(4)
+    dim = rd.from_arrow(
+        pa.table({"dk": dk.astype(np.int64), "dv": dv})
+    ).repartition(2)
+    out = skew_join(
+        fact, dim, "k", "dk", ["dv"],
+        hot_threshold=thr, dim_broadcast_rows=bcast,
+    ).to_pandas()
+    if len(out) == 0:
+        assert want == []
+    else:
+        assert sorted(zip(out.k, out.i, out.dv)) == want
