@@ -1128,6 +1128,9 @@ def purchases_asof_last_click(sf_dir: str) -> Dataset:
         left_cols={"event_id": pa.int64()},
         right_cols={"last_click_value": pa.float64(), "click_id": pa.int64()},
         tiebreak="click_id",
+        # pinned: events span 30 days; 6h buckets -> ~120 active
+        # buckets per hot user, and no auto Min/Max scan of clicks
+        bucket_width_us=6 * 3600 * 1_000_000,
     )
     def finalize(t: pa.Table) -> pa.Table:
         # the union side-tagging routes ints through pandas NaN -> float

@@ -381,3 +381,64 @@ def test_skew_join_empty_route_edges(ray_session):
         )
         assert res.count() == 0
         assert res.schema().names == ["k", "v", "lab"]
+
+
+def test_asof_join_planted_hot_key(ray_session):
+    """90%-hot-key as-of join: the (key, ts // W) bucketing must (a)
+    equal the whole-history pd.merge_asof reference exactly — ts ties
+    broken by max tiebreak, carries crossing long runs of empty
+    buckets (the hot key's right rows stop at half-time) — and (b)
+    never hand any reducer the hot key's full history: reducer
+    granularity is (key, bucket) and the hot key spans hundreds of
+    buckets with a bounded per-bucket row count."""
+    import numpy as np
+    import pandas as pd
+
+    from logpipe_ray.stages.join import asof_join
+
+    rng = np.random.default_rng(11)
+    W = 100
+    n_hot, n_cold = 4000, 500
+    lk = np.concatenate([np.zeros(n_hot, np.int64), rng.integers(1, 40, n_cold)])
+    lts = rng.integers(0, 40_000, n_hot + n_cold)
+    # hot key's right rows live ONLY in the first half of the span, so
+    # every later left bucket depends on a carry across empty buckets
+    rk = np.concatenate([np.zeros(1500, np.int64), rng.integers(1, 40, 300)])
+    rts = np.concatenate(
+        [rng.integers(0, 20_000, 1500), rng.integers(0, 40_000, 300)]
+    )
+    rv = np.arange(len(rk), dtype=np.int64)
+
+    # structural bound: the hot key spreads over many (key, bucket)
+    # reduce units, none holding more than a sliver of its history
+    hot_b = pd.Series(lts[:n_hot] // W)
+    assert hot_b.nunique() > 100
+    assert hot_b.value_counts().max() < n_hot / 20
+
+    left = rd.from_arrow(
+        pa.table({"k": lk, "ts": lts.astype(np.int64),
+                  "lid": np.arange(len(lk))})
+    ).repartition(5)
+    right = rd.from_arrow(
+        pa.table({"k": rk, "ts": rts.astype(np.int64), "rv": rv, "tb": rv})
+    ).repartition(3)
+    out = asof_join(
+        left, right, "k", "ts",
+        {"lid": pa.int64()}, {"rv": pa.int64(), "tb": pa.int64()},
+        tiebreak="tb", bucket_width_us=W,
+    ).to_pandas()
+
+    ldf = pd.DataFrame(
+        {"k": lk, "ts": lts, "lid": np.arange(len(lk))}
+    ).sort_values("ts", kind="stable")
+    rdf = pd.DataFrame({"k": rk, "ts": rts, "rv": rv, "tb": rv}).sort_values(
+        ["ts", "tb"], kind="stable"
+    )
+    want = pd.merge_asof(ldf, rdf, on="ts", by="k", direction="backward")
+    got = out.sort_values("lid", ignore_index=True)
+    want = want.sort_values("lid", ignore_index=True)
+    assert len(got) == len(lk)
+    assert got["lid"].tolist() == want["lid"].tolist()
+    assert np.allclose(
+        got["rv"].to_numpy(float), want["rv"].to_numpy(float), equal_nan=True
+    )
