@@ -109,8 +109,14 @@ def cluster_write(
         .map_groups(write_range, batch_format="pyarrow")
         .to_pandas()
     )
+    # itertuples yields numpy scalars; np.int64 is NOT json-serializable
+    # (np.float64 only works by accident of subclassing float), so
+    # unwrap to Python scalars before json.dump
+    def _py(v):
+        return v.item() if hasattr(v, "item") else v
+
     zonemap = {
-        r.file: [r.lo, r.hi, int(r.rows)] for r in zones.itertuples()
+        r.file: [_py(r.lo), _py(r.hi), int(r.rows)] for r in zones.itertuples()
     }
     tmp = os.path.join(out_dir, f".{ZONEMAP_NAME}.tmp")
     with open(tmp, "w") as f:

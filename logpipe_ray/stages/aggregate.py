@@ -476,10 +476,15 @@ def grouped_exact_quantile(
 
     import ray
 
+    # the selection passes below re-execute their input once per
+    # histogram refinement + once for the collect; materialize the
+    # 2-column projection ONCE so a lazy upstream (scored/parsed
+    # dataset) is never recomputed per pass — same fix as
+    # global_topk_filter (measured 13 recomputations there)
     base = ds.map_batches(
         lambda t: t.select([key, value_col]).filter(pc.is_valid(t[value_col])),
         batch_format="pyarrow",
-    )
+    ).materialize()
     stats = base.groupby(key).aggregate(
         Count(value_col, alias_name="n"),
         Min(value_col, alias_name="lo"),

@@ -133,3 +133,32 @@ def test_cluster_write_heavy_ties_collapse_bounds(ray_session, tmp_path):
     got = pruned.to_pandas()
     assert len(got) == (v == 7.0).sum()
     assert (got["value"] == 7.0).all()
+
+
+def test_cluster_write_integer_column_zonemap(ray_session, tmp_path):
+    """Zone-map values from an INTEGER clustering column must survive
+    json.dump (np.int64 is not JSON-serializable — only float columns
+    worked by accident of np.float64 subclassing float)."""
+    import json
+    import numpy as np
+    import ray.data as rd
+
+    from logpipe_ray.sources.layout import ZONEMAP_NAME, cluster_write, pruned_read
+
+    rng = np.random.default_rng(9)
+    v = rng.integers(-1000, 1000, 5000)
+    ds = rd.from_arrow(
+        pa.table({"value": v, "id": np.arange(len(v))})
+    ).repartition(4)
+    out = str(tmp_path / "clustered_int")
+    zm = cluster_write(ds, "value", out, n_ranges=6)
+    with open(f"{out}/{ZONEMAP_NAME}") as f:
+        disk = json.load(f)
+    assert disk["zones"].keys() == zm.keys()
+    for lo, hi, rows in disk["zones"].values():
+        assert isinstance(lo, int) and isinstance(hi, int)
+    pruned, stats = pruned_read(out, lo=0, hi=100)
+    got = pruned.to_pandas()["value"].to_numpy()
+    want = v[(v >= 0) & (v <= 100)]
+    assert sorted(got.tolist()) == sorted(want.tolist())
+    assert stats["files_read"] < stats["files_total"]
