@@ -4329,36 +4329,55 @@ GROUP BY 1"""
 # variants of in-window queries; they remain callable and are still
 # exercised by scripts/check_correctness.py and pytest.
 REGISTRY: dict = {
-    # -- never-driver-checked round-2 additions, oracled (11) --
-    "docs_langid": (docs_langid, _sql_docs_langid),
-    "docs_quality_score": (docs_quality_score, _sql_docs_quality_score),
-    "docs_fingerprint": (docs_fingerprint, _sql_docs_fingerprint),
-    "docs_hash_sample": (docs_hash_sample, _sql_docs_hash_sample),
+    # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
+    # Round-4 rotation: the 8 late-r3 oracled queries that never had a
+    # driver row move IN (VERDICT r3 "What's missing #1"), plus the two
+    # queries whose implementations changed this round (time-bucketed
+    # asof_join; bucket-reduce cogroup). Ten double/r3-green entries
+    # park below — their green rows stay on record and the mini-driver
+    # re-verifies them (scripts/check_correctness.py).
+    # -- rotated in: late-r3 additions, oracled, mini-driver green --
+    "docs_chunked": (docs_chunked, _sql_docs_chunked),
+    "events_validation_report": (
+        events_validation_report,
+        _sql_events_validation_report,
+    ),
+    "events_pruned_scan": (events_pruned_scan, _sql_events_pruned_scan),
+    "events_purchase_click_window": (
+        events_purchase_click_window,
+        _sql_events_purchase_click_window,
+    ),
+    "events_retention_cohorts": (
+        events_retention_cohorts,
+        _sql_events_retention_cohorts,
+    ),
+    "events_clustered_scan": (
+        events_clustered_scan,
+        _sql_events_clustered_scan,
+    ),
+    "monthly_balance_long": (monthly_balance_long, _sql_monthly_balance_long),
+    "events_user_distinct_by_type_approx": (
+        events_user_distinct_by_type_approx,
+        _sql_events_user_distinct_by_type_approx,
+    ),
+    # -- rotated in: round-4 reimplementations needing fresh rows --
+    "purchases_asof_last_click": (  # r4: time-bucketed asof_join
+        purchases_asof_last_click,
+        _sql_purchases_asof_last_click,
+    ),
+    "revenue_by_orderpriority_cogroup": (  # r4: bucket-granular reduce
+        revenue_by_orderpriority_cogroup,
+        _sql_revenue_by_orderpriority_cogroup,
+    ),
+    # -- round-2/3 entries keeping their seats (single green row) --
     "seq_bigram_topk": (seq_bigram_topk, _sql_seq_bigram_topk),
-    "docs_top_quality_per_lang": (
-        docs_top_quality_per_lang,
-        _sql_docs_top_quality_per_lang,
-    ),
-    "embeddings_knn_join": (embeddings_knn_join, _sql_embeddings_knn_join),
     "seq_vocab_pruned": (seq_vocab_pruned, _sql_seq_vocab_pruned),
-    "lp_pivot_level_by_service": (
-        lp_pivot_level_by_service,
-        _sql_lp_pivot_level_by_service,
-    ),
-    "events_moving_sum": (events_moving_sum, _sql_events_moving_sum),
     "events_running_total": (events_running_total, _sql_events_running_total),  # r3
-    "docs_prep_corpus": (docs_prep_corpus, _sql_docs_prep_corpus),
-    # -- never-driver-checked round-2 additions, rows-only (6) --
+    # -- rows-only by design (no SQL-expressible oracle) --
     "embeddings_neardup": (embeddings_neardup, None),
     "mm_features": (mm_features, None),
     "mm_resized": (mm_resized, None),
     "events_value_quantiles": (events_value_quantiles, None),
-    # -- SURVEY-§2 log-pipeline core (1 representative in-window;
-    # lp_stats_by_level / lp_enriched / lp_anti_filter /
-    # lp_parsed_fields parked this round with green r1+r2 rows on
-    # record, making room for the round-3 session additions below
-    # which have never had a driver row) --
-    "lp_route_counts": (lp_route_counts, _sql_lp_route_counts),
     # -- round-3 session additions (selection / CDC / outer join /
     # skew join) --
     "events_skew_join_customer": (  # r3: skew-aware fact-dim join
@@ -4462,33 +4481,24 @@ REGISTRY: dict = {
     # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
     # of in-window queries, kept for the library surface + mini-driver.
     "q1_lineitem": (q1_lineitem, _sql_q1_lineitem),
-    # docs_chunked is new this session but out-of-window (the window
-    # already holds only never-driver-checked queries + lp_route_counts);
-    # it is oracled, mini-driver-checked and pytest-covered — rotate it
-    # in next round.
-    "docs_chunked": (docs_chunked, _sql_docs_chunked),
-    "events_validation_report": (
-        events_validation_report,
-        _sql_events_validation_report,
+    # -- parked in round 4 (double/r3-green rows on record) --
+    "lp_route_counts": (lp_route_counts, _sql_lp_route_counts),
+    "docs_prep_corpus": (docs_prep_corpus, _sql_docs_prep_corpus),
+    "embeddings_knn_join": (embeddings_knn_join, _sql_embeddings_knn_join),
+    "docs_langid": (docs_langid, _sql_docs_langid),
+    "docs_quality_score": (docs_quality_score, _sql_docs_quality_score),
+    "docs_fingerprint": (docs_fingerprint, _sql_docs_fingerprint),
+    "docs_hash_sample": (docs_hash_sample, _sql_docs_hash_sample),
+    "docs_top_quality_per_lang": (
+        docs_top_quality_per_lang,
+        _sql_docs_top_quality_per_lang,
     ),
-    "events_pruned_scan": (events_pruned_scan, _sql_events_pruned_scan),
-    "events_purchase_click_window": (
-        events_purchase_click_window,
-        _sql_events_purchase_click_window,
+    "lp_pivot_level_by_service": (
+        lp_pivot_level_by_service,
+        _sql_lp_pivot_level_by_service,
     ),
-    "events_retention_cohorts": (
-        events_retention_cohorts,
-        _sql_events_retention_cohorts,
-    ),
-    "events_clustered_scan": (
-        events_clustered_scan,
-        _sql_events_clustered_scan,
-    ),
-    "monthly_balance_long": (monthly_balance_long, _sql_monthly_balance_long),
-    "events_user_distinct_by_type_approx": (
-        events_user_distinct_by_type_approx,
-        _sql_events_user_distinct_by_type_approx,
-    ),
+    "events_moving_sum": (events_moving_sum, _sql_events_moving_sum),
+    # -- parked in earlier rounds --
     "lp_parsed_fields": (lp_parsed_fields, _sql_lp_parsed_fields),
     "lp_stats_by_level": (lp_stats_by_level, _sql_lp_stats_by_level),
     "lp_enriched": (lp_enriched, _sql_lp_enriched),
@@ -4509,10 +4519,6 @@ REGISTRY: dict = {
     "seq_pack_stats": (seq_pack_stats, None),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
-    "purchases_asof_last_click": (
-        purchases_asof_last_click,
-        _sql_purchases_asof_last_click,
-    ),
     "events_approx_distinct_users": (
         events_approx_distinct_users,
         _sql_events_approx_distinct_users,
@@ -4539,10 +4545,6 @@ REGISTRY: dict = {
     "top_orders": (top_orders, _sql_top_orders),
     "customers_per_region": (customers_per_region, _sql_customers_per_region),
     "order_size_histogram": (order_size_histogram, _sql_order_size_histogram),
-    "revenue_by_orderpriority_cogroup": (
-        revenue_by_orderpriority_cogroup,
-        _sql_revenue_by_orderpriority_cogroup,
-    ),
     "lineitem_anti_high_value": (lineitem_anti_high_value, _sql_lineitem_anti_high_value),
     "seq_len_histogram": (seq_len_histogram, _sql_seq_len_histogram),
     "lp_count_by_level": (lp_count_by_level, _sql_lp_count_by_level),
