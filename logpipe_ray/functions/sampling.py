@@ -205,3 +205,120 @@ def shuffle_rank_sql(table: str, id_col: str, seed: int = 0) -> str:
         f"SELECT {id_col}, CAST(row_number() OVER (ORDER BY {h}, {id_col}) - 1"
         f" AS BIGINT) AS shuffle_rank FROM {table}"
     )
+
+
+# ------------------------------------------------ split + per-group k
+
+def hash_split(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    splits: dict[str, int] | None = None,
+    buckets: int = 100,
+    out_col: str = "split",
+) -> Dataset:
+    """Deterministic train/val/test assignment: ``hash_bucket(id)``
+    partitions [0, buckets) into contiguous ranges sized by the split
+    weights (weights must sum to ``buckets``). Membership is a pure
+    function of the id — resume-safe, identical across runs and
+    partitionings, and disjoint from sibling splits by construction
+    (no leakage). Shuffle-free; exactly replayable in SQL as a CASE
+    over the same integer hash (``split_sql_case``)."""
+    import numpy as np
+
+    splits = splits or {"train": 98, "val": 1, "test": 1}
+    if sum(splits.values()) != buckets:
+        raise ValueError("split weights must sum to the bucket count")
+    names = np.array(list(splits), dtype=object)
+    cuts = np.cumsum(np.fromiter(splits.values(), dtype=np.int64))
+
+    def fn(t: pa.Table) -> pa.Table:
+        b = np.asarray(hash_bucket(t[id_col], buckets), dtype=np.int64)
+        idx = np.searchsorted(cuts, b, side="right")
+        return t.append_column(out_col, pa.array(names[idx], pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def split_sql_case(id_col: str, splits: dict[str, int], buckets: int = 100) -> str:
+    """DuckDB expression replaying hash_split exactly."""
+    h = f"((({id_col} * {HASH_A} + {HASH_B}) % {HASH_M}) % {buckets})"
+    cut = 0
+    branches = []
+    for name, w in splits.items():
+        cut += w
+        branches.append(f"WHEN {h} < {cut} THEN '{name}'")
+    return "CASE " + " ".join(branches) + " END"
+
+
+def grouped_hash_topk(
+    ds: Dataset,
+    group_col: str,
+    id_col: str = "doc_id",
+    k: int = 5,
+    seed: int = 1,
+) -> Dataset:
+    """Deterministic k-per-group sample — the reservoir-sampling shape
+    without RNG state: keep each group's k rows with the smallest
+    (shuffle_hash(id, seed), id). A different seed draws an
+    independent sample; membership is a pure function of the ids.
+
+    Scale shape: a per-batch vectorized partial top-k per group
+    (lexsort + run-boundary rank) caps the exchange at
+    batches x groups x k rows, then one small groupby(group) finishes
+    — no reducer ever sees a group's full row set. Replayable in SQL:
+    ``row_number() OVER (PARTITION BY g ORDER BY hash, id) <= k``.
+    Returns (group_col, id_col, sample_rank)."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = np.asarray(shuffle_hash(t[id_col], seed))
+        ids = np.asarray(pc.cast(t[id_col], pa.int64()), dtype=np.int64)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(g)
+        order = np.lexsort((ids, h, codes))
+        gs = codes[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(first)
+        rank = np.arange(len(gs)) - np.repeat(starts, np.diff(
+            np.append(starts, len(gs))
+        ))
+        keep_sorted = order[rank < k]
+        out = t.take(pa.array(keep_sorted, pa.int64()))
+        return pa.table(
+            {
+                group_col: out[group_col],
+                id_col: out[id_col],
+                "_h": pa.array(h[keep_sorted]),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(df):
+        import pandas as pd
+
+        df = df.sort_values(["_h", id_col], kind="stable").head(k)
+        return pd.DataFrame(
+            {
+                group_col: df[group_col].to_numpy(),
+                id_col: df[id_col].to_numpy(),
+                "sample_rank": np.arange(len(df), dtype=np.int64),
+            }
+        )
+
+    return partials.groupby(group_col).map_groups(final, batch_format="pandas")
+
+
+def grouped_topk_sql(
+    table: str, group_col: str, id_col: str, k: int, seed: int = 1
+) -> str:
+    """DuckDB replay of grouped_hash_topk (same exact-int64 hash)."""
+    h = f"(({id_col} * {_seed_mult(seed)} + {HASH_B}) % {HASH_M})"
+    return f"""
+SELECT {group_col}, {id_col},
+       CAST(row_number() OVER (PARTITION BY {group_col} ORDER BY {h}, {id_col}) - 1
+            AS BIGINT) AS sample_rank
+FROM {table}
+QUALIFY row_number() OVER (PARTITION BY {group_col} ORDER BY {h}, {id_col}) <= {k}"""

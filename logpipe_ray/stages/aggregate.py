@@ -1148,3 +1148,56 @@ def latest_by_key(
             batch_format="pyarrow",
         )
     )
+
+
+def grouped_minmax_permille(
+    ds: Dataset,
+    key: str,
+    cents_col: str,
+    out_col: str = "norm_permille",
+) -> Dataset:
+    """Per-group min-max normalization to integer permille: for each
+    row, ``(v - group_min) * 1000 // (group_max - group_min)`` (0 when
+    the group is constant) — the feature-scaling step of a training
+    pipeline, kept in ALL-INTEGER math over a cents column so the SQL
+    oracle replays it bitwise (float normalization would differ in the
+    last ulp between engines).
+
+    Scale shape: one native keyed Min/Max aggregate (output bounded by
+    distinct keys), its table broadcast once via ``ray.put``, then one
+    shuffle-free vectorized map (pc.index_in lookup). Appends
+    ``out_col`` to the input schema. Partitioning assumption: the
+    distinct-key stats table fits the object store (it is the same
+    volume any groupby of the input already produces)."""
+    import ray
+
+    stats = (
+        ds.groupby(key)
+        .aggregate(Min(cents_col, alias_name="mn"), Max(cents_col, alias_name="mx"))
+        .materialize()
+    )
+    tbls = [t for t in ray.get(stats.to_arrow_refs()) if t.num_columns]
+    st = pa.concat_tables(tbls) if tbls else None
+    if st is None:
+        return ds.map_batches(
+            lambda t: t.append_column(out_col, pa.nulls(t.num_rows, pa.int64())),
+            batch_format="pyarrow",
+        )
+    ref = ray.put(
+        (
+            st[key].combine_chunks() if isinstance(st[key], pa.ChunkedArray) else st[key],
+            np.asarray(st["mn"], dtype=np.int64),
+            np.asarray(st["mx"], dtype=np.int64),
+        )
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys_b, mn, mx = ray.get(ref)
+        idx = np.asarray(pc.index_in(t[key], value_set=keys_b), dtype=np.int64)
+        v = np.asarray(pc.cast(t[cents_col], pa.int64()), dtype=np.int64)
+        lo, hi = mn[idx], mx[idx]
+        span = hi - lo
+        out = np.where(span > 0, (v - lo) * 1000 // np.maximum(span, 1), 0)
+        return t.append_column(out_col, pa.array(out, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -116,3 +116,32 @@ def test_sample_mod_trains_on_subset(ray_session):
         rd.from_arrow(tbl), k_merges=1, sample_mod=2, id_col="doc_id"
     )
     assert m.num_rows == 1  # learns from the sampled half without error
+
+
+def test_sample_mod_equals_prefiltered_training(ray_session):
+    """The bench's sampled entry must be PATH-EQUAL to training on the
+    pre-filtered corpus: learn(sample_mod=4 on string doc_ids) ==
+    learn(manually hash-filtered dataset), byte-identical merge table
+    (same hash, same ordering, same counts)."""
+    import ray.data as rd
+
+    from logpipe_ray.stages.transform import hash64_strings
+
+    rng = np.random.default_rng(31)
+    seqs = [rng.integers(3, 40, size=rng.integers(5, 30)).tolist() for _ in range(400)]
+    ids = [f"doc-{i:04d}" for i in range(400)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.string()),
+            "tokens": pa.array(seqs, pa.list_(pa.int32())),
+        }
+    )
+    sampled = learn_bpe_merges(
+        rd.from_arrow(tbl).repartition(5), k_merges=6, sample_mod=4,
+        id_col="doc_id",
+    )
+    keep = hash64_strings(pa.array(ids, pa.string())) % np.uint64(4) == 0
+    pre = tbl.filter(pa.array(keep))
+    assert 0 < pre.num_rows < 400
+    manual = learn_bpe_merges(rd.from_arrow(pre).repartition(3), k_merges=6)
+    assert sampled.equals(manual)
