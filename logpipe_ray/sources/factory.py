@@ -71,6 +71,10 @@ def detect_format_from_filename(path: str) -> str:
         return "csv"
     if ext == ".parquet":
         return "parquet"
+    if ext == ".orc":
+        return "orc"
+    if ext in (".feather", ".arrow", ".ipc"):
+        return "feather"
     logger.warning("unknown extension %r; defaulting to ndjson", ext)
     return "ndjson"
 
@@ -201,6 +205,89 @@ def read_logs_csv(
     return ds.map_batches(split_tags, batch_format="pyarrow")
 
 
+def read_logs_orc(path: str | list[str]) -> Dataset:
+    """ORC reader. Ray Data has no native ORC source, so files stream
+    as binary blobs (one row per file via read_binary_files — each
+    read task holds at most its own files) and decode to Arrow inside
+    the map with pyarrow.orc. Split granularity is the FILE (ORC
+    stripes are not split further); size files ~ one block at write
+    time, which ``write_files(fmt='orc')`` does by construction."""
+
+    def decode(t: pa.Table) -> pa.Table:
+        import pyarrow.orc as paorc
+
+        tbls = [
+            strip_pandas_metadata(paorc.ORCFile(pa.BufferReader(b.as_py())).read())
+            for b in t["bytes"]
+        ]
+        return pa.concat_tables(tbls) if tbls else t.select([])
+
+    return rd.read_binary_files(path, file_extensions=None).map_batches(
+        decode, batch_format="pyarrow"
+    )
+
+
+def read_logs_feather(path: str | list[str]) -> Dataset:
+    """Feather / Arrow-IPC reader, same binary-blob + in-map decode
+    shape as read_logs_orc (zero-copy IPC decode per file)."""
+
+    def decode(t: pa.Table) -> pa.Table:
+        tbls = [
+            strip_pandas_metadata(
+                pa.ipc.open_file(pa.BufferReader(b.as_py())).read_all()
+            )
+            for b in t["bytes"]
+        ]
+        return pa.concat_tables(tbls) if tbls else t.select([])
+
+    return rd.read_binary_files(path, file_extensions=None).map_batches(
+        decode, batch_format="pyarrow"
+    )
+
+
+def write_files(
+    ds: Dataset, out_dir: str, fmt: str = "orc", prefix: str = "part"
+) -> Dataset:
+    """Distributed ORC / Feather sink: each block writes ONE file via
+    atomic tmp+rename (the shards.py directory contract) and emits a
+    manifest row (file, rows) — consume the returned Dataset to drive
+    the writes. File names are content-addressed off the block's first
+    rows, so a re-run overwrites the same names idempotently instead
+    of duplicating output."""
+    import hashlib
+
+    if fmt not in ("orc", "feather"):
+        raise ValueError(f"write_files: unsupported fmt {fmt!r}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table(
+                {"file": pa.array([], pa.string()), "rows": pa.array([], pa.int64())}
+            )
+        head = t.slice(0, min(64, t.num_rows))
+        sig = hashlib.sha256(
+            b"|".join(str(c).encode() for c in head.to_pydict().values())
+            + str(t.num_rows).encode()
+        ).hexdigest()[:16]
+        name = f"{prefix}-{sig}.{fmt}"
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        if fmt == "orc":
+            import pyarrow.orc as paorc
+
+            paorc.write_table(t, tmp)
+        else:
+            import pyarrow.feather as fe
+
+            fe.write_feather(t, tmp)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table(
+            {"file": pa.array([name]), "rows": pa.array([t.num_rows], pa.int64())}
+        )
+
+    return ds.map_batches(write_block, batch_size=None, batch_format="pyarrow")
+
+
 def read_any(path: str | list[str], fmt: str | None = None, **kw) -> Dataset:
     """Dispatch by explicit format or filename sniffing."""
     first = path if isinstance(path, str) else path[0]
@@ -218,6 +305,10 @@ def read_any(path: str | list[str], fmt: str | None = None, **kw) -> Dataset:
         return read_logs_csv(path, **kw)
     if fmt == "ndjson":
         return read_logs_ndjson(path)
+    if fmt == "orc":
+        return read_logs_orc(path)
+    if fmt == "feather":
+        return read_logs_feather(path)
     raise ValueError(f"unsupported format: {fmt}")
 
 

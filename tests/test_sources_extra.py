@@ -162,3 +162,39 @@ def test_cluster_write_integer_column_zonemap(ray_session, tmp_path):
     want = v[(v >= 0) & (v <= 100)]
     assert sorted(got.tolist()) == sorted(want.tolist())
     assert stats["files_read"] < stats["files_total"]
+
+
+def test_orc_feather_roundtrip_and_sniffing(ray_session, tmp_path):
+    """write_files -> read_any roundtrip for ORC and Feather: data
+    equality, extension sniffing, manifest rows, idempotent re-write
+    (content-addressed names: re-running writes the same files)."""
+    import numpy as np
+    import ray.data as rd
+
+    from logpipe_ray.sources.factory import read_any, write_files
+
+    rng = np.random.default_rng(21)
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(1000), pa.int64()),
+            "v": pa.array(rng.normal(size=1000)),
+            "s": pa.array([f"s{i % 7}" for i in range(1000)]),
+        }
+    )
+    for fmt in ("orc", "feather"):
+        out = str(tmp_path / fmt)
+        manifest = write_files(
+            rd.from_arrow(t).repartition(4), out, fmt=fmt
+        ).to_pandas()
+        assert manifest["rows"].sum() == 1000
+        assert len(manifest) == 4
+        back = read_any(out).to_pandas().sort_values("id", ignore_index=True)
+        assert back["id"].tolist() == list(range(1000))
+        assert back["s"].tolist() == t["s"].to_pylist()
+        assert np.allclose(back["v"].to_numpy(), t["v"].to_numpy())
+        # idempotent: same content -> same names, no duplicate files
+        import os
+
+        before = sorted(os.listdir(out))
+        write_files(rd.from_arrow(t).repartition(4), out, fmt=fmt).to_pandas()
+        assert sorted(os.listdir(out)) == before
