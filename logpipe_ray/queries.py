@@ -4158,18 +4158,27 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""
 
 def events_retention_cohorts(sf_dir: str) -> Dataset:
     """Retention/cohort matrix: distinct users active on day D from
-    the cohort first seen on day C. Three bounded exchanges: dedupe
-    (user, day) pairs (partial-combined aggregate), per-user min day
-    (cohort), join activity back to cohorts (inner_join_safe — both
-    sides keyed by user, either may be huge), count per (C, D). Every
-    count is exact integers, so the oracle hashes green."""
-    from ray.data.aggregate import Min, Sum
+    the cohort first seen on day C.
 
-    from .stages.join import inner_join_safe
+    TWO keyed exchanges (r4: was 4 — dedup groupby + per-user min +
+    join back + final count; each exchange carries Ray's ~1-2 s fixed
+    cost at KB volumes, the dominant term measured in BENCH_r03):
+    per-batch local (user, day) dedup partials hash-bucket by user, one
+    groupby(bucket) folds — fully vectorized lexsort, no per-user
+    Python — each user's dedup + cohort-min + (C, D) pair counts
+    inside the bucket, and one tiny keyed sum finishes. A user's rows
+    all land in one bucket (needed for the exact min), but partial
+    volume per user is bounded by batches x active days, never raw
+    events. Every count is exact integers, so the oracle hashes
+    green."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
 
     ev = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
     )
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
 
     def prep(t: pa.Table) -> pa.Table:
         day = pc.add(
@@ -4186,27 +4195,39 @@ def events_retention_cohorts(sf_dir: str) -> Dataset:
             pc.cast(pc.day(t["ts"]), pa.int64()),
         )
         # local dedupe before the keyed exchange
-        return pa.table({"user_id": t["user_id"], "day": day}).group_by(
+        g = pa.table({"user_id": t["user_id"], "day": day}).group_by(
             ["user_id", "day"]
         ).aggregate([])
+        uid = g["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
+        return g.append_column("_hb", pa.array(hb.astype(np.int64)))
 
-    user_days = (
-        ev.map_batches(prep, batch_format="pyarrow")
-        .groupby(["user_id", "day"])
-        .count()
-        .select_columns(["user_id", "day"])
-    )
-    firsts = user_days.groupby("user_id").aggregate(
-        Min("day", alias_name="cohort_day")
-    )
-    joined = inner_join_safe(user_days, firsts, on=("user_id",))
-
-    def partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["cohort_day", "day"]).aggregate([([], "count_all")])
-        return g.rename_columns(["cohort_day", "activity_day", "pc_n"])
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        u = df["user_id"].to_numpy()
+        d = df["day"].to_numpy()
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[keep], d[keep]
+        ustart = np.ones(len(u), dtype=bool)
+        ustart[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(ustart)
+        lens = np.diff(np.append(starts, len(u)))
+        cohort = np.repeat(d[starts], lens)  # day-sorted: first = min
+        return (
+            pd.DataFrame({"cohort_day": cohort, "activity_day": d})
+            .groupby(["cohort_day", "activity_day"], sort=False)
+            .size()
+            .reset_index(name="pc_n")
+        )
 
     return (
-        joined.map_batches(partial, batch_format="pyarrow")
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pandas")
         .groupby(["cohort_day", "activity_day"])
         .aggregate(Sum("pc_n", alias_name="n_users"))
     )
@@ -4344,6 +4365,78 @@ GROUP BY 1"""
 # variants of in-window queries; they remain callable and are still
 # exercised by scripts/check_correctness.py and pytest.
 # ----------------------------------------------- round-4 additions
+
+
+_SEQ_CAP = 25
+
+
+def events_user_event_seq(sf_dir: str) -> Dataset:
+    """Training-example assembly: per user, the ORDERED list of their
+    first 25 event types (by ts, event_id) plus the total event count
+    — the "build a sequence column per entity" step of a behavioral-
+    model dataset.
+
+    Scale shape: rows hash-bucket by user (a user's rows must
+    co-locate to assemble the ordered list — inherent to the op; the
+    cap bounds the OUTPUT, bucket count bounds reducer input to
+    ~N/buckets); inside each bucket one vectorized pass (lexsort +
+    run-boundary slicing + ListArray.from_arrays) assembles every
+    user's capped sequence with zero per-user Python."""
+    import pandas as pd
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        order = np.lexsort((eid, ts, u))
+        us = u[order]
+        start = np.ones(len(us), dtype=bool)
+        start[1:] = us[1:] != us[:-1]
+        starts = np.flatnonzero(start)
+        lens = np.diff(np.append(starts, len(us)))
+        within = np.arange(len(us)) - np.repeat(starts, lens)
+        keep = within < _SEQ_CAP
+        capped = np.minimum(lens, _SEQ_CAP)
+        offsets = np.concatenate([[0], np.cumsum(capped)]).astype(np.int32)
+        values = et.take(pa.array(order[keep], pa.int64()))
+        seq = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+        return pa.table(
+            {
+                "user_id": pa.array(us[starts]),
+                "event_seq": seq,
+                "n_events": pa.array(lens, pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def _sql_events_user_event_seq(sf_dir: str) -> str:
+    return f"""
+SELECT user_id,
+       (list(event_type ORDER BY ts, event_id))[1:{_SEQ_CAP}] AS event_seq,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id"""
 
 
 _SPLITS = {"train": 90, "val": 5, "test": 5}
@@ -4705,6 +4798,9 @@ REGISTRY: dict = {
     "lp_filter_regex": (lp_filter_regex, _sql_lp_filter_regex),
     "seq_pack_stats": (seq_pack_stats, None),
     "seq_bpe_merges_sampled": (seq_bpe_merges_sampled, None),  # r4: bench default
+    # r4 addition, oracled + mini-driver green; out-of-window (the 50
+    # seats all hold never-driver-checked queries) — rotate next round
+    "events_user_event_seq": (events_user_event_seq, _sql_events_user_event_seq),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "events_approx_distinct_users": (
