@@ -208,6 +208,7 @@ def asof_join(
     bucket_width_us: int | None = None,
     span_buckets: int = 4096,
     num_buckets: int | None = None,
+    carry_driver_limit: int = 2_000_000,
 ):
     """As-of join (backward, inclusive): for every left row, attach the
     latest right row with right.ts <= left.ts for the same key.
@@ -249,6 +250,11 @@ def asof_join(
     ts_type = (
         rsch.field(ts_col).type
         if rsch is not None and ts_col in rsch.names
+        else pa.int64()
+    )
+    ktype = (
+        lsch.field(key).type
+        if lsch is not None and key in lsch.names
         else pa.int64()
     )
 
@@ -396,10 +402,6 @@ def asof_join(
             out.schema.get_field_index("_ab"), "_ab", pa.array(lb[ok], pa.int64())
         )
 
-    carries_reduced = r_partials.union(l_pairs).groupby(key).map_groups(
-        _carry, batch_format="pyarrow"
-    )
-
     def _expand(t: pa.Table) -> pa.Table:
         # back to the full union schema, same column order as the
         # tagged sides: [key, ts, *all_cols, _side, _ab]
@@ -410,7 +412,99 @@ def asof_join(
         cols["_ab"] = t["_ab"]
         return pa.table(cols)
 
-    carries = carries_reduced.map_batches(_expand, batch_format="pyarrow")
+    # carry-build route choice: the partials are COMBINER volume
+    # (<= one row per (key, bucket) per batch), so below the guard the
+    # carry map builds on the driver — a global vectorized merge_asof
+    # on (key-code, bucket) int frames, killing one keyed exchange
+    # whose fixed Sort cost dominates at small volumes (measured in
+    # bench.py --stats). Above the guard the distributed groupby(key)
+    # route runs; both routes share _carry's exact semantics and are
+    # pytest-equal (test_asof_join_carry_route_equivalence).
+    r_partials = r_partials.materialize()
+    l_pairs = l_pairs.materialize()
+    if r_partials.count() + l_pairs.count() <= carry_driver_limit:
+        import pandas as pd
+        import ray
+        import ray.data as rd
+
+        def _cat(d: Dataset) -> pa.Table | None:
+            tbls = [t for t in ray.get(d.to_arrow_refs()) if t.num_columns]
+            return pa.concat_tables(tbls).combine_chunks() if tbls else None
+
+        rp, lp = _cat(r_partials), _cat(l_pairs)
+        carry_tbl = None
+        if rp is not None and lp is not None and rp.num_rows and lp.num_rows:
+            rp = rp.sort_by(
+                [(key, "ascending"), ("_ab", "ascending"), (ts_col, "ascending")]
+                + tb_sort
+            )
+            rp = rp.filter(
+                pa.array(
+                    _run_last_mask(
+                        rp[key].to_numpy(zero_copy_only=False),
+                        rp["_ab"].to_numpy(),
+                    )
+                )
+            )
+            lp = lp.sort_by([(key, "ascending"), ("_ab", "ascending")])
+            lp = lp.filter(
+                pa.array(
+                    _run_last_mask(
+                        lp[key].to_numpy(zero_copy_only=False),
+                        lp["_ab"].to_numpy(),
+                    )
+                )
+            )
+            # values never leave Arrow: the pandas merge carries only
+            # (key code, bucket, row index) int columns, so nullable
+            # int right cols cannot drift to float64
+            codes, _ = pd.factorize(
+                np.concatenate(
+                    [
+                        rp[key].to_numpy(zero_copy_only=False),
+                        lp[key].to_numpy(zero_copy_only=False),
+                    ]
+                )
+            )
+            rdf = pd.DataFrame(
+                {"c": codes[: rp.num_rows], "_ab": rp["_ab"].to_numpy(),
+                 "i": np.arange(rp.num_rows, dtype=np.int64)}
+            ).sort_values("_ab", kind="stable")
+            ldf = pd.DataFrame(
+                {"c": codes[rp.num_rows:], "_ab": lp["_ab"].to_numpy()}
+            ).sort_values("_ab", kind="stable")
+            m = pd.merge_asof(
+                ldf, rdf, on="_ab", by="c", direction="backward",
+                allow_exact_matches=False,  # strictly earlier bucket
+            )
+            ok = m["i"].notna().to_numpy()
+            if ok.any():
+                taken = rp.take(
+                    pa.array(m["i"].to_numpy()[ok].astype(np.int64))
+                )
+                carry_tbl = taken.set_column(
+                    taken.schema.get_field_index("_ab"),
+                    "_ab",
+                    pa.array(m["_ab"].to_numpy()[ok], pa.int64()),
+                )
+        if carry_tbl is None:
+            carry_tbl = pa.table(
+                {
+                    key: pa.array([], ktype),
+                    "_ab": pa.array([], pa.int64()),
+                    ts_col: pa.array([], ts_type),
+                    **{c: pa.array([], typ) for c, typ in right_cols.items()},
+                    "_side": pa.array([], pa.int8()),
+                }
+            )
+        carries = rd.from_arrow(_expand(carry_tbl))
+    else:
+        carries = (
+            r_partials.union(l_pairs)
+            .groupby(key)
+            .map_groups(_carry, batch_format="pyarrow")
+            .map_batches(_expand, batch_format="pyarrow")
+        )
 
     NB = num_buckets or 4 * _default_partitions()
 

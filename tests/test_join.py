@@ -442,3 +442,52 @@ def test_asof_join_planted_hot_key(ray_session):
     assert np.allclose(
         got["rv"].to_numpy(float), want["rv"].to_numpy(float), equal_nan=True
     )
+
+
+def test_asof_join_carry_route_equivalence(ray_session):
+    """The driver carry-build fast path (partials under the guard) and
+    the distributed groupby(key) route must be identical — forced via
+    carry_driver_limit=0."""
+    import numpy as np
+    import pandas as pd
+
+    from logpipe_ray.stages.join import asof_join
+
+    rng = np.random.default_rng(23)
+    n, m = 800, 500
+    lk = rng.integers(0, 20, n)
+    lts = rng.integers(0, 5000, n)
+    rk = rng.integers(0, 20, m)
+    rts = rng.integers(0, 5000, m)
+    rv = np.arange(m, dtype=np.int64)
+    left = rd.from_arrow(
+        pa.table({"k": lk, "ts": lts.astype(np.int64), "lid": np.arange(n)})
+    ).repartition(4)
+    right = rd.from_arrow(
+        pa.table({"k": rk, "ts": rts.astype(np.int64), "rv": rv})
+    ).repartition(3)
+    outs = []
+    for lim in (2_000_000, 0):
+        o = asof_join(
+            left, right, "k", "ts", {"lid": pa.int64()}, {"rv": pa.int64()},
+            bucket_width_us=64, carry_driver_limit=lim,
+        ).to_pandas().sort_values("lid", ignore_index=True)
+        outs.append(o)
+    a, b = outs
+    assert a["lid"].tolist() == b["lid"].tolist()
+    assert np.allclose(
+        a["rv"].to_numpy(float), b["rv"].to_numpy(float), equal_nan=True
+    )
+    # and both equal the whole-history reference
+    ldf = pd.DataFrame({"k": lk, "ts": lts, "lid": np.arange(n)}).sort_values(
+        "ts", kind="stable"
+    )
+    rdf = pd.DataFrame({"k": rk, "ts": rts, "rv": rv}).sort_values(
+        ["ts"], kind="stable"
+    )
+    want = pd.merge_asof(ldf, rdf, on="ts", by="k").sort_values(
+        "lid", ignore_index=True
+    )
+    assert np.allclose(
+        a["rv"].to_numpy(float), want["rv"].to_numpy(float), equal_nan=True
+    )
