@@ -66,7 +66,14 @@ def _pair_count_partial(tokens_col: str):
 
 def _top_pair(ds: Dataset, tokens_col: str) -> tuple[int, int, int] | None:
     """(t1, t2, count) of the globally most frequent adjacent pair;
-    ties break to the smallest packed key. None if no pairs exist."""
+    ties break to the smallest packed key. None if no pairs exist.
+
+    NOTE: an attempted "fold top-1 into a driver merge" variant was
+    measured 2x SLOWER here (27-40 s vs 18 s at sf0.1's sampled
+    volume): concatenating ~6M partial rows per round on the driver
+    re-faults ~100 MB of fresh pages per round on this VM. The
+    _merge_count_partials routing below already picks the right
+    merge plan."""
     from .tokens import _merge_count_partials
 
     partials = ds.map_batches(
@@ -139,6 +146,47 @@ def apply_merge_batch(
     return t.set_column(i, tokens_col, arr)
 
 
+def _learn_driver(
+    tbl: pa.Table, k_merges: int, tokens_col: str, first_new_id: int
+) -> list[tuple[int, int, int, int, int]]:
+    """All-rounds driver loop over one collected table, reusing the
+    EXACT distributed kernels (_pair_count_partial over the whole
+    table = the global counts; apply_merge_batch = the rewrite), so
+    the two routes are byte-equal by construction."""
+    rows: list = []
+    next_id = first_new_id
+    counter = _pair_count_partial(tokens_col)
+    t = tbl
+    for rank in range(k_merges):
+        p = counter(t)
+        if p.num_rows == 0:
+            break
+        k_ = np.asarray(p["key"], dtype=np.int64)
+        c_ = np.asarray(p["p"], dtype=np.int64)
+        best = np.lexsort((k_, -c_))[0]
+        if int(c_[best]) < 2:
+            break
+        key = int(k_[best])
+        rows.append((rank, key // int(_PACK), key % int(_PACK), next_id,
+                     int(c_[best])))
+        t = apply_merge_batch(
+            t, key // int(_PACK), key % int(_PACK), next_id, tokens_col
+        )
+        next_id += 1
+    return rows
+
+
+# SMALL corpora at or under this many rows train entirely on the
+# driver (k rounds of the same numpy kernels, zero Ray round trips).
+# Deliberately low: this VM charges ~1s/25MB of first-touch pages and
+# numpy munmaps large arrays back to the OS, so a driver loop over a
+# big corpus re-faults hundreds of MB EVERY round (measured 88-208 s
+# at 18M tokens vs 15 s distributed); big sampled corpora stay on the
+# distributed loop, whose per-round fixed cost is trimmed instead
+# (few-block repartition + driver-merged top-1).
+BPE_DRIVER_ROWS = 25_000
+
+
 def learn_bpe_merges(
     ds: Dataset,
     k_merges: int = 12,
@@ -146,12 +194,16 @@ def learn_bpe_merges(
     first_new_id: int | None = None,
     sample_mod: int | None = None,
     id_col: str | None = None,
+    driver_rows: int = BPE_DRIVER_ROWS,
 ) -> pa.Table:
     """Learn ``k_merges`` BPE merges; returns the merge table
     (rank, t1, t2, new_id, cnt). ``sample_mod``: train on the
     deterministic hash-sample ``hash(id) % mod == 0`` (requires
     ``id_col``) — the standard scale move, since merge quality
-    converges long before the full corpus is counted."""
+    converges long before the full corpus is counted. A corpus at or
+    under ``driver_rows`` rows trains wholly on the driver with the
+    same kernels (byte-equal, pytest-forced); set ``driver_rows=0``
+    to force the distributed loop."""
     if sample_mod is not None:
         if id_col is None:
             raise ValueError("sample_mod requires id_col")
@@ -169,7 +221,37 @@ def learn_bpe_merges(
 
         ds = ds.map_batches(pick, batch_format="pyarrow")
 
+    # NOTE: do NOT repartition to few big blocks here — measured 3x
+    # slower (50-98 s vs 18 s): each rewrite task allocates ~5x its
+    # block size in fresh numpy arrays and this VM charges ~1s/25MB of
+    # first-touch pages, so many small blocks amortize allocation far
+    # better than fewer task schedules save
     cur = ds.select_columns([tokens_col]).materialize()
+    if cur.count() <= driver_rows:
+        import ray
+
+        tbls = [t for t in ray.get(cur.to_arrow_refs()) if t.num_columns]
+        tbl = (
+            pa.concat_tables(tbls).combine_chunks()
+            if tbls
+            else pa.table({tokens_col: pa.array([], pa.list_(pa.int32()))})
+        )
+        if first_new_id is None:
+            col = tbl[tokens_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            mx = pc.max(pc.list_flatten(col)).as_py() if tbl.num_rows else 0
+            first_new_id = int(mx or 0) + 1
+        rows = _learn_driver(tbl, k_merges, tokens_col, first_new_id)
+        return pa.table(
+            {
+                "rank": pa.array([r[0] for r in rows], pa.int64()),
+                "t1": pa.array([r[1] for r in rows], pa.int64()),
+                "t2": pa.array([r[2] for r in rows], pa.int64()),
+                "new_id": pa.array([r[3] for r in rows], pa.int64()),
+                "cnt": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
     if first_new_id is None:
         maxes = cur.map_batches(
             lambda t: pa.table(

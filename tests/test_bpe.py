@@ -145,3 +145,20 @@ def test_sample_mod_equals_prefiltered_training(ray_session):
     assert 0 < pre.num_rows < 400
     manual = learn_bpe_merges(rd.from_arrow(pre).repartition(3), k_merges=6)
     assert sampled.equals(manual)
+
+
+def test_driver_and_distributed_routes_byte_equal(ray_session):
+    """The bounded-driver training route (corpus <= driver_rows) and
+    the distributed per-round loop must learn the IDENTICAL merge
+    table — same kernels, forced via driver_rows=0."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(41)
+    seqs = [rng.integers(3, 30, size=rng.integers(4, 40)).tolist() for _ in range(500)]
+    tbl = _toks_table(seqs)
+    a = learn_bpe_merges(rd.from_arrow(tbl).repartition(5), k_merges=8)
+    b = learn_bpe_merges(
+        rd.from_arrow(tbl).repartition(5), k_merges=8, driver_rows=0
+    )
+    assert a.num_rows == 8
+    assert a.equals(b)
