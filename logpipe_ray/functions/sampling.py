@@ -322,3 +322,57 @@ SELECT {group_col}, {id_col},
             AS BIGINT) AS sample_rank
 FROM {table}
 QUALIFY row_number() OVER (PARTITION BY {group_col} ORDER BY {h}, {id_col}) <= {k}"""
+
+
+# ------------------------------------------------ weighted sampling
+
+def weighted_hash_sample(
+    ds: Dataset,
+    id_col: str,
+    weight_col: str,
+    w_cap: int,
+    rate_pct: int,
+) -> Dataset:
+    """Deterministic weighted (Poisson / Bernoulli) sampling: each row
+    is kept independently with probability
+
+        (rate_pct / 100) * min(weight, w_cap) / w_cap
+
+    using the fixed multiplicative hash of the id as the uniform draw
+    — the importance-sampling shape of training-data curation (e.g.
+    sample documents proportionally to token count for a token-budget
+    subcorpus, or to a quality score for quality-weighted mixtures)
+    with NO RNG state: membership is a pure function of (id, weight),
+    so re-runs, resumes and any partitioning draw the same sample, and
+    the DuckDB oracle replays it bit-for-bit
+    (``weighted_sample_sql_predicate``).
+
+    All int64-exact: keep iff h(id) * w_cap * 100 < M * rate_pct *
+    min(w, w_cap) with h < M ~ 1e9, so both sides stay far below 2^63
+    for caps up to ~1e7. Shuffle-free, embarrassingly parallel.
+    ``weight_col`` must be a non-negative integer column (scale
+    fractional weights to permille upstream)."""
+    import numpy as np
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(t[id_col], pa.int64()), dtype=np.int64)
+        h = (ids * HASH_A + HASH_B) % HASH_M
+        w = np.minimum(
+            np.asarray(pc.cast(t[weight_col], pa.int64()), dtype=np.int64),
+            w_cap,
+        )
+        keep = h * (w_cap * 100) < HASH_M * rate_pct * w
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def weighted_sample_sql_predicate(
+    id_col: str, weight_expr: str, w_cap: int, rate_pct: int
+) -> str:
+    """The DuckDB predicate replaying weighted_hash_sample exactly."""
+    return (
+        f"((({id_col} * {HASH_A} + {HASH_B}) % {HASH_M}) * {w_cap * 100}"
+        f" < CAST({HASH_M} AS BIGINT) * {rate_pct}"
+        f" * LEAST({weight_expr}, {w_cap}))"
+    )

@@ -4598,6 +4598,201 @@ SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS shared_grams
 FROM SELECT_pairs GROUP BY 1, 2"""
 
 
+def q3_shipping_priority(sf_dir: str) -> Dataset:
+    """TPC-H Q3 shape: top-10 unshipped-order revenue for one market
+    segment — a THREE-table join chain (customer -> orders ->
+    lineitem), the multi-join composition the registry didn't cover.
+
+    Scale shape: lineitem (the big fact) never moves whole — each
+    batch collapses to per-orderkey revenue partials (integer
+    cents x pct units, so the oracle hashes bitwise) before ONE keyed
+    Sum; the qualifying-order side is the date-filtered orders
+    hash-joined against the segment-filtered customer KEY projection
+    (2 columns); the final attach is a second hash join on orderkey
+    and a global top-10 via per-batch head-k partials (top_k)."""
+    import datetime as _dt
+
+    CUT = _dt.datetime(1998, 6, 1)
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(CUT))),
+        batch_format="pyarrow",
+    )
+    line = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(CUT)))
+        ep_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(ep_c, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        g = (
+            pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+            .group_by("l_orderkey")
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "p_rev"])
+
+    rev = (
+        line.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("p_rev", alias_name="rev"))
+    )
+    from .stages.join import inner_join_safe
+
+    qual = inner_join_safe(orders, cust, on=("o_custkey",), right_on=("c_custkey",))
+    joined = inner_join_safe(rev, qual, on=("l_orderkey",), right_on=("o_orderkey",))
+    out = top_k(joined, [("rev", "descending"), ("l_orderkey", "ascending")], 10)
+    return out.map_batches(
+        lambda t: t.select(["l_orderkey", "o_orderdate", "rev"]),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_q3_shipping_priority(sf_dir: str) -> str:
+    return """
+SELECT l.l_orderkey, o.o_orderdate,
+       CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100.0) AS BIGINT)))
+            AS BIGINT) AS rev
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY rev DESC, l.l_orderkey LIMIT 10"""
+
+
+def docs_weighted_sample(sf_dir: str) -> Dataset:
+    """Length-weighted deterministic Poisson sample of the documents
+    table: each doc kept with probability proportional to its word
+    count (capped) — the token-budget importance-sampling step of
+    corpus curation, with membership a pure function of doc_id
+    (resume-safe, partitioning-independent; weighted_hash_sample,
+    functions/sampling.py). Returns the surviving (doc_id, n_words).
+    """
+    from .functions.sampling import weighted_hash_sample
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def add_w(t: pa.Table) -> pa.Table:
+        n_words = pc.cast(
+            pc.list_value_length(pc.split_pattern(t["text"], " ")), pa.int64()
+        )
+        return pa.table({"doc_id": t["doc_id"], "n_words": n_words})
+
+    return weighted_hash_sample(
+        ds.map_batches(add_w, batch_format="pyarrow"),
+        "doc_id",
+        "n_words",
+        w_cap=80,
+        rate_pct=60,
+    )
+
+
+def _sql_docs_weighted_sample(sf_dir: str) -> str:
+    from .functions.sampling import weighted_sample_sql_predicate
+
+    pred = weighted_sample_sql_predicate("doc_id", "n_words", 80, 60)
+    return f"""
+WITH w AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+           FROM documents)
+SELECT doc_id, n_words FROM w WHERE {pred}"""
+
+
+def events_user_distinct_by_type(sf_dir: str) -> Dataset:
+    """EXACT distinct-user count per event type (the approximate KMV
+    variant is events_user_distinct_by_type_approx). Scale shape —
+    the standard two-level exact-distinct plan: per-batch DISTINCT
+    (type, user) partials shrink the exchange to unique pairs per
+    batch, ONE keyed dedup co-locates each pair exactly once, then
+    per-batch count partials + a tiny keyed Sum finish. No reducer
+    ever holds a type's full user set."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["event_type"]).group_by("event_type").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["event_type", "p_n"])
+
+    return (
+        pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("p_n", alias_name="n_users"))
+    )
+
+
+def _sql_events_user_distinct_by_type(sf_dir: str) -> str:
+    return """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type"""
+
+
+def events_user_top_type(sf_dir: str) -> Dataset:
+    """Per-user MODE of event_type (most frequent; ties -> smallest
+    type string) with its count — the grouped-argmax-of-counts shape.
+    Scale: per-batch (user, type) count partials -> one keyed Sum ->
+    grouped_top_k(k=1) whose per-batch head-k partials cap the second
+    exchange at one row per (user, batch)."""
+    from .stages.aggregate import grouped_top_k
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "event_type", "p_cnt"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("p_cnt", alias_name="cnt"))
+    )
+    return grouped_top_k(
+        counts, ["user_id"], [("cnt", "descending"), ("event_type", "ascending")], 1
+    )
+
+
+def _sql_events_user_top_type(sf_dir: str) -> str:
+    return """
+SELECT user_id, event_type, cnt FROM (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type)
+WHERE rn = 1"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 rotation: the 8 late-r3 oracled queries that never had a
@@ -4808,6 +5003,13 @@ REGISTRY: dict = {
         _sql_events_approx_distinct_users,
     ),
     "docs_bpe_token_count": (docs_bpe_token_count, _sql_docs_bpe_token_count),
+    "q3_shipping_priority": (q3_shipping_priority, _sql_q3_shipping_priority),
+    "docs_weighted_sample": (docs_weighted_sample, _sql_docs_weighted_sample),
+    "events_user_distinct_by_type": (
+        events_user_distinct_by_type,
+        _sql_events_user_distinct_by_type,
+    ),
+    "events_user_top_type": (events_user_top_type, _sql_events_user_top_type),
     "seq_vocab_coverage": (seq_vocab_coverage, _sql_seq_vocab_coverage),
     "lineitem_semi_high_value": (lineitem_semi_high_value, _sql_lineitem_semi_high_value),
     "events_hourly": (events_hourly, _sql_events_hourly),

@@ -447,7 +447,13 @@ def test_asof_join_planted_hot_key(ray_session):
 def test_asof_join_carry_route_equivalence(ray_session):
     """The driver carry-build fast path (partials under the guard) and
     the distributed groupby(key) route must be identical — forced via
-    carry_driver_limit=0."""
+    carry_driver_limit=0.
+
+    ``tiebreak`` is REQUIRED for the equality to be well-defined: 500
+    right rows over 5000 ts values collide (birthday bound), and the
+    asof contract resolves exact-ts ties arbitrarily without a
+    tiebreak (block-arrival order differs per route). ``rv`` is unique
+    so max-rv-wins makes both routes and the reference deterministic."""
     import numpy as np
     import pandas as pd
 
@@ -470,7 +476,7 @@ def test_asof_join_carry_route_equivalence(ray_session):
     for lim in (2_000_000, 0):
         o = asof_join(
             left, right, "k", "ts", {"lid": pa.int64()}, {"rv": pa.int64()},
-            bucket_width_us=64, carry_driver_limit=lim,
+            tiebreak="rv", bucket_width_us=64, carry_driver_limit=lim,
         ).to_pandas().sort_values("lid", ignore_index=True)
         outs.append(o)
     a, b = outs
@@ -478,12 +484,14 @@ def test_asof_join_carry_route_equivalence(ray_session):
     assert np.allclose(
         a["rv"].to_numpy(float), b["rv"].to_numpy(float), equal_nan=True
     )
-    # and both equal the whole-history reference
+    # and both equal the whole-history reference with the same tie
+    # semantics (merge_asof picks the LAST of equal-ts rows, so sorting
+    # by (ts, rv) makes max-rv win there too)
     ldf = pd.DataFrame({"k": lk, "ts": lts, "lid": np.arange(n)}).sort_values(
         "ts", kind="stable"
     )
     rdf = pd.DataFrame({"k": rk, "ts": rts, "rv": rv}).sort_values(
-        ["ts"], kind="stable"
+        ["ts", "rv"], kind="stable"
     )
     want = pd.merge_asof(ldf, rdf, on="ts", by="k").sort_values(
         "lid", ignore_index=True
