@@ -141,6 +141,12 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "events_retention_cohorts",
             # round-4: time-bucketed as-of join (reimplemented)
             "purchases_asof_last_click",
+            # round-4 additions: multi-join chain, weighted sampling,
+            # exact grouped distinct, grouped mode
+            "q3_shipping_priority",
+            "docs_weighted_sample",
+            "events_user_distinct_by_type",
+            "events_user_top_type",
         ]
         all_q = Q.queries()
 

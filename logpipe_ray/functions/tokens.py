@@ -312,3 +312,140 @@ def prune_vocab(
         return t.set_column(idx, tokens_col, pruned)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bigram_lift_topk(
+    ds: Dataset,
+    tokens_col: str = "tokens",
+    k: int = 50,
+    min_count: int = 5,
+    lut_vocab_limit: int = 5_000_000,
+) -> Dataset:
+    """Top-k bigrams by LIFT — observed/expected frequency ratio,
+    lift(x,y) = P(x,y) / (P(x)·P(y)) = (c_xy/N_bi) / ((c_x/N_uni)·
+    (c_y/N_uni)) — the PMI ranking without the log, so scores stay
+    IEEE-exact (int64-exact counts -> exact double conversions ->
+    deterministically-rounded multiply/divide; the oracle replays the
+    identical expression tree bitwise). Collocation discovery / merge
+    candidates beyond raw bigram counts (seq_bigram_topk).
+
+    Scale shape: bigram and unigram counts are both vocab-bounded
+    merge outputs (packed-int64 per-batch value_counts partials, see
+    bigram_frequency / token_frequency); the totals are two scalar
+    aggregates over those bounded tables. Unigram attachment uses a
+    dense numpy LUT broadcast once while the vocab is below
+    ``lut_vocab_limit`` (8 B/entry), else two hash joins on t1/t2.
+    ``min_count`` floors support BEFORE ranking so hapax pairs don't
+    dominate the ratio. int64 overflow bound: exactness holds while
+    every count stays below 2^53 (9e15 tokens — beyond a 100-TB text
+    corpus's token count)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregate import top_k as _topk
+
+    bi = bigram_frequency(ds, tokens_col).materialize()
+    uni = token_frequency(ds, tokens_col).materialize()
+    nb = int(bi.aggregate(Sum("cnt", alias_name="n"))["n"] or 0)
+    nu_row = uni.aggregate(Sum("cnt", alias_name="n"))
+    nu = int(nu_row["n"] or 0)
+    if nb == 0 or nu == 0:
+        return _ray.data.from_arrow(
+            pa.table(
+                {
+                    "t1": pa.array([], pa.int32()),
+                    "t2": pa.array([], pa.int32()),
+                    "cnt": pa.array([], pa.int64()),
+                    "lift": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def _lift(cxy: np.ndarray, c1: np.ndarray, c2: np.ndarray) -> np.ndarray:
+        num = (cxy.astype(np.float64) * float(nu)) * float(nu)
+        den = (float(nb) * c1.astype(np.float64)) * c2.astype(np.float64)
+        return num / den
+
+    if uni.count() <= lut_vocab_limit:
+        uni_tbl = pa.concat_tables(
+            [t for t in _ray.get(uni.to_arrow_refs()) if t.num_columns]
+        )
+        ids = np.asarray(uni_tbl["token_id"], dtype=np.int64)
+        cnts = np.asarray(uni_tbl["cnt"], dtype=np.int64)
+        lut = np.zeros(int(ids.max()) + 1 if len(ids) else 1, dtype=np.int64)
+        lut[ids] = cnts
+        lut_ref = _ray.put(lut)
+
+        def score(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater_equal(t["cnt"], min_count))
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "t1": pa.array([], pa.int32()),
+                        "t2": pa.array([], pa.int32()),
+                        "cnt": pa.array([], pa.int64()),
+                        "lift": pa.array([], pa.float64()),
+                    }
+                )
+            L = _ray.get(lut_ref)
+            t1 = np.asarray(t["t1"], dtype=np.int64)
+            t2 = np.asarray(t["t2"], dtype=np.int64)
+            cxy = np.asarray(t["cnt"], dtype=np.int64)
+            lift = _lift(cxy, L[t1], L[t2])
+            return pa.table(
+                {
+                    "t1": t["t1"],
+                    "t2": t["t2"],
+                    "cnt": t["cnt"],
+                    "lift": pa.array(lift, pa.float64()),
+                }
+            )
+
+        scored = bi.map_batches(score, batch_format="pyarrow")
+    else:  # join route: vocab too large for a broadcast LUT
+        from ..stages.join import inner_join_safe
+
+        def _narrow(name):
+            def fn(t: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        name: pc.cast(t["token_id"], pa.int32()),
+                        f"c_{name}": t["cnt"],
+                    }
+                )
+
+            return fn
+
+        bi_f = bi.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["cnt"], min_count)),
+            batch_format="pyarrow",
+        )
+        j1 = inner_join_safe(
+            bi_f, uni.map_batches(_narrow("t1"), batch_format="pyarrow"), on=("t1",)
+        )
+        j2 = inner_join_safe(
+            j1, uni.map_batches(_narrow("t2"), batch_format="pyarrow"), on=("t2",)
+        )
+
+        def score_j(t: pa.Table) -> pa.Table:
+            lift = _lift(
+                np.asarray(t["cnt"], dtype=np.int64),
+                np.asarray(t["c_t1"], dtype=np.int64),
+                np.asarray(t["c_t2"], dtype=np.int64),
+            )
+            return pa.table(
+                {
+                    "t1": t["t1"],
+                    "t2": t["t2"],
+                    "cnt": t["cnt"],
+                    "lift": pa.array(lift, pa.float64()),
+                }
+            )
+
+        scored = j2.map_batches(score_j, batch_format="pyarrow")
+
+    return _topk(
+        scored,
+        [("lift", "descending"), ("t1", "ascending"), ("t2", "ascending")],
+        k,
+    )

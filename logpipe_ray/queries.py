@@ -4598,7 +4598,18 @@ SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS shared_grams
 FROM SELECT_pairs GROUP BY 1, 2"""
 
 
-def q3_shipping_priority(sf_dir: str) -> Dataset:
+# qualifying-order broadcast guard for q3 (rows; 16 B/row -> 32 MB of
+# (orderkey, orderdate) at the default). Above it the two-hash-join
+# plan runs; below it the dimension chain ships once via ray.put and
+# the ONLY exchange left is the per-orderkey revenue aggregate
+# (measured 8.8 s -> see NOTES_r4.md; the two joins are pure fixed
+# exchange cost at bench volumes).
+Q3_BROADCAST_LIMIT = 2_000_000
+
+
+def q3_shipping_priority(
+    sf_dir: str, broadcast_limit: int = Q3_BROADCAST_LIMIT
+) -> Dataset:
     """TPC-H Q3 shape: top-10 unshipped-order revenue for one market
     segment — a THREE-table join chain (customer -> orders ->
     lineitem), the multi-join composition the registry didn't cover.
@@ -4606,10 +4617,13 @@ def q3_shipping_priority(sf_dir: str) -> Dataset:
     Scale shape: lineitem (the big fact) never moves whole — each
     batch collapses to per-orderkey revenue partials (integer
     cents x pct units, so the oracle hashes bitwise) before ONE keyed
-    Sum; the qualifying-order side is the date-filtered orders
-    hash-joined against the segment-filtered customer KEY projection
-    (2 columns); the final attach is a second hash join on orderkey
-    and a global top-10 via per-batch head-k partials (top_k)."""
+    Sum. The dimension chain (segment-filtered customer keys ->
+    date-filtered orders) is itself distributed; its RESULT — the
+    qualifying (o_orderkey, o_orderdate) pairs — broadcasts via
+    ray.put below ``broadcast_limit`` rows (index_in attach inside the
+    final map; zero further exchanges), else two 0-row-block-safe hash
+    joins run (the 100-TB route). Both routes are pytest-equal
+    (test_q3_route_equivalence); global top-10 via head-k partials."""
     import datetime as _dt
 
     CUT = _dt.datetime(1998, 6, 1)
@@ -4633,27 +4647,85 @@ def q3_shipping_priority(sf_dir: str) -> Dataset:
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
 
-    def rev_partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(CUT)))
-        ep_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
-        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
-        rev = pc.multiply(ep_c, pc.subtract(pa.scalar(100, pa.int64()), disc))
-        g = (
-            pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
-            .group_by("l_orderkey")
-            .aggregate([("rev", "sum")])
-        )
-        return g.rename_columns(["l_orderkey", "p_rev"])
+    def make_rev_partial(qual_keys_ref=None):
+        def rev_partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(CUT)))
+            if qual_keys_ref is not None:
+                # qualifying-order semi-filter BEFORE the exchange:
+                # only ~the segment x date fraction of lineitem rows
+                # survive, shrinking partials and the keyed Sum alike
+                t = t.filter(
+                    pc.is_in(t["l_orderkey"], value_set=ray.get(qual_keys_ref))
+                )
+            ep_c = pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+            )
+            disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+            rev = pc.multiply(ep_c, pc.subtract(pa.scalar(100, pa.int64()), disc))
+            g = (
+                pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+                .group_by("l_orderkey")
+                .aggregate([("rev", "sum")])
+            )
+            return g.rename_columns(["l_orderkey", "p_rev"])
 
-    rev = (
-        line.map_batches(rev_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("p_rev", alias_name="rev"))
-    )
+        return rev_partial
+
+    def make_rev(qual_keys_ref=None):
+        return (
+            line.map_batches(make_rev_partial(qual_keys_ref), batch_format="pyarrow")
+            .groupby("l_orderkey")
+            .aggregate(Sum("p_rev", alias_name="rev"))
+        )
+
     from .stages.join import inner_join_safe
 
-    qual = inner_join_safe(orders, cust, on=("o_custkey",), right_on=("c_custkey",))
-    joined = inner_join_safe(rev, qual, on=("l_orderkey",), right_on=("o_orderkey",))
+    # dimension chain: the distinct-customer side is a set-membership
+    # filter (broadcast below the guard); its output is the qualifying
+    # order list, itself guarded for the final attach
+    cust = cust.materialize()
+    if cust.count() <= broadcast_limit:
+        cust_tbl = pa.concat_tables(
+            [t for t in ray.get(cust.to_arrow_refs()) if t.num_columns]
+        )
+        ckeys_ref = ray.put(cust_tbl["c_custkey"].combine_chunks())
+
+        def semi(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t["o_custkey"], value_set=ray.get(ckeys_ref))
+            return t.filter(keep).select(["o_orderkey", "o_orderdate"])
+
+        qual = orders.map_batches(semi, batch_format="pyarrow")
+    else:
+        qual = inner_join_safe(
+            orders, cust, on=("o_custkey",), right_on=("c_custkey",)
+        ).select_columns(["o_orderkey", "o_orderdate"])
+
+    qual = qual.materialize()
+    if qual.count() <= broadcast_limit:
+        qual_tbl = pa.concat_tables(
+            [t for t in ray.get(qual.to_arrow_refs()) if t.num_columns]
+        )
+        qkeys = qual_tbl["o_orderkey"].combine_chunks()
+        qkeys_ref = ray.put(qkeys)
+        qref = ray.put((qkeys, qual_tbl["o_orderdate"].combine_chunks()))
+
+        def attach(t: pa.Table) -> pa.Table:
+            keys, dates = ray.get(qref)
+            idx = pc.index_in(t["l_orderkey"], keys)
+            t = pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "o_orderdate": pc.take(dates, idx),
+                    "rev": t["rev"],
+                }
+            )
+            return t.filter(pc.is_valid(t["o_orderdate"]))
+
+        joined = make_rev(qkeys_ref).map_batches(attach, batch_format="pyarrow")
+    else:
+        joined = inner_join_safe(
+            make_rev(), qual, on=("l_orderkey",), right_on=("o_orderkey",)
+        )
     out = top_k(joined, [("rev", "descending"), ("l_orderkey", "ascending")], 10)
     return out.map_batches(
         lambda t: t.select(["l_orderkey", "o_orderdate", "rev"]),
@@ -4791,6 +4863,109 @@ SELECT user_id, event_type, cnt FROM (
                             ORDER BY count(*) DESC, event_type) AS rn
   FROM events GROUP BY user_id, event_type)
 WHERE rn = 1"""
+
+
+def seq_bigram_lift_topk(sf_dir: str) -> Dataset:
+    """Collocation discovery over the training sequences: top-50
+    bigrams by LIFT (observed/expected ratio — the PMI ranking
+    without the log so scores stay IEEE-exact and the oracle hashes
+    bitwise; functions/tokens.py:bigram_lift_topk). Complements
+    seq_bigram_topk (raw counts): lift surfaces pairs that co-occur
+    far above chance even at modest counts."""
+    from .functions.tokens import bigram_lift_topk
+
+    seq_dir = ensure_sequences(sf_dir)
+    return bigram_lift_topk(
+        read_parquet_clean(seq_dir, columns=["tokens"]), k=50, min_count=5
+    )
+
+
+def _sql_seq_bigram_lift_topk(sf_dir: str) -> str:
+    path = ensure_sequences(sf_dir)
+    return f"""
+WITH toks AS (
+  SELECT unnest(tokens) AS t FROM read_parquet('{path}/shard_*.parquet')
+),
+uni AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+nu AS (SELECT count(*) AS n FROM toks),
+pairs AS (
+  SELECT unnest(tokens[1 : len(tokens) - 1]) AS t1,
+         unnest(tokens[2 : len(tokens)]) AS t2
+  FROM read_parquet('{path}/shard_*.parquet')
+),
+bi AS (SELECT t1, t2, count(*) AS cxy FROM pairs GROUP BY t1, t2),
+nb AS (SELECT count(*) AS n FROM pairs)
+SELECT CAST(b.t1 AS INTEGER) AS t1, CAST(b.t2 AS INTEGER) AS t2,
+       b.cxy AS cnt,
+       ((CAST(b.cxy AS DOUBLE) * nu.n) * nu.n)
+         / ((CAST(nb.n AS DOUBLE) * u1.c) * u2.c) AS lift
+FROM bi b, nu, nb
+JOIN uni u1 ON b.t1 = u1.t
+JOIN uni u2 ON b.t2 = u2.t
+WHERE b.cxy >= 5
+ORDER BY lift DESC, t1, t2 LIMIT 50"""
+
+
+def docs_readability(sf_dir: str) -> Dataset:
+    """Per-document Flesch reading-ease score from three vectorized
+    Arrow counts (words = space-split length, sentences = '.'
+    occurrences, syllables = vowel runs) — the readability-bucket
+    quality signal of corpus curation. Pure per-batch map, shuffle-
+    free; the formula uses only IEEE-exact int->double conversions,
+    multiplies and divides in a fixed association order, so the
+    DuckDB oracle (identical expression tree) hashes bitwise."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        w = np.maximum(
+            np.asarray(
+                pc.cast(
+                    pc.list_value_length(pc.split_pattern(t["text"], " ")),
+                    pa.int64(),
+                )
+            ),
+            1,
+        )
+        s = np.maximum(
+            np.asarray(pc.cast(pc.count_substring(t["text"], "."), pa.int64())), 1
+        )
+        sy = np.asarray(
+            pc.cast(
+                pc.count_substring_regex(t["text"], "[aeiouAEIOU]+"), pa.int64()
+            )
+        )
+        flesch = (
+            206.835 - (1.015 * (w.astype(np.float64) / s.astype(np.float64)))
+        ) - (84.6 * (sy.astype(np.float64) / w.astype(np.float64)))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(w, pa.int64()),
+                "n_sents": pa.array(s, pa.int64()),
+                "n_syll": pa.array(sy, pa.int64()),
+                "flesch": pa.array(flesch, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _sql_docs_readability(sf_dir: str) -> str:
+    return """
+WITH c AS (
+  SELECT doc_id,
+         greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS n_words,
+         greatest(CAST(len(text) - len(replace(text, '.', '')) AS BIGINT), 1)
+           AS n_sents,
+         CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT)
+           AS n_syll
+  FROM documents)
+SELECT doc_id, n_words, n_sents, n_syll,
+       (206.835 - (1.015 * (CAST(n_words AS DOUBLE) / n_sents)))
+         - (84.6 * (CAST(n_syll AS DOUBLE) / n_words)) AS flesch
+FROM c"""
 
 
 REGISTRY: dict = {
@@ -5010,6 +5185,8 @@ REGISTRY: dict = {
         _sql_events_user_distinct_by_type,
     ),
     "events_user_top_type": (events_user_top_type, _sql_events_user_top_type),
+    "seq_bigram_lift_topk": (seq_bigram_lift_topk, _sql_seq_bigram_lift_topk),
+    "docs_readability": (docs_readability, _sql_docs_readability),
     "seq_vocab_coverage": (seq_vocab_coverage, _sql_seq_vocab_coverage),
     "lineitem_semi_high_value": (lineitem_semi_high_value, _sql_lineitem_semi_high_value),
     "events_hourly": (events_hourly, _sql_events_hourly),

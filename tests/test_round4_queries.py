@@ -130,3 +130,131 @@ def test_weighted_hash_sample_membership_and_determinism(ray_session):
 
     # weighting is real: kept docs are longer on average than dropped
     assert w[keep].mean() > w[~keep].mean()
+
+
+def test_q3_route_equivalence(ray_session):
+    """Broadcast (default at test scale) and two-hash-join routes must
+    agree — forced via broadcast_limit=0."""
+    from logpipe_ray.queries import q3_shipping_priority
+
+    outs = []
+    for lim in (2_000_000, 0):
+        o = (
+            q3_shipping_priority(SF, broadcast_limit=lim)
+            .to_pandas()
+            .sort_values(["rev", "l_orderkey"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+        outs.append(o)
+    a, b = outs
+    assert len(a) == len(b) == 10
+    assert a["l_orderkey"].tolist() == b["l_orderkey"].tolist()
+    assert a["rev"].tolist() == b["rev"].tolist()
+    assert (
+        pd.to_datetime(a["o_orderdate"]).tolist()
+        == pd.to_datetime(b["o_orderdate"]).tolist()
+    )
+
+
+def test_bigram_lift_reference(ray_session):
+    """Engine lift scores equal a from-scratch pandas/numpy reference
+    bitwise (IEEE-exact int->double conversions and fixed-order
+    multiply/divide)."""
+    from logpipe_ray.fixtures.generator import ensure_sequences
+    from logpipe_ray.queries import seq_bigram_lift_topk
+
+    out = (
+        seq_bigram_lift_topk(SF)
+        .to_pandas()
+        .sort_values(["lift", "t1", "t2"], ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+    import glob
+
+    seq_dir = ensure_sequences(SF)
+    toks = pd.concat(
+        [pq.read_table(p, columns=["tokens"]).to_pandas() for p in
+         sorted(glob.glob(f"{seq_dir}/shard_*.parquet"))]
+    )["tokens"]
+    uni = {}
+    bi = {}
+    nu = nb = 0
+    for row in toks:
+        arr = np.asarray(row)
+        nu += len(arr)
+        nb += max(len(arr) - 1, 0)
+        for t in arr:
+            uni[int(t)] = uni.get(int(t), 0) + 1
+        for x, y in zip(arr[:-1], arr[1:]):
+            k = (int(x), int(y))
+            bi[k] = bi.get(k, 0) + 1
+    rows = []
+    for (x, y), cxy in bi.items():
+        if cxy < 5:
+            continue
+        lift = ((float(cxy) * float(nu)) * float(nu)) / (
+            (float(nb) * float(uni[x])) * float(uni[y])
+        )
+        rows.append((x, y, cxy, lift))
+    ref = (
+        pd.DataFrame(rows, columns=["t1", "t2", "cnt", "lift"])
+        .sort_values(["lift", "t1", "t2"], ascending=[False, True, True])
+        .head(50)
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(ref) == 50
+    assert out["t1"].tolist() == ref["t1"].tolist()
+    assert out["t2"].tolist() == ref["t2"].tolist()
+    assert out["cnt"].tolist() == ref["cnt"].tolist()
+    assert (out["lift"].to_numpy() == ref["lift"].to_numpy()).all()  # bitwise
+
+
+def test_bigram_lift_join_route_equivalence(ray_session):
+    """LUT-broadcast and double-hash-join routes agree (forced via
+    lut_vocab_limit=0)."""
+    import ray.data as rd
+    from logpipe_ray.functions.tokens import bigram_lift_topk
+
+    rng = np.random.default_rng(5)
+    rows = [rng.integers(0, 40, rng.integers(2, 30)).astype(np.int32)
+            for _ in range(300)]
+    t = pa.table({"tokens": pa.array([list(map(int, r)) for r in rows],
+                                     pa.list_(pa.int32()))})
+    outs = []
+    for lim in (5_000_000, 0):
+        ds = rd.from_arrow(t).repartition(4)
+        o = (
+            bigram_lift_topk(ds, k=30, min_count=3, lut_vocab_limit=lim)
+            .to_pandas()
+            .sort_values(["lift", "t1", "t2"], ascending=[False, True, True])
+            .reset_index(drop=True)
+        )
+        outs.append(o)
+    a, b = outs
+    assert len(a) == len(b) > 0
+    assert a["t1"].tolist() == b["t1"].tolist()
+    assert a["t2"].tolist() == b["t2"].tolist()
+    assert (a["lift"].to_numpy() == b["lift"].to_numpy()).all()
+
+
+def test_docs_readability_reference(ray_session):
+    from logpipe_ray.queries import docs_readability
+
+    out = (
+        docs_readability(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    import re
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    w = docs["text"].str.split(" ").str.len().clip(lower=1).astype(np.int64)
+    s = docs["text"].str.count(re.escape(".")).clip(lower=1).astype(np.int64)
+    sy = docs["text"].str.count("[aeiouAEIOU]+").astype(np.int64)
+    flesch = (206.835 - (1.015 * (w.to_numpy(float) / s.to_numpy(float)))) - (
+        84.6 * (sy.to_numpy(float) / w.to_numpy(float))
+    )
+    assert out["doc_id"].tolist() == docs["doc_id"].tolist()
+    assert out["n_words"].tolist() == w.tolist()
+    assert out["n_sents"].tolist() == s.tolist()
+    assert out["n_syll"].tolist() == sy.tolist()
+    assert (out["flesch"].to_numpy() == flesch).all()  # bitwise
