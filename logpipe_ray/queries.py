@@ -4968,6 +4968,93 @@ SELECT doc_id, n_words, n_sents, n_syll,
 FROM c"""
 
 
+def events_wau_daily(sf_dir: str) -> Dataset:
+    """Trailing-7-day active users per day (the WAU curve) — a
+    WINDOWED DISTINCT count, the sliding-window dedup shape the
+    registry didn't cover.
+
+    Scale shape (two keyed exchanges, the retention-cohorts fold):
+    per-batch distinct (user, epoch-day) pairs replicate to the 7
+    window-end days they contribute to (bounded 7x blowup of DISTINCT
+    pairs, never raw events), re-dedup locally, and hash-bucket by
+    user so every (user, wday) copy co-locates exactly once; one
+    vectorized groupby(bucket) fold dedups and emits per-wday partial
+    counts; a tiny keyed Sum finishes. No reducer holds a day's full
+    user set — only its bucket slice."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+    US_PER_DAY = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+            pa.scalar(US_PER_DAY, pa.int64()),
+        )
+        g = (
+            pa.table({"user_id": t["user_id"], "day": day})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+        u = np.asarray(g["user_id"], dtype=np.int64)
+        d = np.asarray(g["day"], dtype=np.int64)
+        u7 = np.repeat(u, 7)
+        w7 = np.repeat(d, 7) + np.tile(np.arange(7, dtype=np.int64), len(u))
+        g2 = (
+            pa.table(
+                {
+                    "user_id": pa.array(u7, pa.int64()),
+                    "wday": pa.array(w7, pa.int64()),
+                }
+            )
+            .group_by(["user_id", "wday"])
+            .aggregate([])
+        )
+        uid = g2["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
+        return g2.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        u = df["user_id"].to_numpy()
+        w = df["wday"].to_numpy()
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+        return (
+            pd.DataFrame({"wday": w[keep]})
+            .groupby("wday", sort=False)
+            .size()
+            .reset_index(name="pb_n")
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("wday")
+        .aggregate(Sum("pb_n", alias_name="wau"))
+    )
+
+
+def _sql_events_wau_daily(sf_dir: str) -> str:
+    return """
+WITH pairs AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+expanded AS (
+  SELECT DISTINCT user_id, day + o AS wday
+  FROM pairs CROSS JOIN (SELECT unnest(range(0, 7)) AS o)
+)
+SELECT CAST(wday AS BIGINT) AS wday, CAST(count(*) AS BIGINT) AS wau
+FROM expanded GROUP BY wday"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 rotation: the 8 late-r3 oracled queries that never had a
@@ -5187,6 +5274,7 @@ REGISTRY: dict = {
     "events_user_top_type": (events_user_top_type, _sql_events_user_top_type),
     "seq_bigram_lift_topk": (seq_bigram_lift_topk, _sql_seq_bigram_lift_topk),
     "docs_readability": (docs_readability, _sql_docs_readability),
+    "events_wau_daily": (events_wau_daily, _sql_events_wau_daily),
     "seq_vocab_coverage": (seq_vocab_coverage, _sql_seq_vocab_coverage),
     "lineitem_semi_high_value": (lineitem_semi_high_value, _sql_lineitem_semi_high_value),
     "events_hourly": (events_hourly, _sql_events_hourly),

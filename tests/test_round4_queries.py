@@ -258,3 +258,25 @@ def test_docs_readability_reference(ray_session):
     assert out["n_sents"].tolist() == s.tolist()
     assert out["n_syll"].tolist() == sy.tolist()
     assert (out["flesch"].to_numpy() == flesch).all()  # bitwise
+
+
+def test_events_wau_daily_reference(ray_session):
+    from logpipe_ray.queries import events_wau_daily
+
+    out = (
+        events_wau_daily(SF).to_pandas().sort_values("wday").reset_index(drop=True)
+    )
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    day = (
+        ev["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    ).to_numpy()
+    pairs = set(zip(ev["user_id"].tolist(), day.tolist()))
+    from collections import defaultdict
+
+    wau = defaultdict(set)
+    for u, d in pairs:
+        for o in range(7):
+            wau[d + o].add(u)
+    ref = sorted((w, len(s)) for w, s in wau.items())
+    assert out["wday"].tolist() == [w for w, _ in ref]
+    assert out["wau"].tolist() == [n for _, n in ref]
