@@ -1,0 +1,114 @@
+"""Distributed linear algebra over embedding columns.
+
+PCA is the classic pre-whitening step before embedding dedup / ANN
+(SemDeDup-style pipelines center + project embeddings first); the
+reference has no linear algebra at all (SURVEY.md §2 — it is a log
+pipeline), so this family is target-only.
+
+Scale shape: moment accumulation is a perfect map-combine — each batch
+contributes (n, sum, X^T X), d + d^2 floats regardless of batch rows —
+so a 100-TB embedding table reduces to one tiny driver-side eigh of a
+d x d covariance (d = embedding dim, typically 64-4096; 4096^2 doubles
+= 128 MB, still driver-safe). The projection pass is an independent
+shuffle-free map. Floating-point sums depend on merge order, so
+results are deterministic only up to ~1e-12 relative — the driver
+check is rows-only by design (no SQL oracle could express eigh
+anyway); pytest pins the subspace against numpy within tolerance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+
+def _batch_matrix(col) -> np.ndarray:
+    """(rows, d) float64 view of a list<float> column — zero-copy
+    flatten, one widening astype."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.astype(np.float64, copy=False).reshape(n, -1)
+
+
+def pca_fit(ds: Dataset, col: str = "embedding", k: int = 2):
+    """Fit a k-component PCA: returns (mean, components) where
+    ``components`` is (d, k), columns = top-k eigenvectors of the
+    sample covariance, eigenvalue-descending, sign-fixed so each
+    column's largest-|.| entry is positive (determinism up to the
+    float-merge tolerance).
+
+    One streaming pass: per-batch moment partials (n, colsum, gram)
+    merged on the driver — volume per batch is d + d^2 doubles,
+    independent of row count."""
+    import ray as _ray
+
+    def moments(t: pa.Table) -> pa.Table:
+        X = _batch_matrix(t[col])
+        g = X.T @ X
+        return pa.table(
+            {
+                "n": pa.array([X.shape[0]], pa.int64()),
+                "s": pa.array([X.sum(axis=0).tolist()], pa.list_(pa.float64())),
+                "g": pa.array([g.ravel().tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = [
+        t
+        for t in _ray.get(
+            ds.map_batches(moments, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_columns and t.num_rows
+    ]
+    if not parts:
+        raise ValueError("pca_fit: empty input")
+    tbl = pa.concat_tables(parts)
+    n = int(pc.sum(tbl["n"]).as_py())
+    s = np.add.reduce(
+        [np.asarray(x, dtype=np.float64) for x in tbl["s"].to_pylist()]
+    )
+    g = np.add.reduce(
+        [np.asarray(x, dtype=np.float64) for x in tbl["g"].to_pylist()]
+    )
+    d = len(s)
+    mean = s / n
+    cov = g.reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    W = evecs[:, order]
+    # sign convention: largest-|.| entry of each component positive
+    flip = W[np.abs(W).argmax(axis=0), np.arange(W.shape[1])] < 0
+    W[:, flip] *= -1.0
+    return mean, W
+
+
+def pca_project(
+    ds: Dataset,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 2,
+) -> Dataset:
+    """Project every embedding onto the top-k principal components:
+    (id_col, pc1..pck). Fit is one moment pass (pca_fit); the
+    projection is a shuffle-free vectorized map over a ray.put
+    broadcast of (mean, W)."""
+    import ray as _ray
+
+    mean, W = pca_fit(ds, col, k)
+    ref = _ray.put((mean, W))
+
+    def project(t: pa.Table) -> pa.Table:
+        m, w = _ray.get(ref)
+        X = _batch_matrix(t[col])
+        P = (X - m) @ w
+        cols = {id_col: t[id_col]}
+        for j in range(P.shape[1]):
+            cols[f"pc{j + 1}"] = pa.array(P[:, j], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")

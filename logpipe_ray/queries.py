@@ -5055,6 +5055,22 @@ SELECT CAST(wday AS BIGINT) AS wday, CAST(count(*) AS BIGINT) AS wau
 FROM expanded GROUP BY wday"""
 
 
+def embeddings_pca_project(sf_dir: str) -> Dataset:
+    """Top-2 PCA projection of the embeddings table (the whitening /
+    dimensionality-reduction step before embedding dedup and ANN).
+    One streaming moment pass (d + d^2 floats per batch) + driver
+    eigh + a shuffle-free projection map (functions/linalg.py).
+    Non-SQL-expressible (eigendecomposition) -> rows-only driver
+    check; subspace correctness vs full-data numpy PCA is
+    pytest-proven."""
+    from .functions.linalg import pca_project
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pca_project(ds, "embedding", "vec_id", k=2)
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 rotation: the 8 late-r3 oracled queries that never had a
@@ -5275,6 +5291,7 @@ REGISTRY: dict = {
     "seq_bigram_lift_topk": (seq_bigram_lift_topk, _sql_seq_bigram_lift_topk),
     "docs_readability": (docs_readability, _sql_docs_readability),
     "events_wau_daily": (events_wau_daily, _sql_events_wau_daily),
+    "embeddings_pca_project": (embeddings_pca_project, None),  # rows-only
     "seq_vocab_coverage": (seq_vocab_coverage, _sql_seq_vocab_coverage),
     "lineitem_semi_high_value": (lineitem_semi_high_value, _sql_lineitem_semi_high_value),
     "events_hourly": (events_hourly, _sql_events_hourly),

@@ -280,3 +280,43 @@ def test_events_wau_daily_reference(ray_session):
     ref = sorted((w, len(s)) for w, s in wau.items())
     assert out["wday"].tolist() == [w for w, _ in ref]
     assert out["wau"].tolist() == [n for _, n in ref]
+
+
+def test_pca_project_vs_numpy(ray_session):
+    """Engine PCA equals full-data numpy PCA: same subspace (projections
+    match within float-merge tolerance after sign convention), components
+    orthonormal, variance ordering correct."""
+    from logpipe_ray.functions.linalg import pca_fit
+    from logpipe_ray.queries import embeddings_pca_project
+
+    out = (
+        embeddings_pca_project(SF)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    X = np.asarray(
+        t["embedding"].combine_chunks().flatten(), dtype=np.float64
+    ).reshape(t.num_rows, -1)
+    ids = np.asarray(t["vec_id"])
+    mean = X.mean(axis=0)
+    cov = np.cov(X.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    W = evecs[:, order]
+    flip = W[np.abs(W).argmax(axis=0), np.arange(2)] < 0
+    W[:, flip] *= -1.0
+    P = (X - mean) @ W
+    ref = P[np.argsort(ids)]
+    got = out[["pc1", "pc2"]].to_numpy()
+    assert out["vec_id"].tolist() == sorted(ids.tolist())
+    assert np.allclose(got, ref, atol=1e-8)
+    # variance ordering: pc1 explains at least as much as pc2
+    assert got[:, 0].var() >= got[:, 1].var()
+    # fit API: orthonormal components
+    import ray.data as rd
+
+    m2, W2 = pca_fit(rd.from_arrow(t).repartition(5), "embedding", k=3)
+    assert np.allclose(W2.T @ W2, np.eye(3), atol=1e-10)
+    assert np.allclose(m2, mean, atol=1e-12)
