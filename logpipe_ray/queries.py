@@ -5071,6 +5071,67 @@ def embeddings_pca_project(sf_dir: str) -> Dataset:
     return pca_project(ds, "embedding", "vec_id", k=2)
 
 
+def events_type_share(sf_dir: str) -> Dataset:
+    """Per-user event-type mix: each (user, type) count plus its SHARE
+    of the user's total — the percent-of-group window-function shape
+    (count(*) / sum(count(*)) OVER (PARTITION BY user)) in ONE keyed
+    exchange.
+
+    Scale shape: per-batch (user, type) count partials hash-bucket by
+    user (all of a user's partials co-locate once); a vectorized
+    bucket fold merges partials and divides by per-user totals with
+    np.repeat run-arithmetic — no second exchange, no per-user Python.
+    share = int64-exact counts -> one IEEE-exact double division, so
+    the oracle hashes bitwise."""
+    import pandas as pd
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["user_id", "event_type", "p_cnt"])
+        uid = g["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        hb = (
+            pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
+        )
+        return g.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        m = (
+            df.groupby(["user_id", "event_type"], sort=True)["p_cnt"]
+            .sum()
+            .reset_index(name="cnt")
+        )
+        u = m["user_id"].to_numpy()
+        c = m["cnt"].to_numpy(dtype=np.int64)
+        start = np.ones(len(u), dtype=bool)
+        start[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(start)
+        lens = np.diff(np.append(starts, len(u)))
+        totals = np.repeat(np.add.reduceat(c, starts), lens)
+        m["share"] = c.astype(np.float64) / totals.astype(np.float64)
+        return m
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def _sql_events_type_share(sf_dir: str) -> str:
+    return """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(*) AS DOUBLE)
+         / sum(count(*)) OVER (PARTITION BY user_id) AS share
+FROM events GROUP BY user_id, event_type"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 rotation: the 8 late-r3 oracled queries that never had a
@@ -5292,6 +5353,7 @@ REGISTRY: dict = {
     "docs_readability": (docs_readability, _sql_docs_readability),
     "events_wau_daily": (events_wau_daily, _sql_events_wau_daily),
     "embeddings_pca_project": (embeddings_pca_project, None),  # rows-only
+    "events_type_share": (events_type_share, _sql_events_type_share),
     "seq_vocab_coverage": (seq_vocab_coverage, _sql_seq_vocab_coverage),
     "lineitem_semi_high_value": (lineitem_semi_high_value, _sql_lineitem_semi_high_value),
     "events_hourly": (events_hourly, _sql_events_hourly),

@@ -320,3 +320,31 @@ def test_pca_project_vs_numpy(ray_session):
     m2, W2 = pca_fit(rd.from_arrow(t).repartition(5), "embedding", k=3)
     assert np.allclose(W2.T @ W2, np.eye(3), atol=1e-10)
     assert np.allclose(m2, mean, atol=1e-12)
+
+
+def test_events_type_share_reference(ray_session):
+    from logpipe_ray.queries import events_type_share
+
+    out = (
+        events_type_share(SF)
+        .to_pandas()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    c = (
+        ev.groupby(["user_id", "event_type"])
+        .size()
+        .reset_index(name="cnt")
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    tot = c.groupby("user_id")["cnt"].transform("sum")
+    share = c["cnt"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+    assert out["user_id"].tolist() == c["user_id"].tolist()
+    assert out["event_type"].tolist() == c["event_type"].tolist()
+    assert out["cnt"].tolist() == c["cnt"].tolist()
+    assert (out["share"].to_numpy() == share).all()  # bitwise
+    # shares sum to 1 per user
+    s = out.groupby("user_id")["share"].sum()
+    assert np.allclose(s.to_numpy(), 1.0)
