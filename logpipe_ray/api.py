@@ -187,6 +187,34 @@ class Pipeline:
         )
 
     # --------------------------------------------------------------- sinks
+    def sample_weighted(
+        self, id_col: str, weight_col: str, w_cap: int, rate_pct: int
+    ) -> "Pipeline":
+        """Deterministic weighted Poisson sample (functions/sampling.py)."""
+        from .functions.sampling import weighted_hash_sample
+
+        return Pipeline(
+            weighted_hash_sample(self._ds, id_col, weight_col, w_cap, rate_pct)
+        )
+
+    def split(self, id_col: str, splits: dict[str, int] | None = None) -> "Pipeline":
+        """Deterministic train/val/test assignment (functions/sampling.py)."""
+        from .functions.sampling import hash_split
+
+        return Pipeline(hash_split(self._ds, id_col, splits))
+
+    def bigram_lift(self, tokens_col: str = "tokens", k: int = 50, **kw) -> "Pipeline":
+        """Top-k collocations by observed/expected ratio (functions/tokens.py)."""
+        from .functions.tokens import bigram_lift_topk
+
+        return Pipeline(bigram_lift_topk(self._ds, tokens_col, k=k, **kw))
+
+    def pca(self, col: str, id_col: str, k: int = 2) -> "Pipeline":
+        """Top-k principal-component projection (functions/linalg.py)."""
+        from .functions.linalg import pca_project
+
+        return Pipeline(pca_project(self._ds, col, id_col, k=k))
+
     def sink(self, sink_type: str, **options) -> dict:
         from .sinks.factory import create_sink
 

@@ -173,3 +173,55 @@ def test_pipeline_round3_operator_methods(ray_session):
     w = p.join_window(right, "k", "ts", "rts", window_us=5).to_pandas()
     # ts=10 matches rts=8 (within 5 back); ts=20 matches rts=19
     assert sorted(zip(w["ts"], w["rid"])) == [(10, 100), (20, 101)]
+
+
+def test_pipeline_round4_operator_methods(ray_session):
+    """The fluent surface exposes the round-4 families: sample_weighted /
+    split / bigram_lift / pca."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logpipe_ray.api import Pipeline
+
+    docs = Pipeline.from_dataset(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": list(range(100)),
+                    "w": [10 + (i % 90) for i in range(100)],
+                }
+            )
+        )
+    )
+    s = docs.sample_weighted("doc_id", "w", w_cap=80, rate_pct=60).to_pandas()
+    assert 0 < len(s) < 100
+
+    sp = docs.split("doc_id").to_pandas()
+    assert set(sp["split"]) <= {"train", "val", "test"} and len(sp) == 100
+
+    toks = Pipeline.from_dataset(
+        rd.from_arrow(
+            pa.table(
+                {"tokens": pa.array([[1, 2, 1, 2, 1]] * 40, pa.list_(pa.int32()))}
+            )
+        )
+    )
+    lift = toks.bigram_lift(k=5, min_count=2).to_pandas()
+    assert len(lift) == 2  # (1,2) and (2,1)
+
+    vecs = Pipeline.from_dataset(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": list(range(50)),
+                    "embedding": pa.array(
+                        np.random.default_rng(3).normal(size=(50, 8)).tolist(),
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            )
+        )
+    )
+    pcs = vecs.pca("embedding", "vec_id", k=2).to_pandas()
+    assert list(pcs.columns) == ["vec_id", "pc1", "pc2"] and len(pcs) == 50
