@@ -5132,6 +5132,552 @@ SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
 FROM events GROUP BY user_id, event_type"""
 
 
+# qualifying-side broadcast guard for q5/q18, same convention as
+# Q3_BROADCAST_LIMIT: below it the dimension chain ships once via
+# ray.put, above it the 0-row-block-safe hash joins run
+Q5_BROADCAST_LIMIT = 2_000_000
+
+
+def q5_local_supplier_volume(
+    sf_dir: str, broadcast_limit: int = Q5_BROADCAST_LIMIT
+) -> Dataset:
+    """TPC-H Q5 shape: revenue per nation where the CUSTOMER's nation
+    equals the SUPPLIER's nation inside one region — the CORRELATED
+    star join (two independent dimension paths must agree per fact
+    row), a join topology the registry didn't cover.
+
+    Scale shape: region/nation resolve on the driver (tens of rows).
+    The two correlated paths attach to lineitem independently —
+    customer nation rides the qualifying-orders list (o_orderkey ->
+    cnk), supplier nation rides the supplier projection (s_suppkey ->
+    snk); the equality filter then runs INSIDE the fact scan, and each
+    batch collapses to per-nation int-cents revenue partials before
+    ONE tiny keyed Sum (≤ #nations rows move). Both attach sides
+    broadcast via ray.put under ``broadcast_limit`` rows; above it the
+    same plan runs as two 0-row-block-safe hash joins with the
+    equality filter and partial collapse immediately after (the 100-TB
+    route; route-equivalence pytest-forced)."""
+    import datetime as _dt
+
+    LO, HI = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+    from .stages.join import inner_join_safe
+
+    nat_t = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                read_parquet_clean(f"{sf_dir}/nation.parquet").to_arrow_refs()
+            )
+            if t.num_columns
+        ]
+    )
+    reg_t = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                read_parquet_clean(f"{sf_dir}/region.parquet").to_arrow_refs()
+            )
+            if t.num_columns
+        ]
+    )
+    asia = reg_t.filter(pc.equal(reg_t["r_name"], "ASIA"))["r_regionkey"]
+    nat_t = nat_t.filter(
+        pc.is_in(nat_t["n_regionkey"], value_set=asia.combine_chunks())
+    )
+    nkeys_ref = ray.put(nat_t["n_nationkey"].combine_chunks())
+
+    supp = read_parquet_clean(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["s_nationkey"], value_set=ray.get(nkeys_ref))
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["c_nationkey"], value_set=ray.get(nkeys_ref))
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(LO)),
+                pc.less(t["o_orderdate"], pa.scalar(HI)),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    # customer-nation path: qualifying (o_orderkey, cnk)
+    if cust.count() <= broadcast_limit:
+        ct = pa.concat_tables(
+            [t for t in ray.get(cust.to_arrow_refs()) if t.num_columns]
+        )
+        cref = ray.put(
+            (ct["c_custkey"].combine_chunks(), ct["c_nationkey"].combine_chunks())
+        )
+
+        def attach_cnk(t: pa.Table) -> pa.Table:
+            ck, cn = ray.get(cref)
+            idx = pc.index_in(t["o_custkey"], value_set=ck)
+            out = pa.table(
+                {"o_orderkey": t["o_orderkey"], "cnk": pc.take(cn, idx)}
+            )
+            return out.filter(pc.is_valid(out["cnk"]))
+
+        qual = orders.map_batches(attach_cnk, batch_format="pyarrow")
+    else:
+        qual = inner_join_safe(
+            orders, cust, on=("o_custkey",), right_on=("c_custkey",)
+        ).map_batches(
+            lambda t: pa.table(
+                {"o_orderkey": t["o_orderkey"], "cnk": t["c_nationkey"]}
+            ),
+            batch_format="pyarrow",
+        )
+
+    line = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        ep_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(ep_c, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        g = (
+            pa.table({"nk": t["cnk"], "rev": rev})
+            .group_by("nk")
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["nk", "p_rev"])
+
+    qual = qual.materialize()
+    supp_rows = supp.count()
+    if qual.count() <= broadcast_limit and supp_rows <= broadcast_limit:
+        qt = pa.concat_tables(
+            [t for t in ray.get(qual.to_arrow_refs()) if t.num_columns]
+        )
+        st = pa.concat_tables(
+            [t for t in ray.get(supp.to_arrow_refs()) if t.num_columns]
+        )
+        qref = ray.put(
+            (qt["o_orderkey"].combine_chunks(), qt["cnk"].combine_chunks())
+        )
+        sref = ray.put(
+            (st["s_suppkey"].combine_chunks(), st["s_nationkey"].combine_chunks())
+        )
+
+        def correlated(t: pa.Table) -> pa.Table:
+            ok, cn = ray.get(qref)
+            sk, sn = ray.get(sref)
+            cnk = pc.take(cn, pc.index_in(t["l_orderkey"], value_set=ok))
+            snk = pc.take(sn, pc.index_in(t["l_suppkey"], value_set=sk))
+            keep = pc.and_kleene(
+                pc.and_kleene(pc.is_valid(cnk), pc.is_valid(snk)),
+                pc.equal(cnk, snk),
+            )
+            t = t.append_column("cnk", cnk).filter(
+                pc.fill_null(keep, False)
+            )
+            return rev_partial(t)
+
+        partials = line.map_batches(correlated, batch_format="pyarrow")
+    else:
+        j = inner_join_safe(
+            line, qual, on=("l_orderkey",), right_on=("o_orderkey",)
+        )
+        j = inner_join_safe(
+            j,
+            supp.map_batches(
+                lambda t: pa.table(
+                    {"s_suppkey": t["s_suppkey"], "snk": t["s_nationkey"]}
+                ),
+                batch_format="pyarrow",
+            ),
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+        )
+        partials = j.map_batches(
+            lambda t: rev_partial(t.filter(pc.equal(t["cnk"], t["snk"]))),
+            batch_format="pyarrow",
+        )
+
+    rev = partials.groupby("nk").aggregate(Sum("p_rev", alias_name="revenue"))
+    names_ref = ray.put(
+        (nat_t["n_nationkey"].combine_chunks(), nat_t["n_name"].combine_chunks())
+    )
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        nk, nm = ray.get(names_ref)
+        return pa.table(
+            {
+                "n_name": pc.take(nm, pc.index_in(t["nk"], value_set=nk)),
+                "revenue": t["revenue"],
+            }
+        )
+
+    return rev.map_batches(attach_name, batch_format="pyarrow")
+
+
+def _sql_q5_local_supplier_volume(sf_dir: str) -> str:
+    return """
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100.0) AS BIGINT)))
+            AS BIGINT) AS revenue
+FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+  AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name"""
+
+
+def q13_customer_distribution(sf_dir: str) -> Dataset:
+    """TPC-H Q13 shape: how many customers placed exactly k (filtered)
+    orders, INCLUDING the zero-order customers the LEFT JOIN exists
+    for — the count-of-counts distribution.
+
+    Scale shape: NO join at all. Per-customer order counts are
+    partial-mergeable (per-batch count partials -> keyed Sum), the
+    count-of-counts is a second tiny keyed Sum over O(#customers)
+    rows, and the zero bucket is closed-form: |customer| minus the
+    number of customers holding >= 1 surviving order (two cheap scalar
+    counts on already-materialized datasets). Relies on referential
+    integrity (every o_custkey exists in customer) — the oracle runs
+    the literal LEFT JOIN, so any violation shows up as a mismatch
+    rather than silently diverging."""
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t["o_orderpriority"], "1-URGENT")
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    per_cust = count_groupby(orders, ["o_custkey"], alias="c_count").materialize()
+    hist = count_groupby(per_cust, ["c_count"], alias="custdist")
+    total_cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    zero = total_cust - per_cust.count()
+    if zero > 0:
+        zrow = rd.from_arrow(
+            pa.table(
+                {
+                    "c_count": pa.array([0], pa.int64()),
+                    "custdist": pa.array([zero], pa.int64()),
+                }
+            )
+        )
+        hist = hist.union(zrow)
+    return hist
+
+
+def _sql_q13_customer_distribution(sf_dir: str) -> str:
+    return """
+WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS c_count
+            FROM orders WHERE o_orderpriority <> '1-URGENT'
+            GROUP BY o_custkey),
+d AS (SELECT c.c_custkey, CAST(coalesce(oc.c_count, 0) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM d GROUP BY c_count"""
+
+
+Q18_QTY_THRESHOLD = 300
+
+
+def q18_large_volume_orders(
+    sf_dir: str,
+    qty_threshold: int = Q18_QTY_THRESHOLD,
+    broadcast_limit: int = Q5_BROADCAST_LIMIT,
+) -> Dataset:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, joined BACK to orders + customer for the report — the
+    group-HAVING-join-back topology.
+
+    Scale shape: lineitem collapses to per-order int64 quantity
+    partials per batch -> ONE keyed Sum -> threshold filter. The
+    qualifying set is by construction a tiny tail (top ~0.1% of
+    orders), so under ``broadcast_limit`` it ships once via ray.put
+    and both enrichment joins become semi-filtered scans (orders rows
+    and customer rows that survive are exactly the report rows);
+    above the guard the same plan runs as hash joins. Global top-100
+    via head-k partials with a deterministic (o_totalprice desc,
+    o_orderkey asc) tiebreak."""
+    from .stages.join import inner_join_safe
+
+    line = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        g = (
+            pa.table({"l_orderkey": t["l_orderkey"], "q": q})
+            .group_by("l_orderkey")
+            .aggregate([("q", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "p_q"])
+
+    qual = (
+        line.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("p_q", alias_name="total_qty"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["total_qty"], qty_threshold)),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    if qual.count() <= broadcast_limit:
+        qt = pa.concat_tables(
+            [t for t in ray.get(qual.to_arrow_refs()) if t.num_columns]
+        )
+        qref = ray.put(
+            (qt["l_orderkey"].combine_chunks(), qt["total_qty"].combine_chunks())
+        )
+
+        def attach_qty(t: pa.Table) -> pa.Table:
+            ok, q = ray.get(qref)
+            idx = pc.index_in(t["o_orderkey"], value_set=ok)
+            t = t.append_column("total_qty", pc.take(q, idx))
+            return t.filter(pc.is_valid(t["total_qty"]))
+
+        ordq = orders.map_batches(attach_qty, batch_format="pyarrow").materialize()
+        ot = pa.concat_tables(
+            [t for t in ray.get(ordq.to_arrow_refs()) if t.num_columns]
+        )
+        ckeys_ref = ray.put(ot["o_custkey"].combine_chunks())
+
+        def pick_cust(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t["c_custkey"], value_set=ray.get(ckeys_ref))
+            return t.filter(keep)
+
+        cust_small = cust.map_batches(pick_cust, batch_format="pyarrow").materialize()
+        ct = pa.concat_tables(
+            [t for t in ray.get(cust_small.to_arrow_refs()) if t.num_columns]
+        )
+        cref = ray.put(
+            (ct["c_custkey"].combine_chunks(), ct["c_name"].combine_chunks())
+        )
+
+        def attach_name(t: pa.Table) -> pa.Table:
+            ck, nm = ray.get(cref)
+            name = pc.take(nm, pc.index_in(t["o_custkey"], value_set=ck))
+            return pa.table(
+                {
+                    "c_name": name,
+                    "c_custkey": t["o_custkey"],
+                    "o_orderkey": t["o_orderkey"],
+                    "o_orderdate": t["o_orderdate"],
+                    "o_totalprice": t["o_totalprice"],
+                    "total_qty": t["total_qty"],
+                }
+            )
+
+        report = ordq.map_batches(attach_name, batch_format="pyarrow")
+    else:
+        ordq = inner_join_safe(
+            orders, qual, on=("o_orderkey",), right_on=("l_orderkey",)
+        )
+        report = inner_join_safe(
+            ordq, cust, on=("o_custkey",), right_on=("c_custkey",)
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "c_name": t["c_name"],
+                    "c_custkey": t["o_custkey"],
+                    "o_orderkey": t["o_orderkey"],
+                    "o_orderdate": t["o_orderdate"],
+                    "o_totalprice": t["o_totalprice"],
+                    "total_qty": t["total_qty"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    return top_k(
+        report,
+        [("o_totalprice", "descending"), ("o_orderkey", "ascending")],
+        100,
+    )
+
+
+def _sql_q18_large_volume_orders(sf_dir: str) -> str:
+    return """
+WITH q AS (SELECT l_orderkey,
+                  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                    AS total_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, q.total_qty
+FROM q
+JOIN orders o ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100"""
+
+
+def _pick_user_day(kind: str):
+    """(user_id, day) projection of one event type — the shared input
+    shape of the set-operation queries (every user fires every event
+    TYPE eventually, so the interesting set algebra is per activity
+    day)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], kind))
+        day = pc.floor_temporal(t["ts"], unit="day").cast(pa.timestamp("us"))
+        return pa.table({"user_id": t["user_id"], "day": day})
+
+    return fn
+
+
+def events_click_never_purchase(sf_dir: str) -> Dataset:
+    """SQL EXCEPT over the events stream: DISTINCT (user, day) pairs
+    with a click but NO purchase that day — the engaged-but-not-
+    converted audience. Scale shape in stages/setops.py: per-batch
+    DISTINCT side-flag partials -> union -> ONE keyed flag-Max ->
+    filter; no reducer holds a side's pair set."""
+    from .stages.setops import except_distinct
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return except_distinct(
+        ev.map_batches(_pick_user_day("click"), batch_format="pyarrow"),
+        ev.map_batches(_pick_user_day("purchase"), batch_format="pyarrow"),
+        ["user_id", "day"],
+        key_types={"day": pa.timestamp("us")},
+    )
+
+
+def _sql_events_click_never_purchase(sf_dir: str) -> str:
+    return """
+SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id, date_trunc('day', ts)
+FROM events WHERE event_type = 'purchase'"""
+
+
+def events_click_and_purchase(sf_dir: str) -> Dataset:
+    """SQL INTERSECT over the events stream: DISTINCT (user, day)
+    pairs with BOTH a click and a purchase (converted days) — same
+    single-exchange tagged-union plan as EXCEPT (stages/setops.py)."""
+    from .stages.setops import intersect_distinct
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return intersect_distinct(
+        ev.map_batches(_pick_user_day("click"), batch_format="pyarrow"),
+        ev.map_batches(_pick_user_day("purchase"), batch_format="pyarrow"),
+        ["user_id", "day"],
+        key_types={"day": pa.timestamp("us")},
+    )
+
+
+def _sql_events_click_and_purchase(sf_dir: str) -> str:
+    return """
+SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id, date_trunc('day', ts)
+FROM events WHERE event_type = 'purchase'"""
+
+
+def events_value_mad(sf_dir: str) -> pa.Table:
+    """Per-type median absolute deviation of event value — the robust
+    dispersion profile (stages/aggregate.py grouped_mad: two
+    distributed-selection passes + one broadcast median LUT; no
+    reducer ever holds a group's values)."""
+    from .stages.aggregate import grouped_mad
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return grouped_mad(ev, "event_type", "value")
+
+
+def _sql_events_value_mad(sf_dir: str) -> str:
+    return """
+WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type)
+SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad_value
+FROM events e JOIN m USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type"""
+
+
+def events_value_hour_corr(sf_dir: str) -> Dataset:
+    """Per-type Pearson correlation between event value (cents) and
+    hour-of-day — does spend track the daily cycle? Fixed-order
+    int64-exact moment math (stages/aggregate.py grouped_corr_fixed)
+    so the oracle's doubles replay bitwise: per-batch moment partials,
+    ONE keyed Sum, closed-form finish."""
+    from .stages.aggregate import grouped_corr_fixed
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        x = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        y = pc.cast(pc.hour(t["ts"]), pa.int64())
+        return pa.table({"event_type": t["event_type"], "x": x, "y": y})
+
+    return grouped_corr_fixed(
+        ev.map_batches(prep, batch_format="pyarrow"), "event_type", "x", "y"
+    )
+
+
+def _sql_events_value_hour_corr(sf_dir: str) -> str:
+    # the CASTs pin the exact double-op order grouped_corr_fixed uses:
+    # int sums are exact (DuckDB HUGEINT / engine int64), each product,
+    # subtract, sqrt and divide is then one correctly-rounded IEEE op
+    return """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100.0) AS BIGINT) AS x,
+                  CAST(hour(ts) AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM c GROUP BY event_type)
+SELECT event_type,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            ELSE NULL END AS corr_xy
+FROM s"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 rotation: the 8 late-r3 oracled queries that never had a
@@ -5349,6 +5895,31 @@ REGISTRY: dict = {
         _sql_events_user_distinct_by_type,
     ),
     "events_user_top_type": (events_user_top_type, _sql_events_user_top_type),
+    "q5_local_supplier_volume": (
+        q5_local_supplier_volume,
+        _sql_q5_local_supplier_volume,
+    ),
+    "q13_customer_distribution": (
+        q13_customer_distribution,
+        _sql_q13_customer_distribution,
+    ),
+    "q18_large_volume_orders": (
+        q18_large_volume_orders,
+        _sql_q18_large_volume_orders,
+    ),
+    "events_click_never_purchase": (
+        events_click_never_purchase,
+        _sql_events_click_never_purchase,
+    ),
+    "events_click_and_purchase": (
+        events_click_and_purchase,
+        _sql_events_click_and_purchase,
+    ),
+    "events_value_mad": (events_value_mad, _sql_events_value_mad),
+    "events_value_hour_corr": (
+        events_value_hour_corr,
+        _sql_events_value_hour_corr,
+    ),
     "seq_bigram_lift_topk": (seq_bigram_lift_topk, _sql_seq_bigram_lift_topk),
     "docs_readability": (docs_readability, _sql_docs_readability),
     "events_wau_daily": (events_wau_daily, _sql_events_wau_daily),

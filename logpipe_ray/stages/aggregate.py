@@ -1201,3 +1201,148 @@ def grouped_minmax_permille(
         return t.append_column(out_col, pa.array(out, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def grouped_mad(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    out_col: str = "mad_value",
+    **quantile_kw,
+) -> pa.Table:
+    """Per-group median absolute deviation — the robust dispersion
+    measure quality-filtering pipelines use where stddev is
+    outlier-poisoned: ``median(|v - median(v)|)`` per group.
+
+    Exact medians are not partial-mergeable, so both passes run the
+    distributed-selection machinery of :func:`grouped_exact_quantile`
+    (no reducer or the driver ever holds a group's values):
+
+      1. first selection pass -> per-group median table (O(#groups));
+      2. the median LUT broadcasts ONCE via ``ray.put`` and a
+         shuffle-free vectorized map rewrites each row to its absolute
+         deviation (``pc.index_in`` lookup, same shape as
+         grouped_minmax_permille);
+      3. second selection pass over the deviations -> the MAD.
+
+    The 2-column projection is materialized once up front and feeds
+    both passes (each pass re-scans its input per refinement
+    iteration — the global_topk_filter lesson). Deviations are plain
+    IEEE doubles computed identically by any engine from the same
+    inputs, so a SQL oracle replays the result bitwise given the
+    median itself matches (which grouped_exact_quantile's
+    quantile_cont parity guarantees).
+    """
+    import ray
+
+    base = ds.map_batches(
+        lambda t: t.select([key, value_col]).filter(pc.is_valid(t[value_col])),
+        batch_format="pyarrow",
+    ).materialize()
+    med = grouped_exact_quantile(base, key, value_col, q=0.5, **quantile_kw)
+    if not med.num_rows:
+        return pa.table(
+            {key: med[key], out_col: pa.array([], pa.float64())}
+        )
+    ref = ray.put(
+        (
+            med[key].combine_chunks()
+            if isinstance(med[key], pa.ChunkedArray)
+            else med[key],
+            np.asarray(med["quantile_value"], dtype=np.float64),
+        )
+    )
+
+    def dev(t: pa.Table) -> pa.Table:
+        keys_b, mv = ray.get(ref)
+        idx = np.asarray(pc.index_in(t[key], value_set=keys_b), dtype=np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = np.abs(v - mv[idx])
+        return pa.table({key: t[key], "dev": pa.array(d, pa.float64())})
+
+    devs = base.map_batches(dev, batch_format="pyarrow").materialize()
+    out = grouped_exact_quantile(devs, key, "dev", q=0.5, **quantile_kw)
+    return out.rename_columns([key, out_col])
+
+
+def grouped_corr_fixed(
+    ds: Dataset,
+    key: str,
+    x_col: str,
+    y_col: str,
+    out_col: str = "corr_xy",
+) -> Dataset:
+    """Per-group Pearson correlation in FIXED-ORDER arithmetic over
+    integer-exact columns (cents / hours / counts), so a SQL oracle
+    replays the doubles bitwise.
+
+    Scale shape — the classic mergeable-moments plan: each batch
+    collapses to per-group int64 moment partials
+    ``(n, Σx, Σy, Σx², Σy², Σxy)`` (Arrow group_by; exchange volume is
+    one row per (group, batch)), ONE keyed Sum merges them, then the
+    closed form finishes on the tiny per-group table in an explicit
+    double-op order both engines evaluate identically under IEEE 754:
+
+        num = (f64)n·(f64)Σxy − (f64)Σx·(f64)Σy
+        den = sqrt((f64)n·(f64)Σx² − (f64)Σx·(f64)Σx)
+            · sqrt((f64)n·(f64)Σy² − (f64)Σy·(f64)Σy)
+
+    (each cast/product/subtract is one correctly-rounded op, no FMA on
+    either side). Integer sums are EXACT up to int64 — safe while
+    Σx² < 2^63, e.g. ~4·10⁸ rows/group at |x| ≤ 5·10⁴ cents; beyond
+    that, split the sums into hi/lo int64 pairs. Groups where either
+    variance term is ≤ 0 (constant column) yield null, matching SQL
+    ``corr``'s NULL. Returns (key, out_col:float64).
+    """
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tbl = pa.table(
+            {
+                key: t[key],
+                "p_n": pa.array(np.ones(len(x), np.int64)),
+                "p_sx": pa.array(x),
+                "p_sy": pa.array(y),
+                "p_sxx": pa.array(x * x),
+                "p_syy": pa.array(y * y),
+                "p_sxy": pa.array(x * y),
+            }
+        )
+        return tbl.group_by(key).aggregate(
+            [(c, "sum") for c in ("p_n", "p_sx", "p_sy", "p_sxx", "p_syy", "p_sxy")]
+        ).rename_columns([key, "p_n", "p_sx", "p_sy", "p_sxx", "p_syy", "p_sxy"])
+
+    sums = (
+        ds.map_batches(moment_partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(
+            Sum("p_n", alias_name="n"),
+            Sum("p_sx", alias_name="sx"),
+            Sum("p_sy", alias_name="sy"),
+            Sum("p_sxx", alias_name="sxx"),
+            Sum("p_syy", alias_name="syy"),
+            Sum("p_sxy", alias_name="sxy"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = t["syy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        num = n * sxy - sx * sy
+        ok = (vx > 0) & (vy > 0)
+        den = np.sqrt(np.where(ok, vx, 1.0)) * np.sqrt(np.where(ok, vy, 1.0))
+        r = np.where(ok, num / den, np.nan)
+        # from_pandas=True turns the constant-column NaNs into true
+        # Arrow nulls, matching SQL corr's NULL
+        return pa.table(
+            {key: t[key], out_col: pa.array(r, pa.float64(), from_pandas=True)}
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,190 @@
+"""Round-4 session-3 additions: set operations (EXCEPT/INTERSECT),
+grouped MAD, fixed-order grouped correlation, and the Q5/Q18
+broadcast-vs-join route equivalences. Independent references are
+pandas/numpy computations (DuckDB oracle parity is covered by
+scripts/check_correctness.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mk(tbls):
+    return rd.from_arrow(tbls)
+
+
+def test_except_intersect_vs_sets(ray_session):
+    from logpipe_ray.stages.setops import except_distinct, intersect_distinct
+
+    rng = np.random.RandomState(7)
+    l = rng.randint(0, 40, 300)
+    r = rng.randint(20, 60, 250)
+    left = _mk(pa.table({"k": pa.array(l, pa.int64())})).repartition(5)
+    right = _mk(pa.table({"k": pa.array(r, pa.int64())})).repartition(4)
+    exc = set(
+        except_distinct(left, right, ["k"]).to_pandas()["k"].tolist()
+    )
+    inter = set(
+        intersect_distinct(left, right, ["k"]).to_pandas()["k"].tolist()
+    )
+    assert exc == set(l) - set(r)
+    assert inter == set(l) & set(r)
+
+
+def test_except_handles_filtered_empty_and_whole_empty_right(ray_session):
+    from logpipe_ray.stages.setops import except_distinct
+
+    left = _mk(pa.table({"k": pa.array([1, 2, 3, 4], pa.int64())})).repartition(3)
+    # right filters every block to empty -> EXCEPT degenerates to
+    # DISTINCT(left); the union must survive the 0-row blocks
+    right = _mk(
+        pa.table({"k": pa.array([10, 11], pa.int64())})
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["k"], -1)), batch_format="pyarrow"
+    )
+    out = except_distinct(left, right, ["k"]).to_pandas()
+    assert set(out["k"].tolist()) == {1, 2, 3, 4}
+
+
+def test_except_multicol_keys_and_key_types(ray_session):
+    from logpipe_ray.stages.setops import except_distinct
+
+    ts = pa.array(
+        [1_700_000_000_000_000, 1_700_086_400_000_000, 1_700_000_000_000_000],
+        pa.timestamp("us"),
+    )
+    left = _mk(pa.table({"u": pa.array([1, 1, 2], pa.int64()), "d": ts}))
+    right = _mk(
+        pa.table(
+            {
+                "u": pa.array([1], pa.int64()),
+                "d": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+            }
+        )
+    )
+    out = except_distinct(
+        left, right, ["u", "d"], key_types={"d": pa.timestamp("us")}
+    )
+    tb = pa.concat_tables(
+        [t for t in __import__("ray").get(out.to_arrow_refs()) if t.num_columns]
+    )
+    assert tb.schema.field("d").type == pa.timestamp("us")
+    got = {(r["u"], r["d"]) for r in tb.to_pylist()}
+    assert len(got) == 2 and all(u in (1, 2) for u, _ in got)
+
+
+def test_grouped_mad_vs_pandas(ray_session):
+    from logpipe_ray.stages.aggregate import grouped_mad
+
+    rng = np.random.RandomState(3)
+    k = rng.choice(["a", "b", "c"], 4001)
+    v = np.round(rng.gamma(2.0, 50.0, 4001), 2)
+    ds = _mk(pa.table({"g": k, "v": pa.array(v, pa.float64())})).repartition(6)
+    out = grouped_mad(ds, "g", "v").to_pandas().set_index("g")["mad_value"]
+    df = pd.DataFrame({"g": k, "v": v})
+    med = df.groupby("g")["v"].median()
+    ref = (
+        df.assign(d=(df.v - df.g.map(med)).abs())
+        .groupby("g")["d"]
+        .median()
+    )
+    for g in ref.index:
+        assert out[g] == ref[g], (g, out[g], ref[g])
+
+
+def test_grouped_corr_fixed_vs_numpy(ray_session):
+    from logpipe_ray.stages.aggregate import grouped_corr_fixed
+
+    rng = np.random.RandomState(11)
+    k = rng.choice(["p", "q"], 3000)
+    x = rng.randint(1, 50_000, 3000).astype(np.int64)
+    y = (x // 1000 + rng.randint(0, 24, 3000)).astype(np.int64)  # correlated
+    ds = _mk(
+        pa.table({"g": k, "x": pa.array(x), "y": pa.array(y)})
+    ).repartition(5)
+    out = (
+        grouped_corr_fixed(ds, "g", "x", "y")
+        .to_pandas()
+        .set_index("g")["corr_xy"]
+    )
+    for g in ("p", "q"):
+        m = k == g
+        ref = np.corrcoef(x[m], y[m])[0, 1]
+        assert abs(out[g] - ref) < 1e-9, (g, out[g], ref)
+
+
+def test_grouped_corr_fixed_constant_column_is_null(ray_session):
+    from logpipe_ray.stages.aggregate import grouped_corr_fixed
+
+    ds = _mk(
+        pa.table(
+            {
+                "g": ["c"] * 10,
+                "x": pa.array([7] * 10, pa.int64()),
+                "y": pa.array(list(range(10)), pa.int64()),
+            }
+        )
+    )
+    out = grouped_corr_fixed(ds, "g", "x", "y").to_pandas()
+    assert len(out) == 1 and pd.isna(out["corr_xy"].iloc[0])
+
+
+def test_q5_route_equivalence(ray_session):
+    from logpipe_ray.queries import q5_local_supplier_volume
+
+    fast = (
+        q5_local_supplier_volume(SF)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    # broadcast_limit=0 forces the two-hash-join 100-TB route
+    slow = (
+        q5_local_supplier_volume(SF, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_q18_route_equivalence(ray_session):
+    from logpipe_ray.queries import q18_large_volume_orders
+
+    fast = (
+        q18_large_volume_orders(SF)
+        .to_pandas()
+        .sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    slow = (
+        q18_large_volume_orders(SF, broadcast_limit=0)
+        .to_pandas()
+        .sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_q13_zero_bucket_present(ray_session):
+    """Customers with no (surviving) orders must appear as c_count=0."""
+    from logpipe_ray.queries import q13_customer_distribution
+
+    out = q13_customer_distribution(SF).to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey"])
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).to_pandas()
+    kept = orders[orders.o_orderpriority != "1-URGENT"]
+    n_zero = cust.num_rows - kept["o_custkey"].nunique()
+    assert int(out["custdist"].sum()) == cust.num_rows
+    if n_zero > 0:
+        assert int(out.loc[out.c_count == 0, "custdist"].iloc[0]) == n_zero
