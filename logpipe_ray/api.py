@@ -215,6 +215,54 @@ class Pipeline:
 
         return Pipeline(pca_project(self._ds, col, id_col, k=k))
 
+    def except_keys(self, other: "Pipeline | Dataset", keys: list[str], **kw) -> "Pipeline":
+        """SQL EXCEPT: distinct key tuples absent from ``other``
+        (stages/setops.py)."""
+        from .stages.setops import except_distinct
+
+        o = other._ds if isinstance(other, Pipeline) else other
+        return Pipeline(except_distinct(self._ds, o, keys, **kw))
+
+    def intersect_keys(self, other: "Pipeline | Dataset", keys: list[str], **kw) -> "Pipeline":
+        """SQL INTERSECT: distinct key tuples present on both sides
+        (stages/setops.py)."""
+        from .stages.setops import intersect_distinct
+
+        o = other._ds if isinstance(other, Pipeline) else other
+        return Pipeline(intersect_distinct(self._ds, o, keys, **kw))
+
+    def mad_by(self, key: str, value_col: str, **kw) -> "Pipeline":
+        """Per-group median absolute deviation via distributed
+        selection (stages/aggregate.py grouped_mad)."""
+        import ray.data as rd
+
+        from .stages.aggregate import grouped_mad
+
+        return Pipeline(rd.from_arrow(grouped_mad(self._ds, key, value_col, **kw)))
+
+    def corr_by(self, key: str, x_col: str, y_col: str, **kw) -> "Pipeline":
+        """Per-group Pearson correlation over integer-exact columns
+        (stages/aggregate.py grouped_corr_fixed)."""
+        from .stages.aggregate import grouped_corr_fixed
+
+        return Pipeline(grouped_corr_fixed(self._ds, key, x_col, y_col, **kw))
+
+    def cube(self, keys: list[str], sum_cols: dict | None = None, **kw) -> "Pipeline":
+        """GROUP BY CUBE counts+sums from one pass (stages/aggregate.py
+        cube_agg)."""
+        import ray.data as rd
+
+        from .stages.aggregate import cube_agg
+
+        return Pipeline(rd.from_arrow(cube_agg(self._ds, keys, sum_cols, **kw)))
+
+    def densify_time(self, key: str, ts_col: str, unit: str = "hour", **kw) -> "Pipeline":
+        """Gap-filled per-(key, bucket) counts over the full span
+        (stages/aggregate.py dense_time_counts)."""
+        from .stages.aggregate import dense_time_counts
+
+        return Pipeline(dense_time_counts(self._ds, key, ts_col, unit, **kw))
+
     def sink(self, sink_type: str, **options) -> dict:
         from .sinks.factory import create_sink
 

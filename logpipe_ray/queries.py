@@ -5650,6 +5650,61 @@ def events_value_hour_corr(sf_dir: str) -> Dataset:
     )
 
 
+def docs_cube_lang_source(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(lang, source) over documents: doc counts + total
+    characters at every aggregation level (leaf, per-lang, per-source,
+    grand total; NULL markers = SQL CUBE semantics). Scale shape
+    (stages/aggregate.py grouping_sets_agg): ONE streaming pass of
+    mergeable leaf partials; all coarser levels derive from the
+    bounded leaf table — never a rescan. Complements
+    docs_rollup_lang_source (ROLLUP lacks the per-source level)."""
+    from .stages.aggregate import cube_agg
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    return cube_agg(
+        ds, ["lang", "source"], sum_cols={"n_chars": "total_chars"}
+    )
+
+
+def _sql_docs_cube_lang_source(sf_dir: str) -> str:
+    return """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY CUBE (lang, source)"""
+
+
+def events_hourly_dense(sf_dir: str) -> Dataset:
+    """Gap-filled hourly event counts: every (event_type, hour) cell
+    over the table's full span, zero where nothing happened — the
+    resample/densify step that feeds anomaly detection (the empty
+    bucket IS the anomaly). Scale shape in stages/aggregate.py
+    dense_time_counts: bounded count aggregate + a distributed
+    rd.range grid build with a broadcast composite-index lookup."""
+    from .stages.aggregate import dense_time_counts
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    return dense_time_counts(ev, "event_type", "ts", unit="hour")
+
+
+def _sql_events_hourly_dense(sf_dir: str) -> str:
+    return """
+WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket
+           FROM events WHERE ts IS NOT NULL),
+c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM b GROUP BY event_type, bucket),
+span AS (SELECT min(bucket) AS mn, max(bucket) AS mx FROM b),
+grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+         FROM span),
+t AS (SELECT DISTINCT event_type FROM b)
+SELECT t.event_type, g.bucket, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+FROM grid g CROSS JOIN t
+LEFT JOIN c ON c.event_type = t.event_type AND c.bucket = g.bucket"""
+
+
 def _sql_events_value_hour_corr(sf_dir: str) -> str:
     # the CASTs pin the exact double-op order grouped_corr_fixed uses:
     # int sums are exact (DuckDB HUGEINT / engine int64), each product,
@@ -5920,6 +5975,8 @@ REGISTRY: dict = {
         events_value_hour_corr,
         _sql_events_value_hour_corr,
     ),
+    "docs_cube_lang_source": (docs_cube_lang_source, _sql_docs_cube_lang_source),
+    "events_hourly_dense": (events_hourly_dense, _sql_events_hourly_dense),
     "seq_bigram_lift_topk": (seq_bigram_lift_topk, _sql_seq_bigram_lift_topk),
     "docs_readability": (docs_readability, _sql_docs_readability),
     "events_wau_daily": (events_wau_daily, _sql_events_wau_daily),

@@ -1203,6 +1203,182 @@ def grouped_minmax_permille(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def grouping_sets_agg(
+    ds: Dataset,
+    keys: list[str],
+    sets: list[tuple[str, ...]],
+    sum_cols: dict | None = None,
+    count_alias: str = "cnt",
+) -> pa.Table:
+    """GROUPING SETS / CUBE / ROLLUP counts+sums from ONE streaming
+    pass: per-batch Arrow group_by partials over the FULL key tuple ->
+    one keyed Sum -> every requested grouping set derives from the
+    bounded leaf table (O(distinct key combos), the same volume any
+    groupby of the input already produces). Coarser levels never
+    rescan the data.
+
+    ``sets`` lists the grouping sets (subsets of ``keys``); rolled-up
+    key columns are emitted as NULL, matching SQL semantics.
+    ``sum_cols`` maps input numeric columns to output aliases.
+    Assumes the key columns themselves are non-null (a NULL data key
+    would be indistinguishable from the rollup marker without a
+    GROUPING() column — same caveat as SQL consumers that match on
+    NULL markers)."""
+    import pandas as pd
+
+    sum_cols = dict(sum_cols or {})
+    src_cols = list(sum_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        aggs = [([], "count_all")] + [(c, "sum") for c in src_cols]
+        g = t.select(keys + src_cols).group_by(keys).aggregate(aggs)
+        return g.rename_columns(keys + [count_alias] + src_cols)
+
+    leaf_ds = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(
+            Sum(count_alias, alias_name=count_alias),
+            *[Sum(c, alias_name=a) for c, a in sum_cols.items()],
+        )
+    )
+    leaf = leaf_ds.to_pandas()
+    metrics = [count_alias] + list(sum_cols.values())
+    frames = []
+    for s in sets:
+        s = list(s)
+        if set(s) == set(keys):
+            g = leaf[keys + metrics].copy()
+        elif s:
+            g = leaf.groupby(s, as_index=False, dropna=False)[metrics].sum()
+        else:
+            g = leaf[metrics].sum().to_frame().T
+        for k in keys:
+            if k not in s:
+                g[k] = None
+        frames.append(g[keys + metrics])
+    out = pd.concat(frames, ignore_index=True)
+    for m in metrics:
+        out[m] = out[m].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+        None
+    )
+
+
+def cube_agg(
+    ds: Dataset,
+    keys: list[str],
+    sum_cols: dict | None = None,
+    count_alias: str = "cnt",
+) -> pa.Table:
+    """SQL ``GROUP BY CUBE(keys)``: every subset of ``keys`` as a
+    grouping set, derived from one pass (see grouping_sets_agg)."""
+    from itertools import combinations
+
+    sets = [
+        c for n in range(len(keys), -1, -1) for c in combinations(keys, n)
+    ]
+    return grouping_sets_agg(ds, keys, sets, sum_cols, count_alias)
+
+
+def dense_time_counts(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    unit: str = "hour",
+    count_alias: str = "cnt",
+) -> Dataset:
+    """Gap-filled time-series counts: per-(key, time bucket) event
+    counts DENSIFIED over the global [min, max] bucket span — every
+    (key, bucket) combination appears, zero-filled when no events
+    landed there (the resample/densify step dashboards and anomaly
+    detectors need; sparse counts silently skip the most anomalous
+    buckets of all, the empty ones).
+
+    Scale shape: counts come from the standard partial -> keyed Sum
+    plan (bounded by keys x buckets); the span and the key list derive
+    from the BOUNDED counts table, never a second scan. The dense grid
+    is built DISTRIBUTEDLY: ``rd.range(n_keys * n_buckets)`` blocks map
+    their index ranges to (key, bucket) pairs and attach counts via a
+    broadcast composite-index lookup (the counts table is O(output
+    rows) by construction, the same volume the caller is asking to
+    receive). No all-to-all beyond the count aggregate itself."""
+    import ray
+    import ray.data as rd
+
+    step_us = {"hour": 3_600_000_000, "day": 86_400_000_000}[unit]
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[ts_col]))
+        b = pc.floor_temporal(t[ts_col], unit=unit).cast(pa.timestamp("us"))
+        return pa.table({key: t[key], "bucket": b})
+
+    counts = count_groupby(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        [key, "bucket"],
+        alias=count_alias,
+    ).materialize()
+    ct = pa.concat_tables(
+        [t for t in ray.get(counts.to_arrow_refs()) if t.num_columns]
+    )
+    if not ct.num_rows:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    key: pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.timestamp("us")),
+                    count_alias: pa.array([], pa.int64()),
+                }
+            )
+        )
+    # keyed aggregates coarsen timestamp keys to [s] (Ray 2.49); values
+    # are bucket-truncated so only the unit is lost — restore to us
+    buckets_us = pc.cast(
+        pc.cast(ct["bucket"], pa.timestamp("us")), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    lo, hi = int(buckets_us.min()), int(buckets_us.max())
+    n_buckets = (hi - lo) // step_us + 1
+    keys_arr = pc.unique(
+        ct[key].combine_chunks()
+        if isinstance(ct[key], pa.ChunkedArray)
+        else ct[key]
+    )
+    keys_arr = keys_arr.take(pc.sort_indices(keys_arr))
+    kidx = pc.index_in(ct[key], value_set=keys_arr).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    comp = kidx * n_buckets + (buckets_us - lo) // step_us
+    order = np.argsort(comp)
+    ref = ray.put(
+        (
+            keys_arr,
+            comp[order],
+            ct[count_alias].to_numpy(zero_copy_only=False)[order],
+        )
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        ks, comp_sorted, cnts = ray.get(ref)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        ki = ids // n_buckets
+        bi = ids % n_buckets
+        pos = np.searchsorted(comp_sorted, ids)
+        pos_c = np.minimum(pos, len(comp_sorted) - 1)
+        hit = comp_sorted[pos_c] == ids
+        out = np.where(hit, cnts[pos_c], 0)
+        return pa.table(
+            {
+                key: pc.take(ks, pa.array(ki)),
+                "bucket": pa.array(lo + bi * step_us, pa.timestamp("us")),
+                count_alias: pa.array(out, pa.int64()),
+            }
+        )
+
+    return rd.range(len(keys_arr) * n_buckets).map_batches(
+        fill, batch_format="pyarrow"
+    )
+
+
 def grouped_mad(
     ds: Dataset,
     key: str,

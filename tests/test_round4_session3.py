@@ -174,6 +174,82 @@ def test_q18_route_equivalence(ray_session):
     pd.testing.assert_frame_equal(fast, slow)
 
 
+def test_cube_agg_vs_pandas(ray_session):
+    from logpipe_ray.stages.aggregate import cube_agg
+
+    rng = np.random.RandomState(5)
+    a = rng.choice(["x", "y"], 500)
+    b = rng.choice(["p", "q", "r"], 500)
+    v = rng.randint(1, 100, 500).astype(np.int64)
+    ds = _mk(
+        pa.table({"a": a, "b": b, "v": pa.array(v)})
+    ).repartition(4)
+    out = cube_agg(ds, ["a", "b"], sum_cols={"v": "sv"}).to_pandas()
+    df = pd.DataFrame({"a": a, "b": b, "v": v})
+    # 4 grouping sets: (a,b), (a), (b), ()
+    assert len(out) == df.groupby(["a", "b"]).ngroups + 2 + 3 + 1
+    leaf = out[out.a.notna() & out.b.notna()].set_index(["a", "b"])
+    ref = df.groupby(["a", "b"]).agg(cnt=("v", "size"), sv=("v", "sum"))
+    for idx, r in ref.iterrows():
+        assert leaf.loc[idx, "cnt"] == r["cnt"]
+        assert leaf.loc[idx, "sv"] == r["sv"]
+    gt = out[out.a.isna() & out.b.isna()]
+    assert int(gt["cnt"].iloc[0]) == 500 and int(gt["sv"].iloc[0]) == v.sum()
+    bonly = out[out.a.isna() & out.b.notna()].set_index("b")
+    for bb, r in df.groupby("b").agg(cnt=("v", "size")).iterrows():
+        assert bonly.loc[bb, "cnt"] == r["cnt"]
+
+
+def test_dense_time_counts_gap_filled(ray_session):
+    from logpipe_ray.stages.aggregate import dense_time_counts
+
+    h = 3_600_000_000
+    base = 1_700_000_000_000_000 // h * h
+    # key "a" at hours 0 and 3; key "b" at hour 1 -> span = 4 hours,
+    # grid = 2 keys x 4 hours = 8 rows, 5 of them zero
+    ts = pa.array(
+        [base + 10, base + 3 * h + 5, base + 3 * h + 6, base + h],
+        pa.timestamp("us"),
+    )
+    ds = _mk(pa.table({"k": ["a", "a", "a", "b"], "ts": ts}))
+    out = dense_time_counts(ds, "k", "ts").to_pandas()
+    assert len(out) == 8
+    got = {
+        (r.k, int(pd.Timestamp(r.bucket).value // 1000)): int(r.cnt)
+        for r in out.itertuples()
+    }
+    assert got[("a", base)] == 1
+    assert got[("a", base + 3 * h)] == 2
+    assert got[("b", base + h)] == 1
+    assert sum(got.values()) == 4  # all other cells zero-filled
+    assert out["bucket"].dtype == np.dtype("datetime64[us]")
+
+
+def test_fluent_api_session3_methods(ray_session):
+    from logpipe_ray.api import Pipeline
+
+    t = pa.table(
+        {
+            "g": ["a"] * 6 + ["b"] * 6,
+            "x": pa.array(list(range(12)), pa.int64()),
+            "y": pa.array([2 * i for i in range(12)], pa.int64()),
+            "v": pa.array([float(i) for i in range(12)]),
+        }
+    )
+    p = Pipeline.from_dataset(_mk(t))
+    other = Pipeline.from_dataset(
+        _mk(pa.table({"g": ["a"], "x": pa.array([0], pa.int64())}))
+    )
+    assert len(p.except_keys(other, ["g", "x"]).to_pandas()) == 11
+    assert len(p.intersect_keys(other, ["g", "x"]).to_pandas()) == 1
+    mad = p.mad_by("g", "v").to_pandas()
+    assert set(mad.columns) == {"g", "mad_value"} and len(mad) == 2
+    corr = p.corr_by("g", "x", "y").to_pandas()
+    assert np.allclose(corr["corr_xy"], 1.0)
+    cube = p.cube(["g"]).to_pandas()
+    assert len(cube) == 3  # a, b, grand total
+
+
 def test_q13_zero_bucket_present(ray_session):
     """Customers with no (surviving) orders must appear as c_count=0."""
     from logpipe_ray.queries import q13_customer_distribution
