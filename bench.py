@@ -147,6 +147,16 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "docs_weighted_sample",
             "events_user_distinct_by_type",
             "events_user_top_type",
+            # round-4 session 2: collocation lift, windowed distinct
+            "seq_bigram_lift_topk",
+            "events_wau_daily",
+            # round-4 session 3: correlated star join, group-having
+            # join-back, robust dispersion, set ops, densified series
+            "q5_local_supplier_volume",
+            "q18_large_volume_orders",
+            "events_value_mad",
+            "events_click_never_purchase",
+            "events_hourly_dense",
         ]
         all_q = Q.queries()
 

@@ -5705,6 +5705,159 @@ FROM grid g CROSS JOIN t
 LEFT JOIN c ON c.event_type = t.event_type AND c.bucket = g.bucket"""
 
 
+def events_type_transitions(sf_dir: str) -> Dataset:
+    """First-order Markov transition counts + probabilities over each
+    user's time-ordered event stream — the behavioral-sequence prior
+    (what follows a click?) and the bigram-LM analog over event types.
+
+    Scale shape: rows hash-bucket by user (co-location is inherent —
+    a transition is defined by a user's ADJACENT events; bucket count
+    bounds reducer input to ~N/buckets, same as events_user_event_seq),
+    one vectorized lexsort + shift pass per bucket emits per-bucket
+    (cur, next) COUNT partials, and a tiny keyed Sum merges them
+    (output bounded by #types²). Probabilities derive from the bounded
+    result: integer row totals are order-independent-exact, so the
+    single division replays bitwise in SQL."""
+    import pandas as pd
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        order = np.lexsort((eid, ts, u))
+        us = u[order]
+        same = np.zeros(len(us), dtype=bool)
+        if len(us) > 1:
+            same[:-1] = us[1:] == us[:-1]  # row i -> i+1 is a transition
+        idx = np.flatnonzero(same)
+        cur = et.take(pa.array(order[idx], pa.int64()))
+        nxt = et.take(pa.array(order[idx + 1], pa.int64()))
+        g = (
+            pa.table({"cur_type": cur, "next_type": nxt})
+            .group_by(["cur_type", "next_type"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["cur_type", "next_type", "p_cnt"])
+
+    counts = (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["cur_type", "next_type"])
+        .aggregate(Sum("p_cnt", alias_name="cnt"))
+    )
+
+    def probs(t: pa.Table) -> pa.Table:
+        # bounded table (#types²); per-cur totals from exact int sums,
+        # one IEEE division -> bitwise SQL parity
+        df = t.to_pandas()
+        tot = df.groupby("cur_type")["cnt"].transform("sum")
+        df["prob"] = df["cnt"].astype(np.float64) / tot.astype(np.float64)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    # the transition matrix is O(#types²) — one final map on a single
+    # coalesced block computes row-conditional probabilities
+    return counts.repartition(1).map_batches(probs, batch_format="pyarrow")
+
+
+def _sql_events_type_transitions(sf_dir: str) -> str:
+    return """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events),
+c AS (SELECT event_type AS cur_type, nxt AS next_type,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+SELECT cur_type, next_type, cnt,
+       CAST(cnt AS DOUBLE)
+         / CAST(sum(cnt) OVER (PARTITION BY cur_type) AS DOUBLE) AS prob
+FROM c"""
+
+
+def events_type_hour_chi2(sf_dir: str) -> pa.Table:
+    """Chi-square contingency audit of event_type x hour-of-day:
+    observed counts, independence-expected counts, and each cell's
+    chi² contribution — the drift/independence screen over a
+    categorical cross-tab.
+
+    Scale shape: ONE partial+keyed-Sum count aggregate (the only
+    exchange); the contingency table is bounded (#types x 24), so
+    marginals and the per-cell statistics compute on the driver in
+    FIXED double-op order (ints exact, then e = rt·ct/n, d = o − e,
+    term = d·d/e — each one correctly-rounded op, replayed verbatim
+    by the oracle)."""
+    from .stages.aggregate import count_groupby
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def cell(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": pc.cast(pc.hour(t["ts"]), pa.int64()),
+            }
+        )
+
+    obs = count_groupby(
+        ev.map_batches(cell, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        alias="observed",
+    ).to_pandas()
+    rt = obs.groupby("event_type")["observed"].transform("sum").to_numpy(np.int64)
+    ct = obs.groupby("hour")["observed"].transform("sum").to_numpy(np.int64)
+    n = int(obs["observed"].sum())
+    o = obs["observed"].to_numpy(np.int64).astype(np.float64)
+    e = rt.astype(np.float64) * ct.astype(np.float64) / np.float64(n)
+    d = o - e
+    term = d * d / e
+    return pa.table(
+        {
+            "event_type": pa.array(obs["event_type"]),
+            "hour": pa.array(obs["hour"].to_numpy(np.int64)),
+            "observed": pa.array(obs["observed"].to_numpy(np.int64)),
+            "expected": pa.array(e, pa.float64()),
+            "chi2_term": pa.array(term, pa.float64()),
+        }
+    )
+
+
+def _sql_events_type_hour_chi2(sf_dir: str) -> str:
+    return """
+WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+                  CAST(count(*) AS BIGINT) AS observed
+           FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, CAST(sum(observed) AS BIGINT) AS rt FROM c GROUP BY 1),
+h AS (SELECT hour, CAST(sum(observed) AS BIGINT) AS ct FROM c GROUP BY 1),
+n AS (SELECT CAST(sum(observed) AS BIGINT) AS tot FROM c),
+e AS (SELECT c.event_type, c.hour, c.observed,
+             CAST(m.rt AS DOUBLE) * CAST(h.ct AS DOUBLE)
+               / CAST(n.tot AS DOUBLE) AS expected
+      FROM c JOIN m USING (event_type) JOIN h USING (hour) CROSS JOIN n)
+SELECT event_type, hour, observed, expected,
+       (CAST(observed AS DOUBLE) - expected)
+         * (CAST(observed AS DOUBLE) - expected) / expected AS chi2_term
+FROM e"""
+
+
 def _sql_events_value_hour_corr(sf_dir: str) -> str:
     # the CASTs pin the exact double-op order grouped_corr_fixed uses:
     # int sums are exact (DuckDB HUGEINT / engine int64), each product,
@@ -5977,6 +6130,11 @@ REGISTRY: dict = {
     ),
     "docs_cube_lang_source": (docs_cube_lang_source, _sql_docs_cube_lang_source),
     "events_hourly_dense": (events_hourly_dense, _sql_events_hourly_dense),
+    "events_type_transitions": (
+        events_type_transitions,
+        _sql_events_type_transitions,
+    ),
+    "events_type_hour_chi2": (events_type_hour_chi2, _sql_events_type_hour_chi2),
     "seq_bigram_lift_topk": (seq_bigram_lift_topk, _sql_seq_bigram_lift_topk),
     "docs_readability": (docs_readability, _sql_docs_readability),
     "events_wau_daily": (events_wau_daily, _sql_events_wau_daily),

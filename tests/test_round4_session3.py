@@ -250,6 +250,46 @@ def test_fluent_api_session3_methods(ray_session):
     assert len(cube) == 3  # a, b, grand total
 
 
+def test_events_type_transitions_reference(ray_session):
+    from logpipe_ray.queries import events_type_transitions
+
+    out = events_type_transitions(SF).to_pandas()
+    ev = (
+        pq.read_table(f"{SF}/events.parquet")
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    nxt = ev.groupby("user_id")["event_type"].shift(-1)
+    ref = (
+        pd.DataFrame({"cur_type": ev["event_type"], "next_type": nxt})
+        .dropna()
+        .groupby(["cur_type", "next_type"])
+        .size()
+        .reset_index(name="cnt")
+    )
+    got = out.set_index(["cur_type", "next_type"])
+    assert len(out) == len(ref)
+    for r in ref.itertuples():
+        assert got.loc[(r.cur_type, r.next_type), "cnt"] == r.cnt
+    # probabilities sum to 1 per cur_type
+    s = out.groupby("cur_type")["prob"].sum()
+    assert np.allclose(s.to_numpy(), 1.0)
+
+
+def test_events_type_hour_chi2_reference(ray_session):
+    from logpipe_ray.queries import events_type_hour_chi2
+
+    out = events_type_hour_chi2(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["hour"] = ev["ts"].dt.hour.astype(np.int64)
+    ref = ev.groupby(["event_type", "hour"]).size().reset_index(name="observed")
+    assert len(out) == len(ref)
+    assert int(out["observed"].sum()) == len(ev)
+    # independence identity: sum(expected) == n, and chi2 terms >= 0
+    assert abs(out["expected"].sum() - len(ev)) < 1e-6
+    assert (out["chi2_term"] >= 0).all()
+
+
 def test_q13_zero_bucket_present(ray_session):
     """Customers with no (surviving) orders must appear as c_count=0."""
     from logpipe_ray.queries import q13_customer_distribution
