@@ -5858,6 +5858,83 @@ SELECT event_type, hour, observed, expected,
 FROM e"""
 
 
+def events_value_percentile(sf_dir: str) -> Dataset:
+    """Per-row within-group CDF: each event's ``percent_rank`` among
+    its type's values — the feature-engineering transform that turns a
+    raw metric into a calibrated [0,1] score.
+
+    Scale shape: the value domain is bounded integer cents, so the
+    per-(type, cents) distribution table is bounded by #types x domain
+    (~245k cells here) INDEPENDENT of row count — ONE count exchange
+    builds it, the strictly-below cumulative and group sizes broadcast
+    once as flat composite-indexed arrays, and a shuffle-free
+    vectorized map scores every row (searchsorted; below/(n-1) is one
+    exact-int division -> bitwise SQL parity). For unbounded/float
+    domains use grouped_exact_quantile's selection machinery instead;
+    this is the dense-domain fast path."""
+    from .stages.aggregate import count_groupby
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        vc = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table(
+            {"event_id": t["event_id"], "event_type": t["event_type"], "vc": vc}
+        )
+
+    base = ev.map_batches(cents, batch_format="pyarrow")
+    dist = count_groupby(base, ["event_type", "vc"], alias="c").to_pandas()
+    dist = dist.sort_values(["event_type", "vc"], ignore_index=True)
+    types = sorted(dist["event_type"].unique())
+    tidx = {k: i for i, k in enumerate(types)}
+    ti = dist["event_type"].map(tidx).to_numpy(np.int64)
+    vc = dist["vc"].to_numpy(np.int64)
+    c = dist["c"].to_numpy(np.int64)
+    # strictly-below cumulative within each type (exclusive cumsum)
+    cum = np.cumsum(c)
+    grp_start = np.r_[0, np.flatnonzero(np.diff(ti)) + 1]
+    below = cum - c
+    below -= np.repeat(below[grp_start], np.diff(np.r_[grp_start, len(c)]))
+    n_per = np.add.reduceat(c, grp_start)
+    span = int(vc.max()) + 1
+    comp = ti * span + vc
+    refv = ray.put((pa.array(types), comp, below, n_per, span))
+
+    def score(t: pa.Table) -> pa.Table:
+        ts_, comp_sorted, blw, nper, sp = ray.get(refv)
+        gi = pc.index_in(t["event_type"], value_set=ts_).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        v = t["vc"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(comp_sorted, gi * sp + v)
+        n = nper[gi]
+        pct = np.where(
+            n > 1, blw[pos].astype(np.float64) / (n - 1).astype(np.float64), 0.0
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "pct_rank": pa.array(pct, pa.float64()),
+            }
+        )
+
+    return base.map_batches(score, batch_format="pyarrow")
+
+
+def _sql_events_value_percentile(sf_dir: str) -> str:
+    return """
+WITH c AS (SELECT event_id, event_type,
+                  CAST(round(value * 100.0) AS BIGINT) AS vc
+           FROM events WHERE value IS NOT NULL)
+SELECT event_id, event_type,
+       percent_rank() OVER (PARTITION BY event_type ORDER BY vc) AS pct_rank
+FROM c"""
+
+
 def _sql_events_value_hour_corr(sf_dir: str) -> str:
     # the CASTs pin the exact double-op order grouped_corr_fixed uses:
     # int sums are exact (DuckDB HUGEINT / engine int64), each product,
@@ -6135,6 +6212,10 @@ REGISTRY: dict = {
         _sql_events_type_transitions,
     ),
     "events_type_hour_chi2": (events_type_hour_chi2, _sql_events_type_hour_chi2),
+    "events_value_percentile": (
+        events_value_percentile,
+        _sql_events_value_percentile,
+    ),
     "seq_bigram_lift_topk": (seq_bigram_lift_topk, _sql_seq_bigram_lift_topk),
     "docs_readability": (docs_readability, _sql_docs_readability),
     "events_wau_daily": (events_wau_daily, _sql_events_wau_daily),

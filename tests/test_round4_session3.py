@@ -290,6 +290,24 @@ def test_events_type_hour_chi2_reference(ray_session):
     assert (out["chi2_term"] >= 0).all()
 
 
+def test_events_value_percentile_reference(ray_session):
+    from logpipe_ray.queries import events_value_percentile
+
+    out = (
+        events_value_percentile(SF)
+        .to_pandas()
+        .set_index("event_id")["pct_rank"]
+    )
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev = ev[ev.value.notna()].copy()
+    ev["vc"] = np.round(ev["value"] * 100).astype(np.int64)
+    ref = ev.groupby("event_type")["vc"].rank(method="min")
+    n = ev.groupby("event_type")["vc"].transform("size")
+    expect = (ref - 1) / np.maximum(n - 1, 1)
+    for eid, want in zip(ev["event_id"], expect):
+        assert out[eid] == want, (eid, out[eid], want)
+
+
 def test_q13_zero_bucket_present(ray_session):
     """Customers with no (surviving) orders must appear as c_count=0."""
     from logpipe_ray.queries import q13_customer_distribution
