@@ -17,3 +17,6 @@ scaling:
 
 demo:
 	python examples/demo.py
+
+submit:           ## cluster entrypoint (ray job submit -- python scripts/submit_flagship.py ...)
+	python scripts/submit_flagship.py $(IN) $(OUT) --checkpoint-groups 64
