@@ -1318,10 +1318,9 @@ def dense_time_counts(
         [key, "bucket"],
         alias=count_alias,
     ).materialize()
-    ct = pa.concat_tables(
-        [t for t in ray.get(counts.to_arrow_refs()) if t.num_columns]
-    )
-    if not ct.num_rows:
+    tbls = [t for t in ray.get(counts.to_arrow_refs()) if t.num_columns]
+    ct = pa.concat_tables(tbls) if tbls else None
+    if ct is None or not ct.num_rows:
         return rd.from_arrow(
             pa.table(
                 {

@@ -350,3 +350,119 @@ def test_skew_join_property(ray_session, n, hot_frac, nd, thr, bcast, seed):
         assert want == []
     else:
         assert sorted(zip(out.k, out.i, out.dv)) == want
+
+
+@given(
+    nl=st.integers(min_value=0, max_value=60),
+    nr=st.integers(min_value=0, max_value=60),
+    dom=st.integers(min_value=1, max_value=15),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=8, deadline=None)
+def test_setops_property(ray_session, nl, nr, dom, seed):
+    """except/intersect == python set algebra under random sizes
+    (incl. EMPTY sides), duplicate rates and partitioning."""
+    import numpy as np
+    import ray.data as rd
+
+    from logpipe_ray.stages.setops import except_distinct, intersect_distinct
+
+    rng = np.random.default_rng(seed)
+    l = rng.integers(0, dom, size=nl)
+    r = rng.integers(0, dom, size=nr)
+    schema = pa.schema([("k", pa.int64())])
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(l, pa.int64())}).cast(schema)
+    ).repartition(3)
+    right = rd.from_arrow(
+        pa.table({"k": pa.array(r, pa.int64())}).cast(schema)
+    ).repartition(2)
+    exc = except_distinct(left, right, ["k"])
+    inter = intersect_distinct(left, right, ["k"])
+
+    def collect(ds):
+        import ray
+
+        tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
+        return set(pa.concat_tables(tbls)["k"].to_pylist()) if tbls else set()
+
+    assert collect(exc) == set(l.tolist()) - set(r.tolist())
+    assert collect(inter) == set(l.tolist()) & set(r.tolist())
+
+
+@given(
+    n=st.integers(min_value=1, max_value=300),
+    nkeys=st.integers(min_value=1, max_value=4),
+    ties=st.booleans(),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=6, deadline=None)
+def test_grouped_mad_property(ray_session, n, nkeys, ties, seed):
+    """grouped_mad == pandas median-of-absolute-deviations under random
+    group counts, tie-heavy data and any partitioning."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logpipe_ray.stages.aggregate import grouped_mad
+
+    rng = np.random.default_rng(seed)
+    k = rng.integers(0, nkeys, size=n).astype(str)
+    pool = np.round(rng.normal(0, 10, size=max(2, n // 8 if ties else n)), 2)
+    v = rng.choice(pool, size=n)
+    ds = rd.from_arrow(
+        pa.table({"g": k, "v": pa.array(v, pa.float64())})
+    ).repartition(3)
+    out = grouped_mad(ds, "g", "v", collect_limit=16).to_pandas()
+    got = out.set_index("g")["mad_value"]
+    df = pd.DataFrame({"g": k, "v": v})
+    med = df.groupby("g")["v"].median()
+    ref = df.assign(d=(df.v - df.g.map(med)).abs()).groupby("g")["d"].median()
+    assert len(got) == len(ref)
+    for g in ref.index:
+        assert got[g] == ref[g], (g, got[g], ref[g])
+
+
+@given(
+    n=st.integers(min_value=0, max_value=200),
+    nkeys=st.integers(min_value=1, max_value=3),
+    span_h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=8, deadline=None)
+def test_dense_time_counts_property(ray_session, n, nkeys, span_h, seed):
+    """dense_time_counts: grid covers [min,max] per hour for EVERY key,
+    non-zero cells equal brute-force counts, zero cells fill the rest."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logpipe_ray.stages.aggregate import dense_time_counts
+
+    H = 3_600_000_000
+    base = 1_700_000_000_000_000 // H * H
+    rng = np.random.default_rng(seed)
+    k = rng.integers(0, nkeys, size=n).astype(str)
+    ts = base + rng.integers(0, span_h, size=n) * H + rng.integers(0, H, size=n)
+    ds = rd.from_arrow(
+        pa.table(
+            {"k": k, "ts": pa.array(ts.astype("datetime64[us]"))}
+        ).cast(pa.schema([("k", pa.string()), ("ts", pa.timestamp("us"))]))
+    ).repartition(3)
+    out = dense_time_counts(ds, "k", "ts").to_pandas()
+    if n == 0:
+        assert len(out) == 0
+        return
+    hours = (ts // H) * H
+    used = np.unique(hours)
+    nb = int((used.max() - used.min()) // H + 1)
+    assert len(out) == len(np.unique(k)) * nb
+    df = pd.DataFrame({"k": k, "h": hours})
+    ref = df.groupby(["k", "h"]).size()
+    got = {
+        (r.k, int(pd.Timestamp(r.bucket).value // 1000)): int(r.cnt)
+        for r in out.itertuples()
+    }
+    assert sum(got.values()) == n
+    for (kk, hh), c in ref.items():
+        assert got[(kk, int(hh))] == c
