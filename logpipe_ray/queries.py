@@ -5963,6 +5963,730 @@ SELECT event_type,
 FROM s"""
 
 
+# -- session-4 TPC-H shapes: Q4/Q10/Q12/Q14/Q17/Q19/Q22 adaptations --
+# (reference has no SQL engine; these cover the remaining classic join/
+# agg topologies the registry lacked: correlated EXISTS rewritten as a
+# monotone keyed-max, conditional CASE aggregation after a fact join,
+# global-scalar broadcast compare, per-key-threshold correlated filter,
+# OR-bundle multi-predicate scan, and anti-join + scalar subquery.)
+
+Q10_BROADCAST_LIMIT = 2_000_000
+
+
+def q4_late_shipment_priority(sf_dir: str) -> Dataset:
+    """TPC-H Q4 shape: orders placed in 1996 that had at least one
+    line item shipped more than 80 days after the order date, counted
+    per order priority. The correlated EXISTS predicate
+    (EXISTS line WHERE l_shipdate > o_orderdate + 80d) is monotone in
+    l_shipdate, so it rewrites exactly as max(l_shipdate) per order —
+    ONE keyed aggregate instead of a correlated probe per row.
+
+    Scale shape: per-batch partial Max(ship) by orderkey collapses the
+    fact side before the keyed Max (timestamps ride as int64 us —
+    Ray 2.49 coarsens timestamp columns through keyed aggregates);
+    the date-windowed orders side joins on the already-aggregated
+    (one row per order) table via the 0-row-safe hash join; final
+    per-priority counts are partial-collapsed again. No stage holds
+    more than #orders rows, and only (orderkey, max_us) pairs shuffle."""
+    import datetime as _dt
+
+    from .stages.join import inner_join_safe
+
+    LO, HI = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+    LATE_US = 80 * 86_400_000_000  # 80 days in microseconds
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def ship_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["l_shipdate"], pa.int64())
+        g = (
+            pa.table({"l_orderkey": t["l_orderkey"], "us": us})
+            .group_by("l_orderkey")
+            .aggregate([("us", "max")])
+        )
+        return g.rename_columns(["l_orderkey", "p_max"])
+
+    max_ship = (
+        li.map_batches(ship_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Max("p_max", alias_name="max_ship_us"))
+    )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "od_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        ).filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(LO)),
+                pc.less(t["o_orderdate"], pa.scalar(HI)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = inner_join_safe(
+        orders, max_ship, on=("o_orderkey",), right_on=("l_orderkey",)
+    )
+
+    def late_partial(t: pa.Table) -> pa.Table:
+        keep = t.filter(
+            pc.greater(t["max_ship_us"], pc.add(t["od_us"], pa.scalar(LATE_US)))
+        )
+        g = keep.group_by("o_orderpriority").aggregate([([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "p"])
+
+    return (
+        joined.map_batches(late_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("p", alias_name="late_orders"))
+    )
+
+
+def _sql_q4_late_shipment_priority(sf_dir: str) -> str:
+    return """
+WITH m AS (SELECT l_orderkey, max(l_shipdate) AS mx
+           FROM lineitem GROUP BY 1)
+SELECT o_orderpriority, count(*) AS late_orders
+FROM orders JOIN m ON m.l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND mx > o_orderdate + INTERVAL 80 DAY
+GROUP BY 1"""
+
+
+def q10_returned_customers(
+    sf_dir: str, broadcast_limit: int = Q10_BROADCAST_LIMIT
+) -> Dataset:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items (l_returnflag = 'R') for orders placed in 1996Q1, with
+    customer name and nation attached.
+
+    Scale shape: the R-filtered fact collapses to (orderkey, rev)
+    int-cents partials before ONE keyed Sum; the date-windowed orders
+    side joins on that bounded table (0-row-safe hash join), collapses
+    again to (custkey, rev); the customer+nation attach broadcasts
+    under ``broadcast_limit`` rows (hash join above); the final top-20
+    uses per-batch local top-k + one tiny merge, never a global sort.
+    Ties are impossible in the cut because the tiebreak key c_custkey
+    is unique."""
+    from .stages.aggregate import top_k
+    from .stages.join import inner_join_safe
+
+    import datetime as _dt
+
+    LO, HI = _dt.datetime(1996, 1, 1), _dt.datetime(1996, 4, 1)
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        price_c = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        )
+        disc = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        )
+        rev = price_c * (100 - disc) // 100
+        g = (
+            pa.table({"l_orderkey": t["l_orderkey"], "rev": pa.array(rev)})
+            .group_by("l_orderkey")
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "p_rev"])
+
+    order_rev = (
+        li.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("p_rev", alias_name="rev"))
+    )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(LO)),
+                pc.less(t["o_orderdate"], pa.scalar(HI)),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    joined = inner_join_safe(
+        orders, order_rev, on=("o_orderkey",), right_on=("l_orderkey",)
+    )
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["o_custkey", "p_rev"])
+
+    cust_rev = (
+        joined.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("p_rev", alias_name="revenue_cents"))
+    )
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    nat = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                read_parquet_clean(f"{sf_dir}/nation.parquet").to_arrow_refs()
+            )
+            if t.num_columns
+        ]
+    )
+    nref = ray.put(
+        (nat["n_nationkey"].combine_chunks(), nat["n_name"].combine_chunks())
+    )
+
+    if cust.count() <= broadcast_limit:
+        ct = pa.concat_tables(
+            [t for t in ray.get(cust.to_arrow_refs()) if t.num_columns]
+        )
+        cref = ray.put(
+            (
+                ct["c_custkey"].combine_chunks(),
+                ct["c_name"].combine_chunks(),
+                ct["c_nationkey"].combine_chunks(),
+            )
+        )
+
+        def attach(t: pa.Table) -> pa.Table:
+            ck, cn, cnk = ray.get(cref)
+            nk, nm = ray.get(nref)
+            idx = pc.index_in(t["o_custkey"], value_set=ck)
+            nkv = pc.take(cnk, idx)
+            return pa.table(
+                {
+                    "c_custkey": t["o_custkey"],
+                    "c_name": pc.take(cn, idx),
+                    "n_name": pc.take(nm, pc.index_in(nkv, value_set=nk)),
+                    "revenue_cents": t["revenue_cents"],
+                }
+            )
+
+        named = cust_rev.map_batches(attach, batch_format="pyarrow")
+    else:  # 100-TB route: hash join on the bounded per-customer table
+        def attach_nation(t: pa.Table) -> pa.Table:
+            nk, nm = ray.get(nref)
+            return pa.table(
+                {
+                    "c_custkey": t["c_custkey"],
+                    "c_name": t["c_name"],
+                    "n_name": pc.take(nm, pc.index_in(t["c_nationkey"], value_set=nk)),
+                    "revenue_cents": t["revenue_cents"],
+                }
+            )
+
+        named = inner_join_safe(
+            cust, cust_rev, on=("c_custkey",), right_on=("o_custkey",)
+        ).map_batches(attach_nation, batch_format="pyarrow")
+
+    return top_k(
+        named,
+        [("revenue_cents", "descending"), ("c_custkey", "ascending")],
+        20,
+    )
+
+
+def _sql_q10_returned_customers(sf_dir: str) -> str:
+    return """
+WITH r AS (SELECT l_orderkey,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           // 100) AS BIGINT) AS rev
+           FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+cr AS (SELECT o_custkey, CAST(sum(rev) AS BIGINT) AS revenue_cents
+       FROM orders JOIN r ON r.l_orderkey = o_orderkey
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate <  TIMESTAMP '1996-04-01'
+       GROUP BY 1)
+SELECT c.c_custkey, c.c_name, n.n_name, cr.revenue_cents
+FROM cr JOIN customer c ON c.c_custkey = cr.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY cr.revenue_cents DESC, c.c_custkey
+LIMIT 20"""
+
+
+def q12_priority_by_shipmonth(
+    sf_dir: str, broadcast_limit: int = Q10_BROADCAST_LIMIT
+) -> Dataset:
+    """TPC-H Q12 shape (shipmode -> ship month): for lineitems shipped
+    in 1996, per ship month count lines from critical orders
+    (1-URGENT / 2-HIGH priority) vs others — the conditional CASE
+    aggregation after a fact-side dimension attach.
+
+    Scale shape: the (orderkey -> priority) attach broadcasts under
+    ``broadcast_limit`` orders (ray.put once, pc.index_in per batch);
+    above it the same plan is a 0-row-safe hash join with the CASE
+    partials applied immediately after. Each batch collapses to
+    (month, high_cnt, low_cnt) partials; one tiny keyed Sum (≤ 12
+    rows) finishes."""
+    import datetime as _dt
+
+    from .stages.join import inner_join_safe
+
+    LO, HI = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+    HIGH = ("1-URGENT", "2-HIGH")
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(LO)),
+                pc.less(t["l_shipdate"], pa.scalar(HI)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def month_case_partial(t: pa.Table, pri_col: str) -> pa.Table:
+        month = pc.cast(pc.month(t["l_shipdate"]), pa.int64())
+        high = pc.cast(pc.is_in(t[pri_col], value_set=pa.array(HIGH)), pa.int64())
+        low = pc.subtract(pa.scalar(1, pa.int64()), high)
+        g = (
+            pa.table({"ship_month": month, "h": high, "l": low})
+            .group_by("ship_month")
+            .aggregate([("h", "sum"), ("l", "sum")])
+        )
+        return g.rename_columns(["ship_month", "p_high", "p_low"])
+
+    if orders.count() <= broadcast_limit:
+        ot = pa.concat_tables(
+            [t for t in ray.get(orders.to_arrow_refs()) if t.num_columns]
+        )
+        oref = ray.put(
+            (ot["o_orderkey"].combine_chunks(), ot["o_orderpriority"].combine_chunks())
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            ok, op = ray.get(oref)
+            t = t.append_column(
+                "pri", pc.take(op, pc.index_in(t["l_orderkey"], value_set=ok))
+            )
+            return month_case_partial(t, "pri")
+
+        partials = li.map_batches(partial, batch_format="pyarrow")
+    else:
+        joined = inner_join_safe(
+            li, orders, on=("l_orderkey",), right_on=("o_orderkey",)
+        )
+        partials = joined.map_batches(
+            lambda t: month_case_partial(t, "o_orderpriority"),
+            batch_format="pyarrow",
+        )
+
+    return (
+        partials.groupby("ship_month")
+        .aggregate(
+            Sum("p_high", alias_name="high_line_count"),
+            Sum("p_low", alias_name="low_line_count"),
+        )
+    )
+
+
+def _sql_q12_priority_by_shipmonth(sf_dir: str) -> str:
+    return """
+SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1"""
+
+
+def q14_promo_revenue_share(sf_dir: str) -> pa.Table:
+    """TPC-H Q14 shape: share of March-1996 revenue that came from
+    PROMO-type parts — the global-ratio scalar over a broadcast
+    dimension attach.
+
+    Scale shape: part's (partkey -> is-promo) bitmap broadcasts once
+    (bounded by #parts); each fact batch collapses to a SINGLE
+    (promo_rev, total_rev) int-cents row, the global Sum merges those
+    exact ints, and the one ratio computes as 100.0 * promo / total —
+    two correctly-rounded IEEE ops replayed verbatim in the oracle."""
+    import datetime as _dt
+    import pyarrow.parquet as pq
+
+    LO, HI = _dt.datetime(1996, 3, 1), _dt.datetime(1996, 4, 1)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pref = ray.put(
+        (
+            part["p_partkey"].combine_chunks(),
+            pc.equal(part["p_type"], "PROMO").combine_chunks(),
+        )
+    )
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(LO)),
+                pc.less(t["l_shipdate"], pa.scalar(HI)),
+            )
+        )
+        pk, promo = ray.get(pref)
+        is_promo = np.asarray(
+            pc.take(promo, pc.index_in(t["l_partkey"], value_set=pk))
+        ).astype(bool)
+        price_c = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        )
+        disc = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        )
+        rev = price_c * (100 - disc) // 100
+        return pa.table(
+            {
+                "p_promo": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                "p_total": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    agg = li.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("p_promo", alias_name="promo"), Sum("p_total", alias_name="total")
+    )
+    promo_c, total_c = int(agg["promo"] or 0), int(agg["total"] or 0)
+    share = (
+        np.float64(100.0) * np.float64(promo_c) / np.float64(total_c)
+        if total_c
+        else None
+    )
+    return pa.table(
+        {
+            "promo_revenue_cents": pa.array([promo_c], pa.int64()),
+            "total_revenue_cents": pa.array([total_c], pa.int64()),
+            "promo_share_pct": pa.array([share], pa.float64()),
+        }
+    )
+
+
+def _sql_q14_promo_revenue_share(sf_dir: str) -> str:
+    return """
+WITH r AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)) // 100 AS rev,
+                  p_type = 'PROMO' AS is_promo
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+             AND l_shipdate <  TIMESTAMP '1996-04-01')
+SELECT CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT)
+         AS promo_revenue_cents,
+       CAST(sum(rev) AS BIGINT) AS total_revenue_cents,
+       100.0 * CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS DOUBLE)
+         / CAST(sum(rev) AS DOUBLE) AS promo_share_pct
+FROM r"""
+
+
+def q17_small_quantity_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q17 shape: revenue from Brand#4 lineitems whose quantity
+    is below 20% of that part's average quantity — the per-key-
+    threshold correlated filter (every row compares against its own
+    group's aggregate).
+
+    Scale shape: pass 1 collapses the brand-filtered fact to per-part
+    (sum_qty_cents, count) int partials -> ONE keyed Sum -> a table
+    bounded by #parts-in-brand that broadcasts whole; pass 2 re-scans
+    the fact and keeps rows by the INTEGER-EXACT rewrite
+    q_c * 5 * n < sum_q_c  (⇔ l_quantity < 0.2 * avg, no float in the
+    comparison), collapsing each batch to one revenue partial. The
+    fact is never materialized; only bounded partials move."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    brand_keys = part.filter(pc.equal(part["p_brand"], "Brand#4"))[
+        "p_partkey"
+    ].combine_chunks()
+    bref = ray.put(brand_keys)
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=ray.get(bref)))
+        q_c = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
+        g = (
+            pa.table({"l_partkey": t["l_partkey"], "q": q_c})
+            .group_by("l_partkey")
+            .aggregate([("q", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["l_partkey", "p_q", "p_n"])
+
+    stats = (
+        li.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("p_q", alias_name="sq"), Sum("p_n", alias_name="n"))
+    )
+    st = pa.concat_tables([t for t in ray.get(stats.to_arrow_refs()) if t.num_columns])
+    sref = ray.put(
+        (
+            st["l_partkey"].combine_chunks(),
+            st["sq"].combine_chunks(),
+            st["n"].combine_chunks(),
+        )
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=ray.get(bref)))
+        pk, sq, n = ray.get(sref)
+        idx = pc.index_in(t["l_partkey"], value_set=pk)
+        sq_v = np.asarray(pc.take(sq, idx))
+        n_v = np.asarray(pc.take(n, idx))
+        q_c = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
+        )
+        keep = q_c * 5 * n_v < sq_v
+        price_c = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        )
+        return pa.table(
+            {"p_rev": pa.array([int(price_c[keep].sum())], pa.int64())}
+        )
+
+    agg = li.map_batches(rev_partial, batch_format="pyarrow").aggregate(
+        Sum("p_rev", alias_name="rev")
+    )
+    rev = int(agg["rev"] or 0)
+    return pa.table(
+        {
+            "revenue_cents": pa.array([rev], pa.int64()),
+            "avg_yearly": pa.array(
+                [np.float64(rev) / np.float64(7.0)], pa.float64()
+            ),
+        }
+    )
+
+
+def _sql_q17_small_quantity_revenue(sf_dir: str) -> str:
+    return """
+WITH li AS (SELECT l_partkey,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS q_c,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS p_c
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#4'),
+s AS (SELECT l_partkey, CAST(sum(q_c) AS BIGINT) AS sq,
+             CAST(count(*) AS BIGINT) AS n
+      FROM li GROUP BY 1)
+SELECT CAST(sum(p_c) AS BIGINT) AS revenue_cents,
+       CAST(sum(p_c) AS DOUBLE) / 7.0 AS avg_yearly
+FROM li JOIN s USING (l_partkey)
+WHERE q_c * 5 * n < sq"""
+
+
+def q19_bundle_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 shape: revenue matching an OR of three
+    (brand, size-range, quantity-range) predicate bundles — the
+    multi-predicate single-scan with a broadcast dimension attach.
+
+    Scale shape: part's (partkey, brand-code, size) columns broadcast
+    once; each fact batch evaluates all three bundles vectorized and
+    collapses to ONE int-cents revenue partial; a global Sum of exact
+    ints finishes. Zero shuffles beyond the scalar merge."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    pref = ray.put(
+        (
+            part["p_partkey"].combine_chunks(),
+            part["p_brand"].combine_chunks(),
+            pc.cast(part["p_size"], pa.int64()).combine_chunks(),
+        )
+    )
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    BUNDLES = (
+        ("Brand#2", 1, 5, 1.0, 11.0),
+        ("Brand#19", 1, 10, 10.0, 20.0),
+        ("Brand#4", 1, 15, 20.0, 30.0),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk, brand, size = ray.get(pref)
+        idx = pc.index_in(t["l_partkey"], value_set=pk)
+        b = np.asarray(pc.take(brand, idx))
+        s = np.asarray(pc.take(size, idx))
+        q = np.asarray(t["l_quantity"])
+        keep = np.zeros(len(q), dtype=bool)
+        for bb, slo, shi, qlo, qhi in BUNDLES:
+            keep |= (b == bb) & (s >= slo) & (s <= shi) & (q >= qlo) & (q <= qhi)
+        price_c = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        )
+        disc = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        )
+        rev = price_c * (100 - disc) // 100
+        return pa.table({"p_rev": pa.array([int(rev[keep].sum())], pa.int64())})
+
+    agg = li.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("p_rev", alias_name="rev")
+    )
+    return pa.table({"revenue_cents": pa.array([int(agg["rev"] or 0)], pa.int64())})
+
+
+def _sql_q19_bundle_revenue(sf_dir: str) -> str:
+    return """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)) // 100)
+            AS BIGINT) AS revenue_cents
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)"""
+
+
+def q22_idle_rich_customers(sf_dir: str) -> Dataset:
+    """TPC-H Q22 shape: per nation, count and total balance of
+    customers whose account balance exceeds the global average of
+    positive balances AND who have placed no order since 2000-06-01
+    (dormant accounts) — the global-scalar broadcast compare + anti
+    join. (The reference Q22 predicate "never ordered" is degenerate
+    on this generator — every custkey appears in orders at every SF —
+    so the anti side is the recency-filtered order stream instead,
+    which also bounds the broadcast key set.)
+
+    Scale shape: the global average derives from one exact-int
+    (sum_cents, count) fold (per-batch single-row partials, scalar
+    merge); the has-ordered key set is the DISTINCT o_custkey stream
+    (bounded by #customers) shipped once via ray.put into a broadcast
+    anti filter — swap to ``semi_anti_join_ds`` when the distinct set
+    outgrows driver memory. The balance compare is the single IEEE op
+    CAST(b_c AS DOUBLE) > avg, replayed verbatim in the oracle; final
+    per-nation counts are partial-collapsed int sums."""
+    from .stages.join import semi_join_filter
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)), pa.int64())
+        pos = pc.filter(b, pc.greater(b, 0))
+        return pa.table(
+            {
+                "p_s": pa.array([int(pc.sum(pos).as_py() or 0)], pa.int64()),
+                "p_n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    g = cust.map_batches(bal_partial, batch_format="pyarrow").aggregate(
+        Sum("p_s", alias_name="s"), Sum("p_n", alias_name="n")
+    )
+    avg = np.float64(int(g["s"] or 0)) / np.float64(int(g["n"] or 1))
+
+    CUT = __import__("datetime").datetime(2000, 6, 1)
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(CUT))
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        return t.group_by("o_custkey").aggregate([])  # distinct keys per batch
+
+    active = (
+        orders.map_batches(key_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="_c"))
+    )
+    at = pa.concat_tables([t for t in ray.get(active.to_arrow_refs()) if t.num_columns])
+    aref = ray.put(at["o_custkey"].combine_chunks())
+
+    def rich(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)), pa.int64())
+        t = t.append_column("b_c", b)
+        return t.filter(pc.greater(pc.cast(b, pa.float64()), pa.scalar(float(avg))))
+
+    idle_rich = semi_join_filter(
+        cust.map_batches(rich, batch_format="pyarrow"),
+        "c_custkey",
+        aref,
+        anti=True,
+    )
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        g3 = (
+            pa.table(
+                {"c_nationkey": pc.cast(t["c_nationkey"], pa.int64()), "b": t["b_c"]}
+            )
+            .group_by("c_nationkey")
+            .aggregate([([], "count_all"), ("b", "sum")])
+        )
+        return g3.rename_columns(["c_nationkey", "p_cnt", "p_bal"])
+
+    return (
+        idle_rich.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("p_cnt", alias_name="numcust"),
+            Sum("p_bal", alias_name="totacctbal_cents"),
+        )
+    )
+
+
+def _sql_q22_idle_rich_customers(sf_dir: str) -> str:
+    return """
+WITH ac AS (SELECT c_custkey, c_nationkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS b_c
+            FROM customer),
+g AS (SELECT CAST(sum(CASE WHEN b_c > 0 THEN b_c ELSE 0 END) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN b_c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+      FROM ac)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       count(*) AS numcust,
+       CAST(sum(b_c) AS BIGINT) AS totacctbal_cents
+FROM ac CROSS JOIN g
+WHERE CAST(b_c AS DOUBLE) > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY 1"""
+
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 rotation: the 8 late-r3 oracled queries that never had a
@@ -6166,6 +6890,33 @@ REGISTRY: dict = {
     # r4 addition, oracled + mini-driver green; out-of-window (the 50
     # seats all hold never-driver-checked queries) — rotate next round
     "events_user_event_seq": (events_user_event_seq, _sql_events_user_event_seq),
+    # r4 session-4: remaining TPC-H join/agg topologies (out-of-window;
+    # rotate next round)
+    "q4_late_shipment_priority": (
+        q4_late_shipment_priority,
+        _sql_q4_late_shipment_priority,
+    ),
+    "q10_returned_customers": (
+        q10_returned_customers,
+        _sql_q10_returned_customers,
+    ),
+    "q12_priority_by_shipmonth": (
+        q12_priority_by_shipmonth,
+        _sql_q12_priority_by_shipmonth,
+    ),
+    "q14_promo_revenue_share": (
+        q14_promo_revenue_share,
+        _sql_q14_promo_revenue_share,
+    ),
+    "q17_small_quantity_revenue": (
+        q17_small_quantity_revenue,
+        _sql_q17_small_quantity_revenue,
+    ),
+    "q19_bundle_revenue": (q19_bundle_revenue, _sql_q19_bundle_revenue),
+    "q22_idle_rich_customers": (
+        q22_idle_rich_customers,
+        _sql_q22_idle_rich_customers,
+    ),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "events_approx_distinct_users": (

@@ -698,7 +698,14 @@ def grouped_exact_quantile(
         m = meta[k]
         v1, v2 = rank_val[(k, m["m1"])], rank_val[(k, m["m2"])]
         frac = m["h"] - m["m1"]
-        out.append(float(v1 + frac * (v2 - v1)))
+        # DuckDB's Interpolate is the AFFINE form lo*(1-frac) + hi*frac,
+        # which rounds differently from lo + frac*(hi-lo) in the last
+        # bit for general doubles (e.g. lo=-2.22, hi=19.39, frac=0.5:
+        # 8.585 vs 8.584999999999999) — verified empirically 0/200
+        # mismatches vs 53/200 for the lerp form. Exact-valued inputs
+        # (integer cents) agree under both, which is why the oracled
+        # cents queries never caught the difference.
+        out.append(float(v1 * (1.0 - frac) + v2 * frac))
     return pa.table(
         {key: pa.array(ks_sorted), "quantile_value": pa.array(out, pa.float64())}
     )
