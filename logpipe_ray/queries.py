@@ -6687,6 +6687,229 @@ GROUP BY 1"""
 
 
 
+# -- session-4 grouped-statistics family: diversity, lag-delta, skew --
+# (log/log2 are NOT bitwise-portable between numpy and DuckDB libm —
+# measured 23/300 last-bit mismatches — so the diversity metrics here
+# are the integer-moment ones: Gini impurity and Simpson index, whose
+# only float ops are divisions of exact int sums. Entropy would need a
+# shared log implementation and is deliberately absent.)
+
+
+def events_hour_type_diversity(sf_dir: str) -> pa.Table:
+    """Per hour-of-day diversity of the event-type mix: Gini impurity
+    1 − Σp² and Simpson index Σc(c−1)/(n(n−1)) — the drift screens a
+    routing pipeline watches to catch a sink suddenly dominating an
+    hour.
+
+    Scale shape: ONE (hour, type) count exchange (bounded ≤ 24·#types)
+    is the only shuffle; Σc² and Σc(c−1) fold per hour as EXACT Python
+    ints on the bounded table, and each output float is a single
+    fixed-order expression over exact-int casts (1.0 − Σc²/(n·n);
+    Σc(c−1)/(n·(n−1))), replayed verbatim by the oracle."""
+    from .stages.aggregate import count_groupby
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def cell(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.cast(pc.hour(t["ts"]), pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    obs = count_groupby(
+        ev.map_batches(cell, batch_format="pyarrow"),
+        ["hour", "event_type"],
+        alias="cnt",
+    ).to_pandas()
+    rows = []
+    for hour, g in obs.groupby("hour"):
+        c = [int(x) for x in g["cnt"]]
+        n = sum(c)
+        sc2 = sum(x * x for x in c)
+        spair = sum(x * (x - 1) for x in c)
+        gini = np.float64(1.0) - np.float64(sc2) / (np.float64(n) * np.float64(n))
+        simpson = (
+            np.float64(spair) / (np.float64(n) * np.float64(n - 1))
+            if n > 1
+            else None
+        )
+        rows.append((int(hour), n, sc2, float(gini), simpson))
+    rows.sort()
+    return pa.table(
+        {
+            "hour": pa.array([r[0] for r in rows], pa.int64()),
+            "n_events": pa.array([r[1] for r in rows], pa.int64()),
+            "sum_c2": pa.array([r[2] for r in rows], pa.int64()),
+            "gini_impurity": pa.array([r[3] for r in rows], pa.float64()),
+            "simpson_index": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _sql_events_hour_type_diversity(sf_dir: str) -> str:
+    return """
+WITH c AS (SELECT CAST(hour(ts) AS BIGINT) AS hour, event_type,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+s AS (SELECT hour, CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt * cnt) AS BIGINT) AS sum_c2,
+             CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS spair
+      FROM c GROUP BY 1)
+SELECT hour, n AS n_events, sum_c2,
+       1.0 - CAST(sum_c2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+         AS gini_impurity,
+       CASE WHEN n > 1
+            THEN CAST(spair AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+            ELSE NULL END AS simpson_index
+FROM s"""
+
+
+def events_type_daily_delta(sf_dir: str) -> pa.Table:
+    """Day-over-day change in event volume per type — the LAG window
+    shape: daily counts plus the delta against the type's previous
+    OBSERVED day (null on each type's first day).
+
+    Scale shape: ONE (type, day) count exchange; the result is bounded
+    by #types × #days independent of row count, so the lag/shift runs
+    on the driver over the sorted bounded table. All-integer output."""
+    from .stages.aggregate import count_groupby
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def cell(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us")
+        )
+        return pa.table({"event_type": t["event_type"], "day": day})
+
+    obs = (
+        count_groupby(
+            ev.map_batches(cell, batch_format="pyarrow"),
+            ["event_type", "day"],
+            alias="cnt",
+        )
+        .to_pandas()
+        .sort_values(["event_type", "day"])
+    )
+    prev = obs.groupby("event_type")["cnt"].shift(1)
+    delta = obs["cnt"] - prev
+    return pa.table(
+        {
+            "event_type": pa.array(obs["event_type"]),
+            "day": pa.array(obs["day"].to_numpy().astype("datetime64[us]")),
+            "cnt": pa.array(obs["cnt"].to_numpy(np.int64)),
+            "delta": pa.array(
+                [None if np.isnan(d) else int(d) for d in delta], pa.int64()
+            ),
+        }
+    )
+
+
+def _sql_events_type_daily_delta(sf_dir: str) -> str:
+    return """
+WITH c AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2)
+SELECT event_type, day, cnt,
+       cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS delta
+FROM c"""
+
+
+def events_type_hour_skewness(sf_dir: str) -> pa.Table:
+    """Population skewness of each type's hour-of-day distribution —
+    the diurnal-shape statistic (is 'click' morning-peaked while
+    'purchase' is evening-skewed?) via the third central moment.
+
+    Scale shape: the classic mergeable-moments plan — per-batch int64
+    partials (n, Σh, Σh², Σh³) per type (h ≤ 23, so Σh³ stays well
+    inside int64 at any per-batch size), ONE tiny keyed Sum, then the
+    closed form on the driver with EXACT Python-int numerators
+    (A = nΣh²−(Σh)², B = n²Σh³−3nΣhΣh²+2(Σh)³ — B exceeds int64 near
+    ~10⁵ rows/group, so the driver folds in arbitrary-precision ints
+    and the oracle in HUGEINT) and the float finish g1 = B/(A·√A) —
+    cast, multiply, sqrt (correctly rounded per IEEE 754, unlike pow),
+    divide: four ops in fixed order, replayed verbatim in SQL."""
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        h = np.asarray(pc.cast(pc.hour(t["ts"]), pa.int64()))
+        tbl = pa.table(
+            {
+                "event_type": t["event_type"],
+                "p_n": pa.array(np.ones(len(h), np.int64)),
+                "p_s1": pa.array(h),
+                "p_s2": pa.array(h * h),
+                "p_s3": pa.array(h * h * h),
+            }
+        )
+        return (
+            tbl.group_by("event_type")
+            .aggregate([(c, "sum") for c in ("p_n", "p_s1", "p_s2", "p_s3")])
+            .rename_columns(["event_type", "p_n", "p_s1", "p_s2", "p_s3"])
+        )
+
+    sums = (
+        ev.map_batches(moment_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("p_n", alias_name="n"),
+            Sum("p_s1", alias_name="s1"),
+            Sum("p_s2", alias_name="s2"),
+            Sum("p_s3", alias_name="s3"),
+        )
+    ).to_pandas()
+
+    types, ns, skews = [], [], []
+    for _, r in sums.iterrows():
+        n, s1, s2, s3 = int(r["n"]), int(r["s1"]), int(r["s2"]), int(r["s3"])
+        A = n * s2 - s1 * s1
+        B = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+        if A > 0:
+            Ad = np.float64(A)
+            g1 = np.float64(B) / (Ad * np.sqrt(Ad))
+            skews.append(float(g1))
+        else:
+            skews.append(None)
+        types.append(r["event_type"])
+        ns.append(n)
+    return pa.table(
+        {
+            "event_type": pa.array(types),
+            "n": pa.array(ns, pa.int64()),
+            "hour_skewness": pa.array(skews, pa.float64()),
+        }
+    )
+
+
+def _sql_events_type_hour_skewness(sf_dir: str) -> str:
+    # B folds in HUGEINT (n^2*s3 overflows BIGINT near 1e5 rows/group);
+    # CAST(HUGEINT AS DOUBLE) and float(int) both round correctly, so
+    # the four-op float finish matches the engine bitwise
+    return """
+WITH h AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x FROM events),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(x * x) AS BIGINT) AS s2,
+             CAST(sum(x * x * x) AS BIGINT) AS s3
+      FROM h GROUP BY 1),
+m AS (SELECT event_type, n,
+             n * s2 - s1 * s1 AS a,
+             CAST(n AS HUGEINT) * n * s3
+               - 3 * CAST(n AS HUGEINT) * s1 * s2
+               + 2 * CAST(s1 AS HUGEINT) * s1 * s1 AS b
+      FROM s)
+SELECT event_type, n,
+       CASE WHEN a > 0
+            THEN CAST(b AS DOUBLE)
+                 / (CAST(a AS DOUBLE) * sqrt(CAST(a AS DOUBLE)))
+            ELSE NULL END AS hour_skewness
+FROM m"""
+
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 rotation: the 8 late-r3 oracled queries that never had a
@@ -6916,6 +7139,18 @@ REGISTRY: dict = {
     "q22_idle_rich_customers": (
         q22_idle_rich_customers,
         _sql_q22_idle_rich_customers,
+    ),
+    "events_hour_type_diversity": (
+        events_hour_type_diversity,
+        _sql_events_hour_type_diversity,
+    ),
+    "events_type_daily_delta": (
+        events_type_daily_delta,
+        _sql_events_type_daily_delta,
+    ),
+    "events_type_hour_skewness": (
+        events_type_hour_skewness,
+        _sql_events_type_hour_skewness,
     ),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
