@@ -263,6 +263,28 @@ class Pipeline:
 
         return Pipeline(dense_time_counts(self._ds, key, ts_col, unit, **kw))
 
+    def ewma_by(
+        self, key: str, order_cols: list[str], value_col: str, alpha: float = 0.3, **kw
+    ) -> "Pipeline":
+        """Per-key last EWMA (adjust=False recursion) via the bucketed
+        scan (stages/aggregate.py grouped_ewma_last)."""
+        from .stages.aggregate import grouped_ewma_last
+
+        return Pipeline(
+            grouped_ewma_last(self._ds, key, order_cols, value_col, alpha, **kw)
+        )
+
+    def editdist_pairs(
+        self, id_col: str, text_col: str, len_col: str, **kw
+    ) -> "Pipeline":
+        """Blocked byte-level edit-distance near-dup pairs
+        (functions/dedup.py blocked_editdist_pairs)."""
+        from .functions.dedup import blocked_editdist_pairs
+
+        return Pipeline(
+            blocked_editdist_pairs(self._ds, id_col, text_col, len_col, **kw)
+        )
+
     def sink(self, sink_type: str, **options) -> dict:
         from .sinks.factory import create_sink
 

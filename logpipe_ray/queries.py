@@ -6910,6 +6910,65 @@ FROM m"""
 
 
 
+def docs_editdist_pairs(sf_dir: str) -> Dataset:
+    """Character-level near-duplicate pairs by blocked byte edit
+    distance — the record-linkage complement to MinHash/SimHash
+    (catches typo/OCR mutations that shingle sketches dilute). See
+    functions/dedup.py:blocked_editdist_pairs for the blocking and
+    skew-guard contract; the oracle replays the identical blocking key
+    and DuckDB's byte-level ``levenshtein`` (engine DP verified 300/300
+    bitwise against it, multibyte included)."""
+    from .functions.dedup import blocked_editdist_pairs
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    return blocked_editdist_pairs(
+        ds,
+        id_col="doc_id",
+        text_col="text",
+        len_col="n_chars",
+        prefix_len=64,
+        block_prefix=6,
+        len_band=256,
+        max_dist=24,
+    )
+
+
+def _sql_docs_editdist_pairs(sf_dir: str) -> str:
+    return """
+WITH b AS (SELECT doc_id, substr(text, 1, 64) AS p,
+                  lower(substr(text, 1, 6)) || '|'
+                    || CAST(n_chars // 256 AS VARCHAR) AS blk
+           FROM documents)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       CAST(levenshtein(a.p, c.p) AS BIGINT) AS dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+WHERE levenshtein(a.p, c.p) <= 24"""
+
+
+def events_user_value_ewma(sf_dir: str) -> Dataset:
+    """Per-user recency-weighted value signal: the adjust=False EWMA
+    (alpha = 0.3) of each user's time-ordered event values, reported as
+    the user's last smoothed value + observation count. Rows-only (SQL
+    has no EWMA; the recursion is order-sensitive float by
+    construction) — pytest forces parity with a naive per-key
+    recursion (tests/test_property.py)."""
+    from .stages.aggregate import grouped_ewma_last
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    ).map_batches(
+        lambda t: t.filter(pc.is_valid(t["value"])), batch_format="pyarrow"
+    )
+    return grouped_ewma_last(
+        ev, key="user_id", order_cols=["ts", "event_id"], value_col="value",
+        alpha=0.3,
+    )
+
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 rotation: the 8 late-r3 oracled queries that never had a
@@ -7152,6 +7211,8 @@ REGISTRY: dict = {
         events_type_hour_skewness,
         _sql_events_type_hour_skewness,
     ),
+    "docs_editdist_pairs": (docs_editdist_pairs, _sql_docs_editdist_pairs),
+    "events_user_value_ewma": (events_user_value_ewma, None),  # rows-only
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "events_approx_distinct_users": (

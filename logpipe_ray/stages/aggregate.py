@@ -1528,3 +1528,75 @@ def grouped_corr_fixed(
         )
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_ewma_last(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-key exponentially-weighted moving average over the key's
+    time-ordered values, returning each key's LAST smoothed value and
+    count — the recency-weighted user-level signal. Exact contract
+    is pandas' adjust=False kernel: alpha first round-trips through
+    com (a' = 1/(1 + (1/a - 1)), which perturbs e.g. 0.9 to
+    0.8999999999999999), then y0 = x0,
+    y_i = ((1-a')*y_{i-1} + a'*x_i) / ((1-a') + a') — note the
+    normalizing denominator is not bitwise 1.0 either. Both quirks
+    differ from the textbook a*x + (1-a)*y only in the last bit, but
+    the property test pins them exactly.
+
+    EWMA is inherently sequential per key, so this is the actor-less
+    bucketed-scan pattern (same co-location contract as
+    events_type_transitions): rows hash-bucket by key — a key's whole
+    history lands in ONE bucket, bounding reducer input to ~N/buckets
+    — and inside each bucket pandas' cython GroupBy.ewm computes every
+    key's full recursion in one vectorized call; segment-end indices
+    pick the last value without a second pass. No oracle: SQL has no
+    EWMA and the float recursion is order-sensitive by construction;
+    correctness is pytest-forced against a naive per-key recursion.
+
+    Returns (key, n_obs, ewma_last:float64)."""
+    import pandas as pd
+
+    if num_buckets is None:
+        import ray
+
+        num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        col = t[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        hb = pd.util.hash_array(col.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, *order_cols], kind="mergesort")
+        sm = (
+            df.groupby(key, sort=False)[value_col]
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .to_numpy()
+        )
+        k = df[key].to_numpy()
+        last = np.flatnonzero(
+            np.concatenate([k[1:] != k[:-1], [True]]) if len(k) else []
+        )
+        counts = np.diff(np.concatenate([[-1], last]))
+        return pd.DataFrame(
+            {
+                key: k[last],
+                "n_obs": counts.astype(np.int64),
+                "ewma_last": sm[last],
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -466,3 +466,75 @@ def test_dense_time_counts_property(ray_session, n, nkeys, span_h, seed):
     assert sum(got.values()) == n
     for (kk, hh), c in ref.items():
         assert got[(kk, int(hh))] == c
+
+
+@given(
+    n=st.integers(min_value=0, max_value=200),
+    nkeys=st.integers(min_value=1, max_value=5),
+    alpha=st.sampled_from([0.1, 0.3, 0.5, 0.9]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=6, deadline=None)
+def test_grouped_ewma_property(ray_session, n, nkeys, alpha, seed):
+    """grouped_ewma_last == naive per-key adjust=False recursion,
+    bitwise, under random groups/order/partitioning."""
+    import numpy as np
+    import ray.data as rd
+
+    from logpipe_ray.stages.aggregate import grouped_ewma_last
+
+    rng = np.random.default_rng(seed)
+    k = rng.integers(0, nkeys, size=n)
+    order = rng.permutation(n).astype(np.int64)
+    v = np.round(rng.normal(0, 10, size=n), 3)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "o": pa.array(order),
+                "v": pa.array(v, pa.float64()),
+            }
+        )
+    ).repartition(3)
+    out = grouped_ewma_last(ds, "k", ["o"], "v", alpha=alpha).to_pandas()
+    if n == 0:
+        assert len(out) == 0
+        return
+    got = out.set_index("k")
+    import pandas as pd
+
+    df = pd.DataFrame({"k": k, "o": order, "v": v}).sort_values(["k", "o"])
+    seen = 0
+    # the documented contract: pandas' adjust=False kernel, including
+    # the com round-trip (alpha -> 1/alpha-1 -> back) that perturbs
+    # alpha in the last bit, and the non-unit normalizing denominator
+    a2 = 1.0 / (1.0 + (1.0 / alpha - 1.0))
+    ow, nw = 1.0 - a2, a2
+    for kk, g in df.groupby("k"):
+        y = None
+        for x in g["v"]:
+            y = x if y is None else (ow * y + nw * x) / (ow + nw)
+        assert got.loc[kk, "n_obs"] == len(g)
+        assert got.loc[kk, "ewma_last"] == y, (kk, got.loc[kk, "ewma_last"], y)
+        seen += 1
+    assert len(got) == seen
+
+
+@given(
+    strs=st.lists(
+        st.text(alphabet="abcé ", max_size=12), min_size=2, max_size=6
+    ),
+    seed=st.integers(min_value=0, max_value=100),
+)
+@settings(max_examples=30, deadline=None)
+def test_editdist_bytes_matches_duckdb(strs, seed):
+    """editdist_bytes == DuckDB levenshtein (byte-level, multibyte
+    included) on arbitrary pairs."""
+    import duckdb
+
+    from logpipe_ray.functions.dedup import editdist_bytes
+
+    con = duckdb.connect()
+    a, b = strs[seed % len(strs)], strs[(seed + 1) % len(strs)]
+    want = con.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
+    assert editdist_bytes(a.encode(), b.encode()) == want
