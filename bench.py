@@ -157,6 +157,14 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "events_value_mad",
             "events_click_never_purchase",
             "events_hourly_dense",
+            # round-4 session 4: returned-customer top-k join chain,
+            # correlated per-key-threshold filter, diversity indices,
+            # blocked edit-distance linkage, per-key EWMA scan
+            "q10_returned_customers",
+            "q17_small_quantity_revenue",
+            "events_hour_type_diversity",
+            "docs_editdist_pairs",
+            "events_user_value_ewma",
         ]
         all_q = Q.queries()
 

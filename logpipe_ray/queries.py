@@ -6969,6 +6969,368 @@ def events_user_value_ewma(sf_dir: str) -> Dataset:
 
 
 
+# -- session-4 TPC-H batch 2: Q6/Q7/Q15/Q16 (partsupp-free adaptations)
+
+
+def q6_forecast_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q6: revenue delta from discounted small-quantity lines in
+    1996 — the pure predicate scan-aggregate (the simplest possible
+    shape, kept as the pruning baseline: read 4 columns, filter, one
+    int sum; revenue here is price*disc in basis points, exact int)."""
+    import datetime as _dt
+
+    LO, HI = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        )
+        q = np.asarray(t["l_quantity"])
+        sd = t["l_shipdate"]
+        keep = (
+            np.asarray(pc.greater_equal(sd, pa.scalar(LO)))
+            & np.asarray(pc.less(sd, pa.scalar(HI)))
+            & (disc >= 5)
+            & (disc <= 7)
+            & (q < 24.0)
+        )
+        price_c = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        )
+        # cents * pct -> exact integer basis-point revenue
+        rev_bp = price_c[keep] * disc[keep]
+        return pa.table({"p": pa.array([int(rev_bp.sum())], pa.int64())})
+
+    agg = li.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("p", alias_name="r")
+    )
+    return pa.table(
+        {"revenue_bp": pa.array([int(agg["r"] or 0)], pa.int64())}
+    )
+
+
+def _sql_q6_forecast_revenue(sf_dir: str) -> str:
+    return """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_bp
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24"""
+
+
+def q7_volume_shipping(sf_dir: str) -> Dataset:
+    """TPC-H Q7 shape: shipping volume between two nations per year —
+    revenue of lines whose SUPPLIER is in one nation and whose order's
+    CUSTOMER is in the other (both directions; the fixture's synthetic
+    nation names NATION_3/NATION_8 stand in for FRANCE/GERMANY), grouped by
+    (supp_nation, cust_nation, year). The two-sided dimension-pair
+    grouping: both correlated paths attach inside the fact scan and
+    the group key is their PAIR.
+
+    Scale shape: supplier and (customer->orders) lookups broadcast
+    once (supplier is tiny; the order->cust-nation map is bounded by
+    #orders — above Q10_BROADCAST_LIMIT swap the attach for the same
+    hash-join-above-guard route as q5); each fact batch collapses to
+    per-(nation-pair, year) int-cents partials; one tiny keyed Sum
+    (≤ 2 pairs x #years rows) finishes."""
+    import pyarrow.parquet as pq
+
+    NAT_A, NAT_B = "NATION_3", "NATION_8"
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    keep_nk = nat.filter(
+        pc.is_in(nat["n_name"], value_set=pa.array([NAT_A, NAT_B]))
+    )
+    nk2name = dict(
+        zip(
+            keep_nk["n_nationkey"].to_pylist(),
+            keep_nk["n_name"].to_pylist(),
+        )
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp = supp.filter(
+        pc.is_in(supp["s_nationkey"], value_set=keep_nk["n_nationkey"].combine_chunks())
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust = cust.filter(
+        pc.is_in(cust["c_nationkey"], value_set=keep_nk["n_nationkey"].combine_chunks())
+    )
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    # order -> customer nation (only orders of kept-nation customers)
+    idx = pc.index_in(orders["o_custkey"], value_set=cust["c_custkey"].combine_chunks())
+    onk = pc.take(cust["c_nationkey"].combine_chunks(), idx)
+    omask = pc.is_valid(onk)
+    okeys = orders["o_orderkey"].filter(omask)
+    onk = onk.filter(omask)
+
+    sref = ray.put(
+        (supp["s_suppkey"].combine_chunks(), supp["s_nationkey"].combine_chunks())
+    )
+    oref = ray.put((okeys.combine_chunks(), onk.combine_chunks()))
+    nref = ray.put(nk2name)
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk, snk = ray.get(sref)
+        ok, cnk = ray.get(oref)
+        names = ray.get(nref)
+        si = pc.index_in(t["l_suppkey"], value_set=sk)
+        oi = pc.index_in(t["l_orderkey"], value_set=ok)
+        sn = pc.take(snk, si)
+        cn = pc.take(cnk, oi)
+        good = pc.and_(pc.is_valid(sn), pc.is_valid(cn))
+        # cross-nation only (FRANCE->GERMANY or GERMANY->FRANCE)
+        good = pc.and_(good, pc.not_equal(sn, cn))
+        t2 = t.filter(good)
+        sn = sn.filter(good)
+        cn = cn.filter(good)
+        year = pc.cast(pc.year(t2["l_shipdate"]), pa.int64())
+        price_c = np.asarray(
+            pc.cast(pc.round(pc.multiply(t2["l_extendedprice"], 100.0)), pa.int64())
+        )
+        disc = np.asarray(
+            pc.cast(pc.round(pc.multiply(t2["l_discount"], 100.0)), pa.int64())
+        )
+        rev = price_c * (100 - disc) // 100
+        sn_name = pa.array([names[v] for v in sn.to_pylist()], pa.string())
+        cn_name = pa.array([names[v] for v in cn.to_pylist()], pa.string())
+        g = (
+            pa.table(
+                {
+                    "supp_nation": sn_name,
+                    "cust_nation": cn_name,
+                    "l_year": year,
+                    "rev": pa.array(rev),
+                }
+            )
+            .group_by(["supp_nation", "cust_nation", "l_year"])
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["supp_nation", "cust_nation", "l_year", "p_rev"])
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("p_rev", alias_name="revenue_cents"))
+    )
+
+
+def _sql_q7_volume_shipping(sf_dir: str) -> str:
+    return """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)) // 100)
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_name IN ('NATION_3', 'NATION_8')
+  AND n2.n_name IN ('NATION_3', 'NATION_8')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3"""
+
+
+def q15_top_supplier(sf_dir: str) -> pa.Table:
+    """TPC-H Q15 shape: the supplier(s) with MAXIMUM revenue in 1996Q1
+    — the argmax-with-ties join-back (a scalar global max must come
+    back to pick rows; LIMIT 1 would silently drop ties).
+
+    Scale shape: per-supplier int-cents revenue via per-batch partials
+    + ONE keyed Sum (bounded by #suppliers); the global max folds on
+    the driver over that bounded table and every supplier matching it
+    joins to the supplier dimension (broadcast, tiny). All-int
+    comparisons — ties are exact, not float-fuzzy."""
+    import datetime as _dt
+    import pyarrow.parquet as pq
+
+    LO, HI = _dt.datetime(1996, 1, 1), _dt.datetime(1996, 4, 1)
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(LO)),
+                pc.less(t["l_shipdate"], pa.scalar(HI)),
+            )
+        )
+        price_c = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        )
+        disc = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        )
+        rev = price_c * (100 - disc) // 100
+        g = (
+            pa.table({"l_suppkey": t["l_suppkey"], "rev": pa.array(rev)})
+            .group_by("l_suppkey")
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["l_suppkey", "p_rev"])
+
+    srev = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("p_rev", alias_name="total_revenue_cents"))
+    ).to_pandas()
+    if not len(srev):
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "total_revenue_cents": pa.array([], pa.int64()),
+            }
+        )
+    mx = int(srev["total_revenue_cents"].max())
+    top = srev[srev["total_revenue_cents"] == mx].sort_values("l_suppkey")
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    names = pc.take(
+        supp["s_name"].combine_chunks(),
+        pc.index_in(
+            pa.array(top["l_suppkey"].to_numpy(np.int64)),
+            value_set=supp["s_suppkey"].combine_chunks(),
+        ),
+    )
+    return pa.table(
+        {
+            "s_suppkey": pa.array(top["l_suppkey"].to_numpy(np.int64)),
+            "s_name": names,
+            "total_revenue_cents": pa.array(
+                top["total_revenue_cents"].to_numpy(np.int64)
+            ),
+        }
+    )
+
+
+def _sql_q15_top_supplier(sf_dir: str) -> str:
+    return """
+WITH r AS (SELECT l_suppkey,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           // 100) AS BIGINT) AS total_revenue_cents
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue_cents
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM r)"""
+
+
+def q16_supplier_cnt(sf_dir: str) -> Dataset:
+    """TPC-H Q16 shape: per (brand, type) how many DISTINCT suppliers
+    ship that part class, excluding blacklisted suppliers (here:
+    negative account balance, standing in for the reference's
+    complaints predicate) — distinct-count after an anti filter.
+
+    Scale shape: the blacklist and the part dimension broadcast once;
+    each fact batch emits DISTINCT (brand, type, suppkey) partials
+    (in-batch dedup before the exchange), one keyed dedup-aggregate
+    collapses cross-batch repeats, and per-(brand, type) counts of the
+    deduped table are exact. No count-distinct sketch needed — the
+    dedup IS the exchange, bounded by #parts x #suppliers-per-part."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type"]
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    )
+    bad = supp.filter(pc.less(supp["s_acctbal"], 0.0))["s_suppkey"].combine_chunks()
+    pref = ray.put(
+        (
+            part["p_partkey"].combine_chunks(),
+            part["p_brand"].combine_chunks(),
+            part["p_type"].combine_chunks(),
+        )
+    )
+    bref = ray.put(bad)
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.invert(pc.is_in(t["l_suppkey"], value_set=ray.get(bref)))
+        )
+        pk, brand, ptype = ray.get(pref)
+        idx = pc.index_in(t["l_partkey"], value_set=pk)
+        g = (
+            pa.table(
+                {
+                    "p_brand": pc.take(brand, idx),
+                    "p_type": pc.take(ptype, idx),
+                    "l_suppkey": t["l_suppkey"],
+                }
+            )
+            .group_by(["p_brand", "p_type", "l_suppkey"])
+            .aggregate([])
+        )
+        return g
+
+    deduped = (
+        li.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "l_suppkey"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["p_brand", "p_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["p_brand", "p_type", "p"])
+
+    return (
+        deduped.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type"])
+        .aggregate(Sum("p", alias_name="supplier_cnt"))
+    )
+
+
+def _sql_q16_supplier_cnt(sf_dir: str) -> str:
+    return """
+SELECT p_brand, p_type,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2"""
+
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 rotation: the 8 late-r3 oracled queries that never had a
@@ -7213,6 +7575,10 @@ REGISTRY: dict = {
     ),
     "docs_editdist_pairs": (docs_editdist_pairs, _sql_docs_editdist_pairs),
     "events_user_value_ewma": (events_user_value_ewma, None),  # rows-only
+    "q6_forecast_revenue": (q6_forecast_revenue, _sql_q6_forecast_revenue),
+    "q7_volume_shipping": (q7_volume_shipping, _sql_q7_volume_shipping),
+    "q15_top_supplier": (q15_top_supplier, _sql_q15_top_supplier),
+    "q16_supplier_cnt": (q16_supplier_cnt, _sql_q16_supplier_cnt),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "events_approx_distinct_users": (
