@@ -7331,6 +7331,165 @@ GROUP BY 1, 2"""
 
 
 
+# -- session-4 feature-engineering maps: imputation, z-score ---------
+
+
+def _type_moment_table(sf_dir: str):
+    """Shared helper: per-type exact int-cents moments (n, Σx, Σx²)
+    from ONE partial+keyed-Sum exchange over events.value."""
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        x = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        )
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "p_n": pa.array(np.ones(len(x), np.int64)),
+                    "p_s": pa.array(x),
+                    "p_s2": pa.array(x * x),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("p_n", "sum"), ("p_s", "sum"), ("p_s2", "sum")])
+        )
+        return g.rename_columns(["event_type", "p_n", "p_s", "p_s2"])
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("p_n", alias_name="n"),
+            Sum("p_s", alias_name="s"),
+            Sum("p_s2", alias_name="s2"),
+        )
+    ).to_pandas()
+
+
+def events_value_imputed(sf_dir: str) -> Dataset:
+    """Null-imputation transform: each event's value in cents, with
+    nulls filled by the event type's mean — the feature-cleaning map
+    every training pipeline runs before numeric featurization.
+
+    Scale shape: ONE bounded moment exchange builds the per-type
+    (n, Σcents) table; it broadcasts via ray.put and the fill itself
+    is a shuffle-free vectorized map (pc.index_in + coalesce). The
+    mean is the single IEEE division Σ/n replayed verbatim in SQL."""
+    moms = _type_moment_table(sf_dir)
+    means = {
+        r["event_type"]: float(np.float64(int(r["s"])) / np.float64(int(r["n"])))
+        for _, r in moms.iterrows()
+    }
+    keys = pa.array(list(means))
+    vals = pa.array([means[k] for k in means.keys()], pa.float64())
+    mref = ray.put((keys, vals))
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        ks, ms = ray.get(mref)
+        x = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.float64())
+        mean = pc.take(ms, pc.index_in(t["event_type"], value_set=ks))
+        filled = pc.coalesce(x, mean)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value_cents_filled": filled,
+            }
+        )
+
+    return ev.map_batches(fill, batch_format="pyarrow")
+
+
+def _sql_events_value_imputed(sf_dir: str) -> str:
+    return """
+WITH m AS (SELECT event_type,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                    / CAST(count(value) AS DOUBLE) AS mean_c
+           FROM events WHERE value IS NOT NULL GROUP BY 1)
+SELECT event_id, e.event_type,
+       coalesce(CAST(round(value * 100) AS DOUBLE), mean_c)
+         AS value_cents_filled
+FROM events e LEFT JOIN m ON m.event_type = e.event_type"""
+
+
+def events_value_zscore(sf_dir: str) -> Dataset:
+    """Per-row z-score of each event's value within its type — the
+    standardization transform (population std), companion to the
+    min-max normalizer.
+
+    Scale shape: same ONE bounded moment exchange as the imputer; the
+    per-type (Σ, Σ², n) broadcast once and the score is a shuffle-free
+    map. Fixed float-op order, each correctly rounded and replayed
+    verbatim in SQL: mean = Σ_d/n_d; std = sqrt(A_d)/n_d with
+    A = nΣx² − (Σx)² exact int; z = (x_d − mean)/std. Constant groups
+    (A ≤ 0) yield null."""
+    moms = _type_moment_table(sf_dir)
+    stats = {}
+    for _, r in moms.iterrows():
+        n, s, s2 = int(r["n"]), int(r["s"]), int(r["s2"])
+        A = n * s2 - s * s
+        mean = np.float64(s) / np.float64(n)
+        std = np.sqrt(np.float64(A)) / np.float64(n) if A > 0 else None
+        stats[r["event_type"]] = (mean, std)
+    keys = pa.array(list(stats))
+    means = pa.array([stats[k][0] for k in stats], pa.float64())
+    stds = pa.array(
+        [stats[k][1] for k in stats], pa.float64(), from_pandas=True
+    )
+    sref = ray.put((keys, means, stds))
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        ks, ms, sds = ray.get(sref)
+        idx = pc.index_in(t["event_type"], value_set=ks)
+        mean = pc.take(ms, idx)
+        std = pc.take(sds, idx)
+        x = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.float64())
+        z = pc.divide(pc.subtract(x, mean), std)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "z_value": z,
+            }
+        )
+
+    return ev.map_batches(score, batch_format="pyarrow")
+
+
+def _sql_events_value_zscore(sf_dir: str) -> str:
+    return """
+WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx,
+                  CAST(sum(x * x) AS BIGINT) AS sx2
+           FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+                 FROM events WHERE value IS NOT NULL) GROUP BY 1),
+m AS (SELECT event_type,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+             CASE WHEN CAST(n AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx > 0
+                  THEN sqrt(CAST(CAST(n AS HUGEINT) * sx2
+                                 - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                       / CAST(n AS DOUBLE)
+                  ELSE NULL END AS std_c
+      FROM s)
+SELECT event_id, e.event_type,
+       (CAST(round(value * 100) AS DOUBLE) - mean_c) / std_c AS z_value
+FROM events e LEFT JOIN m ON m.event_type = e.event_type"""
+
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 rotation: the 8 late-r3 oracled queries that never had a
@@ -7579,6 +7738,8 @@ REGISTRY: dict = {
     "q7_volume_shipping": (q7_volume_shipping, _sql_q7_volume_shipping),
     "q15_top_supplier": (q15_top_supplier, _sql_q15_top_supplier),
     "q16_supplier_cnt": (q16_supplier_cnt, _sql_q16_supplier_cnt),
+    "events_value_imputed": (events_value_imputed, _sql_events_value_imputed),
+    "events_value_zscore": (events_value_zscore, _sql_events_value_zscore),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "events_approx_distinct_users": (
