@@ -317,3 +317,129 @@ def grouped_approx_distinct(
     return partials.groupby(group_col).map_groups(
         reduce_group, batch_format="pandas"
     )
+
+
+# -- Bloom-filter semi join (r4 session 4) ----------------------------
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over uint64 — the deterministic avalanche
+    both the build and probe sides share."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def bloom_bit_positions(
+    keys: np.ndarray, m_bits: int, k_hashes: int
+) -> np.ndarray:
+    """(len(keys), k) bit positions via double hashing h1 + i·h2
+    (Kirsch-Mitzenmacher); m_bits must be a power of two."""
+    h1 = _mix64(keys)
+    h2 = _mix64(keys ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    i = np.arange(k_hashes, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) & np.uint64(m_bits - 1)).astype(
+        np.int64
+    )
+
+
+def bloom_partial(keys: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """One batch's Bloom bitmap (uint8 packed, m_bits/8 bytes) — a
+    MERGEABLE partial: bitmaps from any sharding OR together to the
+    exact same filter."""
+    bits = np.zeros(m_bits, dtype=bool)
+    if len(keys):
+        bits[bloom_bit_positions(keys, m_bits, k_hashes).ravel()] = True
+    return np.packbits(bits)
+
+
+def bloom_maybe_contains(
+    keys: np.ndarray, packed: np.ndarray, m_bits: int, k_hashes: int
+) -> np.ndarray:
+    """Vectorized membership probe: True = maybe present (false
+    positives possible), False = DEFINITELY absent."""
+    if not len(keys):
+        return np.zeros(0, dtype=bool)
+    pos = bloom_bit_positions(keys, m_bits, k_hashes)
+    byte = packed[pos >> 3]
+    bit = (byte >> (7 - (pos & 7).astype(np.uint8))) & 1
+    return bit.all(axis=1).astype(bool)
+
+
+def bloom_build_ds(
+    keys_ds, col: str, m_bits: int = 1 << 23, k_hashes: int = 4
+) -> np.ndarray:
+    """Distributed Bloom build: per-batch packed bitmaps (mergeable
+    partials — the shuffle ships m_bits/8 bytes per batch, never the
+    keys) OR-folded on the driver. m_bits = 2^23 is a 1 MiB filter
+    (~1% FP at 1M keys with k=4); size m ≈ 10·n_keys for ~1%."""
+    import pyarrow as pa
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        keys = t[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({"bm": pa.array([bloom_partial(keys, m_bits, k_hashes)])})
+
+    acc = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in keys_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for bm in b["bm"]:
+            acc |= np.asarray(bm.values, dtype=np.uint8)
+    return acc
+
+
+def bloom_semi_join(
+    left,
+    left_col: str,
+    keys_ds,
+    key_col: str,
+    m_bits: int = 1 << 23,
+    k_hashes: int = 4,
+    num_partitions: int | None = None,
+):
+    """EXACT distributed semi join with a Bloom pre-filter — the
+    100-TB pattern for a key set too large to broadcast exactly:
+
+      1. build a fixed-size Bloom filter over the key side
+         DISTRIBUTEDLY (mergeable per-batch bitmaps; only m/8 bytes
+         per batch move, never keys);
+      2. broadcast the ~1 MiB filter via ray.put and drop every left
+         row whose key is DEFINITELY absent — typically the vast
+         majority, so the expensive hash-shuffle semi join only sees
+         survivors;
+      3. finish with the exact distributed semi join
+         (stages/join.py:semi_anti_join_ds) to eliminate the Bloom's
+         false positives.
+
+    Result is EXACT (the filter only ever removes true negatives);
+    the Bloom trades one cheap broadcast for shuffle volume. Anti
+    joins cannot pre-filter this way (a false positive would wrongly
+    survive step 2's complement) — use semi_anti_join_ds directly."""
+    import ray
+
+    from ..stages.join import semi_anti_join_ds
+
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    packed = bloom_build_ds(keys_ds, key_col, m_bits, k_hashes)
+    bref = ray.put(packed)
+
+    import pyarrow as pa
+
+    def prefilter(t: "pa.Table") -> "pa.Table":
+        keys = t[left_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = bloom_maybe_contains(
+            keys, ray.get(bref), m_bits, k_hashes
+        )
+        return t.filter(pa.array(keep))
+
+    survivors = left.map_batches(prefilter, batch_format="pyarrow")
+    return semi_anti_join_ds(
+        survivors, left_col, keys_ds, key_col, anti=False,
+        num_partitions=num_partitions,
+    )

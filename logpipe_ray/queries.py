@@ -7490,6 +7490,39 @@ FROM events e LEFT JOIN m ON m.event_type = e.event_type"""
 
 
 
+def lineitem_semi_bloom(sf_dir: str) -> Dataset:
+    """Semi join through the Bloom pre-filter route — same semantics
+    (and oracle) as lineitem_semi_high_value, but exercising the
+    100-TB path for key sets too large to broadcast exactly: a
+    distributed mergeable-bitmap Bloom build + ~1 MiB broadcast
+    pre-filter + exact hash-shuffle semi join on the survivors
+    (functions/sketches.py:bloom_semi_join). Exact by construction —
+    the filter only removes true negatives."""
+    from .functions.sketches import bloom_semi_join
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater(t["o_totalprice"], 150000.0)
+        ).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    items = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+    kept = bloom_semi_join(items, "l_orderkey", orders, "o_orderkey")
+    return count_groupby(kept, ["l_returnflag"], alias="cnt")
+
+
+def _sql_lineitem_semi_bloom(sf_dir: str) -> str:
+    return """
+SELECT l_returnflag, count(*) AS cnt FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+GROUP BY l_returnflag"""
+
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 rotation: the 8 late-r3 oracled queries that never had a
@@ -7740,6 +7773,7 @@ REGISTRY: dict = {
     "q16_supplier_cnt": (q16_supplier_cnt, _sql_q16_supplier_cnt),
     "events_value_imputed": (events_value_imputed, _sql_events_value_imputed),
     "events_value_zscore": (events_value_zscore, _sql_events_value_zscore),
+    "lineitem_semi_bloom": (lineitem_semi_bloom, _sql_lineitem_semi_bloom),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "events_approx_distinct_users": (

@@ -152,3 +152,86 @@ def test_grouped_approx_distinct_exact_below_k_and_bounded_error(ray_session):
         assert out["A"] == float(len(np.unique(ga)))  # exact below k
         true_b = len(np.unique(gb))
         assert abs(out["B"] - true_b) / true_b < 3 / np.sqrt(256)
+
+
+def test_bloom_membership_no_false_negatives():
+    from logpipe_ray.functions.sketches import (
+        bloom_maybe_contains,
+        bloom_partial,
+    )
+
+    rng = np.random.default_rng(5)
+    m, k = 1 << 16, 4
+    members = rng.integers(0, 2**62, size=5000).astype(np.uint64)
+    packed = bloom_partial(members, m, k)
+    # zero false negatives, ever
+    assert bloom_maybe_contains(members, packed, m, k).all()
+    # false-positive rate on non-members stays near theory (~(1-e^-kn/m)^k)
+    probe = rng.integers(0, 2**62, size=20000).astype(np.uint64)
+    probe = np.setdiff1d(probe, members)
+    fp = bloom_maybe_contains(probe, packed, m, k).mean()
+    assert fp < 0.15, fp
+
+
+def test_bloom_partials_merge_to_same_filter():
+    from logpipe_ray.functions.sketches import bloom_partial
+
+    rng = np.random.default_rng(6)
+    keys = rng.integers(0, 2**62, size=3000).astype(np.uint64)
+    m, k = 1 << 14, 3
+    whole = bloom_partial(keys, m, k)
+    merged = bloom_partial(keys[:1000], m, k)
+    merged = merged | bloom_partial(keys[1000:2200], m, k)
+    merged = merged | bloom_partial(keys[2200:], m, k)
+    assert np.array_equal(whole, merged)
+
+
+def test_bloom_semi_join_exact_vs_broadcast(ray_session):
+    """bloom_semi_join == broadcast semi_join_filter row sets, and the
+    pre-filter really removes most non-members before the shuffle."""
+    import ray
+
+    from logpipe_ray.functions.sketches import (
+        bloom_build_ds,
+        bloom_maybe_contains,
+        bloom_semi_join,
+    )
+    from logpipe_ray.stages.join import semi_join_filter
+
+    rng = np.random.default_rng(7)
+    left_keys = rng.integers(0, 100_000, size=20_000)
+    member_keys = np.unique(rng.integers(0, 100_000, size=500))
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(left_keys, pa.int64()),
+                "row": pa.array(np.arange(len(left_keys)), pa.int64()),
+            }
+        )
+    ).repartition(4)
+    keys_ds = rd.from_arrow(
+        pa.table({"mk": pa.array(member_keys, pa.int64())})
+    ).repartition(2)
+
+    got = bloom_semi_join(left, "k", keys_ds, "mk", m_bits=1 << 16)
+    got_rows = sorted(
+        r
+        for t in ray.get(got.to_arrow_refs())
+        if t.num_columns
+        for r in t["row"].to_pylist()
+    )
+    ref = semi_join_filter(left, "k", ray.put(pa.array(member_keys, pa.int64())))
+    ref_rows = sorted(
+        r
+        for t in ray.get(ref.to_arrow_refs())
+        if t.num_columns
+        for r in t["row"].to_pylist()
+    )
+    assert got_rows == ref_rows and len(got_rows) > 0
+
+    # the pre-filter does real work: survivors << left rows
+    packed = bloom_build_ds(keys_ds, "mk", 1 << 16, 4)
+    keep = bloom_maybe_contains(left_keys.astype(np.uint64), packed, 1 << 16, 4)
+    true_members = np.isin(left_keys, member_keys)
+    assert keep[true_members].all()
+    assert keep.mean() < 0.25, keep.mean()
