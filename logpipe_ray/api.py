@@ -285,6 +285,16 @@ class Pipeline:
             blocked_editdist_pairs(self._ds, id_col, text_col, len_col, **kw)
         )
 
+    def semi_bloom(
+        self, col: str, keys: "Pipeline | Dataset", key_col: str, **kw
+    ) -> "Pipeline":
+        """Exact semi join with a Bloom pre-filter for unbroadcastable
+        key sets (functions/sketches.py bloom_semi_join)."""
+        from .functions.sketches import bloom_semi_join
+
+        k = keys._ds if isinstance(keys, Pipeline) else keys
+        return Pipeline(bloom_semi_join(self._ds, col, k, key_col, **kw))
+
     def sink(self, sink_type: str, **options) -> dict:
         from .sinks.factory import create_sink
 

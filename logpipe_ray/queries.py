@@ -7523,6 +7523,48 @@ GROUP BY l_returnflag"""
 
 
 
+def events_value_quantiles_exact(sf_dir: str) -> pa.Table:
+    """EXACT per-type p50/p90/p99 in one result — the oracled
+    counterpart of the sketch-based events_value_quantiles (which is
+    rows-only by design). Three distributed-selection runs share ONE
+    materialized 2-column projection (the grouped_mad lesson: each
+    refinement pass re-scans its input, so project+materialize once);
+    no reducer or the driver ever holds a group's values. Affine
+    interpolation = DuckDB quantile_cont bitwise."""
+    from .stages.aggregate import grouped_exact_quantile
+
+    base = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_valid(t["value"])), batch_format="pyarrow"
+    ).materialize()
+    cols = {}
+    for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        out = grouped_exact_quantile(base, "event_type", "value", q=q)
+        cols[name] = dict(
+            zip(out["event_type"].to_pylist(), out["quantile_value"].to_pylist())
+        )
+    types = sorted(cols["p50"])
+    return pa.table(
+        {
+            "event_type": pa.array(types),
+            "p50": pa.array([cols["p50"][t] for t in types], pa.float64()),
+            "p90": pa.array([cols["p90"][t] for t in types], pa.float64()),
+            "p99": pa.array([cols["p99"][t] for t in types], pa.float64()),
+        }
+    )
+
+
+def _sql_events_value_quantiles_exact(sf_dir: str) -> str:
+    return """
+SELECT event_type,
+       quantile_cont(value, 0.50) AS p50,
+       quantile_cont(value, 0.90) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events WHERE value IS NOT NULL GROUP BY event_type"""
+
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 rotation: the 8 late-r3 oracled queries that never had a
@@ -7774,6 +7816,10 @@ REGISTRY: dict = {
     "events_value_imputed": (events_value_imputed, _sql_events_value_imputed),
     "events_value_zscore": (events_value_zscore, _sql_events_value_zscore),
     "lineitem_semi_bloom": (lineitem_semi_bloom, _sql_lineitem_semi_bloom),
+    "events_value_quantiles_exact": (
+        events_value_quantiles_exact,
+        _sql_events_value_quantiles_exact,
+    ),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "events_approx_distinct_users": (
