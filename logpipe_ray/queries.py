@@ -7026,22 +7026,31 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_quantity < 24"""
 
 
-def q7_volume_shipping(sf_dir: str) -> Dataset:
+def q7_volume_shipping(
+    sf_dir: str, broadcast_limit: int = Q10_BROADCAST_LIMIT
+) -> Dataset:
     """TPC-H Q7 shape: shipping volume between two nations per year —
     revenue of lines whose SUPPLIER is in one nation and whose order's
     CUSTOMER is in the other (both directions; the fixture's synthetic
-    nation names NATION_3/NATION_8 stand in for FRANCE/GERMANY), grouped by
-    (supp_nation, cust_nation, year). The two-sided dimension-pair
-    grouping: both correlated paths attach inside the fact scan and
-    the group key is their PAIR.
+    nation names NATION_3/NATION_8 stand in for FRANCE/GERMANY),
+    grouped by (supp_nation, cust_nation, year). The two-sided
+    dimension-pair grouping: both correlated paths attach to the fact
+    and the group key is their PAIR.
 
-    Scale shape: supplier and (customer->orders) lookups broadcast
-    once (supplier is tiny; the order->cust-nation map is bounded by
-    #orders — above Q10_BROADCAST_LIMIT swap the attach for the same
-    hash-join-above-guard route as q5); each fact batch collapses to
+    Scale shape: supplier and the nation-filtered customer slice
+    broadcast once (both bounded: suppliers are tiny, customers of the
+    TWO nations are ~2/25 of the table). The order->customer-nation
+    map is built by a DISTRIBUTED map over orders (broadcast customer
+    lookup, no shuffle); under ``broadcast_limit`` orders it collapses
+    to the driver and rides the fact scan as a second broadcast
+    lookup, above it the same map hash-joins to lineitem via the
+    0-row-safe join (the 100-TB route; route-equivalence
+    pytest-forced). Each fact batch then collapses to
     per-(nation-pair, year) int-cents partials; one tiny keyed Sum
-    (≤ 2 pairs x #years rows) finishes."""
+    (<= 2 pairs x #years rows) finishes."""
     import pyarrow.parquet as pq
+
+    from .stages.join import inner_join_safe
 
     NAT_A, NAT_B = "NATION_3", "NATION_8"
 
@@ -7067,21 +7076,27 @@ def q7_volume_shipping(sf_dir: str) -> Dataset:
     cust = cust.filter(
         pc.is_in(cust["c_nationkey"], value_set=keep_nk["n_nationkey"].combine_chunks())
     )
-    orders = pq.read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    )
-    # order -> customer nation (only orders of kept-nation customers)
-    idx = pc.index_in(orders["o_custkey"], value_set=cust["c_custkey"].combine_chunks())
-    onk = pc.take(cust["c_nationkey"].combine_chunks(), idx)
-    omask = pc.is_valid(onk)
-    okeys = orders["o_orderkey"].filter(omask)
-    onk = onk.filter(omask)
-
     sref = ray.put(
         (supp["s_suppkey"].combine_chunks(), supp["s_nationkey"].combine_chunks())
     )
-    oref = ray.put((okeys.combine_chunks(), onk.combine_chunks()))
+    cref = ray.put(
+        (cust["c_custkey"].combine_chunks(), cust["c_nationkey"].combine_chunks())
+    )
     nref = ray.put(nk2name)
+
+    orders_ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def attach_cnk(t: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cref)
+        cnk = pc.take(cn, pc.index_in(t["o_custkey"], value_set=ck))
+        keep = pc.is_valid(cnk)
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"].filter(keep), "cnk": cnk.filter(keep)}
+        )
+
+    onat = orders_ds.map_batches(attach_cnk, batch_format="pyarrow")
 
     li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
@@ -7094,20 +7109,13 @@ def q7_volume_shipping(sf_dir: str) -> Dataset:
         ],
     )
 
-    def partial(t: pa.Table) -> pa.Table:
-        sk, snk = ray.get(sref)
-        ok, cnk = ray.get(oref)
+    def pair_partial(t: pa.Table, sn, cn) -> pa.Table:
         names = ray.get(nref)
-        si = pc.index_in(t["l_suppkey"], value_set=sk)
-        oi = pc.index_in(t["l_orderkey"], value_set=ok)
-        sn = pc.take(snk, si)
-        cn = pc.take(cnk, oi)
         good = pc.and_(pc.is_valid(sn), pc.is_valid(cn))
-        # cross-nation only (FRANCE->GERMANY or GERMANY->FRANCE)
-        good = pc.and_(good, pc.not_equal(sn, cn))
+        good = pc.and_(good, pc.not_equal(sn, cn))  # cross-nation only
         t2 = t.filter(good)
-        sn = sn.filter(good)
-        cn = cn.filter(good)
+        sn = pc.filter(sn, good)  # pc.filter accepts chunked masks
+        cn = pc.filter(cn, good)
         year = pc.cast(pc.year(t2["l_shipdate"]), pa.int64())
         price_c = np.asarray(
             pc.cast(pc.round(pc.multiply(t2["l_extendedprice"], 100.0)), pa.int64())
@@ -7116,13 +7124,15 @@ def q7_volume_shipping(sf_dir: str) -> Dataset:
             pc.cast(pc.round(pc.multiply(t2["l_discount"], 100.0)), pa.int64())
         )
         rev = price_c * (100 - disc) // 100
-        sn_name = pa.array([names[v] for v in sn.to_pylist()], pa.string())
-        cn_name = pa.array([names[v] for v in cn.to_pylist()], pa.string())
         g = (
             pa.table(
                 {
-                    "supp_nation": sn_name,
-                    "cust_nation": cn_name,
+                    "supp_nation": pa.array(
+                        [names[v] for v in sn.to_pylist()], pa.string()
+                    ),
+                    "cust_nation": pa.array(
+                        [names[v] for v in cn.to_pylist()], pa.string()
+                    ),
                     "l_year": year,
                     "rev": pa.array(rev),
                 }
@@ -7132,9 +7142,37 @@ def q7_volume_shipping(sf_dir: str) -> Dataset:
         )
         return g.rename_columns(["supp_nation", "cust_nation", "l_year", "p_rev"])
 
+    if orders_ds.count() <= broadcast_limit:
+        ot = pa.concat_tables(
+            [t for t in ray.get(onat.to_arrow_refs()) if t.num_columns]
+        )
+        oref = ray.put((ot["o_orderkey"].combine_chunks(), ot["cnk"].combine_chunks()))
+
+        def partial_b(t: pa.Table) -> pa.Table:
+            sk, snk = ray.get(sref)
+            ok, cnk = ray.get(oref)
+            sn = pc.take(snk, pc.index_in(t["l_suppkey"], value_set=sk))
+            cn = pc.take(cnk, pc.index_in(t["l_orderkey"], value_set=ok))
+            return pair_partial(t, sn, cn)
+
+        partials = li.map_batches(partial_b, batch_format="pyarrow")
+    else:  # 100-TB route: hash join the distributed order->nation map
+        joined = inner_join_safe(
+            li, onat, on=("l_orderkey",), right_on=("o_orderkey",)
+        )
+
+        def partial_j(t: pa.Table) -> pa.Table:
+            sk, snk = ray.get(sref)
+            sn = pc.take(snk, pc.index_in(t["l_suppkey"], value_set=sk))
+            cn = t["cnk"]
+            if isinstance(cn, pa.ChunkedArray):
+                cn = cn.combine_chunks()
+            return pair_partial(t, sn, cn)
+
+        partials = joined.map_batches(partial_j, batch_format="pyarrow")
+
     return (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby(["supp_nation", "cust_nation", "l_year"])
+        partials.groupby(["supp_nation", "cust_nation", "l_year"])
         .aggregate(Sum("p_rev", alias_name="revenue_cents"))
     )
 
