@@ -285,6 +285,15 @@ class Pipeline:
             blocked_editdist_pairs(self._ds, id_col, text_col, len_col, **kw)
         )
 
+    def top_k_ties(
+        self, group_keys: list[str], rank_keys: list[tuple], k: int, **kw
+    ) -> "Pipeline":
+        """Per-group top-k with SQL RANK() tie semantics
+        (stages/aggregate.py grouped_top_k_ties)."""
+        from .stages.aggregate import grouped_top_k_ties
+
+        return Pipeline(grouped_top_k_ties(self._ds, group_keys, rank_keys, k, **kw))
+
     def semi_bloom(
         self, col: str, keys: "Pipeline | Dataset", key_col: str, **kw
     ) -> "Pipeline":

@@ -7603,6 +7603,58 @@ FROM events WHERE value IS NOT NULL GROUP BY event_type"""
 
 
 
+def events_day_top_types(sf_dir: str) -> Dataset:
+    """Per day, the top-2 event types by count WITH ties — the SQL
+    RANK() / QUALIFY shape (head-k would arbitrarily drop a tied
+    type). Counts come from one bounded (day, type) exchange; the
+    tie-inclusive selection is stages/aggregate.py:grouped_top_k_ties,
+    whose local prune is rank-safe (a row's global rank >= its rank in
+    any subset)."""
+    from .stages.aggregate import count_groupby, grouped_top_k_ties
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def cell(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.cast(
+                    pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us")
+                ),
+                "event_type": t["event_type"],
+            }
+        )
+
+    counts = count_groupby(
+        ev.map_batches(cell, batch_format="pyarrow"), ["day", "event_type"],
+        alias="cnt",
+    )
+
+    def fix_day(t: pa.Table) -> pa.Table:
+        # keyed aggregates coarsen timestamp keys to [s]; restore us
+        return t.set_column(
+            t.schema.get_field_index("day"),
+            "day",
+            pc.cast(t["day"], pa.timestamp("us")),
+        )
+
+    counts = counts.map_batches(fix_day, batch_format="pyarrow")
+    return grouped_top_k_ties(
+        counts, ["day"], [("cnt", "descending")], k=2
+    )
+
+
+def _sql_events_day_top_types(sf_dir: str) -> str:
+    return """
+WITH c AS (SELECT date_trunc('day', ts) AS day, event_type,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2)
+SELECT day, event_type, cnt, CAST(r AS BIGINT) AS rnk
+FROM (SELECT *, rank() OVER (PARTITION BY day ORDER BY cnt DESC) AS r
+      FROM c)
+WHERE r <= 2"""
+
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 rotation: the 8 late-r3 oracled queries that never had a
@@ -7858,6 +7910,7 @@ REGISTRY: dict = {
         events_value_quantiles_exact,
         _sql_events_value_quantiles_exact,
     ),
+    "events_day_top_types": (events_day_top_types, _sql_events_day_top_types),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "events_approx_distinct_users": (

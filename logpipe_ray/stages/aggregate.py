@@ -1600,3 +1600,73 @@ def grouped_ewma_last(
         .groupby("_hb")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def grouped_top_k_ties(
+    ds: Dataset,
+    group_keys: list[str],
+    rank_keys: list[tuple[str, str]],
+    k: int,
+    rank_col: str = "rnk",
+) -> Dataset:
+    """Per-group top-k with SQL RANK() tie semantics — every row whose
+    rank is <= k survives, ties share a rank and create gaps (the
+    QUALIFY rank() <= k shape; grouped_top_k's head-k would
+    arbitrarily drop tied rows).
+
+    Scale shape: the same two-level prune as grouped_top_k, but the
+    local prune keeps rows with batch-local RANK <= k (safe: a row's
+    global rank is >= its rank in any subset, so no global top-k row
+    is ever pruned); the keyed shuffle then moves only survivors and
+    the final per-group pass computes exact ranks. rank_keys:
+    [(col, 'ascending'|'descending')] — rank is determined solely by
+    these values, so no tiebreaker is needed (that is the point)."""
+    import pandas as pd
+
+    by = [c for c, _ in rank_keys]
+    asc = [d == "ascending" for _, d in rank_keys]
+
+    def add_rank(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            df[rank_col] = pd.Series([], dtype="int64")
+            return df
+        # lexicographic rank via sort + tie-run detection (pandas
+        # .rank() is single-column; this handles multi-key rank)
+        df = df.sort_values(
+            by=list(group_keys) + by,
+            ascending=[True] * len(group_keys) + asc,
+            kind="mergesort",
+        ).reset_index(drop=True)
+        grp_change = (
+            (df[group_keys] != df[group_keys].shift()).any(axis=1)
+            if len(group_keys)
+            else pd.Series(False, index=df.index)
+        )
+        val_change = (df[by] != df[by].shift()).any(axis=1)
+        import numpy as np
+
+        pos = np.arange(len(df), dtype=np.int64)
+        grp_start = pos[grp_change.to_numpy()] if len(df) else pos[:0]
+        # position of each row's group start
+        start_of = np.zeros(len(df), dtype=np.int64)
+        start_of[grp_change.to_numpy()] = grp_start
+        start_of = np.maximum.accumulate(start_of)
+        new_val = (grp_change | val_change).to_numpy()
+        # rank = position (within group) of the first row of this
+        # row's tie-run + 1
+        run_start = np.where(new_val, pos, 0)
+        run_start = np.maximum.accumulate(run_start)
+        df[rank_col] = run_start - start_of + 1
+        return df
+
+    def local(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = add_rank(df)
+        return df[df[rank_col] <= k].drop(columns=[rank_col])
+
+    pruned = ds.map_batches(local, batch_format="pandas")
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = add_rank(df)
+        return df[df[rank_col] <= k]
+
+    return pruned.groupby(group_keys).map_groups(final, batch_format="pandas")

@@ -538,3 +538,48 @@ def test_editdist_bytes_matches_duckdb(strs, seed):
     a, b = strs[seed % len(strs)], strs[(seed + 1) % len(strs)]
     want = con.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
     assert editdist_bytes(a.encode(), b.encode()) == want
+
+
+@given(
+    n=st.integers(min_value=0, max_value=300),
+    ngroups=st.integers(min_value=1, max_value=4),
+    vals=st.integers(min_value=2, max_value=5),
+    k=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=8, deadline=None)
+def test_grouped_top_k_ties_property(ray_session, n, ngroups, vals, k, seed):
+    """grouped_top_k_ties == pandas rank(method='min') <= k under
+    heavy ties and any partitioning."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from logpipe_ray.stages.aggregate import grouped_top_k_ties
+
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, ngroups, size=n).astype(str)
+    v = rng.integers(0, vals, size=n)
+    rid = np.arange(n)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "g": g,
+                "v": pa.array(v, pa.int64()),
+                "rid": pa.array(rid, pa.int64()),
+            }
+        )
+    ).repartition(3)
+    out = grouped_top_k_ties(ds, ["g"], [("v", "descending")], k=k)
+    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_columns]
+    got = (
+        pa.concat_tables(tbls).to_pandas().sort_values("rid").reset_index(drop=True)
+        if tbls
+        else pd.DataFrame(columns=["g", "v", "rid", "rnk"])
+    )
+    df = pd.DataFrame({"g": g, "v": v, "rid": rid})
+    df["rnk"] = df.groupby("g")["v"].rank(method="min", ascending=False)
+    ref = df[df["rnk"] <= k].sort_values("rid").reset_index(drop=True)
+    assert got["rid"].tolist() == ref["rid"].tolist()
+    assert got["rnk"].astype(int).tolist() == ref["rnk"].astype(int).tolist()
