@@ -7655,6 +7655,67 @@ WHERE r <= 2"""
 
 
 
+def events_props_extract(sf_dir: str) -> Dataset:
+    """JSON field extraction from the events ``props`` payload column
+    (untouched by every other query): pull the integer ``k`` and
+    aggregate per type — the semi-structured-payload path every log
+    pipeline needs (reference parses whole JSON lines; this is the
+    column-local variant).
+
+    Scale shape: extraction is the VECTORIZED Arrow regex kernel
+    (pc.extract_regex — same RE2 discipline as stages/parse.py, no
+    per-row json.loads in the hot path; adequate for flat scalar
+    fields, nested payloads go through the full parse stage); each
+    batch collapses to per-type int partials, one tiny keyed Sum."""
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        has = pc.is_valid(k)
+        kk = pc.coalesce(k, pa.scalar(0, pa.int64()))
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "p_n": pc.cast(has, pa.int64()),
+                    "p_s": kk,
+                    "p_hi": pc.if_else(
+                        has, kk, pa.scalar(None, pa.int64())
+                    ),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("p_n", "sum"), ("p_s", "sum"), ("p_hi", "max")])
+        )
+        return g.rename_columns(["event_type", "p_n", "p_s", "p_hi"])
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("p_n", alias_name="n_with_k"),
+            Sum("p_s", alias_name="sum_k"),
+            Max("p_hi", alias_name="max_k"),
+        )
+    )
+
+
+def _sql_events_props_extract(sf_dir: str) -> str:
+    return """
+SELECT event_type,
+       CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS n_with_k,
+       CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0))
+            AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events GROUP BY 1"""
+
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 rotation: the 8 late-r3 oracled queries that never had a
@@ -7911,6 +7972,7 @@ REGISTRY: dict = {
         _sql_events_value_quantiles_exact,
     ),
     "events_day_top_types": (events_day_top_types, _sql_events_day_top_types),
+    "events_props_extract": (events_props_extract, _sql_events_props_extract),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "events_approx_distinct_users": (
