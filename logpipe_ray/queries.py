@@ -7715,6 +7715,830 @@ SELECT event_type,
 FROM events GROUP BY 1"""
 
 
+# -- session-5: the remaining TPC-H topologies (completes all 22) -----
+#
+# The fixture has no partsupp table and no l_commitdate/l_receiptdate
+# (TESTDATA.md), so Q2/Q9/Q11/Q20/Q21 are ADAPTED with documented
+# stand-ins that preserve each query's join/aggregation TOPOLOGY:
+#   - partsupp        -> DISTINCT (l_partkey, l_suppkey) from lineitem
+#   - ps_supplycost   -> s_acctbal (Q2's correlated per-group MIN)
+#                        / 20% of p_retailprice per unit (Q9's cost)
+#   - ps_availqty     -> the (part, supp) pair's 1998 shipped quantity
+#                        vs its all-time total (Q20's half-of-shipped)
+#   - receipt lateness-> l_shipdate > o_orderdate + 60 days (Q21)
+# Oracles replay the identical adapted semantics in DuckDB.
+
+
+def q2_min_acctbal_supplier(sf_dir: str) -> Dataset:
+    """TPC-H Q2 shape: for every size-25 part, the EUROPE supplier(s)
+    with the MINIMUM account balance among those that actually supply
+    it — the correlated per-group MIN subquery with a multi-dimension
+    join-back (supplier -> nation -> region), the classic "best vendor
+    per part" plan.
+
+    Scale shape: the supplies relation is built as DISTINCT
+    (l_partkey, l_suppkey) pairs — in-batch dedup partials filtered to
+    size-25 parts and EUROPE suppliers (both bitmaps broadcast once)
+    BEFORE the one keyed dedup exchange, so the shuffle carries only
+    the qualifying pair table (bounded by parts/50 x suppliers, never
+    fact rows). Per-part MIN folds natively on that bounded table; the
+    min map rides back as a broadcast (bounded by qualifying parts)
+    into a shuffle-free filter. Account balances compare as exact
+    int cents — ties survive, as in the reference's ORDER-BY spec."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"]
+    )
+    keep_pk = part.filter(pc.equal(part["p_size"], 25))[
+        "p_partkey"
+    ].combine_chunks()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    eu_rk = reg.filter(pc.equal(reg["r_name"], "EUROPE"))[
+        "r_regionkey"
+    ].combine_chunks()
+    eu_nat = nat.filter(pc.is_in(nat["n_regionkey"], value_set=eu_rk))
+    nk2name = dict(
+        zip(eu_nat["n_nationkey"].to_pylist(), eu_nat["n_name"].to_pylist())
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+    )
+    supp = supp.filter(
+        pc.is_in(supp["s_nationkey"], value_set=eu_nat["n_nationkey"].combine_chunks())
+    )
+    ac_c = pc.cast(pc.round(pc.multiply(supp["s_acctbal"], 100.0)), pa.int64())
+    if isinstance(ac_c, pa.ChunkedArray):
+        ac_c = ac_c.combine_chunks()
+    sref = ray.put(
+        (
+            supp["s_suppkey"].combine_chunks(),
+            ac_c,
+            supp["s_name"].combine_chunks(),
+            supp["s_nationkey"].combine_chunks(),
+        )
+    )
+    pref = ray.put(keep_pk)
+    nref = ray.put(nk2name)
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        sk, _, _, _ = ray.get(sref)
+        keep = pc.and_(
+            pc.is_in(t["l_partkey"], value_set=ray.get(pref)),
+            pc.is_in(t["l_suppkey"], value_set=sk),
+        )
+        t = t.filter(keep)
+        return t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+    pairs = (
+        li.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Count(alias_name="_c"))
+    ).materialize()  # bounded pair table, consumed twice below
+
+    def acct_partial(t: pa.Table) -> pa.Table:
+        sk, ac, _, _ = ray.get(sref)
+        a = pc.take(ac, pc.index_in(t["l_suppkey"], value_set=sk))
+        g = (
+            pa.table({"l_partkey": t["l_partkey"], "a": a})
+            .group_by("l_partkey")
+            .aggregate([("a", "min")])
+        )
+        return g.rename_columns(["l_partkey", "p_min"])
+
+    mins = (
+        pairs.map_batches(acct_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Min("p_min", alias_name="min_ac"))
+    ).to_pandas()  # bounded by qualifying parts (#parts with size 25)
+    mref = ray.put(
+        (
+            pa.array(mins["l_partkey"].to_numpy(np.int64)),
+            pa.array(mins["min_ac"].to_numpy(np.int64)),
+        )
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        sk, ac, sname, snk = ray.get(sref)
+        mpk, mac = ray.get(mref)
+        a = pc.take(ac, pc.index_in(t["l_suppkey"], value_set=sk))
+        m = pc.take(mac, pc.index_in(t["l_partkey"], value_set=mpk))
+        t2 = t.filter(pc.equal(a, m))
+        idx = pc.index_in(t2["l_suppkey"], value_set=sk)
+        names = ray.get(nref)
+        nk = pc.take(snk, idx)
+        return pa.table(
+            {
+                "p_partkey": t2["l_partkey"],
+                "s_suppkey": t2["l_suppkey"],
+                "s_name": pc.take(sname, idx),
+                "n_name": pa.array(
+                    [names[v] for v in nk.to_pylist()], pa.string()
+                ),
+                "s_acctbal_cents": pc.take(ac, idx),
+            }
+        )
+
+    return pairs.map_batches(pick, batch_format="pyarrow")
+
+
+def _sql_q2_min_acctbal_supplier(sf_dir: str) -> str:
+    return """
+WITH su AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+e AS (SELECT l_partkey, l_suppkey,
+             CAST(round(s_acctbal * 100) AS BIGINT) AS ac, s_name, n_name
+      FROM su
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 25)),
+m AS (SELECT l_partkey, min(ac) AS mac FROM e GROUP BY 1)
+SELECT e.l_partkey AS p_partkey, e.l_suppkey AS s_suppkey, s_name, n_name,
+       ac AS s_acctbal_cents
+FROM e JOIN m ON e.l_partkey = m.l_partkey AND e.ac = m.mac"""
+
+
+def q8_market_share(
+    sf_dir: str, broadcast_limit: int = Q10_BROADCAST_LIMIT
+) -> Dataset:
+    """TPC-H Q8 shape: NATION_1's market share (revenue fraction) per
+    order year among ECONOMY-type parts sold to AMERICA-region
+    customers — the conditional-numerator / global-denominator ratio
+    over a two-path star (supplier nation for the numerator flag,
+    customer->nation->region for the market filter).
+
+    Scale shape: the part bitmap and supplier->is-NATION_1 flag
+    broadcast once; the order->(year, in-region) map is built by a
+    DISTRIBUTED pass over orders (broadcast customer slice) and, under
+    ``broadcast_limit``, collapses to the driver to ride the fact scan
+    as one more broadcast lookup — above it the map hash-joins to
+    lineitem (0-row-safe). Each batch folds to (year, num, den) int
+    partials; a <=#years keyed Sum and one IEEE division finish."""
+    import pyarrow.parquet as pq
+
+    from .stages.join import inner_join_safe
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    keep_pk = part.filter(pc.equal(part["p_type"], "ECONOMY"))[
+        "p_partkey"
+    ].combine_chunks()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    am_rk = reg.filter(pc.equal(reg["r_name"], "AMERICA"))[
+        "r_regionkey"
+    ].combine_chunks()
+    am_nk = nat.filter(pc.is_in(nat["n_regionkey"], value_set=am_rk))[
+        "n_nationkey"
+    ].combine_chunks()
+    target_nk = nat.filter(pc.equal(nat["n_name"], "NATION_1"))[
+        "n_nationkey"
+    ].combine_chunks()
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    tgt_sk = supp.filter(
+        pc.is_in(supp["s_nationkey"], value_set=target_nk)
+    )["s_suppkey"].combine_chunks()
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    am_ck = cust.filter(
+        pc.is_in(cust["c_nationkey"], value_set=am_nk)
+    )["c_custkey"].combine_chunks()
+    pref, skref, ckref = ray.put(keep_pk), ray.put(tgt_sk), ray.put(am_ck)
+
+    orders_ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def order_map(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["o_custkey"], value_set=ray.get(ckref))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    omap = orders_ds.map_batches(order_map, batch_format="pyarrow")
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def share_partial(t: pa.Table, year_col: str) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=ray.get(pref)))
+        price_c = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        )
+        disc = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        )
+        rev = price_c * (100 - disc) // 100
+        is_tgt = np.asarray(
+            pc.cast(
+                pc.is_in(t["l_suppkey"], value_set=ray.get(skref)), pa.int64()
+            )
+        )
+        g = (
+            pa.table(
+                {
+                    "o_year": t[year_col],
+                    "n": pa.array(rev * is_tgt),
+                    "d": pa.array(rev),
+                }
+            )
+            .group_by("o_year")
+            .aggregate([("n", "sum"), ("d", "sum")])
+        )
+        return g.rename_columns(["o_year", "p_n", "p_d"])
+
+    if orders_ds.count() <= broadcast_limit:
+        ot = pa.concat_tables(
+            [t for t in ray.get(omap.to_arrow_refs()) if t.num_columns]
+        )
+        oref = ray.put(
+            (ot["o_orderkey"].combine_chunks(), ot["o_year"].combine_chunks())
+        )
+
+        def partial_b(t: pa.Table) -> pa.Table:
+            ok, oy = ray.get(oref)
+            y = pc.take(oy, pc.index_in(t["l_orderkey"], value_set=ok))
+            t = t.append_column("o_year", y).filter(pc.is_valid(y))
+            return share_partial(t, "o_year")
+
+        partials = li.map_batches(partial_b, batch_format="pyarrow")
+    else:  # 100-TB route
+        joined = inner_join_safe(
+            li, omap, on=("l_orderkey",), right_on=("o_orderkey",)
+        )
+        partials = joined.map_batches(
+            lambda t: share_partial(t, "o_year"), batch_format="pyarrow"
+        )
+
+    agged = partials.groupby("o_year").aggregate(
+        Sum("p_n", alias_name="nation_cents"),
+        Sum("p_d", alias_name="total_cents"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["nation_cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t["total_cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("mkt_share", pa.array(n / d, pa.float64()))
+
+    return agged.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sql_q8_market_share(sf_dir: str) -> str:
+    return """
+WITH v AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) // 100 AS rev,
+         (s_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_name = 'NATION_1')) AS is_tgt
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n2.n_regionkey
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY')
+SELECT o_year,
+       CAST(sum(CASE WHEN is_tgt THEN rev ELSE 0 END) AS BIGINT)
+         AS nation_cents,
+       CAST(sum(rev) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN is_tgt THEN rev ELSE 0 END) AS DOUBLE)
+         / CAST(sum(rev) AS DOUBLE) AS mkt_share
+FROM v GROUP BY 1"""
+
+
+def q9_product_type_profit(
+    sf_dir: str, broadcast_limit: int = Q10_BROADCAST_LIMIT
+) -> Dataset:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) on
+    'red'-named parts — revenue minus a unit cost attached from the
+    part dimension (20% of p_retailprice per unit stands in for the
+    missing ps_supplycost; identical topology: part + supplier +
+    orders all attach to the fact before one grouped Sum).
+
+    Scale shape: the red-part (key -> unit-cost-cents) map and the
+    supplier->nation-name map broadcast once; the order->year map
+    collapses to the driver under ``broadcast_limit`` / hash-joins
+    above it (the 100-TB route). All money stays exact int cents:
+    amount = rev_c - cost_c*qty*20//100; one keyed Sum over
+    (#nations x #years) partials finishes."""
+    import pyarrow.parquet as pq
+
+    from .stages.join import inner_join_safe
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
+    )
+    red = part.filter(pc.match_like(part["p_name"], "red%"))
+    rp_c = pc.cast(pc.round(pc.multiply(red["p_retailprice"], 100.0)), pa.int64())
+    pref = ray.put(
+        (
+            red["p_partkey"].combine_chunks(),
+            rp_c.combine_chunks() if isinstance(rp_c, pa.ChunkedArray) else rp_c,
+        )
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk2name = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sref = ray.put(
+        (supp["s_suppkey"].combine_chunks(), supp["s_nationkey"].combine_chunks())
+    )
+    nref = ray.put(nk2name)
+
+    orders_ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def profit_partial(t: pa.Table, year_col: str) -> pa.Table:
+        pk, cost = ray.get(pref)
+        idx = pc.index_in(t["l_partkey"], value_set=pk)
+        keep = pc.is_valid(idx)
+        t = t.filter(keep)
+        idx = pc.filter(idx, keep)
+        price_c = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        )
+        disc = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        )
+        qty = np.asarray(pc.cast(t["l_quantity"], pa.int64()))
+        cost_c = np.asarray(pc.take(cost, idx))
+        amount = price_c * (100 - disc) // 100 - cost_c * qty * 20 // 100
+        sk, snk = ray.get(sref)
+        names = ray.get(nref)
+        nk = pc.take(snk, pc.index_in(t["l_suppkey"], value_set=sk))
+        g = (
+            pa.table(
+                {
+                    "nation": pa.array(
+                        [names[v] for v in nk.to_pylist()], pa.string()
+                    ),
+                    "o_year": t[year_col],
+                    "a": pa.array(amount),
+                }
+            )
+            .group_by(["nation", "o_year"])
+            .aggregate([("a", "sum")])
+        )
+        return g.rename_columns(["nation", "o_year", "p_a"])
+
+    if orders_ds.count() <= broadcast_limit:
+        ot = pa.concat_tables(
+            [t for t in ray.get(orders_ds.to_arrow_refs()) if t.num_columns]
+        )
+        oref = ray.put(
+            (ot["o_orderkey"].combine_chunks(), ot["o_year"].combine_chunks())
+        )
+
+        def partial_b(t: pa.Table) -> pa.Table:
+            ok, oy = ray.get(oref)
+            t = t.append_column(
+                "o_year", pc.take(oy, pc.index_in(t["l_orderkey"], value_set=ok))
+            )
+            return profit_partial(t, "o_year")
+
+        partials = li.map_batches(partial_b, batch_format="pyarrow")
+    else:  # 100-TB route
+        joined = inner_join_safe(
+            li, orders_ds, on=("l_orderkey",), right_on=("o_orderkey",)
+        )
+        partials = joined.map_batches(
+            lambda t: profit_partial(t, "o_year"), batch_format="pyarrow"
+        )
+
+    return partials.groupby(["nation", "o_year"]).aggregate(
+        Sum("p_a", alias_name="profit_cents")
+    )
+
+
+def _sql_q9_product_type_profit(sf_dir: str) -> str:
+    return """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)) // 100
+                - CAST(round(p_retailprice * 100) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT) * 20 // 100)
+            AS BIGINT) AS profit_cents
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE 'red%'
+GROUP BY 1, 2"""
+
+
+def q11_important_stock_value(sf_dir: str) -> Dataset:
+    """TPC-H Q11 shape: parts whose NATION_3-supplied value exceeds
+    0.1% of the nation's total supplied value — the grouped-Sum vs
+    global-scalar-fraction HAVING (a per-group aggregate compared
+    against an aggregate OVER ALL groups). Value = sum of extended
+    price cents (stands in for ps_availqty * ps_supplycost; the
+    missing partsupp is derived from lineitem).
+
+    Scale shape: the nation's supplier set broadcasts once; per-part
+    int-cents partials collapse in-batch, ONE keyed Sum bounds the
+    value table by #parts; the global total folds natively over that
+    bounded table and the comparison (value*1000 > total, exact ints)
+    runs as a shuffle-free filter. No fact re-scan, no float fuzz."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = nat.filter(pc.equal(nat["n_name"], "NATION_3"))[
+        "n_nationkey"
+    ].combine_chunks()
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp.filter(pc.is_in(supp["s_nationkey"], value_set=nk))[
+        "s_suppkey"
+    ].combine_chunks()
+    skref = ray.put(sk)
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_suppkey"], value_set=ray.get(skref)))
+        v = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        g = (
+            pa.table({"p_partkey": t["l_partkey"], "v": v})
+            .group_by("p_partkey")
+            .aggregate([("v", "sum")])
+        )
+        return g.rename_columns(["p_partkey", "p_v"])
+
+    values = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("p_v", alias_name="value_cents"))
+    ).materialize()  # bounded by #parts; consumed twice (total + filter)
+    total = values.sum("value_cents") or 0
+
+    return values.map_batches(
+        lambda t: t.filter(
+            pc.greater(
+                pc.multiply(t["value_cents"], pa.scalar(1000, pa.int64())),
+                pa.scalar(int(total), pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_q11_important_stock_value(sf_dir: str) -> str:
+    return """
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                        WHERE n_name = 'NATION_3')
+  GROUP BY 1)
+SELECT p_partkey, value_cents FROM v
+WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM v)"""
+
+
+def q20_promotion_candidates(sf_dir: str) -> Dataset:
+    """TPC-H Q20 shape: ASIA suppliers for whom some 'small'-named
+    part had MORE than half of its all-time shipped quantity from that
+    supplier land in 1998 — the correlated two-aggregate comparison
+    per (part, supplier) followed by a DISTINCT semi join back to the
+    supplier dimension (the "who could promote" nested-subquery plan;
+    the 1998-vs-total quantity ratio stands in for the missing
+    ps_availqty > half-of-shipped predicate).
+
+    Scale shape: part-prefix and region-supplier bitmaps broadcast
+    once; each batch folds to (part, supp, qty98, qtot) int partials
+    BEFORE the one keyed Sum (bounded by qualifying pairs); the
+    qualifying comparison 2*q98 > qtot is exact-int and shuffle-free,
+    and the surviving supplier set (<= #suppliers) dedups on the
+    bounded table then resolves names from the broadcast dimension."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    keep_pk = part.filter(pc.match_like(part["p_name"], "small%"))[
+        "p_partkey"
+    ].combine_chunks()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    asia_rk = reg.filter(pc.equal(reg["r_name"], "ASIA"))[
+        "r_regionkey"
+    ].combine_chunks()
+    asia_nk = nat.filter(pc.is_in(nat["n_regionkey"], value_set=asia_rk))[
+        "n_nationkey"
+    ].combine_chunks()
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    asia = supp.filter(pc.is_in(supp["s_nationkey"], value_set=asia_nk))
+    pref = ray.put(keep_pk)
+    sref = ray.put(
+        (asia["s_suppkey"].combine_chunks(), asia["s_name"].combine_chunks())
+    )
+
+    import datetime as _dt
+
+    LO, HI = _dt.datetime(1998, 1, 1), _dt.datetime(1999, 1, 1)
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk, _ = ray.get(sref)
+        keep = pc.and_(
+            pc.is_in(t["l_partkey"], value_set=ray.get(pref)),
+            pc.is_in(t["l_suppkey"], value_set=sk),
+        )
+        t = t.filter(keep)
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        in98 = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(LO)),
+            pc.less(t["l_shipdate"], pa.scalar(HI)),
+        )
+        q98 = pc.if_else(in98, qty, pa.scalar(0, pa.int64()))
+        g = (
+            pa.table(
+                {
+                    "l_partkey": t["l_partkey"],
+                    "l_suppkey": t["l_suppkey"],
+                    "q98": q98,
+                    "qt": qty,
+                }
+            )
+            .group_by(["l_partkey", "l_suppkey"])
+            .aggregate([("q98", "sum"), ("qt", "sum")])
+        )
+        return g.rename_columns(["l_partkey", "l_suppkey", "p_q98", "p_qt"])
+
+    pairs = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(
+            Sum("p_q98", alias_name="q98"), Sum("p_qt", alias_name="qt")
+        )
+    )
+
+    def qualify(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.greater(
+                pc.multiply(t["q98"], pa.scalar(2, pa.int64())), t["qt"]
+            )
+        )
+        return t.select(["l_suppkey"]).group_by("l_suppkey").aggregate([])
+
+    def resolve(t: pa.Table) -> pa.Table:
+        sk, sname = ray.get(sref)
+        idx = pc.index_in(t["l_suppkey"], value_set=sk)
+        return pa.table(
+            {"s_suppkey": t["l_suppkey"], "s_name": pc.take(sname, idx)}
+        )
+
+    return (
+        pairs.map_batches(qualify, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda t: resolve(t.select(["l_suppkey"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _sql_q20_promotion_candidates(sf_dir: str) -> str:
+    return """
+WITH q AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                   AND l_shipdate <  TIMESTAMP '1999-01-01'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q98,
+         sum(CAST(l_quantity AS BIGINT)) AS qt
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON n_nationkey = s_nationkey
+                      JOIN region ON r_regionkey = n_regionkey
+                      WHERE r_name = 'ASIA')
+  GROUP BY 1, 2)
+SELECT DISTINCT s_suppkey, s_name
+FROM q JOIN supplier ON s_suppkey = l_suppkey
+WHERE 2 * q98 > qt"""
+
+
+def q21_waiting_supplier(
+    sf_dir: str, broadcast_limit: int = Q10_BROADCAST_LIMIT
+) -> Dataset:
+    """TPC-H Q21 shape: per supplier, how many multi-supplier orders
+    where THAT supplier was the ONLY late one — the double
+    EXISTS / NOT-EXISTS correlated self-join on the fact table
+    (late = l_shipdate > o_orderdate + 60 days stands in for the
+    missing l_receiptdate > l_commitdate).
+
+    Scale shape: the order->orderdate attach broadcasts under
+    ``broadcast_limit`` / hash-joins above it; per-batch DISTINCT
+    (order, supplier, late) partials dedup before ONE keyed Max
+    (bounded by distinct order-supplier pairs); the per-order verdict
+    (supplier count, late count, the late supplier's key) folds with
+    NATIVE Count/Sum/Max aggregates — the only-late supplier is
+    Max(late*suppkey), exact because late counts to exactly 1 — and
+    the final per-supplier count is a tiny keyed Sum."""
+    import pyarrow.parquet as pq
+
+    from .stages.join import inner_join_safe
+
+    LATE_US = 60 * 86_400_000_000  # 60 days in microseconds
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    sref = ray.put(
+        (supp["s_suppkey"].combine_chunks(), supp["s_name"].combine_chunks())
+    )
+
+    orders_ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+
+    def pair_partial(t: pa.Table, od_col: str) -> pa.Table:
+        ship_us = pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")), pa.int64())
+        od_us = pc.cast(pc.cast(t[od_col], pa.timestamp("us")), pa.int64())
+        late = pc.cast(
+            pc.greater(ship_us, pc.add(od_us, pa.scalar(LATE_US, pa.int64()))),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {
+                    "ok": t["l_orderkey"],
+                    "sk": t["l_suppkey"],
+                    "late": late,
+                }
+            )
+            .group_by(["ok", "sk"])
+            .aggregate([("late", "max")])
+        )
+        return g.rename_columns(["ok", "sk", "p_late"])
+
+    if orders_ds.count() <= broadcast_limit:
+        ot = pa.concat_tables(
+            [t for t in ray.get(orders_ds.to_arrow_refs()) if t.num_columns]
+        )
+        oref = ray.put(
+            (ot["o_orderkey"].combine_chunks(), ot["o_orderdate"].combine_chunks())
+        )
+
+        def partial_b(t: pa.Table) -> pa.Table:
+            ok, od = ray.get(oref)
+            t = t.append_column(
+                "o_orderdate",
+                pc.take(od, pc.index_in(t["l_orderkey"], value_set=ok)),
+            )
+            return pair_partial(t, "o_orderdate")
+
+        pair_partials = li.map_batches(partial_b, batch_format="pyarrow")
+    else:  # 100-TB route
+        joined = inner_join_safe(
+            li, orders_ds, on=("l_orderkey",), right_on=("o_orderkey",)
+        )
+        pair_partials = joined.map_batches(
+            lambda t: pair_partial(t, "o_orderdate"), batch_format="pyarrow"
+        )
+
+    pair_late = (
+        pair_partials.groupby(["ok", "sk"])
+        .aggregate(Max("p_late", alias_name="late"))
+    )
+
+    def verdict_partial(t: pa.Table) -> pa.Table:
+        lsk = pc.multiply(t["late"], t["sk"])
+        return pa.table(
+            {"ok": t["ok"], "one": pa.array(np.ones(t.num_rows, np.int64)),
+             "late": t["late"], "lsk": lsk}
+        )
+
+    per_order = (
+        pair_late.map_batches(verdict_partial, batch_format="pyarrow")
+        .groupby("ok")
+        .aggregate(
+            Sum("one", alias_name="ns"),
+            Sum("late", alias_name="nl"),
+            Max("lsk", alias_name="lsk"),
+        )
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater(t["ns"], pa.scalar(1, pa.int64())),
+                pc.equal(t["nl"], pa.scalar(1, pa.int64())),
+            )
+        )
+        g = (
+            pa.table(
+                {"sk": t["lsk"], "c": pa.array(np.ones(t.num_rows, np.int64))}
+            )
+            .group_by("sk")
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["sk", "p_c"])
+
+    counted = (
+        per_order.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("sk")
+        .aggregate(Sum("p_c", alias_name="numwait"))
+    )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        sk, sname = ray.get(sref)
+        idx = pc.index_in(t["sk"], value_set=sk)
+        return pa.table(
+            {
+                "s_suppkey": t["sk"],
+                "s_name": pc.take(sname, idx),
+                "numwait": t["numwait"],
+            }
+        )
+
+    return counted.map_batches(resolve, batch_format="pyarrow")
+
+
+def _sql_q21_waiting_supplier(sf_dir: str) -> str:
+    return """
+WITH ls AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1, 2),
+po AS (SELECT ok, count(*) AS ns, sum(late) AS nl,
+              max(late * sk) AS lsk
+       FROM ls GROUP BY 1)
+SELECT lsk AS s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM po JOIN supplier ON s_suppkey = lsk
+WHERE ns > 1 AND nl = 1
+GROUP BY 1, 2"""
+
 
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
@@ -7973,6 +8797,27 @@ REGISTRY: dict = {
     ),
     "events_day_top_types": (events_day_top_types, _sql_events_day_top_types),
     "events_props_extract": (events_props_extract, _sql_events_props_extract),
+    # r4 session-5: the remaining TPC-H topologies — all 22 now present
+    # (adapted where the fixture lacks partsupp / receipt dates; see
+    # the section comment above q2). Out-of-window; rotate next round.
+    "q2_min_acctbal_supplier": (
+        q2_min_acctbal_supplier,
+        _sql_q2_min_acctbal_supplier,
+    ),
+    "q8_market_share": (q8_market_share, _sql_q8_market_share),
+    "q9_product_type_profit": (
+        q9_product_type_profit,
+        _sql_q9_product_type_profit,
+    ),
+    "q11_important_stock_value": (
+        q11_important_stock_value,
+        _sql_q11_important_stock_value,
+    ),
+    "q20_promotion_candidates": (
+        q20_promotion_candidates,
+        _sql_q20_promotion_candidates,
+    ),
+    "q21_waiting_supplier": (q21_waiting_supplier, _sql_q21_waiting_supplier),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "events_approx_distinct_users": (
