@@ -449,3 +449,185 @@ def bigram_lift_topk(
         [("lift", "descending"), ("t1", "ascending"), ("t2", "ascending")],
         k,
     )
+
+
+# -- sequence-level content identity (round 4 session 5) --------------
+
+# odd 64-bit multiplier (FNV-1a prime); uint64 wraparound IS the mod
+_SEQ_HASH_P = np.uint64(1099511628211)
+
+
+def _sequence_hashes(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-row content hash of a list<int32> column:
+    h(row) = Σ (v_i + 1) · P^i  (mod 2^64, position-sensitive, empty
+    row -> 0). Returns (lengths:int64, hashes:uint64). Together with
+    the row LENGTH the key identifies content up to 64-bit collisions
+    (~n²/2^65 expected false merges — negligible below ~10^9 distinct
+    sequences; swap in a 128-bit pair hash beyond). Pure numpy over
+    the flat value buffer: one power-table gather + one cumsum, no
+    per-row Python."""
+    L = np.asarray(pc.list_value_length(col).fill_null(0), dtype=np.int64)
+    flat_arr = col.flatten()
+    # a fully-empty block can carry list<null>; never zero-copy that
+    flat = (
+        flat_arr.to_numpy(zero_copy_only=True).astype(np.uint64)
+        if len(flat_arr)
+        else np.empty(0, np.uint64)
+    )
+    ends = np.cumsum(L)
+    starts = ends - L
+    if len(flat):
+        # position of each flat element within its row
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, L)
+        max_len = int(L.max())
+        pows = np.empty(max_len, np.uint64)
+        if max_len:
+            pows[0] = np.uint64(1)
+            for i in range(1, max_len):
+                pows[i] = pows[i - 1] * _SEQ_HASH_P
+        terms = (flat + np.uint64(1)) * pows[pos]
+        cs = np.concatenate([[np.uint64(0)], np.cumsum(terms, dtype=np.uint64)])
+        h = cs[ends] - cs[starts]
+    else:
+        h = np.zeros(len(L), np.uint64)
+    return L, h
+
+
+def sequence_dedup_stats(
+    ds: Dataset,
+    tokens_col: str = "tokens",
+    by: str = "source",
+    driver_limit: int = BIGRAM_DRIVER_MERGE_ROWS,
+) -> Dataset:
+    """Sequence-level exact dedup audit: per ``by`` group, total rows
+    vs DISTINCT token arrays (and the duplicate surplus) — the "how
+    much of my pre-tokenized corpus is literally repeated" check run
+    before training.
+
+    Scale shape: each batch collapses to DISTINCT (by, len, hash)
+    partials (in-batch dedup via Arrow group_by on the vectorized
+    content hash — token arrays themselves never shuffle). Below
+    ``driver_limit`` partial rows the cross-batch dedup + per-group
+    counts fold in one bounded driver Arrow group_by (~24 B/row; a
+    full keyed exchange costs seconds of fixed setup on KB of
+    partials — same guard as _merge_count_partials); above it, ONE
+    keyed Ray aggregate dedups and a tiny keyed Sum counts — the
+    100-TB route, pytest-forced equal. Identity = (length, 64-bit
+    positional hash), see _sequence_hashes for the collision bound."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        L, h = _sequence_hashes(col)
+        g = (
+            pa.table(
+                {
+                    by: t[by],
+                    "_len": pa.array(L),
+                    "_h": pa.array(h.view(np.int64)),
+                    "c": pa.array(np.ones(len(L), np.int64)),
+                }
+            )
+            .group_by([by, "_len", "_h"])
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns([by, "_len", "_h", "p_c"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    def _counts_from_dedup(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    by: t[by],
+                    "u": pa.array(np.ones(t.num_rows, np.int64)),
+                    "r": t["c"],
+                }
+            )
+            .group_by(by)
+            .aggregate([("u", "sum"), ("r", "sum")])
+        )
+        return g.rename_columns([by, "p_u", "p_r"])
+
+    if partials.count() <= driver_limit:
+        tbl = pa.concat_tables(
+            [t for t in _ray.get(partials.to_arrow_refs()) if t.num_columns]
+        )
+        deduped = (
+            tbl.group_by([by, "_len", "_h"])
+            .aggregate([("p_c", "sum")])
+            .rename_columns([by, "_len", "_h", "c"])
+        )
+        counts = (
+            _counts_from_dedup(deduped)
+            .group_by(by)
+            .aggregate([("p_r", "sum"), ("p_u", "sum")])
+            .rename_columns([by, "n_seqs", "n_unique_seqs"])
+        )
+        agged = _ray.data.from_arrow(counts)
+    else:
+        deduped = partials.groupby([by, "_len", "_h"]).aggregate(
+            Sum("p_c", alias_name="c")
+        )
+        agged = (
+            deduped.map_batches(_counts_from_dedup, batch_format="pyarrow")
+            .groupby(by)
+            .aggregate(
+                Sum("p_r", alias_name="n_seqs"),
+                Sum("p_u", alias_name="n_unique_seqs"),
+            )
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "dup_rows", pc.subtract(t["n_seqs"], t["n_unique_seqs"])
+        )
+
+    return agged.map_batches(finish, batch_format="pyarrow")
+
+
+def distinct_token_counts(
+    ds: Dataset, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> Dataset:
+    """Per-sequence vocabulary richness: (id, n_tok, n_distinct) for
+    every row — the type/token signal behind repetition filters.
+    Shuffle-free vectorized map: one lexsort of the flat (row, token)
+    pairs per batch, run-boundary flags, segment sums. No per-row
+    Python, nothing materializes."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        L = np.asarray(pc.list_value_length(col).fill_null(0), dtype=np.int64)
+        flat_arr = col.flatten()
+        # a fully-empty block can carry list<null>; never zero-copy it
+        flat = (
+            flat_arr.to_numpy(zero_copy_only=True)
+            if len(flat_arr)
+            else np.empty(0, np.int64)
+        )
+        ends = np.cumsum(L)
+        starts = ends - L
+        if len(flat):
+            rows = np.repeat(np.arange(len(L), dtype=np.int64), L)
+            order = np.lexsort((flat, rows))
+            fv, rv = flat[order], rows[order]
+            new = np.ones(len(fv), bool)
+            new[1:] = (fv[1:] != fv[:-1]) | (rv[1:] != rv[:-1])
+            csf = np.concatenate([[0], np.cumsum(new, dtype=np.int64)])
+            nd = csf[ends] - csf[starts]
+        else:
+            nd = np.zeros(len(L), np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tok": pa.array(L),
+                "n_distinct": pa.array(nd),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

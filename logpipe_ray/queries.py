@@ -8540,6 +8540,169 @@ WHERE ns > 1 AND nl = 1
 GROUP BY 1, 2"""
 
 
+# -- session-5 token-axis + regression operators ----------------------
+
+
+def seq_exact_dedup(sf_dir: str) -> Dataset:
+    """Sequence-level exact dedup audit over the pre-tokenized corpus:
+    per source, total rows vs DISTINCT token arrays and the duplicate
+    surplus — the pre-training "how repeated is this shard mix" check,
+    run on the TOKEN arrays themselves (not the decoded text).
+
+    Scale shape (functions/tokens.py sequence_dedup_stats): per-batch
+    DISTINCT (source, len, content-hash) partials — the vectorized
+    positional hash means token arrays never leave their block — then
+    one keyed dedup exchange + a tiny per-source Sum. Oracle groups by
+    the raw list column; identity-by-hash matches it up to 64-bit
+    collisions (none at any test scale)."""
+    from .functions.tokens import sequence_dedup_stats
+
+    seq_dir = ensure_sequences(sf_dir)
+    ds = read_parquet_clean(seq_dir, columns=["tokens", "source"])
+    return sequence_dedup_stats(ds, "tokens", by="source")
+
+
+def _sql_seq_exact_dedup(sf_dir: str) -> str:
+    path = ensure_sequences(sf_dir)
+    return f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(count(DISTINCT tokens) AS BIGINT) AS n_unique_seqs,
+       CAST(count(*) - count(DISTINCT tokens) AS BIGINT) AS dup_rows
+FROM read_parquet('{path}/shard_*.parquet') GROUP BY source"""
+
+
+def seq_distinct_token_ratio(sf_dir: str) -> Dataset:
+    """Per-sequence vocabulary richness: (doc_id, n_tok, n_distinct)
+    for every sequence — the type/token signal repetition filters cut
+    on. Shuffle-free vectorized map (functions/tokens.py
+    distinct_token_counts): one lexsort of the flat (row, token)
+    buffer per batch + run-boundary segment sums, zero per-row
+    Python."""
+    from .functions.tokens import distinct_token_counts
+
+    seq_dir = ensure_sequences(sf_dir)
+    ds = read_parquet_clean(seq_dir, columns=["doc_id", "tokens"])
+    return distinct_token_counts(ds, "tokens", id_col="doc_id")
+
+
+def _sql_seq_distinct_token_ratio(sf_dir: str) -> str:
+    path = ensure_sequences(sf_dir)
+    return f"""
+SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tok,
+       CAST(length(list_distinct(tokens)) AS BIGINT) AS n_distinct
+FROM read_parquet('{path}/shard_*.parquet')"""
+
+
+_TRUNC_LEN = 400
+
+
+def seq_truncation_stats(sf_dir: str) -> Dataset:
+    """Context-window overflow audit: per source, how many sequences
+    exceed the 400-token training context and how many tokens
+    truncation would discard — the "what does this context length cost
+    me" sizing check. One pass of int partials over the pruned
+    (source, n_tok) projection; a <=#sources keyed Sum finishes."""
+    seq_dir = ensure_sequences(sf_dir)
+    ds = read_parquet_clean(seq_dir, columns=["source", "n_tok"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_tok"], pa.int64())
+        over = pc.cast(
+            pc.greater(n, pa.scalar(_TRUNC_LEN, pa.int64())), pa.int64()
+        )
+        lost = pc.if_else(
+            pc.greater(n, pa.scalar(_TRUNC_LEN, pa.int64())),
+            pc.subtract(n, pa.scalar(_TRUNC_LEN, pa.int64())),
+            pa.scalar(0, pa.int64()),
+        )
+        g = (
+            pa.table(
+                {
+                    "source": t["source"],
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                    "o": over,
+                    "l": lost,
+                }
+            )
+            .group_by("source")
+            .aggregate([("one", "sum"), ("o", "sum"), ("l", "sum")])
+        )
+        return g.rename_columns(["source", "p_n", "p_o", "p_l"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("p_n", alias_name="n_seqs"),
+            Sum("p_o", alias_name="n_over"),
+            Sum("p_l", alias_name="tokens_lost"),
+        )
+    )
+
+
+def _sql_seq_truncation_stats(sf_dir: str) -> str:
+    path = ensure_sequences(sf_dir)
+    return f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(CASE WHEN n_tok > {_TRUNC_LEN} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over,
+       CAST(sum(CASE WHEN n_tok > {_TRUNC_LEN} THEN n_tok - {_TRUNC_LEN}
+                     ELSE 0 END) AS BIGINT) AS tokens_lost
+FROM read_parquet('{path}/shard_*.parquet') GROUP BY source"""
+
+
+def events_value_hour_regr(sf_dir: str) -> Dataset:
+    """Per-type least-squares trend of event value (cents) on
+    hour-of-day: slope + intercept — the grouped regression map,
+    sibling of events_value_hour_corr and sharing its mergeable
+    int64-moment plan (stages/aggregate.py grouped_regr_fixed: one
+    keyed Sum of (n, Σx, Σy, Σx², Σxy), fixed-order IEEE closed form
+    the oracle replays bitwise)."""
+    from .stages.aggregate import grouped_regr_fixed
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        x = pc.cast(pc.hour(t["ts"]), pa.int64())
+        y = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({"event_type": t["event_type"], "x": x, "y": y})
+
+    return grouped_regr_fixed(
+        ev.map_batches(prep, batch_format="pyarrow"), "event_type", "x", "y"
+    )
+
+
+def _sql_events_value_hour_regr(sf_dir: str) -> str:
+    # explicit expression tree (NOT the regr_slope built-in, whose
+    # streaming accumulation order differs) pinning the same double
+    # ops grouped_regr_fixed executes
+    return """
+WITH c AS (SELECT event_type,
+                  CAST(hour(ts) AS BIGINT) AS x,
+                  CAST(round(value * 100.0) AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM c GROUP BY event_type),
+f AS (SELECT event_type, n, sx, sy,
+             CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0
+                  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  ELSE NULL END AS slope
+      FROM s)
+SELECT event_type, slope,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM f"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 rotation: the 8 late-r3 oracled queries that never had a
@@ -8818,6 +8981,17 @@ REGISTRY: dict = {
         _sql_q20_promotion_candidates,
     ),
     "q21_waiting_supplier": (q21_waiting_supplier, _sql_q21_waiting_supplier),
+    # r4 session-5: token-axis corpus audits + grouped regression
+    "seq_exact_dedup": (seq_exact_dedup, _sql_seq_exact_dedup),
+    "seq_distinct_token_ratio": (
+        seq_distinct_token_ratio,
+        _sql_seq_distinct_token_ratio,
+    ),
+    "seq_truncation_stats": (seq_truncation_stats, _sql_seq_truncation_stats),
+    "events_value_hour_regr": (
+        events_value_hour_regr,
+        _sql_events_value_hour_regr,
+    ),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "events_approx_distinct_users": (

@@ -1530,6 +1530,81 @@ def grouped_corr_fixed(
     return sums.map_batches(finish, batch_format="pyarrow")
 
 
+def grouped_regr_fixed(
+    ds: Dataset,
+    key: str,
+    x_col: str,
+    y_col: str,
+    slope_col: str = "slope",
+    intercept_col: str = "intercept",
+) -> Dataset:
+    """Per-group simple linear regression (least squares y = a·x + b)
+    in FIXED-ORDER arithmetic over integer-exact columns — the grouped
+    trend-fit map, sharing grouped_corr_fixed's mergeable-moments plan
+    (per-batch int64 partials (n, Σx, Σy, Σx², Σxy), ONE keyed Sum).
+
+    Closed form in an explicit double-op order a SQL oracle replays
+    bitwise (each cast/product/subtract/divide one correctly-rounded
+    IEEE op):
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)
+        intercept = (Σy − slope·Σx) / n
+
+    Groups with zero x-variance yield typed NULLs (SQL regr_slope
+    semantics). Same int64 exactness bound as grouped_corr_fixed."""
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tbl = pa.table(
+            {
+                key: t[key],
+                "p_n": pa.array(np.ones(len(x), np.int64)),
+                "p_sx": pa.array(x),
+                "p_sy": pa.array(y),
+                "p_sxx": pa.array(x * x),
+                "p_sxy": pa.array(x * y),
+            }
+        )
+        return tbl.group_by(key).aggregate(
+            [(c, "sum") for c in ("p_n", "p_sx", "p_sy", "p_sxx", "p_sxy")]
+        ).rename_columns([key, "p_n", "p_sx", "p_sy", "p_sxx", "p_sxy"])
+
+    sums = (
+        ds.map_batches(moment_partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(
+            Sum("p_n", alias_name="n"),
+            Sum("p_sx", alias_name="sx"),
+            Sum("p_sy", alias_name="sy"),
+            Sum("p_sxx", alias_name="sxx"),
+            Sum("p_sxy", alias_name="sxy"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vx = n * sxx - sx * sx
+        ok = vx != 0.0
+        slope = np.where(ok, (n * sxy - sx * sy) / np.where(ok, vx, 1.0), np.nan)
+        intercept = np.where(ok, (sy - slope * sx) / n, np.nan)
+        return pa.table(
+            {
+                key: t[key],
+                slope_col: pa.array(slope, pa.float64(), from_pandas=True),
+                intercept_col: pa.array(
+                    intercept, pa.float64(), from_pandas=True
+                ),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
 def grouped_ewma_last(
     ds: Dataset,
     key: str,

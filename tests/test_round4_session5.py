@@ -120,3 +120,98 @@ def test_q20_qualifier_majority_1998(ray_session):
         g[2 * g["q98"] > g["qt"]].index.get_level_values("l_suppkey")
     )
     assert set(out["s_suppkey"]) <= qual
+
+
+def test_sequence_dedup_routes_equal(ray_session):
+    """driver-merge route (default) == forced distributed keyed route
+    (driver_limit=0), and the hash-identity result matches a direct
+    pandas groupby on the raw token arrays."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from logpipe_ray.fixtures.generator import ensure_sequences
+    from logpipe_ray.functions.tokens import sequence_dedup_stats
+
+    seq_dir = ensure_sequences(SF)
+    ds = rd.read_parquet(seq_dir)
+    a = _collect(sequence_dedup_stats(ds, "tokens", by="source"))
+    b = _collect(
+        sequence_dedup_stats(ds, "tokens", by="source", driver_limit=0)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+    # independent reference: group by the tuple-ized token arrays
+    import glob
+
+    tbl = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(f"{seq_dir}/*.parquet"))]
+    )
+    df = tbl.select(["source", "tokens"]).to_pandas()
+    df["key"] = df["tokens"].map(tuple)
+    ref = (
+        df.groupby("source")
+        .agg(n_seqs=("key", "size"), n_unique_seqs=("key", "nunique"))
+        .reset_index()
+    )
+    ref["dup_rows"] = ref["n_seqs"] - ref["n_unique_seqs"]
+    merged = a.merge(ref, on="source", suffixes=("", "_ref"))
+    assert (merged["n_seqs"] == merged["n_seqs_ref"]).all()
+    assert (merged["n_unique_seqs"] == merged["n_unique_seqs_ref"]).all()
+    assert int(a["dup_rows"].sum()) >= 0
+
+
+def test_sequence_hash_position_sensitive():
+    """[1,2] vs [2,1] and [1] vs [1,0-pad] must hash apart; equal
+    arrays hash equal across different batch layouts."""
+    import pyarrow as pa
+
+    from logpipe_ray.functions.tokens import _sequence_hashes
+
+    col = pa.array(
+        [[1, 2], [2, 1], [1], [1, 0], [], [1, 2]], pa.list_(pa.int32())
+    )
+    L, h = _sequence_hashes(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    assert h[0] != h[1]          # order matters
+    assert (L[2], h[2]) != (L[3], h[3])  # trailing pad differs
+    assert h[0] == h[5] and L[0] == L[5]  # equal content, equal key
+    assert h[4] == 0 and L[4] == 0
+
+
+def test_distinct_token_counts_reference(ray_session):
+    """vectorized per-row distinct counts == python set() per row."""
+    import ray.data as rd
+
+    from logpipe_ray.functions.tokens import distinct_token_counts
+
+    rows = [
+        {"doc_id": "a", "tokens": [1, 1, 2, 3, 3, 3]},
+        {"doc_id": "b", "tokens": []},
+        {"doc_id": "c", "tokens": [7]},
+        {"doc_id": "d", "tokens": [5, 4, 5, 4, 5]},
+    ]
+    out = _collect(
+        distinct_token_counts(rd.from_items(rows), "tokens", id_col="doc_id")
+    ).set_index("doc_id")
+    for r in rows:
+        assert out.loc[r["doc_id"], "n_tok"] == len(r["tokens"])
+        assert out.loc[r["doc_id"], "n_distinct"] == len(set(r["tokens"]))
+
+
+def test_grouped_regr_constant_x_null(ray_session):
+    """zero x-variance group -> typed NULL slope AND intercept; a
+    perfect line recovers its exact slope/intercept."""
+    import numpy as np
+    import ray.data as rd
+
+    from logpipe_ray.stages.aggregate import grouped_regr_fixed
+
+    rows = (
+        [{"k": "const", "x": 5, "y": v} for v in (1, 2, 3)]
+        + [{"k": "line", "x": x, "y": 3 * x + 7} for x in range(10)]
+    )
+    out = _collect(grouped_regr_fixed(rd.from_items(rows), "k", "x", "y"))
+    out = out.set_index("k")
+    assert np.isnan(out.loc["const", "slope"])
+    assert np.isnan(out.loc["const", "intercept"])
+    assert out.loc["line", "slope"] == 3.0
+    assert out.loc["line", "intercept"] == 7.0
