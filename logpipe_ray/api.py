@@ -247,6 +247,31 @@ class Pipeline:
 
         return Pipeline(grouped_corr_fixed(self._ds, key, x_col, y_col, **kw))
 
+    def regr_by(self, key: str, x_col: str, y_col: str, **kw) -> "Pipeline":
+        """Per-group least-squares slope + intercept over integer-exact
+        columns (stages/aggregate.py grouped_regr_fixed)."""
+        from .stages.aggregate import grouped_regr_fixed
+
+        return Pipeline(grouped_regr_fixed(self._ds, key, x_col, y_col, **kw))
+
+    def seq_dedup_stats(
+        self, tokens_col: str = "tokens", by: str = "source", **kw
+    ) -> "Pipeline":
+        """Per-group exact duplicate audit of token arrays
+        (functions/tokens.py sequence_dedup_stats)."""
+        from .functions.tokens import sequence_dedup_stats
+
+        return Pipeline(sequence_dedup_stats(self._ds, tokens_col, by, **kw))
+
+    def seq_distinct_counts(
+        self, tokens_col: str = "tokens", id_col: str = "doc_id"
+    ) -> "Pipeline":
+        """Per-sequence (n_tok, n_distinct) vocabulary-richness map
+        (functions/tokens.py distinct_token_counts)."""
+        from .functions.tokens import distinct_token_counts
+
+        return Pipeline(distinct_token_counts(self._ds, tokens_col, id_col))
+
     def cube(self, keys: list[str], sum_cols: dict | None = None, **kw) -> "Pipeline":
         """GROUP BY CUBE counts+sums from one pass (stages/aggregate.py
         cube_agg)."""

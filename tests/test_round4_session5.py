@@ -215,3 +215,39 @@ def test_grouped_regr_constant_x_null(ray_session):
     assert np.isnan(out.loc["const", "intercept"])
     assert out.loc["line", "slope"] == 3.0
     assert out.loc["line", "intercept"] == 7.0
+
+
+def test_fluent_api_session5_methods(ray_session):
+    import ray.data as rd
+
+    from logpipe_ray.api import Pipeline
+
+    t = pa.table(
+        {
+            "g": ["a"] * 6 + ["b"] * 6,
+            "x": pa.array(list(range(12)), pa.int64()),
+            "y": pa.array([3 * i + 1 for i in range(12)], pa.int64()),
+        }
+    )
+    p = Pipeline.from_dataset(rd.from_arrow(t))
+    regr = p.regr_by("g", "x", "y").to_pandas()
+    assert set(regr.columns) == {"g", "slope", "intercept"}
+    assert (regr["slope"] == 3.0).all() and (regr["intercept"] == 1.0).all()
+
+    seqs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["a", "b", "c"],
+                "source": ["s1", "s1", "s2"],
+                "tokens": pa.array(
+                    [[1, 2], [1, 2], [3]], pa.list_(pa.int32())
+                ),
+            }
+        )
+    )
+    sp = Pipeline.from_dataset(seqs)
+    dd = sp.seq_dedup_stats("tokens", by="source").to_pandas()
+    dd = dd.set_index("source")
+    assert dd.loc["s1", "dup_rows"] == 1 and dd.loc["s2", "dup_rows"] == 0
+    dc = sp.seq_distinct_counts("tokens", id_col="doc_id").to_pandas()
+    assert len(dc) == 3 and set(dc.columns) == {"doc_id", "n_tok", "n_distinct"}
