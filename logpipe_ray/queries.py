@@ -8651,6 +8651,271 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
 FROM read_parquet('{path}/shard_*.parquet') GROUP BY source"""
 
 
+_COOC_GAP_US = 30 * 60 * 1_000_000  # 30-min session gap, microseconds
+
+
+def events_session_cooccurrence(sf_dir: str) -> pa.Table:
+    """Market-basket association mining over gap sessions: for every
+    UNORDERED pair of event types that co-occur inside one 30-min
+    session, the support count and the lift
+    (n_both·S)/(n_t1·n_t2) over S total sessions — the "which actions
+    travel together" audit.
+
+    Scale shape: rows hash-bucket by user (a user's history must
+    co-locate to cut sessions — inherent, same partitioning contract
+    as events_sessionize); inside each bucket ONE vectorized fold
+    (lexsort + gap flags + cumsum session ids + np.unique distinct
+    (session, type) + closed-form pair expansion — event-type
+    cardinality bounds pairs per session) emits (t1, t2, count)
+    partials, with sentinel rows carrying per-type session counts and
+    the session total. One tiny keyed Sum (<= types² + types + 1 rows)
+    merges; the lift is two exact-int products and one IEEE divide."""
+    import pandas as pd
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = np.asarray(
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        )
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        us, tss, ets = u[order], ts[order], et[order]
+        new = np.ones(len(us), bool)
+        if len(us) > 1:
+            new[1:] = (us[1:] != us[:-1]) | (
+                tss[1:] - tss[:-1] > _COOC_GAP_US
+            )
+        sess = np.cumsum(new) - 1  # bucket-local session ids
+        # distinct (session, type): factorize types locally
+        types, codes = np.unique(ets, return_inverse=True)
+        key = sess * len(types) + codes
+        uk = np.unique(key)
+        s_id, s_code = uk // len(types), uk % len(types)
+        # sorted by (session, code) already; per-session pair expansion
+        starts = np.flatnonzero(
+            np.concatenate([[True], s_id[1:] != s_id[:-1]])
+        )
+        lens = np.diff(np.append(starts, len(s_id)))
+        within = np.arange(len(s_id)) - np.repeat(starts, lens)
+        m = np.repeat(lens, lens) - 1 - within  # successors per element
+        P = int(m.sum())
+        left = np.repeat(np.arange(len(s_id)), m)
+        right = (
+            np.arange(P)
+            - np.repeat(np.cumsum(m) - m, m)
+            + left
+            + 1
+        )
+        n_sessions = int(s_id[-1]) + 1 if len(s_id) else 0
+        # per-type session counts
+        tc = np.bincount(s_code, minlength=len(types)).astype(np.int64)
+        t1 = np.concatenate(
+            [types[s_code[left]], types, np.array(["__total__"], types.dtype)]
+        )
+        t2 = np.concatenate(
+            [
+                types[s_code[right]],
+                np.full(len(types), "__type__", types.dtype),
+                np.array(["__total__"], types.dtype),
+            ]
+        )
+        c = np.concatenate(
+            [np.ones(P, np.int64), tc, np.array([n_sessions], np.int64)]
+        )
+        g = (
+            pa.table(
+                {
+                    "t1": pa.array(t1.astype(str), pa.string()),
+                    "t2": pa.array(t2.astype(str), pa.string()),
+                    "c": pa.array(c),
+                }
+            )
+            .group_by(["t1", "t2"])
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["t1", "t2", "p_c"])
+
+    merged = (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["t1", "t2"])
+        .aggregate(Sum("p_c", alias_name="c"))
+    ).to_pandas()  # <= types² + types + 1 rows
+
+    total = int(
+        merged.loc[merged["t1"] == "__total__", "c"].sum()
+    )
+    unary = {
+        r.t1: int(r.c)
+        for r in merged[merged["t2"] == "__type__"].itertuples()
+    }
+    pairs = merged[
+        (merged["t2"] != "__type__") & (merged["t1"] != "__total__")
+    ].sort_values(["t1", "t2"])
+    n1 = pairs["t1"].map(unary).to_numpy(np.int64)
+    n2 = pairs["t2"].map(unary).to_numpy(np.int64)
+    nb = pairs["c"].to_numpy(np.int64)
+    lift = (nb.astype(np.float64) * np.float64(total)) / (
+        n1.astype(np.float64) * n2.astype(np.float64)
+    )
+    return pa.table(
+        {
+            "t1": pa.array(pairs["t1"].to_numpy(str), pa.string()),
+            "t2": pa.array(pairs["t2"].to_numpy(str), pa.string()),
+            "n_both": pa.array(nb),
+            "n_t1": pa.array(n1),
+            "n_t2": pa.array(n2),
+            "n_sessions": pa.array(np.full(len(nb), total, np.int64)),
+            "lift": pa.array(lift, pa.float64()),
+        }
+    )
+
+
+def _sql_events_session_cooccurrence(sf_dir: str) -> str:
+    return """
+WITH o AS (
+  SELECT user_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (SELECT user_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY rowid
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+      FROM (SELECT *, row_number() OVER () AS rowid FROM o)),
+d AS (SELECT DISTINCT user_id, sess, event_type FROM s),
+tot AS (SELECT CAST(count(DISTINCT (user_id, sess)) AS BIGINT) AS S FROM d),
+un AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+pr AS (SELECT a.event_type AS t1, b.event_type AS t2,
+              CAST(count(*) AS BIGINT) AS n_both
+       FROM d a JOIN d b
+         ON a.user_id = b.user_id AND a.sess = b.sess
+        AND a.event_type < b.event_type
+       GROUP BY 1, 2)
+SELECT t1, t2, n_both, u1.n AS n_t1, u2.n AS n_t2, tot.S AS n_sessions,
+       (CAST(n_both AS DOUBLE) * CAST(tot.S AS DOUBLE))
+         / (CAST(u1.n AS DOUBLE) * CAST(u2.n AS DOUBLE)) AS lift
+FROM pr, tot
+JOIN un u1 ON u1.event_type = pr.t1
+JOIN un u2 ON u2.event_type = pr.t2"""
+
+
+def seq_source_tv_drift(sf_dir: str) -> pa.Table:
+    """Token-distribution drift per source: the TOTAL-VARIATION
+    distance between each source's token unigram distribution and the
+    whole corpus's, in exact integer parts-per-million — the "did this
+    shard mix shift" audit run before blending training data. TV is
+    chosen over KL exactly because it needs NO logarithm: libm log is
+    not bitwise-portable across engines (measured in NOTES_r4), while
+    TV_ppm = (10⁶ · Σ_t |c_st·N − g_t·n_s|) // (2·n_s·N) is pure
+    integer arithmetic both engines compute identically.
+
+    Scale shape: per-batch (source, token) count partials (the flat
+    token buffer never reshapes) -> ONE keyed Sum bounded by
+    sources × vocab; the global distribution and the per-source fold
+    run on that bounded table with Python bigints (the 10⁶·Σ product
+    exceeds int64; oracle uses HUGEINT)."""
+    seq_dir = ensure_sequences(sf_dir)
+    ds = read_parquet_clean(seq_dir, columns=["source", "tokens"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        L = np.asarray(pc.list_value_length(col).fill_null(0), dtype=np.int64)
+        flat = col.flatten()
+        src = t["source"].to_numpy(zero_copy_only=False)
+        rep = pa.array(np.repeat(src, L))
+        g = (
+            pa.table(
+                {
+                    "source": rep,
+                    "token_id": pc.cast(flat, pa.int64()),
+                    "c": pa.array(np.ones(len(flat), np.int64)),
+                }
+            )
+            .group_by(["source", "token_id"])
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["source", "token_id", "p_c"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "token_id"])
+        .aggregate(Sum("p_c", alias_name="c"))
+    ).to_pandas()  # bounded by sources × vocab (byte-level: ~260/source)
+
+    piv = counts.pivot_table(
+        index="token_id", columns="source", values="c", fill_value=0
+    ).astype(np.int64)
+    g = piv.sum(axis=1).to_numpy()  # global per-token counts
+    N = int(g.sum())
+    rows = []
+    for source in sorted(piv.columns):
+        cs = piv[source].to_numpy()
+        ns = int(cs.sum())
+        num = sum(
+            abs(int(c) * N - int(gt) * ns) for c, gt in zip(cs, g)
+        )
+        rows.append(
+            {
+                "source": source,
+                "n_tokens": ns,
+                "tv_ppm": (1_000_000 * num) // (2 * ns * N) if ns else 0,
+            }
+        )
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    return pa.table(
+        {
+            "source": pa.array(df["source"].to_numpy(str), pa.string()),
+            "n_tokens": pa.array(df["n_tokens"].to_numpy(np.int64)),
+            "tv_ppm": pa.array(df["tv_ppm"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _sql_seq_source_tv_drift(sf_dir: str) -> str:
+    path = ensure_sequences(sf_dir)
+    return f"""
+WITH c AS (
+  SELECT source, CAST(unnest(tokens) AS BIGINT) AS token_id
+  FROM read_parquet('{path}/shard_*.parquet')),
+sc AS (SELECT source, token_id, CAST(count(*) AS HUGEINT) AS c
+       FROM c GROUP BY 1, 2),
+gt AS (SELECT token_id, CAST(sum(c) AS HUGEINT) AS g FROM sc GROUP BY 1),
+ns AS (SELECT source, CAST(sum(c) AS HUGEINT) AS n_src FROM sc GROUP BY 1),
+-- DuckDB identifiers are case-insensitive: n vs N would COLLIDE in
+-- the grid projection, silently resolving both to one column
+nn AS (SELECT CAST(sum(g) AS HUGEINT) AS n_all FROM gt),
+grid AS (SELECT ns.source, gt.token_id, ns.n_src, gt.g, nn.n_all,
+                coalesce(sc.c, 0) AS c
+         FROM ns CROSS JOIN gt CROSS JOIN nn
+         LEFT JOIN sc ON sc.source = ns.source
+                     AND sc.token_id = gt.token_id)
+SELECT source, CAST(max(n_src) AS BIGINT) AS n_tokens,
+       CAST((1000000 * sum(abs(c * n_all - g * n_src)))
+              // (2 * max(n_src) * max(n_all))
+            AS BIGINT) AS tv_ppm
+FROM grid GROUP BY source"""
+
+
 def events_value_hour_regr(sf_dir: str) -> Dataset:
     """Per-type least-squares trend of event value (cents) on
     hour-of-day: slope + intercept — the grouped regression map,
@@ -8992,6 +9257,11 @@ REGISTRY: dict = {
         events_value_hour_regr,
         _sql_events_value_hour_regr,
     ),
+    "events_session_cooccurrence": (
+        events_session_cooccurrence,
+        _sql_events_session_cooccurrence,
+    ),
+    "seq_source_tv_drift": (seq_source_tv_drift, _sql_seq_source_tv_drift),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "events_approx_distinct_users": (

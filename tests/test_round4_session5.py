@@ -251,3 +251,86 @@ def test_fluent_api_session5_methods(ray_session):
     assert dd.loc["s1", "dup_rows"] == 1 and dd.loc["s2", "dup_rows"] == 0
     dc = sp.seq_distinct_counts("tokens", id_col="doc_id").to_pandas()
     assert len(dc) == 3 and set(dc.columns) == {"doc_id", "n_tok", "n_distinct"}
+
+
+def test_session_cooccurrence_reference(ray_session):
+    """engine pairs/lift == brute-force python sessionization on the
+    raw fixture."""
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.queries import events_session_cooccurrence
+
+    out = events_session_cooccurrence(SF).to_pandas()
+    ev = (
+        pq.read_table(f"{SF}/events.parquet")
+        .to_pandas()
+        .sort_values(["user_id", "ts"])
+    )
+    sessions = []
+    for uid, g in ev.groupby("user_id"):
+        new = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = new.cumsum()
+        for _, types in g.groupby(sid)["event_type"]:
+            sessions.append(set(types))
+    S = len(sessions)
+    from collections import Counter
+
+    un, both = Counter(), Counter()
+    for s in sessions:
+        for t in s:
+            un[t] += 1
+        st = sorted(s)
+        for i in range(len(st)):
+            for j in range(i + 1, len(st)):
+                both[(st[i], st[j])] += 1
+    assert int(out["n_sessions"].iloc[0]) == S
+    got = {
+        (r.t1, r.t2): (r.n_both, r.n_t1, r.n_t2) for r in out.itertuples()
+    }
+    assert set(got) == set(both)
+    for k, nb in both.items():
+        assert got[k] == (nb, un[k[0]], un[k[1]])
+    # lift is the exact fixed-order IEEE expression
+    import numpy as np
+
+    expect = (
+        out["n_both"].to_numpy(np.float64) * out["n_sessions"].to_numpy(np.float64)
+    ) / (out["n_t1"].to_numpy(np.float64) * out["n_t2"].to_numpy(np.float64))
+    assert (out["lift"].to_numpy() == expect).all()
+
+
+def test_tv_drift_identities(ray_session):
+    """TV is 0 for an identical split, bounded by 10^6 ppm, and
+    matches a python-bigint reference on the real fixture."""
+    from logpipe_ray.queries import seq_source_tv_drift
+
+    out = seq_source_tv_drift(SF).to_pandas()
+    assert ((out["tv_ppm"] >= 0) & (out["tv_ppm"] <= 1_000_000)).all()
+    # bigint reference over the same fixture
+    import glob
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.fixtures.generator import ensure_sequences
+
+    seq_dir = ensure_sequences(SF)
+    tb = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(f"{seq_dir}/*.parquet"))]
+    )
+    df = tb.select(["source", "tokens"]).to_pandas()
+    cnt: Counter = Counter()
+    for s, toks in zip(df["source"], df["tokens"]):
+        for t in toks:
+            cnt[(s, int(t))] += 1
+    g: Counter = Counter()
+    for (s, t), c in cnt.items():
+        g[t] += c
+    N = sum(g.values())
+    for r in out.itertuples():
+        ns = sum(c for (s, _), c in cnt.items() if s == r.source)
+        num = sum(
+            abs(cnt.get((r.source, t), 0) * N - gt * ns) for t, gt in g.items()
+        )
+        assert r.n_tokens == ns
+        assert r.tv_ppm == (1_000_000 * num) // (2 * ns * N)
