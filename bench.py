@@ -165,6 +165,11 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "events_hour_type_diversity",
             "docs_editdist_pairs",
             "events_user_value_ewma",
+            # round-4 session 5: double-EXISTS fact self-check (Q21),
+            # sequence-identity dedup, session association mining
+            "q21_waiting_supplier",
+            "seq_exact_dedup",
+            "events_session_cooccurrence",
         ]
         all_q = Q.queries()
 
