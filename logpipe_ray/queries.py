@@ -8383,7 +8383,9 @@ WHERE 2 * q98 > qt"""
 
 
 def q21_waiting_supplier(
-    sf_dir: str, broadcast_limit: int = Q10_BROADCAST_LIMIT
+    sf_dir: str,
+    broadcast_limit: int = Q10_BROADCAST_LIMIT,
+    pair_driver_limit: int = 5_000_000,
 ) -> Dataset:
     """TPC-H Q21 shape: per supplier, how many multi-supplier orders
     where THAT supplier was the ONLY late one — the double
@@ -8393,12 +8395,16 @@ def q21_waiting_supplier(
 
     Scale shape: the order->orderdate attach broadcasts under
     ``broadcast_limit`` / hash-joins above it; per-batch DISTINCT
-    (order, supplier, late) partials dedup before ONE keyed Max
-    (bounded by distinct order-supplier pairs); the per-order verdict
-    (supplier count, late count, the late supplier's key) folds with
-    NATIVE Count/Sum/Max aggregates — the only-late supplier is
-    Max(late*suppkey), exact because late counts to exactly 1 — and
-    the final per-supplier count is a tiny keyed Sum."""
+    (order, supplier, late) partials dedup before the cross-batch
+    merge. Below ``pair_driver_limit`` partial rows the dedup +
+    per-order verdict + per-supplier count all fold in one bounded
+    driver Arrow pass (~24 B/row; three keyed exchanges cost ~10 s of
+    fixed setup on MB of partials — measured 12.3 s -> ~4 s at
+    sf0.1); above it the distributed route runs: ONE keyed Max
+    (bounded by distinct order-supplier pairs), a NATIVE
+    Count/Sum/Max per-order verdict — the only-late supplier is
+    Max(late*suppkey), exact because late counts to exactly 1 — and a
+    tiny keyed Sum. Both routes pytest-forced equal."""
     import pyarrow.parquet as pq
 
     from .stages.join import inner_join_safe
@@ -8465,6 +8471,49 @@ def q21_waiting_supplier(
             lambda t: pair_partial(t, "o_orderdate"), batch_format="pyarrow"
         )
 
+    def resolve(t: pa.Table) -> pa.Table:
+        sk, sname = ray.get(sref)
+        idx = pc.index_in(t["sk"], value_set=sk)
+        return pa.table(
+            {
+                "s_suppkey": t["sk"],
+                "s_name": pc.take(sname, idx),
+                "numwait": t["numwait"],
+            }
+        )
+
+    pair_partials = pair_partials.materialize()
+    if pair_partials.count() <= pair_driver_limit:
+        tbl = pa.concat_tables(
+            [t for t in ray.get(pair_partials.to_arrow_refs()) if t.num_columns]
+        )
+        pl = (
+            tbl.group_by(["ok", "sk"])
+            .aggregate([("p_late", "max")])
+            .rename_columns(["ok", "sk", "late"])
+        )
+        lsk = pc.multiply(pl["late"], pl["sk"])
+        po = (
+            pl.append_column("one", pa.array(np.ones(pl.num_rows, np.int64)))
+            .append_column("lsk", lsk)
+            .group_by("ok")
+            .aggregate([("one", "sum"), ("late", "sum"), ("lsk", "max")])
+            .rename_columns(["ok", "ns", "nl", "lsk"])
+        )
+        po = po.filter(
+            pc.and_(
+                pc.greater(po["ns"], pa.scalar(1, pa.int64())),
+                pc.equal(po["nl"], pa.scalar(1, pa.int64())),
+            )
+        )
+        counted_tbl = (
+            po.append_column("c", pa.array(np.ones(po.num_rows, np.int64)))
+            .group_by("lsk")
+            .aggregate([("c", "sum")])
+            .rename_columns(["sk", "numwait"])
+        )
+        return rd.from_arrow(resolve(counted_tbl))
+
     pair_late = (
         pair_partials.groupby(["ok", "sk"])
         .aggregate(Max("p_late", alias_name="late"))
@@ -8508,17 +8557,6 @@ def q21_waiting_supplier(
         .groupby("sk")
         .aggregate(Sum("p_c", alias_name="numwait"))
     )
-
-    def resolve(t: pa.Table) -> pa.Table:
-        sk, sname = ray.get(sref)
-        idx = pc.index_in(t["sk"], value_set=sk)
-        return pa.table(
-            {
-                "s_suppkey": t["sk"],
-                "s_name": pc.take(sname, idx),
-                "numwait": t["numwait"],
-            }
-        )
 
     return counted.map_batches(resolve, batch_format="pyarrow")
 

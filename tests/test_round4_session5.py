@@ -49,11 +49,19 @@ def test_q9_route_equivalence(ray_session):
 
 
 def test_q21_route_equivalence(ray_session):
+    """all FOUR route combinations (broadcast/hash-join attach x
+    driver/distributed reduce) agree."""
     from logpipe_ray.queries import q21_waiting_supplier
 
     a = _collect(q21_waiting_supplier(SF))
     b = _collect(q21_waiting_supplier(SF, broadcast_limit=0))
+    c = _collect(q21_waiting_supplier(SF, pair_driver_limit=0))
+    d = _collect(
+        q21_waiting_supplier(SF, broadcast_limit=0, pair_driver_limit=0)
+    )
     pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
+    pd.testing.assert_frame_equal(a, d)
     assert len(a) > 0
     assert (a["numwait"] >= 1).all()
 
