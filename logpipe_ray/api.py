@@ -272,6 +272,13 @@ class Pipeline:
 
         return Pipeline(distinct_token_counts(self._ds, tokens_col, id_col))
 
+    def profile(self, columns: list[str]) -> "Pipeline":
+        """Per-column row / null / exact-distinct audit
+        (stages/profile.py profile_columns)."""
+        from .stages.profile import profile_columns
+
+        return Pipeline(profile_columns(self._ds, columns))
+
     def cube(self, keys: list[str], sum_cols: dict | None = None, **kw) -> "Pipeline":
         """GROUP BY CUBE counts+sums from one pass (stages/aggregate.py
         cube_agg)."""

@@ -8954,6 +8954,32 @@ SELECT source, CAST(max(n_src) AS BIGINT) AS n_tokens,
 FROM grid GROUP BY source"""
 
 
+_PROFILE_COLS = ["event_id", "user_id", "event_type", "ts", "value", "props"]
+
+
+def events_profile(sf_dir: str) -> Dataset:
+    """Table profile of events: per column, row / null / exact
+    DISTINCT counts in one long table — the data-audit pass
+    (stages/profile.py profile_columns) run before a table feeds a
+    pipeline. One streaming pass; per-column in-batch value dedup
+    bounds the only exchange by distinct values, never rows."""
+    from .stages.profile import profile_columns
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=_PROFILE_COLS)
+    return profile_columns(ds, _PROFILE_COLS)
+
+
+def _sql_events_profile(sf_dir: str) -> str:
+    parts = [
+        f"""SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM events"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def events_value_hour_regr(sf_dir: str) -> Dataset:
     """Per-type least-squares trend of event value (cents) on
     hour-of-day: slope + intercept — the grouped regression map,
@@ -9300,6 +9326,7 @@ REGISTRY: dict = {
         _sql_events_session_cooccurrence,
     ),
     "seq_source_tv_drift": (seq_source_tv_drift, _sql_seq_source_tv_drift),
+    "events_profile": (events_profile, _sql_events_profile),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "events_approx_distinct_users": (

@@ -342,3 +342,29 @@ def test_tv_drift_identities(ray_session):
         )
         assert r.n_tokens == ns
         assert r.tv_ppm == (1_000_000 * num) // (2 * ns * N)
+
+
+def test_profile_columns_edge_cases(ray_session):
+    """nulls, -0.0 vs 0.0 (SQL equality collapses them), empty
+    strings, shared prefixes and bools all profile exactly."""
+    import ray.data as rd
+
+    from logpipe_ray.stages.profile import profile_columns
+
+    t = pa.table(
+        {
+            "f": pa.array([0.0, -0.0, 1.5, None, 1.5], pa.float64()),
+            "s": pa.array(["", "a", "ab", "b", None], pa.string()),
+            "i": pa.array([1, 1, 2, None, 3], pa.int64()),
+            "b": pa.array([True, False, True, None, None], pa.bool_()),
+        }
+    )
+    out = (
+        _collect(profile_columns(rd.from_arrow(t), ["f", "s", "i", "b"]))
+        .set_index("column")
+    )
+    assert (out["n_rows"] == 5).all()
+    assert out.loc["f", "n_null"] == 1 and out.loc["f", "n_distinct"] == 2
+    assert out.loc["s", "n_null"] == 1 and out.loc["s", "n_distinct"] == 4
+    assert out.loc["i", "n_null"] == 1 and out.loc["i", "n_distinct"] == 3
+    assert out.loc["b", "n_null"] == 2 and out.loc["b", "n_distinct"] == 2
