@@ -112,3 +112,66 @@ def pca_project(
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def linreg_fit(
+    ds: Dataset, x_cols: list[str], y_col: str, intercept: bool = True
+):
+    """Fit ordinary least squares y = Xβ (+ intercept) over ANY row
+    count in ONE streaming pass — the normal-equations plan: each
+    batch contributes (n, XᵀX, Xᵀy) partials ((d+1)² + (d+1) doubles
+    regardless of rows), the driver solves the tiny d x d system.
+    Returns (coef: dict col->float, intercept: float, n: int).
+
+    Float sums merge in block order, so coefficients are deterministic
+    only up to ~1e-12 relative (same contract as pca_fit) — the query
+    surface is rows-only by design; pytest pins against numpy lstsq."""
+    import ray as _ray
+
+    d = len(x_cols)
+
+    def moments(t: pa.Table) -> pa.Table:
+        cols = [
+            t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in x_cols
+        ]
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(y)
+        for c in cols:
+            ok &= ~np.isnan(c)
+        y = y[ok]
+        X = np.column_stack([c[ok] for c in cols])
+        if intercept:
+            X = np.column_stack([X, np.ones(len(y))])
+        g = X.T @ X
+        xy = X.T @ y
+        return pa.table(
+            {
+                "n": pa.array([len(y)], pa.int64()),
+                "g": pa.array([g.ravel().tolist()], pa.list_(pa.float64())),
+                "xy": pa.array([xy.tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = [
+        t
+        for t in _ray.get(
+            ds.map_batches(moments, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_columns and t.num_rows
+    ]
+    if not parts:
+        raise ValueError("linreg_fit: empty input")
+    tbl = pa.concat_tables(parts)
+    n = int(pc.sum(tbl["n"]).as_py())
+    k = d + (1 if intercept else 0)
+    g = np.add.reduce(
+        [np.asarray(x, dtype=np.float64) for x in tbl["g"].to_pylist()]
+    ).reshape(k, k)
+    xy = np.add.reduce(
+        [np.asarray(x, dtype=np.float64) for x in tbl["xy"].to_pylist()]
+    )
+    beta = np.linalg.solve(g, xy)
+    coef = dict(zip(x_cols, beta[:d].tolist()))
+    b0 = float(beta[d]) if intercept else 0.0
+    return coef, b0, n

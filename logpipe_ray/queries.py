@@ -8954,6 +8954,121 @@ SELECT source, CAST(max(n_src) AS BIGINT) AS n_tokens,
 FROM grid GROUP BY source"""
 
 
+def events_value_linreg(sf_dir: str) -> pa.Table:
+    """Multi-feature OLS fit (value_cents ~ hour + day-of-week +
+    intercept) over the full events stream in ONE streaming pass —
+    the normal-equations plan (functions/linalg.py linreg_fit): each
+    batch ships (d+1)² + (d+1) doubles of (XᵀX, Xᵀy) partials
+    regardless of row count; the driver solves the 3x3 system.
+    Rows-only by design: float partials merge in block order (same
+    determinism contract as PCA; no SQL oracle can express solve());
+    pytest pins coefficients against numpy lstsq."""
+    from .functions.linalg import linreg_fit
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        return pa.table(
+            {
+                "hour": pc.cast(pc.hour(t["ts"]), pa.float64()),
+                "dow": pc.cast(pc.day_of_week(t["ts"]), pa.float64()),
+                "y": pc.round(pc.multiply(t["value"], 100.0)),
+            }
+        )
+
+    coef, b0, n = linreg_fit(
+        ev.map_batches(prep, batch_format="pyarrow"), ["hour", "dow"], "y"
+    )
+    return pa.table(
+        {
+            "coef_hour": pa.array([coef["hour"]], pa.float64()),
+            "coef_dow": pa.array([coef["dow"]], pa.float64()),
+            "intercept": pa.array([b0], pa.float64()),
+            "n": pa.array([n], pa.int64()),
+        }
+    )
+
+
+_NEG_PAIR_BUCKETS = 64
+_NEG_PAIR_SEED = 17
+
+
+def docs_negative_pairs(sf_dir: str) -> Dataset:
+    """Deterministic negative-pair mining for contrastive training:
+    each doc pairs with the NEXT doc in seeded-hash order inside its
+    hash bucket — a reproducible, uniformly-mixed negative per anchor
+    with no RNG state and no global sort.
+
+    Scale shape: bucket = shuffle_hash(id) % B is a pure function of
+    the id (functions/sampling.py — the int64-exact hash the SQL
+    oracle replays bitwise), so rows co-locate with ONE keyed
+    exchange; inside a bucket one vectorized lexsort pairs consecutive
+    docs (each bucket's LAST doc anchors no pair — the same contract
+    as the oracle's LEAD-within-bucket window). B fixes the pairing
+    independently of CPU count / block layout."""
+    from .functions.sampling import shuffle_hash
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = np.asarray(shuffle_hash(ids, seed=_NEG_PAIR_SEED), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "_h": pa.array(h),
+                "_b": pa.array(h % _NEG_PAIR_BUCKETS),
+            }
+        )
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        h = t["_h"].to_numpy(zero_copy_only=False)
+        idn = t["doc_id"].to_numpy(zero_copy_only=False)
+        # total order: (hash, doc_id) — hash ties broken by id
+        order = np.lexsort((idn, h))
+        s = idn[order]
+        if len(s) < 2:
+            return pa.table(
+                {
+                    "anchor_id": pa.array([], pa.int64()),
+                    "negative_id": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "anchor_id": pa.array(s[:-1]),
+                "negative_id": pa.array(s[1:]),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(pair_bucket, batch_format="pyarrow")
+    )
+
+
+def _sql_docs_negative_pairs(sf_dir: str) -> str:
+    from .functions.sampling import HASH_B, HASH_M, _seed_mult
+
+    h = f"((doc_id * {_seed_mult(_NEG_PAIR_SEED)} + {HASH_B}) % {HASH_M})"
+    return f"""
+WITH t AS (SELECT doc_id, {h} AS h, {h} % {_NEG_PAIR_BUCKETS} AS b
+           FROM documents),
+p AS (SELECT doc_id AS anchor_id,
+             lead(doc_id) OVER (PARTITION BY b ORDER BY h, doc_id)
+               AS negative_id
+      FROM t)
+SELECT anchor_id, negative_id FROM p WHERE negative_id IS NOT NULL"""
+
+
 _PROFILE_COLS = ["event_id", "user_id", "event_type", "ts", "value", "props"]
 
 
@@ -9327,6 +9442,8 @@ REGISTRY: dict = {
     ),
     "seq_source_tv_drift": (seq_source_tv_drift, _sql_seq_source_tv_drift),
     "events_profile": (events_profile, _sql_events_profile),
+    "docs_negative_pairs": (docs_negative_pairs, _sql_docs_negative_pairs),
+    "events_value_linreg": (events_value_linreg, None),  # rows-only: solve()
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "events_approx_distinct_users": (

@@ -368,3 +368,50 @@ def test_profile_columns_edge_cases(ray_session):
     assert out.loc["s", "n_null"] == 1 and out.loc["s", "n_distinct"] == 4
     assert out.loc["i", "n_null"] == 1 and out.loc["i", "n_distinct"] == 3
     assert out.loc["b", "n_null"] == 2 and out.loc["b", "n_distinct"] == 2
+
+
+def test_linreg_fit_matches_lstsq(ray_session):
+    """one-pass normal equations == numpy lstsq on the same data."""
+    import numpy as np
+    import ray.data as rd
+
+    from logpipe_ray.functions.linalg import linreg_fit
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    x1 = rng.uniform(0, 10, n)
+    x2 = rng.uniform(-5, 5, n)
+    y = 2.5 * x1 - 1.25 * x2 + 4.0 + rng.normal(0, 0.5, n)
+    t = pa.table(
+        {
+            "x1": pa.array(x1),
+            "x2": pa.array(x2),
+            "y": pa.array(y),
+        }
+    )
+    coef, b0, cnt = linreg_fit(
+        rd.from_arrow(t).repartition(8), ["x1", "x2"], "y"
+    )
+    X = np.column_stack([x1, x2, np.ones(n)])
+    ref, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert cnt == n
+    assert abs(coef["x1"] - ref[0]) < 1e-9
+    assert abs(coef["x2"] - ref[1]) < 1e-9
+    assert abs(b0 - ref[2]) < 1e-9
+
+
+def test_negative_pairs_properties(ray_session):
+    """every doc anchors at most one pair, exactly B docs anchor none
+    (each bucket's last), no self-pairs, and the pairing is invariant
+    to input partitioning."""
+    from logpipe_ray.queries import _NEG_PAIR_BUCKETS, docs_negative_pairs
+
+    out = _collect(docs_negative_pairs(SF))
+    assert out["anchor_id"].is_unique
+    assert (out["anchor_id"] != out["negative_id"]).all()
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_table(f"{SF}/documents.parquet").num_rows
+    # every non-empty bucket's last element anchors nothing
+    assert len(out) <= n_docs - 1
+    assert len(out) >= n_docs - _NEG_PAIR_BUCKETS
