@@ -152,6 +152,22 @@ class Pipeline:
             lambda t: chunk_batch(t, chunk_words=chunk_words, overlap=overlap, **kw)
         )
 
+    def join_auto(
+        self,
+        dim: "Pipeline | Dataset",
+        key: str,
+        dim_key: str,
+        dim_cols: list[str],
+        **kw,
+    ) -> "Pipeline":
+        """Cost-based inner join: probes dim size + fact-key skew and
+        routes to broadcast / skew split / plain hash
+        (stages/join.py:auto_join)."""
+        from .stages.join import auto_join
+
+        d = dim.dataset if isinstance(dim, Pipeline) else dim
+        return Pipeline(auto_join(self._ds, d, key, dim_key, dim_cols, **kw))
+
     def join_dim(
         self,
         dim: "Pipeline | Dataset",

@@ -1186,3 +1186,114 @@ def window_join(
         return t.filter(keep).drop(["_wj_b"])
 
     return joined.map_batches(exact, batch_format="pyarrow")
+
+
+def auto_join(
+    fact: Dataset,
+    dim: Dataset,
+    key: str,
+    dim_key: str,
+    dim_cols: list[str],
+    dim_broadcast_rows: int = 100_000,
+    skew_sample_pct: int = 2,
+    skew_factor: int = 4,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Cost-based inner-join planner: probes the inputs and picks the
+    cheapest of the three plans the library already proves correct —
+
+      1. dimension <= ``dim_broadcast_rows``  -> whole-dim BROADCAST
+         map join (zero shuffle; skew irrelevant — hot keys replicate
+         nothing);
+      2. big dimension + skewed fact          -> ``skew_join`` split
+         (hot keys out-of-band, cold residual hash join);
+      3. big dimension + balanced fact        -> plain 0-row-safe
+         native HASH join (``inner_join_safe``).
+
+    The skew probe is a deterministic ~``skew_sample_pct``% hash
+    sample of the fact keys (functions/sampling.py hash_bucket — a
+    pure function of the key, so the plan choice is reproducible, not
+    RNG-dependent), counted with one bounded aggregate. The fact is
+    declared skewed when the sample's hottest key extrapolates to more
+    than ``skew_factor`` x the fair per-reducer share
+    (rows / num_partitions); the extrapolated hot count also becomes
+    skew_join's ``hot_threshold``. Every route returns identical
+    columns (fact columns + dim_cols) — route equality is
+    pytest-forced. The probe costs one sampled count pass; callers
+    that already know their key distribution should call the concrete
+    plan directly."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.sampling import hash_bucket
+
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    if dim.count() <= dim_broadcast_rows:
+        # route 1: skew_join's internal broadcast fast path
+        return skew_join(
+            fact,
+            dim,
+            key,
+            dim_key,
+            dim_cols,
+            hot_threshold=1 << 62,
+            dim_broadcast_rows=dim_broadcast_rows,
+            num_partitions=num_partitions,
+        )
+
+    n_fact = fact.count()
+
+    def sample_counts(t: pa.Table) -> pa.Table:
+        keys = t[key]
+        mask = pc.less(hash_bucket(keys, 100), skew_sample_pct)
+        kept = pc.filter(keys, mask)
+        if not len(kept):
+            return pa.table(
+                {key: pa.array([], keys.type if not isinstance(keys, pa.ChunkedArray) else keys.type), "p": pa.array([], pa.int64())}
+            )
+        g = (
+            pa.table({key: kept, "p": pa.array(np.ones(len(kept), np.int64))})
+            .group_by(key)
+            .aggregate([("p", "sum")])
+        )
+        return g.rename_columns([key, "p"])
+
+    from ray.data.aggregate import Max, Sum
+
+    probe = (
+        fact.map_batches(sample_counts, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("p", alias_name="c"))
+    )
+    mx = probe.max("c") or 0
+    est_hot = int(mx) * 100 // max(skew_sample_pct, 1)
+    fair = max(1, n_fact // num_partitions)
+    if est_hot > skew_factor * fair:
+        # route 2: skew split; the extrapolated hot size IS the
+        # threshold (keys at or above it leave the shuffle)
+        return skew_join(
+            fact,
+            dim,
+            key,
+            dim_key,
+            dim_cols,
+            hot_threshold=max(2, skew_factor * fair),
+            dim_broadcast_rows=0,
+            num_partitions=num_partitions,
+        )
+    # route 3: balanced hash join
+    dim_proj = dim.select_columns([dim_key] + list(dim_cols))
+    joined = inner_join_safe(
+        fact, dim_proj, on=(key,), right_on=(dim_key,),
+        num_partitions=num_partitions,
+    )
+    fact_sch = _dataset_schema(fact)
+    out_cols = (list(fact_sch.names) if fact_sch else []) + list(dim_cols)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select([c for c in out_cols if c in t.column_names])
+
+    return joined.map_batches(project, batch_format="pyarrow")

@@ -415,3 +415,49 @@ def test_negative_pairs_properties(ray_session):
     # every non-empty bucket's last element anchors nothing
     assert len(out) <= n_docs - 1
     assert len(out) >= n_docs - _NEG_PAIR_BUCKETS
+
+
+def test_auto_join_three_routes(ray_session):
+    """the planner's three routes (broadcast / skew split / plain
+    hash) all produce the DuckDB inner-join result on the same
+    inputs; route selection responds to the knobs."""
+    import duckdb
+    import ray.data as rd
+
+    from logpipe_ray.stages.join import auto_join
+
+    fact = rd.read_parquet(f"{SF}/events.parquet").map_batches(
+        lambda t: t.select(["event_id", "user_id"]), batch_format="pyarrow"
+    )
+    dim = rd.read_parquet(f"{SF}/customer.parquet").map_batches(
+        lambda t: t.select(["c_custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    con = duckdb.connect()
+    ref = con.execute(
+        f"""
+        SELECT event_id, user_id, c_mktsegment
+        FROM read_parquet('{SF}/events.parquet') e
+        JOIN read_parquet('{SF}/customer.parquet') c
+          ON e.user_id = c.c_custkey
+        ORDER BY event_id"""
+    ).df()
+    con.close()
+
+    def run(**kw):
+        out = _collect(
+            auto_join(
+                fact, dim, "user_id", "c_custkey", ["c_mktsegment"], **kw
+            )
+        )
+        return (
+            out.sort_values("event_id")
+            .reset_index(drop=True)[["event_id", "user_id", "c_mktsegment"]]
+        )
+
+    a = run()  # dim tiny -> broadcast route
+    b = run(dim_broadcast_rows=0, skew_factor=10**9)  # forced hash route
+    c = run(dim_broadcast_rows=0, skew_factor=0)  # forced skew route
+    pd.testing.assert_frame_equal(a, ref.reset_index(drop=True))
+    pd.testing.assert_frame_equal(b, ref.reset_index(drop=True))
+    pd.testing.assert_frame_equal(c, ref.reset_index(drop=True))
