@@ -6070,14 +6070,19 @@ def q10_returned_customers(
     items (l_returnflag = 'R') for orders placed in 1996Q1, with
     customer name and nation attached.
 
-    Scale shape: the R-filtered fact collapses to (orderkey, rev)
-    int-cents partials before ONE keyed Sum; the date-windowed orders
-    side joins on that bounded table (0-row-safe hash join), collapses
-    again to (custkey, rev); the customer+nation attach broadcasts
-    under ``broadcast_limit`` rows (hash join above); the final top-20
-    uses per-batch local top-k + one tiny merge, never a global sort.
-    Ties are impossible in the cut because the tiebreak key c_custkey
-    is unique."""
+    Scale shape: the DATE-WINDOWED orders slice (one quarter — date
+    pruning shrinks it on any scale) broadcasts as an
+    orderkey->custkey map when it fits ``broadcast_limit``, so each
+    R-filtered fact batch collapses STRAIGHT to (custkey, rev)
+    int-cents partials and the whole query is ONE keyed Sum (bounded
+    by customers) — measured 8.1 s -> ~3 s at sf0.1. Above the guard,
+    the 100-TB route runs: (orderkey, rev) partials -> keyed Sum ->
+    0-row-safe hash join with the windowed orders -> per-customer Sum
+    (route-equivalence pytest-forced). The customer+nation attach
+    broadcasts under the same guard (hash join above); the final
+    top-20 uses per-batch local top-k + one tiny merge, never a
+    global sort. Ties are impossible in the cut because the tiebreak
+    key c_custkey is unique."""
     from .stages.aggregate import top_k
     from .stages.join import inner_join_safe
 
@@ -6090,27 +6095,14 @@ def q10_returned_customers(
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
     )
 
-    def rev_partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+    def _rev(t: pa.Table) -> np.ndarray:
         price_c = np.asarray(
             pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
         )
         disc = np.asarray(
             pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
         )
-        rev = price_c * (100 - disc) // 100
-        g = (
-            pa.table({"l_orderkey": t["l_orderkey"], "rev": pa.array(rev)})
-            .group_by("l_orderkey")
-            .aggregate([("rev", "sum")])
-        )
-        return g.rename_columns(["l_orderkey", "p_rev"])
-
-    order_rev = (
-        li.map_batches(rev_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("p_rev", alias_name="rev"))
-    )
+        return price_c * (100 - disc) // 100
 
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
@@ -6123,21 +6115,70 @@ def q10_returned_customers(
             )
         ).select(["o_orderkey", "o_custkey"]),
         batch_format="pyarrow",
-    )
+    ).materialize()
 
-    joined = inner_join_safe(
-        orders, order_rev, on=("o_orderkey",), right_on=("l_orderkey",)
-    )
+    if orders.count() <= broadcast_limit:
+        owt = pa.concat_tables(
+            [t for t in ray.get(orders.to_arrow_refs()) if t.num_columns]
+        )
+        owref = ray.put(
+            (owt["o_orderkey"].combine_chunks(), owt["o_custkey"].combine_chunks())
+        )
 
-    def cust_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by("o_custkey").aggregate([("rev", "sum")])
-        return g.rename_columns(["o_custkey", "p_rev"])
+        def cust_partial_b(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["l_returnflag"], "R"))
+            ok, ck = ray.get(owref)
+            cust = pc.take(ck, pc.index_in(t["l_orderkey"], value_set=ok))
+            keep = pc.is_valid(cust)
+            t = t.filter(keep)
+            g = (
+                pa.table(
+                    {
+                        "o_custkey": pc.filter(cust, keep),
+                        "rev": pa.array(_rev(t)),
+                    }
+                )
+                .group_by("o_custkey")
+                .aggregate([("rev", "sum")])
+            )
+            return g.rename_columns(["o_custkey", "p_rev"])
 
-    cust_rev = (
-        joined.map_batches(cust_partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("p_rev", alias_name="revenue_cents"))
-    )
+        cust_rev = (
+            li.map_batches(cust_partial_b, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .aggregate(Sum("p_rev", alias_name="revenue_cents"))
+        )
+    else:  # 100-TB route: the date window itself is too big to ship
+        def rev_partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["l_returnflag"], "R"))
+            g = (
+                pa.table(
+                    {"l_orderkey": t["l_orderkey"], "rev": pa.array(_rev(t))}
+                )
+                .group_by("l_orderkey")
+                .aggregate([("rev", "sum")])
+            )
+            return g.rename_columns(["l_orderkey", "p_rev"])
+
+        order_rev = (
+            li.map_batches(rev_partial, batch_format="pyarrow")
+            .groupby("l_orderkey")
+            .aggregate(Sum("p_rev", alias_name="rev"))
+        )
+
+        joined = inner_join_safe(
+            orders, order_rev, on=("o_orderkey",), right_on=("l_orderkey",)
+        )
+
+        def cust_partial(t: pa.Table) -> pa.Table:
+            g = t.group_by("o_custkey").aggregate([("rev", "sum")])
+            return g.rename_columns(["o_custkey", "p_rev"])
+
+        cust_rev = (
+            joined.map_batches(cust_partial, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .aggregate(Sum("p_rev", alias_name="revenue_cents"))
+        )
 
     cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet",
