@@ -5408,7 +5408,11 @@ def q18_large_volume_orders(
     group-HAVING-join-back topology.
 
     Scale shape: lineitem collapses to per-order int64 quantity
-    partials per batch -> ONE keyed Sum -> threshold filter. The
+    partials per batch; below the partials guard (same
+    5M-row/driver-merge pattern as _merge_count_partials — a keyed Ray
+    exchange costs seconds of fixed setup on MB of partials) the
+    cross-batch Sum + threshold filter fold in one bounded driver
+    Arrow group_by, above it ONE keyed Sum runs distributed. The
     qualifying set is by construction a tiny tail (top ~0.1% of
     orders), so under ``broadcast_limit`` it ships once via ray.put
     and both enrichment joins become semi-filtered scans (orders rows
@@ -5431,16 +5435,29 @@ def q18_large_volume_orders(
         )
         return g.rename_columns(["l_orderkey", "p_q"])
 
-    qual = (
-        line.map_batches(qty_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("p_q", alias_name="total_qty"))
-        .map_batches(
-            lambda t: t.filter(pc.greater(t["total_qty"], qty_threshold)),
-            batch_format="pyarrow",
+    partials = line.map_batches(qty_partial, batch_format="pyarrow").materialize()
+    if partials.count() <= 5_000_000:
+        pt = pa.concat_tables(
+            [t for t in ray.get(partials.to_arrow_refs()) if t.num_columns]
         )
-        .materialize()
-    )
+        merged = (
+            pt.group_by("l_orderkey")
+            .aggregate([("p_q", "sum")])
+            .rename_columns(["l_orderkey", "total_qty"])
+        )
+        qual = rd.from_arrow(
+            merged.filter(pc.greater(merged["total_qty"], qty_threshold))
+        ).materialize()
+    else:
+        qual = (
+            partials.groupby("l_orderkey")
+            .aggregate(Sum("p_q", alias_name="total_qty"))
+            .map_batches(
+                lambda t: t.filter(pc.greater(t["total_qty"], qty_threshold)),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
