@@ -9127,6 +9127,96 @@ p AS (SELECT doc_id AS anchor_id,
 SELECT anchor_id, negative_id FROM p WHERE negative_id IS NOT NULL"""
 
 
+_NEXT_EVENT_K = 5
+
+
+def events_next_event_examples(sf_dir: str) -> Dataset:
+    """Supervised training-example generation for next-event
+    prediction: for every event with at least one predecessor, the
+    (context = up-to-5 previous event types in order, label = this
+    event's type) pair — the sliding-context dataset-builder step of a
+    behavioral model.
+
+    Scale shape: rows hash-bucket by user (a user's history must
+    co-locate — the same inherent partitioning contract as
+    sessionize/event_seq; bucket count bounds reducer input); inside
+    each bucket ONE vectorized fold (lexsort + within-user positions +
+    closed-form ragged gather: cumulative-offset arithmetic builds
+    every context window with two np.repeat/arange passes and one
+    take) assembles all examples with zero per-row Python. Output
+    volume is ~K x input (inherent to the op), written streaming."""
+    import pandas as pd
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    K = _NEXT_EVENT_K
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        order = np.lexsort((eid, ts, u))
+        us = u[order]
+        start = np.ones(len(us), bool)
+        start[1:] = us[1:] != us[:-1]
+        starts = np.flatnonzero(start)
+        lens = np.diff(np.append(starts, len(us)))
+        within = np.arange(len(us)) - np.repeat(starts, lens)
+        keep = within >= 1  # need at least one predecessor
+        cl = np.minimum(within[keep], K)  # context length per example
+        pos = np.flatnonzero(keep)  # global sorted position of label
+        # ragged gather: example j's context = sorted[pos_j-cl_j .. pos_j-1]
+        offs = np.concatenate([[0], np.cumsum(cl)]).astype(np.int64)
+        total = int(offs[-1])
+        gather = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offs[:-1], cl)
+            + np.repeat(pos - cl, cl)
+        )
+        values = et.take(pa.array(order[gather], pa.int64()))
+        context = pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32), pa.int32()), values
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order][keep]),
+                "user_id": pa.array(us[keep]),
+                "context": context,
+                "label": et.take(pa.array(order[keep], pa.int64())),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def _sql_events_next_event_examples(sf_dir: str) -> str:
+    return f"""
+SELECT event_id, user_id,
+       list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN {_NEXT_EVENT_K} PRECEDING
+                              AND 1 PRECEDING) AS context,
+       event_type AS label
+FROM events QUALIFY len(context) >= 1"""
+
+
 _PROFILE_COLS = ["event_id", "user_id", "event_type", "ts", "value", "props"]
 
 
@@ -9502,6 +9592,10 @@ REGISTRY: dict = {
     "events_profile": (events_profile, _sql_events_profile),
     "docs_negative_pairs": (docs_negative_pairs, _sql_docs_negative_pairs),
     "events_value_linreg": (events_value_linreg, None),  # rows-only: solve()
+    "events_next_event_examples": (
+        events_next_event_examples,
+        _sql_events_next_event_examples,
+    ),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "events_approx_distinct_users": (

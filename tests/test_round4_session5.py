@@ -461,3 +461,31 @@ def test_auto_join_three_routes(ray_session):
     pd.testing.assert_frame_equal(a, ref.reset_index(drop=True))
     pd.testing.assert_frame_equal(b, ref.reset_index(drop=True))
     pd.testing.assert_frame_equal(c, ref.reset_index(drop=True))
+
+
+def test_next_event_examples_reference(ray_session):
+    """ragged vectorized context assembly == python brute force (K
+    cap, chronological order, >=1-predecessor filter)."""
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.queries import _NEXT_EVENT_K, events_next_event_examples
+
+    out = _collect(events_next_event_examples(SF))
+    ev = (
+        pq.read_table(f"{SF}/events.parquet")
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    expect = {}
+    for uid, g in ev.groupby("user_id"):
+        types = list(g["event_type"])
+        eids = list(g["event_id"])
+        for i in range(1, len(types)):
+            ctx = tuple(types[max(0, i - _NEXT_EVENT_K):i])
+            expect[eids[i]] = (uid, ctx, types[i])
+    assert len(out) == len(expect)
+    for r in out.itertuples():
+        uid, ctx, label = expect[r.event_id]
+        assert r.user_id == uid
+        assert tuple(r.context) == ctx
+        assert r.label == label
