@@ -470,7 +470,13 @@ def test_next_event_examples_reference(ray_session):
 
     from logpipe_ray.queries import _NEXT_EVENT_K, events_next_event_examples
 
-    out = _collect(events_next_event_examples(SF))
+    # no _collect: sort_values on a list-typed column trips pandas
+    tbls = [
+        t
+        for t in ray.get(events_next_event_examples(SF).to_arrow_refs())
+        if t.num_columns
+    ]
+    out = pa.concat_tables(tbls).to_pandas()
     ev = (
         pq.read_table(f"{SF}/events.parquet")
         .to_pandas()
