@@ -631,3 +631,66 @@ def distinct_token_counts(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_tokens(
+    ds: Dataset,
+    width: int = 256,
+    step: int = 192,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Split every token sequence into overlapping ``width``-token
+    windows advancing by ``step`` — the context-window chunker for
+    pre-tokenized corpora (token-level sibling of corpusfns.chunk_batch;
+    docs with <= width tokens yield exactly one chunk, empty docs one
+    empty chunk). Shuffle-free flat_map: closed-form chunk counts +
+    one ragged cumulative-offset gather over the flat token buffer,
+    zero per-row Python; the chunk layout is a pure per-document
+    function (block-layout and CPU-count invariant)."""
+    assert 0 < step <= width
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        L = np.asarray(pc.list_value_length(col).fill_null(0), dtype=np.int64)
+        flat_arr = col.flatten()
+        flat = (
+            flat_arr
+            if len(flat_arr)
+            else pa.array([], flat_arr.type if flat_arr.type != pa.null() else pa.int32())
+        )
+        doc_start = np.concatenate([[0], np.cumsum(L)])[:-1]
+        k = np.where(L <= width, 1, 1 + (L - width + step - 1) // step)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        total_chunks = int(k.sum())
+        doc_of = np.repeat(np.arange(len(L), dtype=np.int64), k)
+        chunk_starts_flat = np.concatenate([[0], np.cumsum(k)])[:-1]
+        cidx = np.arange(total_chunks, dtype=np.int64) - np.repeat(
+            chunk_starts_flat, k
+        )
+        tok_start = cidx * step
+        cl = np.minimum(tok_start + width, L[doc_of]) - tok_start
+        offs = np.concatenate([[0], np.cumsum(cl)]).astype(np.int64)
+        gather = (
+            np.arange(int(offs[-1]), dtype=np.int64)
+            - np.repeat(offs[:-1], cl)
+            + np.repeat(doc_start[doc_of] + tok_start, cl)
+        )
+        values = flat.take(pa.array(gather, pa.int64()))
+        chunks = pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32), pa.int32()), values
+        )
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(doc_of, pa.int64())),
+                "chunk_idx": pa.array(cidx),
+                "chunk_tokens": chunks,
+                "chunk_len": pa.array(cl),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

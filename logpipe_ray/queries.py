@@ -9127,6 +9127,43 @@ p AS (SELECT doc_id AS anchor_id,
 SELECT anchor_id, negative_id FROM p WHERE negative_id IS NOT NULL"""
 
 
+_SEQ_CHUNK_W, _SEQ_CHUNK_STEP = 256, 192
+
+
+def seq_chunked(sf_dir: str) -> Dataset:
+    """Token-level context chunking: every sequence split into
+    overlapping 256-token windows advancing by 192 — the chunker that
+    feeds fixed-context training when documents exceed the window
+    (token-axis sibling of docs_chunked). Shuffle-free flat_map
+    (functions/tokens.py chunk_tokens): closed-form chunk counts + one
+    ragged cumulative-offset gather over the flat token buffer."""
+    from .functions.tokens import chunk_tokens
+
+    seq_dir = ensure_sequences(sf_dir)
+    ds = read_parquet_clean(seq_dir, columns=["doc_id", "tokens"])
+    return chunk_tokens(
+        ds, width=_SEQ_CHUNK_W, step=_SEQ_CHUNK_STEP
+    )
+
+
+def _sql_seq_chunked(sf_dir: str) -> str:
+    path = ensure_sequences(sf_dir)
+    W, S = _SEQ_CHUNK_W, _SEQ_CHUNK_STEP
+    return f"""
+WITH k AS (
+  SELECT doc_id, tokens, len(tokens) AS n,
+         CASE WHEN len(tokens) <= {W} THEN 1
+              ELSE 1 + (len(tokens) - {W} + {S - 1}) // {S} END AS k
+  FROM read_parquet('{path}/shard_*.parquet')),
+c AS (SELECT doc_id, tokens, n, unnest(range(0, k)) AS chunk_idx FROM k)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       tokens[chunk_idx * {S} + 1 : least(chunk_idx * {S} + {W}, n)]
+         AS chunk_tokens,
+       CAST(least(chunk_idx * {S} + {W}, n) - chunk_idx * {S} AS BIGINT)
+         AS chunk_len
+FROM c"""
+
+
 _NEXT_EVENT_K = 5
 
 
@@ -9596,6 +9633,7 @@ REGISTRY: dict = {
         events_next_event_examples,
         _sql_events_next_event_examples,
     ),
+    "seq_chunked": (seq_chunked, _sql_seq_chunked),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "events_approx_distinct_users": (

@@ -495,3 +495,48 @@ def test_next_event_examples_reference(ray_session):
         assert r.user_id == uid
         assert tuple(r.context) == ctx
         assert r.label == label
+
+
+def test_chunk_tokens_edges(ray_session):
+    """empty / exact-width / width+1 sequences chunk per contract;
+    chunks reassemble the original with the documented overlap."""
+    import ray.data as rd
+
+    from logpipe_ray.functions.tokens import chunk_tokens
+
+    W, S = 8, 6
+    rows = [
+        {"doc_id": 1, "tokens": []},
+        {"doc_id": 2, "tokens": list(range(8))},
+        {"doc_id": 3, "tokens": list(range(9))},
+        {"doc_id": 4, "tokens": list(range(20))},
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "tokens": pa.array(
+                [r["tokens"] for r in rows], pa.list_(pa.int32())
+            ),
+        }
+    )
+    out = pa.concat_tables(
+        [
+            x
+            for x in ray.get(
+                chunk_tokens(rd.from_arrow(t), width=W, step=S).to_arrow_refs()
+            )
+            if x.num_columns
+        ]
+    ).to_pandas()
+    by = {
+        (r.doc_id, r.chunk_idx): list(r.chunk_tokens) for r in out.itertuples()
+    }
+    assert by[(1, 0)] == [] and len(out[out.doc_id == 1]) == 1
+    assert by[(2, 0)] == list(range(8)) and len(out[out.doc_id == 2]) == 1
+    assert len(out[out.doc_id == 3]) == 2
+    assert by[(3, 0)] == list(range(8)) and by[(3, 1)] == [6, 7, 8]
+    # doc 4 (n=20): k = 1 + ceil(12/6) = 3; windows [0:8],[6:14],[12:20]
+    assert len(out[out.doc_id == 4]) == 3
+    assert by[(4, 0)] == list(range(8))
+    assert by[(4, 1)] == list(range(6, 14))
+    assert by[(4, 2)] == list(range(12, 20))
