@@ -694,3 +694,78 @@ def chunk_tokens(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mlm_mask(
+    ds: Dataset,
+    mask_id: int = BOS_ID,
+    rate_pct: int = 15,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    num_col: str | None = None,
+) -> Dataset:
+    """Deterministic MLM-style masking: position i of document d is
+    masked iff hash(d, i) lands below ``rate_pct`` — a pure function
+    of (doc, position), so the example set is reproducible across
+    runs/partitionings AND replayable in SQL (the sampling-family
+    int64-exact hash). Returns per doc: masked_tokens (mask_id written
+    over masked slots), n_masked, labels (the masked-out tokens in
+    position order) — the self-supervised example builder.
+
+    Shuffle-free vectorized map: one hash + where over the flat token
+    buffer, two ListArray rebuilds; no per-row Python. ``num_col``
+    names the int64-castable column that seeds the hash (defaults to
+    ``id_col``; pass a derived numeric column when ids are strings)."""
+    from .sampling import HASH_A, HASH_B, HASH_M, SEED_C
+
+    nc = num_col or id_col
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids_arr = t[id_col]
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        nums = t[nc]
+        if isinstance(nums, pa.ChunkedArray):
+            nums = nums.combine_chunks()
+        L = np.asarray(pc.list_value_length(col).fill_null(0), dtype=np.int64)
+        flat_arr = col.flatten()
+        flat = (
+            flat_arr.to_numpy(zero_copy_only=True)
+            if len(flat_arr)
+            else np.empty(0, np.int32)
+        )
+        ends = np.cumsum(L)
+        starts = ends - L
+        did = np.repeat(
+            np.asarray(pc.cast(nums, pa.int64()), dtype=np.int64), L
+        )
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, L)
+        m = ((did * HASH_A + pos * SEED_C + HASH_B) % HASH_M) % 100 < rate_pct
+        masked_flat = np.where(m, np.int64(mask_id), flat.astype(np.int64))
+        masked = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], ends]).astype(np.int32), pa.int32()),
+            pa.array(masked_flat.astype(np.int32), pa.int32()),
+        )
+        mi = np.cumsum(m)
+        n_masked = mi[ends - 1] - np.where(starts > 0, mi[starts - 1], 0) if len(
+            flat
+        ) else np.zeros(len(L), np.int64)
+        n_masked = np.where(L > 0, n_masked, 0)
+        lab_offs = np.concatenate([[0], np.cumsum(n_masked)]).astype(np.int32)
+        labels = pa.ListArray.from_arrays(
+            pa.array(lab_offs, pa.int32()),
+            pa.array(flat[m].astype(np.int32), pa.int32()),
+        )
+        return pa.table(
+            {
+                id_col: ids_arr,
+                "masked_tokens": masked,
+                "n_masked": pa.array(n_masked.astype(np.int64)),
+                "labels": labels,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

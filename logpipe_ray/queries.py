@@ -9164,6 +9164,53 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
 FROM c"""
 
 
+def seq_mlm_masked(sf_dir: str) -> Dataset:
+    """Self-supervised MLM example builder: every sequence with 15% of
+    positions deterministically masked (mask iff the int64-exact hash
+    of (doc number, position) lands below the rate — a pure function,
+    so the example set is reproducible AND the oracle replays it in
+    SQL), returning (masked_tokens, n_masked, labels-in-order).
+    Shuffle-free vectorized map (functions/tokens.py mlm_mask)."""
+    from .functions.tokens import mlm_mask
+
+    seq_dir = ensure_sequences(sf_dir)
+    ds = read_parquet_clean(seq_dir, columns=["doc_id", "tokens"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        # "doc-000000001500" -> 1500 (the fixture's id contract)
+        num = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4), pa.int64())
+        return t.append_column("_doc_num", num)
+
+    out = mlm_mask(
+        ds.map_batches(prep, batch_format="pyarrow"), num_col="_doc_num"
+    )
+    return out
+
+
+def _sql_seq_mlm_masked(sf_dir: str) -> str:
+    from .functions.sampling import HASH_A, HASH_B, HASH_M, SEED_C
+
+    path = ensure_sequences(sf_dir)
+    return f"""
+WITH t AS (SELECT doc_id, CAST(substr(doc_id, 5) AS BIGINT) AS dn, tokens
+           FROM read_parquet('{path}/shard_*.parquet')),
+e AS (SELECT doc_id, i AS pos, tokens[i + 1] AS tok,
+             (((dn * {HASH_A} + i * {SEED_C} + {HASH_B}) % {HASH_M}) % 100)
+               < 15 AS m
+      FROM t, unnest(range(0, len(tokens))) AS u(i)),
+r AS (SELECT doc_id,
+             list(CASE WHEN m THEN 1 ELSE tok END ORDER BY pos)
+               AS masked_tokens,
+             CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+             list(tok ORDER BY pos) FILTER (WHERE m) AS labels
+      FROM e GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(r.masked_tokens, []::INT[]) AS masked_tokens,
+       coalesce(r.n_masked, 0) AS n_masked,
+       coalesce(r.labels, []::INT[]) AS labels
+FROM t LEFT JOIN r ON t.doc_id = r.doc_id"""
+
+
 _NEXT_EVENT_K = 5
 
 
@@ -9634,6 +9681,7 @@ REGISTRY: dict = {
         _sql_events_next_event_examples,
     ),
     "seq_chunked": (seq_chunked, _sql_seq_chunked),
+    "seq_mlm_masked": (seq_mlm_masked, _sql_seq_mlm_masked),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "events_approx_distinct_users": (

@@ -540,3 +540,46 @@ def test_chunk_tokens_edges(ray_session):
     assert by[(4, 0)] == list(range(8))
     assert by[(4, 1)] == list(range(6, 14))
     assert by[(4, 2)] == list(range(12, 20))
+
+
+def test_mlm_mask_contract(ray_session):
+    """masked slots carry mask_id, labels align with masked positions
+    in order, rate lands near 15%, and the mask is deterministic."""
+    import numpy as np
+    import ray.data as rd
+
+    from logpipe_ray.functions.tokens import mlm_mask
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(200)), pa.int64()),
+            "tokens": pa.array(
+                [[(i * 7 + j) % 90 + 10 for j in range(50)] for i in range(200)],
+                pa.list_(pa.int32()),
+            ),
+        }
+    )
+    outs = []
+    for _ in range(2):
+        tbls = [
+            x
+            for x in ray.get(mlm_mask(rd.from_arrow(t)).to_arrow_refs())
+            if x.num_columns
+        ]
+        outs.append(pa.concat_tables(tbls).to_pandas().sort_values("doc_id"))
+    a, b = outs
+    # determinism across runs
+    assert (a["n_masked"].to_numpy() == b["n_masked"].to_numpy()).all()
+    orig = {r.doc_id: r.tokens for r in t.to_pandas().itertuples()}
+    total, masked = 0, 0
+    for r in a.itertuples():
+        src = list(orig[r.doc_id])
+        got = list(r.masked_tokens)
+        labs = list(r.labels)
+        assert len(got) == len(src)
+        recovered = [s for s, g in zip(src, got) if g == 1 and s != 1]
+        assert recovered == labs
+        assert r.n_masked == len(labs)
+        total += len(src)
+        masked += r.n_masked
+    assert 0.10 < masked / total < 0.20
