@@ -9164,6 +9164,130 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
 FROM c"""
 
 
+def events_value_winsorized(sf_dir: str) -> Dataset:
+    """Per-type winsorization (outlier capping): every event value
+    clamped to its type's exact [p05, p95] — the robust feature-
+    cleaning map. The bounds come from the distributed-selection exact
+    quantile (stages/aggregate.py grouped_exact_quantile — bitwise =
+    quantile_cont after the affine-interpolation fix) computed ONCE on
+    the cents projection and broadcast; the clamp itself is a
+    shuffle-free vectorized map. All comparisons in int cents — the
+    clamped output is exact."""
+    from .stages.aggregate import grouped_exact_quantile
+
+    base = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.filter(pc.is_valid(t["value"]))["event_type"],
+                "c": pc.cast(
+                    pc.round(
+                        pc.multiply(
+                            t.filter(pc.is_valid(t["value"]))["value"], 100.0
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # both selection runs share one projection
+    lo_t = grouped_exact_quantile(base, "event_type", "c", q=0.05)
+    hi_t = grouped_exact_quantile(base, "event_type", "c", q=0.95)
+    lo_map = dict(
+        zip(lo_t["event_type"].to_pylist(), lo_t.column(1).to_pylist())
+    )
+    hi_map = dict(
+        zip(hi_t["event_type"].to_pylist(), hi_t.column(1).to_pylist())
+    )
+    types = sorted(lo_map)
+    tref = ray.put(
+        (
+            pa.array(types, pa.string()),
+            np.array([lo_map[t] for t in types], np.float64),
+            np.array([hi_map[t] for t in types], np.float64),
+        )
+    )
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def clamp(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        ta, lo, hi = ray.get(tref)
+        idx = np.asarray(pc.index_in(t["event_type"], value_set=ta))
+        c = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        ).astype(np.float64)
+        w = np.minimum(np.maximum(c, lo[idx]), hi[idx])
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value_cents": pa.array(c.astype(np.int64)),
+                "winsorized_cents": pa.array(w, pa.float64()),
+            }
+        )
+
+    return ev.map_batches(clamp, batch_format="pyarrow")
+
+
+def _sql_events_value_winsorized(sf_dir: str) -> str:
+    return """
+WITH c AS (SELECT event_id, event_type,
+                  CAST(round(value * 100.0) AS BIGINT) AS value_cents
+           FROM events WHERE value IS NOT NULL),
+b AS (SELECT event_type,
+             quantile_cont(CAST(value_cents AS DOUBLE), 0.05) AS lo,
+             quantile_cont(CAST(value_cents AS DOUBLE), 0.95) AS hi
+      FROM c GROUP BY 1)
+SELECT event_id, c.event_type, value_cents,
+       least(greatest(CAST(value_cents AS DOUBLE), lo), hi)
+         AS winsorized_cents
+FROM c JOIN b ON b.event_type = c.event_type"""
+
+
+def events_type_balanced_sample(sf_dir: str) -> Dataset:
+    """Class-balanced resampling: every event type downsampled to the
+    MINORITY type's count via deterministic seeded-hash rank — the
+    label-balancing step before training a classifier, reproducible
+    across runs and partitionings (no RNG state).
+
+    Scale shape: one bounded count aggregate finds the minority size;
+    ``grouped_hash_topk`` then keeps each type's n_min smallest-hash
+    rows with per-batch partial top-k pruning — the exchange is capped
+    at batches x types x n_min rows, never the raw table."""
+    from .functions.sampling import grouped_hash_topk
+    from .stages.aggregate import count_groupby
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+    counts = count_groupby(ev, ["event_type"], alias="n").to_pandas()
+    n_min = int(counts["n"].min())
+    return grouped_hash_topk(
+        ev, "event_type", id_col="event_id", k=n_min, seed=7
+    )
+
+
+def _sql_events_type_balanced_sample(sf_dir: str) -> str:
+    from .functions.sampling import HASH_B, HASH_M, _seed_mult
+
+    h = f"((event_id * {_seed_mult(7)} + {HASH_B}) % {HASH_M})"
+    return f"""
+WITH m AS (SELECT min(n) AS k FROM (
+             SELECT count(*) AS n FROM events GROUP BY event_type)),
+r AS (SELECT event_type, event_id,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY {h}, event_id) - 1 AS BIGINT)
+               AS sample_rank
+      FROM events)
+SELECT event_type, event_id, sample_rank
+FROM r, m WHERE sample_rank < m.k"""
+
+
 def seq_mlm_masked(sf_dir: str) -> Dataset:
     """Self-supervised MLM example builder: every sequence with 15% of
     positions deterministically masked (mask iff the int64-exact hash
@@ -9682,6 +9806,14 @@ REGISTRY: dict = {
     ),
     "seq_chunked": (seq_chunked, _sql_seq_chunked),
     "seq_mlm_masked": (seq_mlm_masked, _sql_seq_mlm_masked),
+    "events_value_winsorized": (
+        events_value_winsorized,
+        _sql_events_value_winsorized,
+    ),
+    "events_type_balanced_sample": (
+        events_type_balanced_sample,
+        _sql_events_type_balanced_sample,
+    ),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
     "events_approx_distinct_users": (
