@@ -295,6 +295,20 @@ class Pipeline:
 
         return Pipeline(profile_columns(self._ds, columns))
 
+    def chunk_tokens(self, width: int = 256, step: int = 192, **kw) -> "Pipeline":
+        """Overlapping token-context chunking
+        (functions/tokens.py chunk_tokens)."""
+        from .functions.tokens import chunk_tokens
+
+        return Pipeline(chunk_tokens(self._ds, width, step, **kw))
+
+    def mlm_mask(self, rate_pct: int = 15, **kw) -> "Pipeline":
+        """Deterministic MLM masking example builder
+        (functions/tokens.py mlm_mask)."""
+        from .functions.tokens import mlm_mask
+
+        return Pipeline(mlm_mask(self._ds, rate_pct=rate_pct, **kw))
+
     def cube(self, keys: list[str], sum_cols: dict | None = None, **kw) -> "Pipeline":
         """GROUP BY CUBE counts+sums from one pass (stages/aggregate.py
         cube_agg)."""
