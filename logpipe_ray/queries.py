@@ -9288,6 +9288,107 @@ SELECT event_type, event_id, sample_rank
 FROM r, m WHERE sample_rank < m.k"""
 
 
+_PATH_TOP_K = 25
+
+
+def events_top_session_paths(sf_dir: str) -> Dataset:
+    """User-journey mining: the 25 most common session PATHS (the
+    '>'-joined event-type sequence of a 30-min gap session) with their
+    session counts — the funnel-discovery complement of the fixed
+    funnel query.
+
+    Scale shape: rows hash-bucket by user (the sessionize co-location
+    contract); inside each bucket one vectorized fold (lexsort + gap
+    cumsum + per-session ListArray + ONE pc.binary_join string-join
+    kernel) emits per-bucket (path, count) partials; a keyed Sum
+    bounded by distinct paths merges, and the global top-25 is the
+    local-top-k merge (never a global sort)."""
+    import pandas as pd
+
+    from .stages.aggregate import top_k
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = np.asarray(
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        )
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        order = np.lexsort((eid, ts, u))
+        us, tss = u[order], ts[order]
+        new = np.ones(len(us), bool)
+        if len(us) > 1:
+            new[1:] = (us[1:] != us[:-1]) | (tss[1:] - tss[:-1] > _COOC_GAP_US)
+        starts = np.flatnonzero(new)
+        offs = np.append(starts, len(us)).astype(np.int32)
+        vals = et.take(pa.array(order, pa.int64()))
+        paths = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals),
+            ">",
+        )
+        g = (
+            pa.table(
+                {
+                    "path": paths,
+                    "c": pa.array(np.ones(len(starts), np.int64)),
+                }
+            )
+            .group_by("path")
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["path", "p_c"])
+
+    counted = (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Sum("p_c", alias_name="n_sessions"))
+    )
+    return top_k(
+        counted,
+        [("n_sessions", "descending"), ("path", "ascending")],
+        _PATH_TOP_K,
+    )
+
+
+def _sql_events_top_session_paths(sf_dir: str) -> str:
+    return f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, event_type, ts, event_id,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o),
+p AS (SELECT user_id, sess,
+             array_to_string(list(event_type ORDER BY ts, event_id), '>')
+               AS path
+      FROM s GROUP BY 1, 2)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY 1
+ORDER BY n_sessions DESC, path LIMIT {_PATH_TOP_K}"""
+
+
 def seq_mlm_masked(sf_dir: str) -> Dataset:
     """Self-supervised MLM example builder: every sequence with 15% of
     positions deterministically masked (mask iff the int64-exact hash
@@ -9813,6 +9914,10 @@ REGISTRY: dict = {
     "events_type_balanced_sample": (
         events_type_balanced_sample,
         _sql_events_type_balanced_sample,
+    ),
+    "events_top_session_paths": (
+        events_top_session_paths,
+        _sql_events_top_session_paths,
     ),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
