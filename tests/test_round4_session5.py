@@ -583,3 +583,32 @@ def test_mlm_mask_contract(ray_session):
         total += len(src)
         masked += r.n_masked
     assert 0.10 < masked / total < 0.20
+
+
+def test_session_paths_layout_invariant(ray_session):
+    """top session paths are identical regardless of input block
+    layout (the user-bucket co-location makes the result a pure
+    function of the data)."""
+    from logpipe_ray.queries import events_top_session_paths
+
+    a = _collect(events_top_session_paths(SF))
+    assert len(a) == 25
+    assert (a["n_sessions"] >= 1).all()
+    b = _collect(events_top_session_paths(SF))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_balanced_sample_counts_equal(ray_session):
+    """every type ends at exactly the minority count, and membership
+    is deterministic across runs."""
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.queries import events_type_balanced_sample
+
+    a = _collect(events_type_balanced_sample(SF))
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    n_min = int(ev.groupby("event_type").size().min())
+    sizes = a.groupby("event_type").size()
+    assert (sizes == n_min).all()
+    b = _collect(events_type_balanced_sample(SF))
+    pd.testing.assert_frame_equal(a, b)
