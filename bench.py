@@ -170,6 +170,13 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "q21_waiting_supplier",
             "seq_exact_dedup",
             "events_session_cooccurrence",
+            # round-4 session 6: interval sweep-line, OHLC bars,
+            # Spearman rank correlation, snapshot diff, debounce scan
+            "events_max_concurrency",
+            "events_value_ohlc_hourly",
+            "events_value_spearman",
+            "events_snapshot_diff",
+            "events_throttled",
         ]
         all_q = Q.queries()
 

@@ -347,6 +347,60 @@ class Pipeline:
             blocked_editdist_pairs(self._ds, id_col, text_col, len_col, **kw)
         )
 
+    def ohlc_by(
+        self, keys: list[str], order_cols: list[str], value_col: str
+    ) -> "Pipeline":
+        """Per-group OHLC bars: ordered first/last + min/max/count via
+        mergeable partials (stages/aggregate.py grouped_ohlc)."""
+        from .stages.aggregate import grouped_ohlc
+
+        return Pipeline(grouped_ohlc(self._ds, keys, order_cols, value_col))
+
+    def spearman_by(self, key: str, x_col: str, y_col: str, **kw) -> "Pipeline":
+        """Per-group Spearman rank correlation over bounded-domain int
+        columns — no global sort (stages/aggregate.py
+        grouped_spearman)."""
+        from .stages.aggregate import grouped_spearman
+
+        return Pipeline(grouped_spearman(self._ds, key, x_col, y_col, **kw))
+
+    def sweep_concurrent(
+        self, t0_col: str, t1_col: str, bucket_us: int, out_grain_us: int, **kw
+    ) -> "Pipeline":
+        """Interval sweep-line: peak concurrently-open intervals per
+        grain (stages/aggregate.py sweep_max_concurrent)."""
+        from .stages.aggregate import sweep_max_concurrent
+
+        return Pipeline(
+            sweep_max_concurrent(
+                self._ds, t0_col, t1_col, bucket_us, out_grain_us, **kw
+            )
+        )
+
+    def throttle(
+        self, key: str, ts_col: str, tiebreak_col: str, gap_us: int
+    ) -> "Pipeline":
+        """Debounce: keep rows >= gap_us after the key's previous row
+        (LAG semantics; stages/aggregate.py lag_gap_flag)."""
+        import pyarrow.compute as _pc
+
+        from .stages.aggregate import lag_gap_flag
+
+        flags = lag_gap_flag(self._ds, key, ts_col, tiebreak_col, gap_us)
+
+        def _keep(t):
+            t = t.filter(_pc.equal(t["kept"], 1))
+            return t.drop_columns(["kept"])
+
+        return Pipeline(flags.map_batches(_keep, batch_format="pyarrow"))
+
+    def snapshot_diff(self, key: str, cond_col: str, value_col: str) -> "Pipeline":
+        """CDC snapshot diff (added/changed/unchanged) without a join
+        (stages/aggregate.py snapshot_diff)."""
+        from .stages.aggregate import snapshot_diff
+
+        return Pipeline(snapshot_diff(self._ds, key, cond_col, value_col))
+
     def top_k_ties(
         self, group_keys: list[str], rank_keys: list[tuple], k: int, **kw
     ) -> "Pipeline":

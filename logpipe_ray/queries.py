@@ -9604,15 +9604,363 @@ SELECT event_type, slope,
 FROM f"""
 
 
+# -- round-4 session-6: interval sweep / ordered bars / rank stats /
+#    snapshot diff / debounce scan ------------------------------------
+
+
+def _session_intervals_per_bucket(t: pa.Table) -> pa.Table:
+    """Vectorized 30-min-gap sessionize inside one user hash bucket:
+    emits one row per session with its [t0, t1] microsecond span (the
+    interval table the sweep-line consumes). Same lexsort + gap-flag
+    fold as events_top_session_paths."""
+    u = t["user_id"].to_numpy(zero_copy_only=False)
+    ts = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()))
+    order = np.lexsort((ts, u))
+    us, tss = u[order], ts[order]
+    new = np.ones(len(us), bool)
+    if len(us) > 1:
+        new[1:] = (us[1:] != us[:-1]) | (tss[1:] - tss[:-1] > _COOC_GAP_US)
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(us)) - 1
+    return pa.table(
+        {
+            "t0": pa.array(tss[starts], pa.int64()),
+            "t1": pa.array(tss[ends], pa.int64()),
+        }
+    )
+
+
+def events_max_concurrency(sf_dir: str) -> Dataset:
+    """Peak CONCURRENT sessions per day — the interval sweep-line:
+    sessionize (30-min gap) -> [t0, t1] intervals -> boundary deltas
+    (+1 at t0, -1 at t1; inclusive occupancy, so +1 sorts before -1 at
+    ties) -> a GLOBAL ordered prefix sum -> per-day max.
+
+    Scale shape: sessionize is user-hash-bucketed (bounded reducers);
+    the boundary stream is 2 rows/session, never raw events; the
+    global running count reuses partitioned_running_sum's distributed
+    SCAN (per-HOUR bucket totals -> bounded driver prefix -> per-bucket
+    local cumsum — no reducer holds more than one hour of boundaries);
+    the day-max is a tiny keyed Max over boundary rows. Ties at equal
+    (t, delta) permute only within a same-delta run, where the running
+    values form the same multiset -> the per-day max is deterministic
+    on both engines."""
+    import pandas as pd
+
+    from .stages.aggregate import sweep_max_concurrent
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    intervals = (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(_session_intervals_per_bucket, batch_format="pyarrow")
+    )
+    out = sweep_max_concurrent(
+        intervals,
+        t0_col="t0",
+        t1_col="t1",
+        bucket_us=3_600_000_000,
+        out_grain_us=86_400_000_000,
+    )
+
+    def rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["day", "max_concurrent"])
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
+def _sql_events_max_concurrency(sf_dir: str) -> str:
+    return """
+WITH o AS (SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS ns
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+iv AS (SELECT user_id, sid,
+              epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1
+       FROM s GROUP BY 1, 2),
+b AS (SELECT t0 AS t, CAST(1 AS BIGINT) AS delta FROM iv
+      UNION ALL
+      SELECT t1, CAST(-1 AS BIGINT) FROM iv),
+r AS (SELECT t, sum(delta) OVER (ORDER BY t, delta DESC
+                                 ROWS UNBOUNDED PRECEDING) AS conc
+      FROM b)
+SELECT t // 86400000000 AS day, CAST(max(conc) AS BIGINT) AS max_concurrent
+FROM r GROUP BY 1"""
+
+
+def events_value_ohlc_hourly(sf_dir: str) -> Dataset:
+    """Per-(type, hour) OHLC bars — the time-series downsampling shape:
+    open/close are ORDERED firsts/lasts by (ts, event_id), high/low/n
+    are plain min/max/count, all in integer cents.
+
+    Scale shape: one vectorized per-batch fold (lexsort + reduceat)
+    collapses every batch to <= one partial row per (type, hour) —
+    each partial carries its own argmin/argmax ORDER KEYS ((o_ts,
+    o_eid), (c_ts, c_eid)) so partials are mergeable without re-seeing
+    rows; ONE keyed exchange over partials (bounded by groups x
+    batches, never rows) finishes with a tiny per-group lexicographic
+    pick. The unique event_id tiebreak makes open/close deterministic
+    on both engines."""
+    from .stages.aggregate import grouped_ohlc
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        tsv = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                # int64 divide truncates; timestamps are positive -> floor
+                "hour_bucket": pc.divide(tsv, pa.scalar(3_600_000_000, pa.int64())),
+                "ts_us": tsv,
+                "event_id": t["event_id"],
+                "vc": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+            }
+        )
+
+    out = grouped_ohlc(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        keys=["event_type", "hour_bucket"],
+        order_cols=["ts_us", "event_id"],
+        value_col="vc",
+    )
+    def rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [
+                "event_type",
+                "hour_bucket",
+                "open_cents",
+                "high_cents",
+                "low_cents",
+                "close_cents",
+                "n",
+            ]
+        )
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
+def _sql_events_value_ohlc_hourly(sf_dir: str) -> str:
+    return """
+WITH c AS (SELECT event_type,
+                  epoch_us(ts) // 3600000000 AS hour_bucket,
+                  ts, event_id,
+                  CAST(round(value * 100.0) AS BIGINT) AS vc
+           FROM events WHERE value IS NOT NULL)
+SELECT event_type, hour_bucket,
+       first(vc ORDER BY ts, event_id) AS open_cents,
+       max(vc) AS high_cents,
+       min(vc) AS low_cents,
+       last(vc ORDER BY ts, event_id) AS close_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM c GROUP BY 1, 2"""
+
+
+def events_value_spearman(sf_dir: str) -> Dataset:
+    """Per-type SPEARMAN rank correlation between value-cents and
+    hour-of-day — rank statistics WITHOUT a global sort: both margins
+    have bounded distinct domains (cents grid, 24 hours), so average
+    ranks are a closed form over per-(type, value) count tables.
+
+    Scale shape: pass 1 builds the two bounded count grids (ONE keyed
+    exchange each, rows bounded by domain x types, never event count);
+    doubled average ranks 2r = 2*below + cnt + 1 stay exact int64 and
+    broadcast once as flat composite-indexed LUTs (the percentile
+    machinery); pass 2 is a shuffle-free map accumulating int64 moment
+    partials (n, Sx, Sy, Sxx, Syy, Sxy over 2r values) -> tiny keyed
+    Sum -> fixed-order IEEE Pearson finish over the doubled ranks (the
+    2x scale cancels). Int64-exact while n_group <~ 1e6 rows (Sxx ~
+    n^3); beyond that the partials need a wider type (oracle already
+    uses HUGEINT)."""
+    from .stages.aggregate import grouped_spearman
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        vc = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        hr = pc.cast(pc.hour(t["ts"]), pa.int64())
+        return pa.table({"event_type": t["event_type"], "vc": vc, "hr": hr})
+
+    return grouped_spearman(
+        ev.map_batches(prep, batch_format="pyarrow"), "event_type", "vc", "hr"
+    )
+
+
+def _sql_events_value_spearman(sf_dir: str) -> str:
+    return """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100.0) AS BIGINT) AS vc,
+                  CAST(hour(ts) AS BIGINT) AS hr
+           FROM events WHERE value IS NOT NULL),
+r AS (SELECT event_type,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY vc)
+               + count(*) OVER (PARTITION BY event_type, vc) - 1 AS x,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY hr)
+               + count(*) OVER (PARTITION BY event_type, hr) - 1 AS y
+      FROM c),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM r GROUP BY 1)
+SELECT event_type,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            ELSE NULL END AS spearman_rho
+FROM s"""
+
+
+_SNAPSHOT_CUTOFF_US = 1_705_363_200_000_000  # 2024-01-16T00:00:00Z
+
+
+def events_snapshot_diff(sf_dir: str) -> Dataset:
+    """CDC-style snapshot diff WITHOUT a join: per-user event count and
+    cents total at snapshot A (ts < 2024-01-16) vs snapshot B (all),
+    classified added / changed / unchanged. Because A is a subset of B,
+    one scan computes BOTH lanes as conditional partials — the diff
+    audit that would naively be two aggregations plus a full outer
+    join is ONE keyed Sum.
+
+    Scale shape: per-batch conditional partials (4 int64 columns per
+    user) -> one keyed Sum -> shuffle-free classify map on the bounded
+    per-user result."""
+    from .stages.aggregate import snapshot_diff
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        tsv = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "in_a": pc.less(tsv, pa.scalar(_SNAPSHOT_CUTOFF_US, pa.int64())),
+                "vc": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+            }
+        )
+
+    return snapshot_diff(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id", "in_a", "vc"
+    )
+
+
+def _sql_events_snapshot_diff(sf_dir: str) -> str:
+    return """
+WITH c AS (SELECT user_id, ts,
+                  CAST(round(value * 100.0) AS BIGINT) AS vc
+           FROM events WHERE value IS NOT NULL),
+a AS (SELECT user_id,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN vc ELSE 0 END)
+                  AS BIGINT) AS s_a,
+             CAST(count(*) AS BIGINT) AS n_b,
+             CAST(sum(vc) AS BIGINT) AS s_b
+      FROM c GROUP BY 1)
+SELECT user_id, n_a, s_a, n_b, s_b,
+       CASE WHEN n_a = 0 THEN 'added'
+            WHEN n_a <> n_b OR s_a <> s_b THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM a"""
+
+
+_THROTTLE_GAP_US = 60_000_000  # 60 s
+
+
+def events_throttled(sf_dir: str) -> Dataset:
+    """Debounce / rate-limit audit — the stream-hygiene scan: an event
+    is KEPT iff it is its user's first or arrives >= 60 s after the
+    user's PREVIOUS event in (ts, event_id) order (LAG semantics, not
+    chained suppression — the previous event counts whether or not it
+    was itself kept, which is what makes the operator one vectorized
+    shift instead of an iterative scan). Output: kept/dropped counts
+    per type.
+
+    Scale shape: rows hash-bucket by user (adjacency co-location, the
+    transitions contract); one lexsort + shift per bucket flags rows;
+    per-bucket count partials -> tiny keyed Sum (bounded by 2 x
+    #types)."""
+    from .stages.aggregate import lag_gap_flag
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        tsv = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": tsv,
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+            }
+        )
+
+    flags = lag_gap_flag(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="user_id",
+        ts_col="ts_us",
+        tiebreak_col="event_id",
+        gap_us=_THROTTLE_GAP_US,
+    )
+    return count_groupby(flags, ["event_type", "kept"], alias="cnt")
+
+
+def _sql_events_throttled(sf_dir: str) -> str:
+    return """
+WITH o AS (SELECT event_type, ts,
+                  lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pts
+           FROM events)
+SELECT event_type,
+       CAST(CASE WHEN pts IS NULL
+                      OR ts - pts >= INTERVAL 60 SECOND
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM o GROUP BY 1, 2"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
-    # Round-4 rotation: the 8 late-r3 oracled queries that never had a
-    # driver row move IN (VERDICT r3 "What's missing #1"), plus the two
-    # queries whose implementations changed this round (time-bucketed
-    # asof_join; bucket-reduce cogroup). Ten double/r3-green entries
-    # park below — their green rows stay on record and the mini-driver
-    # re-verifies them (scripts/check_correctness.py).
-    # -- rotated in: late-r3 additions, oracled, mini-driver green --
+    # Round-4 session-6 curation: seats go to queries that have NEVER
+    # had a driver row (the late-r3 eight, the r4 reimplementations,
+    # and one representative per new round-4 operator family), plus
+    # the five session-6 operators. Everything with a green r1/r2/r3
+    # driver row parks below — rows stay on record and
+    # scripts/check_correctness.py re-verifies the full registry.
     "docs_chunked": (docs_chunked, _sql_docs_chunked),
     "events_validation_report": (
         events_validation_report,
@@ -9636,7 +9984,6 @@ REGISTRY: dict = {
         events_user_distinct_by_type_approx,
         _sql_events_user_distinct_by_type_approx,
     ),
-    # -- rotated in: round-4 reimplementations needing fresh rows --
     "purchases_asof_last_click": (  # r4: time-bucketed asof_join
         purchases_asof_last_click,
         _sql_purchases_asof_last_click,
@@ -9645,7 +9992,10 @@ REGISTRY: dict = {
         revenue_by_orderpriority_cogroup,
         _sql_revenue_by_orderpriority_cogroup,
     ),
-    # -- rotated in: brand-new round-4 operators (never checked) --
+    "monthly_order_ship_balance": (  # r3: FULL OUTER join rep
+        monthly_order_ship_balance,
+        _sql_monthly_order_ship_balance,
+    ),
     "docs_split_counts": (docs_split_counts, _sql_docs_split_counts),
     "docs_sample_per_lang": (docs_sample_per_lang, _sql_docs_sample_per_lang),
     "events_value_minmax_norm": (
@@ -9656,12 +10006,104 @@ REGISTRY: dict = {
         docs_source_overlap_matrix,
         _sql_docs_source_overlap_matrix,
     ),
-    # -- rows-only by design (no SQL-expressible oracle) --
+    "q3_shipping_priority": (q3_shipping_priority, _sql_q3_shipping_priority),
+    "q5_local_supplier_volume": (
+        q5_local_supplier_volume,
+        _sql_q5_local_supplier_volume,
+    ),
+    "q7_volume_shipping": (q7_volume_shipping, _sql_q7_volume_shipping),
+    "q9_product_type_profit": (
+        q9_product_type_profit,
+        _sql_q9_product_type_profit,
+    ),
+    "q13_customer_distribution": (
+        q13_customer_distribution,
+        _sql_q13_customer_distribution,
+    ),
+    "q17_small_quantity_revenue": (
+        q17_small_quantity_revenue,
+        _sql_q17_small_quantity_revenue,
+    ),
+    "q18_large_volume_orders": (
+        q18_large_volume_orders,
+        _sql_q18_large_volume_orders,
+    ),
+    "q21_waiting_supplier": (q21_waiting_supplier, _sql_q21_waiting_supplier),
+    "q22_idle_rich_customers": (
+        q22_idle_rich_customers,
+        _sql_q22_idle_rich_customers,
+    ),
+    "seq_exact_dedup": (seq_exact_dedup, _sql_seq_exact_dedup),
+    "seq_chunked": (seq_chunked, _sql_seq_chunked),
+    "seq_mlm_masked": (seq_mlm_masked, _sql_seq_mlm_masked),
+    "seq_source_tv_drift": (seq_source_tv_drift, _sql_seq_source_tv_drift),
+    "seq_bigram_lift_topk": (seq_bigram_lift_topk, _sql_seq_bigram_lift_topk),
+    "events_value_quantiles_exact": (
+        events_value_quantiles_exact,
+        _sql_events_value_quantiles_exact,
+    ),
+    "events_value_mad": (events_value_mad, _sql_events_value_mad),
+    "events_value_hour_regr": (
+        events_value_hour_regr,
+        _sql_events_value_hour_regr,
+    ),
+    "events_value_percentile": (
+        events_value_percentile,
+        _sql_events_value_percentile,
+    ),
+    "events_value_winsorized": (
+        events_value_winsorized,
+        _sql_events_value_winsorized,
+    ),
+    "events_profile": (events_profile, _sql_events_profile),
+    "events_session_cooccurrence": (
+        events_session_cooccurrence,
+        _sql_events_session_cooccurrence,
+    ),
+    "events_type_transitions": (
+        events_type_transitions,
+        _sql_events_type_transitions,
+    ),
+    "events_next_event_examples": (
+        events_next_event_examples,
+        _sql_events_next_event_examples,
+    ),
+    "events_top_session_paths": (
+        events_top_session_paths,
+        _sql_events_top_session_paths,
+    ),
+    "docs_cube_lang_source": (docs_cube_lang_source, _sql_docs_cube_lang_source),
+    "docs_weighted_sample": (docs_weighted_sample, _sql_docs_weighted_sample),
+    "docs_editdist_pairs": (docs_editdist_pairs, _sql_docs_editdist_pairs),
+    "docs_negative_pairs": (docs_negative_pairs, _sql_docs_negative_pairs),
+    "events_click_never_purchase": (
+        events_click_never_purchase,
+        _sql_events_click_never_purchase,
+    ),
+    "lineitem_semi_bloom": (lineitem_semi_bloom, _sql_lineitem_semi_bloom),
+    "events_max_concurrency": (
+        events_max_concurrency,
+        _sql_events_max_concurrency,
+    ),
+    "events_value_ohlc_hourly": (
+        events_value_ohlc_hourly,
+        _sql_events_value_ohlc_hourly,
+    ),
+    "events_value_spearman": (
+        events_value_spearman,
+        _sql_events_value_spearman,
+    ),
+    "events_snapshot_diff": (
+        events_snapshot_diff,
+        _sql_events_snapshot_diff,
+    ),
+    "events_throttled": (events_throttled, _sql_events_throttled),
+    # ================= PARKED (after driver's 50-entry window) =======
+    # Green driver rows on record (r1/r2/r3) or mini-driver-verified
+    # this round; full surface stays importable + sweepable.
     "embeddings_neardup": (embeddings_neardup, None),
     "mm_features": (mm_features, None),
     "mm_resized": (mm_resized, None),
-    # -- round-3 session additions (selection / CDC / outer join /
-    # skew join) --
     "events_skew_join_customer": (  # r3: skew-aware fact-dim join
         events_skew_join_customer,
         _sql_events_skew_join_customer,
@@ -9670,15 +10112,10 @@ REGISTRY: dict = {
         events_latest_per_user,
         _sql_events_latest_per_user,
     ),
-    "monthly_order_ship_balance": (  # r3: FULL OUTER join rep
-        monthly_order_ship_balance,
-        _sql_monthly_order_ship_balance,
-    ),
     "docs_quality_topfrac": (  # r3: exact global top-k selection
         docs_quality_topfrac,
         _sql_docs_quality_topfrac,
     ),
-    # -- new round-3 corpus-statistics operators (4, all oracled) --
     "docs_repetition_stats": (docs_repetition_stats, _sql_docs_repetition_stats),
     "docs_ngram_novelty": (docs_ngram_novelty, _sql_docs_ngram_novelty),
     "docs_tfidf_top_terms": (docs_tfidf_top_terms, _sql_docs_tfidf_top_terms),
@@ -9689,8 +10126,6 @@ REGISTRY: dict = {
     ),
     "seq_bpe_merges": (seq_bpe_merges, None),  # late r3: BPE training
     "docs_bm25_topk": (docs_bm25_topk, _sql_docs_bm25_topk),  # late r3
-    # -- relational / join representatives (2; q1 kept as the TPC-H
-    # representative, asof parked with green r1+r2 rows) --
     "lineitem_price_band_join": (  # new r3: distributed interval join
         lineitem_price_band_join,
         _sql_lineitem_price_band_join,
@@ -9707,9 +10142,6 @@ REGISTRY: dict = {
         suppliers_pagerank,
         _sql_suppliers_pagerank,
     ),
-    # -- events / windows / sketches (3; events_sessionize parked with
-    # green r1+r2 rows — lp_user_sessions covers gap-sessionize
-    # in-window) --
     "events_p90_value": (events_p90_value, _sql_events_p90_value),  # new r3
     "events_user_interarrival": (  # late r3: per-user gap profile
         events_user_interarrival,
@@ -9728,9 +10160,6 @@ REGISTRY: dict = {
         events_incremental_hourly,
         _sql_events_incremental_hourly,
     ),
-    # -- documents / dedup / decontamination (9; docs_exact_dedup
-    # parked double-green — its keyed hash-dedup shape stays in-window
-    # inside docs_prep_corpus and corpus_build_stats) --
     "docs_shuffle_rank": (docs_shuffle_rank, _sql_docs_shuffle_rank),  # r3
     "docs_span_dedup": (docs_span_dedup, _sql_docs_span_dedup),  # r3
     "corpus_build_stats": (corpus_build_stats, _sql_corpus_build_stats),  # r3
@@ -9754,16 +10183,8 @@ REGISTRY: dict = {
     ),
     "embeddings_semdedup": (embeddings_semdedup, None),  # late r3
     "docs_topic_clusters": (docs_topic_clusters, None),  # late r3
-    # -- sequences / tokens (2; seq_pack_stats parked: rows-only with
-    # green r1+r2 driver rows, SQL equivalence now continuously proven
-    # by the slow-marked recursive-CTE pytest) --
-    # -- ANN --
     "ann_hnsw_topk": (ann_hnsw_topk, None),  # new r3: graph-based ANN
-    # ================= PARKED (after driver's 50-entry window) =======
-    # All green (rows+schema+hash) in CORRECTNESS_r01 AND _r02; variants
-    # of in-window queries, kept for the library surface + mini-driver.
     "q1_lineitem": (q1_lineitem, _sql_q1_lineitem),
-    # -- parked in round 4 (double/r3-green rows on record) --
     "lp_route_counts": (lp_route_counts, _sql_lp_route_counts),
     "docs_prep_corpus": (docs_prep_corpus, _sql_docs_prep_corpus),
     "embeddings_knn_join": (embeddings_knn_join, _sql_embeddings_knn_join),
@@ -9784,7 +10205,6 @@ REGISTRY: dict = {
     "seq_vocab_pruned": (seq_vocab_pruned, _sql_seq_vocab_pruned),
     "events_running_total": (events_running_total, _sql_events_running_total),
     "events_value_quantiles": (events_value_quantiles, None),
-    # -- parked in earlier rounds --
     "lp_parsed_fields": (lp_parsed_fields, _sql_lp_parsed_fields),
     "lp_stats_by_level": (lp_stats_by_level, _sql_lp_stats_by_level),
     "lp_enriched": (lp_enriched, _sql_lp_enriched),
@@ -9804,11 +10224,7 @@ REGISTRY: dict = {
     "lp_filter_regex": (lp_filter_regex, _sql_lp_filter_regex),
     "seq_pack_stats": (seq_pack_stats, None),
     "seq_bpe_merges_sampled": (seq_bpe_merges_sampled, None),  # r4: bench default
-    # r4 addition, oracled + mini-driver green; out-of-window (the 50
-    # seats all hold never-driver-checked queries) — rotate next round
     "events_user_event_seq": (events_user_event_seq, _sql_events_user_event_seq),
-    # r4 session-4: remaining TPC-H join/agg topologies (out-of-window;
-    # rotate next round)
     "q4_late_shipment_priority": (
         q4_late_shipment_priority,
         _sql_q4_late_shipment_priority,
@@ -9825,15 +10241,7 @@ REGISTRY: dict = {
         q14_promo_revenue_share,
         _sql_q14_promo_revenue_share,
     ),
-    "q17_small_quantity_revenue": (
-        q17_small_quantity_revenue,
-        _sql_q17_small_quantity_revenue,
-    ),
     "q19_bundle_revenue": (q19_bundle_revenue, _sql_q19_bundle_revenue),
-    "q22_idle_rich_customers": (
-        q22_idle_rich_customers,
-        _sql_q22_idle_rich_customers,
-    ),
     "events_hour_type_diversity": (
         events_hour_type_diversity,
         _sql_events_hour_type_diversity,
@@ -9846,33 +10254,19 @@ REGISTRY: dict = {
         events_type_hour_skewness,
         _sql_events_type_hour_skewness,
     ),
-    "docs_editdist_pairs": (docs_editdist_pairs, _sql_docs_editdist_pairs),
     "events_user_value_ewma": (events_user_value_ewma, None),  # rows-only
     "q6_forecast_revenue": (q6_forecast_revenue, _sql_q6_forecast_revenue),
-    "q7_volume_shipping": (q7_volume_shipping, _sql_q7_volume_shipping),
     "q15_top_supplier": (q15_top_supplier, _sql_q15_top_supplier),
     "q16_supplier_cnt": (q16_supplier_cnt, _sql_q16_supplier_cnt),
     "events_value_imputed": (events_value_imputed, _sql_events_value_imputed),
     "events_value_zscore": (events_value_zscore, _sql_events_value_zscore),
-    "lineitem_semi_bloom": (lineitem_semi_bloom, _sql_lineitem_semi_bloom),
-    "events_value_quantiles_exact": (
-        events_value_quantiles_exact,
-        _sql_events_value_quantiles_exact,
-    ),
     "events_day_top_types": (events_day_top_types, _sql_events_day_top_types),
     "events_props_extract": (events_props_extract, _sql_events_props_extract),
-    # r4 session-5: the remaining TPC-H topologies — all 22 now present
-    # (adapted where the fixture lacks partsupp / receipt dates; see
-    # the section comment above q2). Out-of-window; rotate next round.
     "q2_min_acctbal_supplier": (
         q2_min_acctbal_supplier,
         _sql_q2_min_acctbal_supplier,
     ),
     "q8_market_share": (q8_market_share, _sql_q8_market_share),
-    "q9_product_type_profit": (
-        q9_product_type_profit,
-        _sql_q9_product_type_profit,
-    ),
     "q11_important_stock_value": (
         q11_important_stock_value,
         _sql_q11_important_stock_value,
@@ -9881,43 +10275,15 @@ REGISTRY: dict = {
         q20_promotion_candidates,
         _sql_q20_promotion_candidates,
     ),
-    "q21_waiting_supplier": (q21_waiting_supplier, _sql_q21_waiting_supplier),
-    # r4 session-5: token-axis corpus audits + grouped regression
-    "seq_exact_dedup": (seq_exact_dedup, _sql_seq_exact_dedup),
     "seq_distinct_token_ratio": (
         seq_distinct_token_ratio,
         _sql_seq_distinct_token_ratio,
     ),
     "seq_truncation_stats": (seq_truncation_stats, _sql_seq_truncation_stats),
-    "events_value_hour_regr": (
-        events_value_hour_regr,
-        _sql_events_value_hour_regr,
-    ),
-    "events_session_cooccurrence": (
-        events_session_cooccurrence,
-        _sql_events_session_cooccurrence,
-    ),
-    "seq_source_tv_drift": (seq_source_tv_drift, _sql_seq_source_tv_drift),
-    "events_profile": (events_profile, _sql_events_profile),
-    "docs_negative_pairs": (docs_negative_pairs, _sql_docs_negative_pairs),
     "events_value_linreg": (events_value_linreg, None),  # rows-only: solve()
-    "events_next_event_examples": (
-        events_next_event_examples,
-        _sql_events_next_event_examples,
-    ),
-    "seq_chunked": (seq_chunked, _sql_seq_chunked),
-    "seq_mlm_masked": (seq_mlm_masked, _sql_seq_mlm_masked),
-    "events_value_winsorized": (
-        events_value_winsorized,
-        _sql_events_value_winsorized,
-    ),
     "events_type_balanced_sample": (
         events_type_balanced_sample,
         _sql_events_type_balanced_sample,
-    ),
-    "events_top_session_paths": (
-        events_top_session_paths,
-        _sql_events_top_session_paths,
     ),
     "docs_simhash_pairs": (docs_simhash_pairs, None),
     "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
@@ -9926,50 +10292,21 @@ REGISTRY: dict = {
         _sql_events_approx_distinct_users,
     ),
     "docs_bpe_token_count": (docs_bpe_token_count, _sql_docs_bpe_token_count),
-    "q3_shipping_priority": (q3_shipping_priority, _sql_q3_shipping_priority),
-    "docs_weighted_sample": (docs_weighted_sample, _sql_docs_weighted_sample),
     "events_user_distinct_by_type": (
         events_user_distinct_by_type,
         _sql_events_user_distinct_by_type,
     ),
     "events_user_top_type": (events_user_top_type, _sql_events_user_top_type),
-    "q5_local_supplier_volume": (
-        q5_local_supplier_volume,
-        _sql_q5_local_supplier_volume,
-    ),
-    "q13_customer_distribution": (
-        q13_customer_distribution,
-        _sql_q13_customer_distribution,
-    ),
-    "q18_large_volume_orders": (
-        q18_large_volume_orders,
-        _sql_q18_large_volume_orders,
-    ),
-    "events_click_never_purchase": (
-        events_click_never_purchase,
-        _sql_events_click_never_purchase,
-    ),
     "events_click_and_purchase": (
         events_click_and_purchase,
         _sql_events_click_and_purchase,
     ),
-    "events_value_mad": (events_value_mad, _sql_events_value_mad),
     "events_value_hour_corr": (
         events_value_hour_corr,
         _sql_events_value_hour_corr,
     ),
-    "docs_cube_lang_source": (docs_cube_lang_source, _sql_docs_cube_lang_source),
     "events_hourly_dense": (events_hourly_dense, _sql_events_hourly_dense),
-    "events_type_transitions": (
-        events_type_transitions,
-        _sql_events_type_transitions,
-    ),
     "events_type_hour_chi2": (events_type_hour_chi2, _sql_events_type_hour_chi2),
-    "events_value_percentile": (
-        events_value_percentile,
-        _sql_events_value_percentile,
-    ),
-    "seq_bigram_lift_topk": (seq_bigram_lift_topk, _sql_seq_bigram_lift_topk),
     "docs_readability": (docs_readability, _sql_docs_readability),
     "events_wau_daily": (events_wau_daily, _sql_events_wau_daily),
     "embeddings_pca_project": (embeddings_pca_project, None),  # rows-only

@@ -1745,3 +1745,378 @@ def grouped_top_k_ties(
         return df[df[rank_col] <= k]
 
     return pruned.groupby(group_keys).map_groups(final, batch_format="pandas")
+
+
+# ------------------------------------------------- session-6 operators
+
+
+def grouped_ohlc(
+    ds: Dataset,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> Dataset:
+    """Per-group OHLC bars — ordered FIRST/LAST by ``order_cols`` plus
+    min/max/count of ``value_col`` (the time-series downsampling /
+    candle shape; ``order_cols`` must be two int64-comparable columns
+    (primary, unique tiebreak) so open/close are deterministic).
+
+    Scale shape: one vectorized per-batch fold (lexsort + reduceat)
+    collapses every batch to <= one partial row per group; partials
+    carry their own argmin/argmax ORDER KEYS so they merge without
+    re-seeing rows; ONE keyed exchange over partials (bounded by
+    groups x batches) finishes with a per-group lexicographic pick."""
+    import pandas as pd
+
+    o1, o2 = order_cols
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {}
+        if t.num_rows == 0:
+            for k in keys:
+                cols[k] = t[k]
+            for c in ["o_1", "o_2", "o_v", "c_1", "c_2", "c_v", "lo", "hi", "n"]:
+                cols[c] = pa.array([], pa.int64())
+            return pa.table(cols)
+        codes = []
+        for k in keys:
+            arr = t[k]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            _, inv = np.unique(arr.to_numpy(zero_copy_only=False), return_inverse=True)
+            codes.append(inv)
+        a1 = t[o1].to_numpy(zero_copy_only=False)
+        a2 = t[o2].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((a2, a1, *reversed(codes)))
+        new = np.ones(len(order), bool)
+        if len(order) > 1:
+            chg = np.zeros(len(order) - 1, bool)
+            for c in codes:
+                cs = c[order]
+                chg |= cs[1:] != cs[:-1]
+            new[1:] = chg
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(order)) - 1
+        v_s = v[order]
+        for k in keys:
+            arr = t[k]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            cols[k] = arr.take(pa.array(order[starts], pa.int64()))
+        cols.update(
+            {
+                "o_1": pa.array(a1[order[starts]], pa.int64()),
+                "o_2": pa.array(a2[order[starts]], pa.int64()),
+                "o_v": pa.array(v_s[starts], pa.int64()),
+                "c_1": pa.array(a1[order[ends]], pa.int64()),
+                "c_2": pa.array(a2[order[ends]], pa.int64()),
+                "c_v": pa.array(v_s[ends], pa.int64()),
+                "lo": pa.array(np.minimum.reduceat(v_s, starts), pa.int64()),
+                "hi": pa.array(np.maximum.reduceat(v_s, starts), pa.int64()),
+                "n": pa.array(np.diff(np.append(starts, len(order))).astype(np.int64)),
+            }
+        )
+        return pa.table(cols)
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        o = df.sort_values(["o_1", "o_2"], kind="mergesort").iloc[0]
+        c = df.sort_values(["c_1", "c_2"], kind="mergesort").iloc[-1]
+        row = {k: df[k].iloc[0] for k in keys}
+        row.update(
+            {
+                "open": int(o["o_v"]),
+                "high": int(df["hi"].max()),
+                "low": int(df["lo"].min()),
+                "close": int(c["c_v"]),
+                "n": int(df["n"].sum()),
+            }
+        )
+        return pd.DataFrame([row])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def grouped_spearman(
+    ds: Dataset,
+    key: str,
+    x_col: str,
+    y_col: str,
+    out_col: str = "spearman_rho",
+) -> Dataset:
+    """Per-group SPEARMAN rank correlation over two bounded-domain
+    int64 columns — rank statistics WITHOUT a global sort.
+
+    Average ranks are a closed form over per-(key, value) count
+    tables: 2r = 2*below + cnt + 1 stays exact int64. Pass 1 builds
+    the two bounded count grids (one keyed exchange each, rows bounded
+    by domain x groups); pass 2 is a shuffle-free map accumulating
+    int64 moment partials over the doubled ranks -> tiny keyed Sum ->
+    fixed-order IEEE Pearson finish (the 2x cancels). Int64-exact
+    while n_group <~ 1e6 rows (Sxx ~ n^3)."""
+    import ray
+
+    def rank_lut(col: str):
+        dist = count_groupby(ds, [key, col], alias="c").to_pandas()
+        dist = dist.sort_values([key, col], ignore_index=True)
+        groups = sorted(dist[key].unique())
+        gidx = {k: i for i, k in enumerate(groups)}
+        gi = dist[key].map(gidx).to_numpy(np.int64)
+        v = dist[col].to_numpy(np.int64)
+        c = dist["c"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        grp_start = np.r_[0, np.flatnonzero(np.diff(gi)) + 1]
+        below = cum - c
+        below -= np.repeat(below[grp_start], np.diff(np.r_[grp_start, len(c)]))
+        r2 = 2 * below + c + 1
+        span = int(v.max()) + 1 if len(v) else 1
+        return pa.array(groups), gi * span + v, r2, span
+
+    groups_x, comp_x, r2_x, span_x = rank_lut(x_col)
+    _, comp_y, r2_y, span_y = rank_lut(y_col)
+    ref = ray.put((groups_x, comp_x, r2_x, span_x, comp_y, r2_y, span_y))
+
+    def moments(t: pa.Table) -> pa.Table:
+        gs, cx, rx, spx, cy, ry, spy = ray.get(ref)
+        gi = (
+            pc.index_in(t[key], value_set=gs)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        v = t[x_col].to_numpy(zero_copy_only=False)
+        h = t[y_col].to_numpy(zero_copy_only=False)
+        x = rx[np.searchsorted(cx, gi * spx + v)]
+        y = ry[np.searchsorted(cy, gi * spy + h)]
+        karr = t[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        g = (
+            pa.table(
+                {
+                    key: karr,
+                    "pn": pa.array(np.ones(len(x), np.int64)),
+                    "psx": pa.array(x, pa.int64()),
+                    "psy": pa.array(y, pa.int64()),
+                    "psxx": pa.array(x * x, pa.int64()),
+                    "psyy": pa.array(y * y, pa.int64()),
+                    "psxy": pa.array(x * y, pa.int64()),
+                }
+            )
+            .group_by(key)
+            .aggregate(
+                [
+                    ("pn", "sum"),
+                    ("psx", "sum"),
+                    ("psy", "sum"),
+                    ("psxx", "sum"),
+                    ("psyy", "sum"),
+                    ("psxy", "sum"),
+                ]
+            )
+        )
+        return g.rename_columns([key, "pn", "psx", "psy", "psxx", "psyy", "psxy"])
+
+    summed = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("psx", alias_name="sx"),
+            Sum("psy", alias_name="sy"),
+            Sum("psxx", alias_name="sxx"),
+            Sum("psyy", alias_name="syy"),
+            Sum("psxy", alias_name="sxy"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # bounded (#groups) table; each product/subtract/sqrt/divide is
+        # ONE correctly-rounded double op, replayed verbatim in SQL
+        n = t["n"].to_numpy().astype(np.float64)
+        sx = t["sx"].to_numpy().astype(np.float64)
+        sy = t["sy"].to_numpy().astype(np.float64)
+        sxx = t["sxx"].to_numpy().astype(np.float64)
+        syy = t["syy"].to_numpy().astype(np.float64)
+        sxy = t["sxy"].to_numpy().astype(np.float64)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        ok = (vx > 0) & (vy > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rho = (n * sxy - sx * sy) / (np.sqrt(vx) * np.sqrt(vy))
+        return pa.table(
+            {
+                key: t[key],
+                out_col: pa.array(np.where(ok, rho, np.nan), pa.float64(), mask=~ok),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def sweep_max_concurrent(
+    intervals: Dataset,
+    t0_col: str,
+    t1_col: str,
+    bucket_us: int,
+    out_grain_us: int,
+    out_col: str = "max_concurrent",
+) -> Dataset:
+    """Interval SWEEP-LINE: peak number of concurrently-open intervals
+    per ``out_grain_us`` bucket (inclusive occupancy — an interval
+    ending at t frees its slot AFTER one starting at t is counted).
+
+    Scale shape: each interval becomes 2 boundary rows (+1 at t0, -1
+    at t1); the global ordered prefix count reuses
+    partitioned_running_sum's distributed SCAN over ``bucket_us``
+    buckets (per-bucket totals -> bounded driver prefix -> per-bucket
+    local cumsum); the grain-max is a tiny keyed Max over boundary
+    rows. Ties at equal (t, delta) permute only within a same-delta
+    run, where the running values form the same multiset -> the
+    per-grain max is deterministic."""
+
+    def boundaries(t: pa.Table) -> pa.Table:
+        t0 = t[t0_col].to_numpy(zero_copy_only=False)
+        t1 = t[t1_col].to_numpy(zero_copy_only=False)
+        bt = np.concatenate([t0, t1])
+        delta = np.concatenate(
+            [np.ones(len(t0), np.int64), -np.ones(len(t1), np.int64)]
+        )
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(len(bt), np.int64)),
+                "t": pa.array(bt, pa.int64()),
+                "od": pa.array(-delta, pa.int64()),  # +1 before -1 at ties
+                "delta": pa.array(delta, pa.int64()),
+                "b": pa.array(bt // bucket_us, pa.int64()),
+                "grain": pa.array(bt // out_grain_us, pa.int64()),
+            }
+        )
+
+    running = partitioned_running_sum(
+        intervals.map_batches(boundaries, batch_format="pyarrow"),
+        key="k",
+        order_cols=["t", "od"],
+        value_col="delta",
+        bucket_col="b",
+        out_col="conc",
+        keep_cols=["grain"],
+    )
+    return running.groupby("grain").aggregate(Max("conc", alias_name=out_col))
+
+
+def lag_gap_flag(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    gap_us: int,
+    flag_col: str = "kept",
+) -> Dataset:
+    """Debounce / throttle flag — LAG semantics: a row is flagged 1 iff
+    it is its key's first or arrives >= ``gap_us`` after the key's
+    PREVIOUS row in (ts, tiebreak) order (the previous row counts
+    whether or not it was itself kept — what makes this one vectorized
+    shift instead of an iterative scan). Returns all rows + the int64
+    flag.
+
+    Scale shape: rows hash-bucket by key (adjacency co-location); one
+    lexsort + shift per bucket; no other exchange."""
+    import pandas as pd
+
+    num_buckets = 4 * max(2, _default_cpus())
+
+    def tag(t: pa.Table) -> pa.Table:
+        arr = t[key]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        hb = pd.util.hash_array(arr.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        u = t[key].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].to_numpy(zero_copy_only=False)
+        tb = t[tiebreak_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, ts, u))
+        us, tss = u[order], ts[order]
+        kept = np.ones(len(us), bool)
+        if len(us) > 1:
+            same = us[1:] == us[:-1]
+            kept[1:] = ~same | (tss[1:] - tss[:-1] >= gap_us)
+        out = t.drop_columns(["_hb"]).take(pa.array(order, pa.int64()))
+        return out.append_column(flag_col, pa.array(kept.astype(np.int64)))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def _default_cpus() -> int:
+    import ray
+
+    return max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+
+def snapshot_diff(
+    ds: Dataset,
+    key: str,
+    cond_col: str,
+    value_col: str,
+) -> Dataset:
+    """CDC-style snapshot diff WITHOUT a join: per-key count and sum at
+    snapshot A (rows where ``cond_col`` is truthy) vs snapshot B (all
+    rows), classified added / changed / unchanged. A is a subset of B,
+    so one scan computes BOTH lanes as conditional partials — ONE keyed
+    Sum instead of two aggregations plus a full outer join.
+
+    ``value_col`` must be integer (exactness of the change compare)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        in_a = (
+            t[cond_col].to_numpy(zero_copy_only=False).astype(bool).astype(np.int64)
+        )
+        g = (
+            pa.table(
+                {
+                    key: t[key],
+                    "pn_a": pa.array(in_a),
+                    "ps_a": pa.array(in_a * vc),
+                    "pn_b": pa.array(np.ones(len(vc), np.int64)),
+                    "ps_b": pa.array(vc),
+                }
+            )
+            .group_by(key)
+            .aggregate(
+                [("pn_a", "sum"), ("ps_a", "sum"), ("pn_b", "sum"), ("ps_b", "sum")]
+            )
+        )
+        return g.rename_columns([key, "pn_a", "ps_a", "pn_b", "ps_b"])
+
+    summed = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(
+            Sum("pn_a", alias_name="n_a"),
+            Sum("ps_a", alias_name="s_a"),
+            Sum("pn_b", alias_name="n_b"),
+            Sum("ps_b", alias_name="s_b"),
+        )
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        n_a = t["n_a"].to_numpy()
+        changed = (n_a != t["n_b"].to_numpy()) | (
+            t["s_a"].to_numpy() != t["s_b"].to_numpy()
+        )
+        status = np.where(
+            n_a == 0, "added", np.where(changed, "changed", "unchanged")
+        )
+        return t.append_column("status", pa.array(status, pa.string()))
+
+    return summed.map_batches(classify, batch_format="pyarrow")

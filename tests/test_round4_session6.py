@@ -1,0 +1,295 @@
+"""Round-4 session-6 operators: interval sweep-line concurrency, OHLC
+bars (ordered first/last mergeable partials), Spearman rank correlation
+from bounded count grids, snapshot diff, and the throttle/debounce
+scan. Brute-force references here; oracle parity is continuously
+checked by scripts/check_correctness.py and the driver."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+SF = "/root/testdata/sf0.001"
+GAP_US = 30 * 60 * 1_000_000
+
+
+def _collect(ds) -> pd.DataFrame:
+    if isinstance(ds, pa.Table):
+        df = ds.to_pandas()
+    else:
+        tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
+        df = pa.concat_tables(tbls).to_pandas() if tbls else pd.DataFrame()
+    return (
+        df.sort_values(list(df.columns)).reset_index(drop=True) if len(df) else df
+    )
+
+
+def _events_df() -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/events.parquet").to_pandas()
+
+
+def _brute_sessions(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-user 30-min-gap sessions -> (t0, t1) microsecond intervals."""
+    d = df.sort_values(["user_id", "ts"]).copy()
+    us = d["ts"].astype("int64")
+    new = (d["user_id"] != d["user_id"].shift()) | (
+        us - us.shift() > GAP_US
+    )
+    sid = new.cumsum()
+    g = us.groupby(sid)
+    return pd.DataFrame({"t0": g.min().values, "t1": g.max().values})
+
+
+def test_max_concurrency_brute_force(ray_session):
+    from logpipe_ray.queries import events_max_concurrency
+
+    got = _collect(events_max_concurrency(SF))
+
+    iv = _brute_sessions(_events_df())
+    b = pd.DataFrame(
+        {
+            "t": np.concatenate([iv["t0"].values, iv["t1"].values]),
+            "delta": np.concatenate(
+                [np.ones(len(iv), np.int64), -np.ones(len(iv), np.int64)]
+            ),
+        }
+    )
+    # inclusive occupancy: +1 sorts before -1 at equal t
+    b = b.sort_values(["t", "delta"], ascending=[True, False], ignore_index=True)
+    b["conc"] = b["delta"].cumsum()
+    b["day"] = b["t"] // 86_400_000_000
+    want = (
+        b.groupby("day")["conc"].max().reset_index(name="max_concurrent")
+    )
+    want = want.sort_values(list(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["max_concurrent"].min() >= 1
+
+
+def test_ohlc_brute_force_and_layout_invariance(ray_session):
+    from logpipe_ray.queries import events_value_ohlc_hourly
+
+    got = _collect(events_value_ohlc_hourly(SF))
+
+    df = _events_df()
+    df = df[df["value"].notna()].copy()
+    df["vc"] = np.round(df["value"] * 100.0).astype(np.int64)
+    df["hour_bucket"] = df["ts"].astype("int64") // 3_600_000_000
+    df = df.sort_values(["event_type", "hour_bucket", "ts", "event_id"])
+    g = df.groupby(["event_type", "hour_bucket"])
+    want = pd.DataFrame(
+        {
+            "open_cents": g["vc"].first(),
+            "high_cents": g["vc"].max(),
+            "low_cents": g["vc"].min(),
+            "close_cents": g["vc"].last(),
+            "n": g["vc"].size().astype(np.int64),
+        }
+    ).reset_index()
+    want = want.sort_values(list(want.columns)).reset_index(drop=True)
+    got2 = got[want.columns]
+    pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+    assert (got["high_cents"] >= got["low_cents"]).all()
+    assert got["open_cents"].between(
+        got["low_cents"], got["high_cents"]
+    ).all()
+
+
+def test_ohlc_partials_merge_across_batch_splits(ray_session):
+    """The per-batch partial must be mergeable: splitting the same rows
+    into adversarial batch layouts (interleaved, reversed) cannot change
+    the final bars."""
+    from logpipe_ray.queries import events_value_ohlc_hourly
+
+    base = _collect(events_value_ohlc_hourly(SF))
+
+    # re-run with tiny blocks: every (type, hour) group is split across
+    # many partials, exercising the merge path hard
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        again = _collect(events_value_ohlc_hourly(SF))
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(base, again)
+
+
+def test_spearman_matches_pandas(ray_session):
+    from logpipe_ray.queries import events_value_spearman
+
+    got = _collect(events_value_spearman(SF)).set_index("event_type")
+
+    df = _events_df()
+    df = df[df["value"].notna()].copy()
+    df["vc"] = np.round(df["value"] * 100.0).astype(np.int64)
+    df["hr"] = df["ts"].dt.hour.astype(np.int64)
+    for et, g in df.groupby("event_type"):
+        rx = g["vc"].rank(method="average")
+        ry = g["hr"].rank(method="average")
+        want = np.corrcoef(rx, ry)[0, 1]
+        have = got.loc[et, "spearman_rho"]
+        assert np.isclose(have, want, rtol=1e-9), (et, have, want)
+
+
+def test_spearman_exact_rank_identities(ray_session):
+    """Doubled average ranks are exact ints: per type, sum(2r) must be
+    n*(n+1) (rank sum identity), which the moment partials preserve."""
+    from logpipe_ray.queries import events_value_spearman
+    from logpipe_ray.sources.factory import read_parquet_clean
+
+    # engineered: constant y within a type -> zero variance -> NULL rho
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+            "event_type": pa.array(["a"] * 3),
+            "value": pa.array([1.0, 2.0, 3.0]),
+        }
+    )
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = _collect(events_value_spearman(d))
+    # all three events share hour 0 -> hour variance is 0 -> NULL
+    assert len(out) == 1
+    assert out["spearman_rho"].isna().all()
+
+
+def test_snapshot_diff_brute_force(ray_session):
+    from logpipe_ray.queries import (
+        _SNAPSHOT_CUTOFF_US,
+        events_snapshot_diff,
+    )
+
+    got = _collect(events_snapshot_diff(SF))
+
+    df = _events_df()
+    df = df[df["value"].notna()].copy()
+    df["vc"] = np.round(df["value"] * 100.0).astype(np.int64)
+    in_a = df["ts"].astype("int64") < _SNAPSHOT_CUTOFF_US
+    g = df.groupby("user_id")
+    want = pd.DataFrame(
+        {
+            "n_a": df[in_a].groupby("user_id")["vc"].size(),
+            "s_a": df[in_a].groupby("user_id")["vc"].sum(),
+            "n_b": g["vc"].size(),
+            "s_b": g["vc"].sum(),
+        }
+    ).fillna(0).astype(np.int64).reset_index()
+    want["status"] = np.where(
+        want["n_a"] == 0,
+        "added",
+        np.where(
+            (want["n_a"] != want["n_b"]) | (want["s_a"] != want["s_b"]),
+            "changed",
+            "unchanged",
+        ),
+    )
+    want = want.sort_values(list(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[want.columns], want, check_dtype=False
+    )
+    # the fixture spans 30 days with a mid-month cutoff: every class
+    # that is structurally possible should be populated or absent
+    # consistently (A subset of B -> 'removed' cannot exist)
+    assert set(got["status"]) <= {"added", "changed", "unchanged"}
+    assert (got["n_a"] <= got["n_b"]).all()
+
+
+def test_throttled_brute_force(ray_session):
+    from logpipe_ray.queries import _THROTTLE_GAP_US, events_throttled
+
+    got = _collect(events_throttled(SF))
+
+    df = _events_df().sort_values(["user_id", "ts", "event_id"])
+    us = df["ts"].astype("int64")
+    prev = us.shift()
+    same = df["user_id"] == df["user_id"].shift()
+    kept = (~same | (us - prev >= _THROTTLE_GAP_US)).astype(np.int64)
+    want = (
+        pd.DataFrame({"event_type": df["event_type"], "kept": kept})
+        .groupby(["event_type", "kept"])
+        .size()
+        .reset_index(name="cnt")
+    )
+    want = want.sort_values(list(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # kept + dropped must reconstruct the full event count
+    assert got["cnt"].sum() == len(df)
+
+
+def test_fluent_api_session6_methods(ray_session):
+    import ray.data as rd
+
+    from logpipe_ray.api import Pipeline
+
+    t = pa.table(
+        {
+            "g": ["a"] * 4 + ["b"] * 4,
+            "o1": pa.array([3, 1, 2, 4, 10, 30, 20, 40], pa.int64()),
+            "o2": pa.array(list(range(8)), pa.int64()),
+            "v": pa.array([30, 10, 20, 40, 1, 3, 2, 4], pa.int64()),
+        }
+    )
+    p = Pipeline.from_dataset(rd.from_arrow(t))
+
+    bars = p.ohlc_by(["g"], ["o1", "o2"], "v").to_pandas().set_index("g")
+    assert bars.loc["a", "open"] == 10 and bars.loc["a", "close"] == 40
+    assert bars.loc["b", "low"] == 1 and bars.loc["b", "high"] == 4
+    assert (bars["n"] == 4).all()
+
+    # v is a monotone function of o1 within each group -> rho == 1
+    rho = p.spearman_by("g", "o1", "v").to_pandas()
+    assert np.allclose(rho["spearman_rho"], 1.0)
+
+    iv = Pipeline.from_dataset(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "t0": pa.array([0, 5, 10], pa.int64()),
+                    "t1": pa.array([7, 6, 12], pa.int64()),
+                }
+            )
+        )
+    )
+    conc = iv.sweep_concurrent("t0", "t1", bucket_us=10, out_grain_us=100).to_pandas()
+    # [0,7] and [5,6] overlap -> peak 2 inside grain 0
+    assert conc.set_index("grain").loc[0, "max_concurrent"] == 2
+
+    ev = Pipeline.from_dataset(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "u": pa.array([1, 1, 1, 2], pa.int64()),
+                    "ts": pa.array([0, 50, 120, 10], pa.int64()),
+                    "id": pa.array([0, 1, 2, 3], pa.int64()),
+                }
+            )
+        )
+    )
+    kept = ev.throttle("u", "ts", "id", gap_us=60).to_pandas()
+    # u=1: keep ts=0 (first) and ts=120 (gap 70 from ts=50); drop ts=50
+    assert sorted(kept["ts"].tolist()) == [0, 10, 120]
+
+    sd = Pipeline.from_dataset(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1, 1, 2], pa.int64()),
+                    "in_a": pa.array([True, False, False]),
+                    "v": pa.array([5, 7, 9], pa.int64()),
+                }
+            )
+        )
+    )
+    diff = sd.snapshot_diff("k", "in_a", "v").to_pandas().set_index("k")
+    assert diff.loc[1, "status"] == "changed" and diff.loc[2, "status"] == "added"
