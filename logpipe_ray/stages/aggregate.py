@@ -1969,14 +1969,24 @@ def sweep_max_concurrent(
     per ``out_grain_us`` bucket (inclusive occupancy — an interval
     ending at t frees its slot AFTER one starting at t is counted).
 
-    Scale shape: each interval becomes 2 boundary rows (+1 at t0, -1
-    at t1); the global ordered prefix count reuses
-    partitioned_running_sum's distributed SCAN over ``bucket_us``
-    buckets (per-bucket totals -> bounded driver prefix -> per-bucket
-    local cumsum); the grain-max is a tiny keyed Max over boundary
-    rows. Ties at equal (t, delta) permute only within a same-delta
-    run, where the running values form the same multiset -> the
-    per-grain max is deterministic."""
+    Scale shape (the partitioned_running_sum SCAN, specialized so the
+    grain-max FUSES into the per-bucket pass): each interval becomes 2
+    boundary rows (+1 at t0, -1 at t1); per-batch per-bucket delta
+    totals -> one BOUNDED keyed Sum -> exclusive driver prefix in
+    bucket order; then ONE exchange co-locates each ``bucket_us``
+    bucket's boundaries and a vectorized sort+cumsum emits a single
+    (grain, local max) row per bucket — the finish folds the bounded
+    (#buckets) table on one coalesced block, no further all-to-all.
+    Requires out_grain_us % bucket_us == 0 so a bucket maps to exactly
+    one grain. Ties at equal (t, delta) permute only within a
+    same-delta run, where the running values form the same multiset ->
+    the per-grain max is deterministic."""
+    import pandas as pd
+
+    import ray
+
+    if out_grain_us % bucket_us != 0:
+        raise ValueError("out_grain_us must be a multiple of bucket_us")
 
     def boundaries(t: pa.Table) -> pa.Table:
         t0 = t[t0_col].to_numpy(zero_copy_only=False)
@@ -1987,25 +1997,56 @@ def sweep_max_concurrent(
         )
         return pa.table(
             {
-                "k": pa.array(np.zeros(len(bt), np.int64)),
                 "t": pa.array(bt, pa.int64()),
-                "od": pa.array(-delta, pa.int64()),  # +1 before -1 at ties
                 "delta": pa.array(delta, pa.int64()),
                 "b": pa.array(bt // bucket_us, pa.int64()),
-                "grain": pa.array(bt // out_grain_us, pa.int64()),
             }
         )
 
-    running = partitioned_running_sum(
-        intervals.map_batches(boundaries, batch_format="pyarrow"),
-        key="k",
-        order_cols=["t", "od"],
-        value_col="delta",
-        bucket_col="b",
-        out_col="conc",
-        keep_cols=["grain"],
+    bounds = intervals.map_batches(boundaries, batch_format="pyarrow")
+
+    def totals_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["b", "delta"]).group_by("b").aggregate([("delta", "sum")])
+        return g.rename_columns(["b", "p"])
+
+    totals = (
+        bounds.map_batches(totals_partial, batch_format="pyarrow")
+        .groupby("b")
+        .sum("p")
+        .to_pandas()
     )
-    return running.groupby("grain").aggregate(Max("conc", alias_name=out_col))
+    col = "sum(p)" if "sum(p)" in totals.columns else "p"
+    totals = totals.sort_values("b", kind="mergesort")
+    run = totals[col].cumsum().shift(fill_value=0)  # exclusive prefix
+    prefix = dict(zip(totals["b"].astype(int), run.astype(int)))
+    prefix_ref = ray.put(prefix)
+    grain_per_bucket = out_grain_us // bucket_us
+
+    def bucket_max(t: pa.Table) -> pa.Table:
+        pmap = ray.get(prefix_ref)
+        tv = t["t"].to_numpy(zero_copy_only=False)
+        dv = t["delta"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-dv, tv))  # +1 before -1 at ties
+        conc = np.cumsum(dv[order])
+        b = int(t["b"][0].as_py())
+        peak = int(conc.max()) + pmap.get(b, 0)
+        return pa.table(
+            {
+                "grain": pa.array([b // grain_per_bucket], pa.int64()),
+                "m": pa.array([peak], pa.int64()),
+            }
+        )
+
+    per_bucket = (
+        bounds.groupby("b").map_groups(bucket_max, batch_format="pyarrow")
+    )
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.groupby("grain")["m"].max().reset_index(name=out_col)
+        return out
+
+    # bounded (#buckets rows): fold on one coalesced block
+    return per_bucket.repartition(1).map_batches(finish, batch_format="pandas")
 
 
 def lag_gap_flag(
