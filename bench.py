@@ -177,6 +177,9 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "events_value_spearman",
             "events_snapshot_diff",
             "events_throttled",
+            "events_concurrency_timeavg",
+            "events_type_autocorr",
+            "seq_span_corrupt",
         ]
         all_q = Q.queries()
 

@@ -309,6 +309,13 @@ class Pipeline:
 
         return Pipeline(mlm_mask(self._ds, rate_pct=rate_pct, **kw))
 
+    def span_corrupt(self, span_w: int = 3, rate_pct: int = 15, **kw) -> "Pipeline":
+        """Deterministic T5-style span-corruption example builder
+        (functions/tokens.py span_corrupt)."""
+        from .functions.tokens import span_corrupt
+
+        return Pipeline(span_corrupt(self._ds, span_w=span_w, rate_pct=rate_pct, **kw))
+
     def cube(self, keys: list[str], sum_cols: dict | None = None, **kw) -> "Pipeline":
         """GROUP BY CUBE counts+sums from one pass (stages/aggregate.py
         cube_agg)."""

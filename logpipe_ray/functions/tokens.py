@@ -769,3 +769,99 @@ def mlm_mask(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def span_corrupt(
+    ds: Dataset,
+    sentinel_id: int = BOS_ID,
+    span_w: int = 3,
+    rate_pct: int = 15,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    num_col: str | None = None,
+) -> Dataset:
+    """Deterministic T5-style SPAN corruption: position i of document d
+    is masked iff hash(d, i // span_w) lands below ``rate_pct`` — whole
+    ``span_w``-token spans drop together, and each CONTIGUOUS masked
+    run is replaced by ONE sentinel token (so the corrupted sequence
+    shrinks). A pure function of (doc, position) -> reproducible
+    example sets, replayable in SQL (the sampling-family int64 hash).
+    Returns per doc: corrupted_tokens, targets (the dropped tokens in
+    position order), n_masked, n_spans (count of contiguous runs).
+
+    Shuffle-free vectorized map over the flat token buffer: one hash,
+    one run-start mask (masked & not-prev-masked, reset at doc
+    boundaries), two ragged ListArray rebuilds; no per-row Python."""
+    from .sampling import HASH_A, HASH_B, HASH_M, SEED_C
+
+    nc = num_col or id_col
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids_arr = t[id_col]
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        nums = t[nc]
+        if isinstance(nums, pa.ChunkedArray):
+            nums = nums.combine_chunks()
+        L = np.asarray(pc.list_value_length(col).fill_null(0), dtype=np.int64)
+        flat_arr = col.flatten()
+        flat = (
+            flat_arr.to_numpy(zero_copy_only=True)
+            if len(flat_arr)
+            else np.empty(0, np.int32)
+        )
+        ends = np.cumsum(L)
+        starts = ends - L
+        did = np.repeat(np.asarray(pc.cast(nums, pa.int64()), dtype=np.int64), L)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, L)
+        span = pos // span_w
+        m = ((did * HASH_A + span * SEED_C + HASH_B) % HASH_M) % 100 < rate_pct
+        # contiguous masked runs (reset at doc starts)
+        prev_m = np.zeros(len(flat), bool)
+        if len(flat) > 1:
+            prev_m[1:] = m[:-1]
+        prev_m[pos == 0] = False
+        runstart = m & ~prev_m
+        keep = ~m | runstart
+        out_flat = np.where(runstart, np.int64(sentinel_id), flat.astype(np.int64))[
+            keep
+        ]
+
+        def per_doc_count(mask: np.ndarray) -> np.ndarray:
+            if not len(flat):
+                return np.zeros(len(L), np.int64)
+            cs = np.cumsum(mask)
+            cnt = cs[ends - 1] - np.where(starts > 0, cs[starts - 1], 0)
+            return np.where(L > 0, cnt, 0).astype(np.int64)
+
+        n_keep = per_doc_count(keep)
+        n_masked = per_doc_count(m)
+        n_spans = per_doc_count(runstart)
+        corrupted = pa.ListArray.from_arrays(
+            pa.array(
+                np.concatenate([[0], np.cumsum(n_keep)]).astype(np.int32),
+                pa.int32(),
+            ),
+            pa.array(out_flat.astype(np.int32), pa.int32()),
+        )
+        targets = pa.ListArray.from_arrays(
+            pa.array(
+                np.concatenate([[0], np.cumsum(n_masked)]).astype(np.int32),
+                pa.int32(),
+            ),
+            pa.array(flat[m].astype(np.int32), pa.int32()),
+        )
+        return pa.table(
+            {
+                id_col: ids_arr,
+                "corrupted_tokens": corrupted,
+                "targets": targets,
+                "n_masked": pa.array(n_masked),
+                "n_spans": pa.array(n_spans),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

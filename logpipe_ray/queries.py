@@ -9953,6 +9953,315 @@ SELECT event_type,
 FROM o GROUP BY 1, 2"""
 
 
+def events_session_entry_exit(sf_dir: str) -> Dataset:
+    """Session ENTRY/EXIT matrix: how many 30-min-gap sessions start
+    with type X and end with type Y — the landing/bounce analytics
+    complement of path mining (bounded #types² output instead of the
+    unbounded path table).
+
+    Scale shape: the sessionize fold (user hash buckets) also knows
+    each session's first/last row — entry/exit extraction is FREE
+    inside the same lexsort pass (zero extra exchange); per-bucket
+    count partials -> tiny keyed Sum."""
+    import pandas as pd
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()))
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        order = np.lexsort((eid, ts, u))
+        us, tss = u[order], ts[order]
+        new = np.ones(len(us), bool)
+        if len(us) > 1:
+            new[1:] = (us[1:] != us[:-1]) | (tss[1:] - tss[:-1] > _COOC_GAP_US)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(us)) - 1
+        g = (
+            pa.table(
+                {
+                    "entry_type": et.take(pa.array(order[starts], pa.int64())),
+                    "exit_type": et.take(pa.array(order[ends], pa.int64())),
+                    "c": pa.array(np.ones(len(starts), np.int64)),
+                }
+            )
+            .group_by(["entry_type", "exit_type"])
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["entry_type", "exit_type", "p_c"])
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["entry_type", "exit_type"])
+        .aggregate(Sum("p_c", alias_name="n_sessions"))
+    )
+
+
+def _sql_events_session_entry_exit(sf_dir: str) -> str:
+    return """
+WITH o AS (SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS ns
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts, event_id, event_type,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+e AS (SELECT user_id, sid,
+             first(event_type ORDER BY ts, event_id) AS entry_type,
+             last(event_type ORDER BY ts, event_id) AS exit_type
+      FROM s GROUP BY 1, 2)
+SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions
+FROM e GROUP BY 1, 2"""
+
+
+def events_concurrency_timeavg(sf_dir: str) -> pa.Table:
+    """TIME-WEIGHTED concurrency: the exact integral of concurrent-
+    session count over time (session-microseconds), the peak, the
+    swept span, and average concurrency — the "avg concurrent users"
+    product metric, exact int64 except the single final divide.
+
+    Scale shape: sessionize -> intervals -> sweep_time_integral (one
+    bounded totals exchange, one per-bucket co-located scan emitting
+    ONE partial row per hour bucket, bounded driver fold). Zero-length
+    tie segments contribute 0 -> tie order irrelevant on both
+    engines."""
+    import pandas as pd
+
+    from .stages.aggregate import sweep_time_integral
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    intervals = (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(_session_intervals_per_bucket, batch_format="pyarrow")
+    )
+    return sweep_time_integral(
+        intervals, t0_col="t0", t1_col="t1", bucket_us=3_600_000_000
+    )
+
+
+def _sql_events_concurrency_timeavg(sf_dir: str) -> str:
+    return """
+WITH o AS (SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS ns
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+iv AS (SELECT user_id, sid,
+              epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1
+       FROM s GROUP BY 1, 2),
+b AS (SELECT t0 AS t, CAST(1 AS BIGINT) AS delta FROM iv
+      UNION ALL
+      SELECT t1, CAST(-1 AS BIGINT) FROM iv),
+r AS (SELECT t,
+             sum(delta) OVER (ORDER BY t, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS conc,
+             lead(t) OVER (ORDER BY t, delta DESC) AS nt
+      FROM b)
+SELECT CAST(max(conc) AS BIGINT) AS peak_concurrent,
+       CAST(sum(conc * (nt - t)) AS BIGINT) AS conc_us_integral,
+       CAST(max(t) - min(t) AS BIGINT) AS span_us,
+       CAST(sum(conc * (nt - t)) AS DOUBLE)
+         / CAST(max(t) - min(t) AS DOUBLE) AS avg_concurrency
+FROM r"""
+
+
+def events_type_autocorr(sf_dir: str) -> Dataset:
+    """Lag-1 AUTOCORRELATION of each type's daily event counts over the
+    dense calendar-day grid (zero-filled) — the time-series diagnostic
+    ("is today's volume predictive of tomorrow's?") next to the anomaly
+    / delta / skewness screens.
+
+    Scale shape: ONE bounded (type, day) count exchange; the dense
+    grid, the lag pairing and the int64 moment sums all run on the
+    bounded table in ONE coalesced block; fixed-order IEEE Pearson
+    finish (oracle replays the expression tree verbatim)."""
+    from .stages.aggregate import count_groupby
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        tsv = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.divide(tsv, pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"event_type": t["event_type"], "day": day})
+
+    counts = count_groupby(
+        ev.map_batches(prep, batch_format="pyarrow"), ["event_type", "day"], alias="n"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        if df.empty:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "lag1_autocorr": pa.array([], pa.float64()),
+                }
+            )
+        d0, d1 = int(df["day"].min()), int(df["day"].max())
+        days = d1 - d0 + 1
+        types = sorted(df["event_type"].unique())
+        tidx = {k: i for i, k in enumerate(types)}
+        grid = np.zeros((len(types), days), np.int64)
+        grid[
+            df["event_type"].map(tidx).to_numpy(np.int64),
+            df["day"].to_numpy(np.int64) - d0,
+        ] = df["n"].to_numpy(np.int64)
+        out_t, out_r, out_mask = [], [], []
+        for k in types:
+            x = grid[tidx[k], :-1]
+            y = grid[tidx[k], 1:]
+            n = np.int64(len(x))
+            sx, sy = np.int64(x.sum()), np.int64(y.sum())
+            sxx = np.int64((x * x).sum())
+            syy = np.int64((y * y).sum())
+            sxy = np.int64((x * y).sum())
+            nf, sxf, syf = float(n), float(sx), float(sy)
+            vx = nf * float(sxx) - sxf * sxf
+            vy = nf * float(syy) - syf * syf
+            ok = vx > 0 and vy > 0 and n > 0
+            out_t.append(k)
+            out_r.append(
+                (nf * float(sxy) - sxf * syf) / (np.sqrt(vx) * np.sqrt(vy))
+                if ok
+                else np.nan
+            )
+            out_mask.append(not ok)
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "lag1_autocorr": pa.array(
+                    out_r, pa.float64(), mask=np.array(out_mask)
+                ),
+            }
+        )
+
+    return counts.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_events_type_autocorr(sf_dir: str) -> str:
+    return """
+WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+bd AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+d AS (SELECT unnest(generate_series(d0, d1)) AS day FROM bd),
+t AS (SELECT DISTINCT event_type FROM c),
+g AS (SELECT t.event_type, d.day, coalesce(c.n, 0) AS x
+      FROM t CROSS JOIN d
+      LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day),
+p AS (SELECT event_type, x,
+             lead(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+      FROM g),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM p WHERE y IS NOT NULL GROUP BY 1)
+SELECT event_type,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            ELSE NULL END AS lag1_autocorr
+FROM s"""
+
+
+def seq_span_corrupt(sf_dir: str) -> Dataset:
+    """T5-style SPAN-corruption example builder: whole 3-token spans
+    drop deterministically (span masked iff the int64-exact hash of
+    (doc number, position // 3) lands below 15%), each contiguous
+    masked run collapsing to ONE sentinel — the denoising-objective
+    complement of MLM masking. Pure function of (doc, position) ->
+    reproducible AND SQL-replayable. Shuffle-free vectorized map
+    (functions/tokens.py span_corrupt)."""
+    from .functions.tokens import span_corrupt
+
+    seq_dir = ensure_sequences(sf_dir)
+    ds = read_parquet_clean(seq_dir, columns=["doc_id", "tokens"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        num = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4), pa.int64())
+        return t.append_column("_doc_num", num)
+
+    return span_corrupt(
+        ds.map_batches(prep, batch_format="pyarrow"), num_col="_doc_num"
+    )
+
+
+def _sql_seq_span_corrupt(sf_dir: str) -> str:
+    from .functions.sampling import HASH_A, HASH_B, HASH_M, SEED_C
+
+    path = ensure_sequences(sf_dir)
+    return f"""
+WITH t AS (SELECT doc_id, CAST(substr(doc_id, 5) AS BIGINT) AS dn, tokens
+           FROM read_parquet('{path}/shard_*.parquet')),
+e AS (SELECT doc_id, i AS pos, tokens[i + 1] AS tok,
+             (((dn * {HASH_A} + (i // 3) * {SEED_C} + {HASH_B})
+               % {HASH_M}) % 100) < 15 AS m
+      FROM t, unnest(range(0, len(tokens))) AS u(i)),
+f AS (SELECT *,
+             m AND NOT coalesce(
+               lag(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE
+             ) AS runstart
+      FROM e),
+r AS (SELECT doc_id,
+             list(CASE WHEN m THEN 1 ELSE tok END ORDER BY pos)
+               FILTER (WHERE NOT m OR runstart) AS corrupted_tokens,
+             list(tok ORDER BY pos) FILTER (WHERE m) AS targets,
+             CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+             CAST(sum(CASE WHEN runstart THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_spans
+      FROM f GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(r.corrupted_tokens, []::INT[]) AS corrupted_tokens,
+       coalesce(r.targets, []::INT[]) AS targets,
+       coalesce(r.n_masked, 0) AS n_masked,
+       coalesce(r.n_spans, 0) AS n_spans
+FROM t LEFT JOIN r ON t.doc_id = r.doc_id"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-6 curation: seats go to queries that have NEVER
@@ -10016,10 +10325,6 @@ REGISTRY: dict = {
         q9_product_type_profit,
         _sql_q9_product_type_profit,
     ),
-    "q13_customer_distribution": (
-        q13_customer_distribution,
-        _sql_q13_customer_distribution,
-    ),
     "q17_small_quantity_revenue": (
         q17_small_quantity_revenue,
         _sql_q17_small_quantity_revenue,
@@ -10029,10 +10334,6 @@ REGISTRY: dict = {
         _sql_q18_large_volume_orders,
     ),
     "q21_waiting_supplier": (q21_waiting_supplier, _sql_q21_waiting_supplier),
-    "q22_idle_rich_customers": (
-        q22_idle_rich_customers,
-        _sql_q22_idle_rich_customers,
-    ),
     "seq_exact_dedup": (seq_exact_dedup, _sql_seq_exact_dedup),
     "seq_chunked": (seq_chunked, _sql_seq_chunked),
     "seq_mlm_masked": (seq_mlm_masked, _sql_seq_mlm_masked),
@@ -10064,10 +10365,6 @@ REGISTRY: dict = {
         events_type_transitions,
         _sql_events_type_transitions,
     ),
-    "events_next_event_examples": (
-        events_next_event_examples,
-        _sql_events_next_event_examples,
-    ),
     "events_top_session_paths": (
         events_top_session_paths,
         _sql_events_top_session_paths,
@@ -10075,7 +10372,6 @@ REGISTRY: dict = {
     "docs_cube_lang_source": (docs_cube_lang_source, _sql_docs_cube_lang_source),
     "docs_weighted_sample": (docs_weighted_sample, _sql_docs_weighted_sample),
     "docs_editdist_pairs": (docs_editdist_pairs, _sql_docs_editdist_pairs),
-    "docs_negative_pairs": (docs_negative_pairs, _sql_docs_negative_pairs),
     "events_click_never_purchase": (
         events_click_never_purchase,
         _sql_events_click_never_purchase,
@@ -10098,9 +10394,32 @@ REGISTRY: dict = {
         _sql_events_snapshot_diff,
     ),
     "events_throttled": (events_throttled, _sql_events_throttled),
+    "events_session_entry_exit": (
+        events_session_entry_exit,
+        _sql_events_session_entry_exit,
+    ),
+    "events_concurrency_timeavg": (
+        events_concurrency_timeavg,
+        _sql_events_concurrency_timeavg,
+    ),
+    "events_type_autocorr": (events_type_autocorr, _sql_events_type_autocorr),
+    "seq_span_corrupt": (seq_span_corrupt, _sql_seq_span_corrupt),
     # ================= PARKED (after driver's 50-entry window) =======
     # Green driver rows on record (r1/r2/r3) or mini-driver-verified
     # this round; full surface stays importable + sweepable.
+    "q13_customer_distribution": (
+        q13_customer_distribution,
+        _sql_q13_customer_distribution,
+    ),
+    "q22_idle_rich_customers": (
+        q22_idle_rich_customers,
+        _sql_q22_idle_rich_customers,
+    ),
+    "events_next_event_examples": (
+        events_next_event_examples,
+        _sql_events_next_event_examples,
+    ),
+    "docs_negative_pairs": (docs_negative_pairs, _sql_docs_negative_pairs),
     "embeddings_neardup": (embeddings_neardup, None),
     "mm_features": (mm_features, None),
     "mm_resized": (mm_resized, None),

@@ -2161,3 +2161,110 @@ def snapshot_diff(
         return t.append_column("status", pa.array(status, pa.string()))
 
     return summed.map_batches(classify, batch_format="pyarrow")
+
+
+def sweep_time_integral(
+    intervals: Dataset,
+    t0_col: str,
+    t1_col: str,
+    bucket_us: int,
+) -> pa.Table:
+    """Time-WEIGHTED interval sweep: the exact integral of concurrency
+    over time (interval-microseconds), the peak, the swept span, and
+    the average concurrency (one IEEE divide) — the "avg concurrent
+    users" product metric, exact in int64 microseconds.
+
+    Scale shape: same boundary-scan plan as sweep_max_concurrent (one
+    bounded totals exchange -> driver prefix -> one per-bucket
+    co-located scan); each bucket emits ONE partial row (its internal
+    integral, min/max t, peak), and the driver folds the bounded
+    (#buckets) table — cross-bucket segments use the exclusive prefix
+    directly (concurrency is constant between observed boundaries).
+    Zero-length tie segments contribute 0 -> tie order irrelevant."""
+    import ray
+
+    def boundaries(t: pa.Table) -> pa.Table:
+        t0 = t[t0_col].to_numpy(zero_copy_only=False)
+        t1 = t[t1_col].to_numpy(zero_copy_only=False)
+        bt = np.concatenate([t0, t1])
+        delta = np.concatenate(
+            [np.ones(len(t0), np.int64), -np.ones(len(t1), np.int64)]
+        )
+        return pa.table(
+            {
+                "t": pa.array(bt, pa.int64()),
+                "delta": pa.array(delta, pa.int64()),
+                "b": pa.array(bt // bucket_us, pa.int64()),
+            }
+        )
+
+    bounds = intervals.map_batches(boundaries, batch_format="pyarrow")
+
+    def totals_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["b", "delta"]).group_by("b").aggregate([("delta", "sum")])
+        return g.rename_columns(["b", "p"])
+
+    totals = (
+        bounds.map_batches(totals_partial, batch_format="pyarrow")
+        .groupby("b")
+        .sum("p")
+        .to_pandas()
+    )
+    col = "sum(p)" if "sum(p)" in totals.columns else "p"
+    totals = totals.sort_values("b", kind="mergesort")
+    run = totals[col].cumsum().shift(fill_value=0)  # exclusive prefix
+    prefix = dict(zip(totals["b"].astype(int), run.astype(int)))
+    prefix_ref = ray.put(prefix)
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        pmap = ray.get(prefix_ref)
+        tv = t["t"].to_numpy(zero_copy_only=False)
+        dv = t["delta"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-dv, tv))  # +1 before -1 at ties
+        ts_s = tv[order]
+        b = int(t["b"][0].as_py())
+        conc = np.cumsum(dv[order]) + pmap.get(b, 0)
+        integral = (
+            int(np.sum(conc[:-1] * (ts_s[1:] - ts_s[:-1]))) if len(conc) > 1 else 0
+        )
+        return pa.table(
+            {
+                "b": pa.array([b], pa.int64()),
+                "integral": pa.array([integral], pa.int64()),
+                "t_min": pa.array([int(ts_s[0])], pa.int64()),
+                "t_max": pa.array([int(ts_s[-1])], pa.int64()),
+                "peak": pa.array([int(conc.max())], pa.int64()),
+            }
+        )
+
+    parts = (
+        bounds.groupby("b")
+        .map_groups(bucket_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    parts = parts.sort_values("b", ignore_index=True)
+    integral = int(parts["integral"].sum())
+    # cross-bucket segments: concurrency after bucket b's last boundary
+    # equals the NEXT observed bucket's exclusive prefix
+    for i in range(len(parts) - 1):
+        nb = int(parts["b"].iloc[i + 1])
+        conc = prefix.get(nb, 0)
+        dt = int(parts["t_min"].iloc[i + 1]) - int(parts["t_max"].iloc[i])
+        integral += conc * dt
+    peak = int(parts["peak"].max()) if len(parts) else 0
+    span = (
+        int(parts["t_max"].iloc[-1]) - int(parts["t_min"].iloc[0])
+        if len(parts)
+        else 0
+    )
+    avg = float(integral) / float(span) if span > 0 else float("nan")
+    return pa.table(
+        {
+            "peak_concurrent": pa.array([peak], pa.int64()),
+            "conc_us_integral": pa.array([integral], pa.int64()),
+            "span_us": pa.array([span], pa.int64()),
+            "avg_concurrency": pa.array(
+                [avg], pa.float64(), mask=np.array([span <= 0])
+            ),
+        }
+    )

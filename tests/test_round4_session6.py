@@ -293,3 +293,161 @@ def test_fluent_api_session6_methods(ray_session):
     )
     diff = sd.snapshot_diff("k", "in_a", "v").to_pandas().set_index("k")
     assert diff.loc[1, "status"] == "changed" and diff.loc[2, "status"] == "added"
+
+
+def test_session_entry_exit_brute_force(ray_session):
+    from logpipe_ray.queries import events_session_entry_exit
+
+    got = _collect(events_session_entry_exit(SF))
+
+    d = _events_df().sort_values(["user_id", "ts", "event_id"])
+    us = d["ts"].astype("int64")
+    new = (d["user_id"] != d["user_id"].shift()) | (us - us.shift() > GAP_US)
+    sid = new.cumsum()
+    g = d.groupby(sid)["event_type"]
+    want = (
+        pd.DataFrame({"entry_type": g.first(), "exit_type": g.last()})
+        .groupby(["entry_type", "exit_type"])
+        .size()
+        .reset_index(name="n_sessions")
+    )
+    want = want.sort_values(list(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # total sessions must match the sessionize count
+    assert got["n_sessions"].sum() == int(new.sum())
+
+
+def test_concurrency_timeavg_brute_force(ray_session):
+    from logpipe_ray.queries import events_concurrency_timeavg
+
+    got = _collect(events_concurrency_timeavg(SF)).iloc[0]
+
+    iv = _brute_sessions(_events_df())
+    b = pd.DataFrame(
+        {
+            "t": np.concatenate([iv["t0"].values, iv["t1"].values]),
+            "delta": np.concatenate(
+                [np.ones(len(iv), np.int64), -np.ones(len(iv), np.int64)]
+            ),
+        }
+    ).sort_values(["t", "delta"], ascending=[True, False], ignore_index=True)
+    conc = b["delta"].cumsum().to_numpy()
+    t = b["t"].to_numpy()
+    integral = int(np.sum(conc[:-1] * (t[1:] - t[:-1])))
+    span = int(t[-1] - t[0])
+    assert int(got["peak_concurrent"]) == int(conc.max())
+    assert int(got["conc_us_integral"]) == integral
+    assert int(got["span_us"]) == span
+    assert got["avg_concurrency"] == float(integral) / float(span)
+
+
+def test_type_autocorr_matches_numpy(ray_session):
+    from logpipe_ray.queries import events_type_autocorr
+
+    got = _collect(events_type_autocorr(SF)).set_index("event_type")
+
+    df = _events_df()
+    df["day"] = df["ts"].astype("int64") // 86_400_000_000
+    d0, d1 = int(df["day"].min()), int(df["day"].max())
+    for et, g in df.groupby("event_type"):
+        series = np.zeros(d1 - d0 + 1, np.int64)
+        vc = g.groupby("day").size()
+        series[vc.index.to_numpy() - d0] = vc.to_numpy()
+        want = np.corrcoef(series[:-1], series[1:])[0, 1]
+        have = got.loc[et, "lag1_autocorr"]
+        assert np.isclose(have, want, rtol=1e-9), (et, have, want)
+
+
+def test_span_corrupt_structure(ray_session):
+    """Contiguous masked runs collapse to exactly one sentinel; targets
+    carry the dropped tokens in order; deterministic across layouts."""
+    import ray.data as rd
+
+    from logpipe_ray.functions.tokens import span_corrupt
+
+    rng = np.random.default_rng(7)
+    docs = []
+    for i in range(50):
+        n = int(rng.integers(0, 40))
+        docs.append(
+            {
+                "doc_id": f"doc-{i}",
+                "_n": i,
+                "tokens": rng.integers(5, 1000, n).astype(np.int32).tolist(),
+            }
+        )
+    t = pa.table(
+        {
+            "doc_id": pa.array([d["doc_id"] for d in docs]),
+            "_n": pa.array([d["_n"] for d in docs], pa.int64()),
+            "tokens": pa.array([d["tokens"] for d in docs], pa.list_(pa.int32())),
+        }
+    )
+    out = (
+        span_corrupt(rd.from_arrow(t), sentinel_id=1, num_col="_n")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+
+    from logpipe_ray.functions.sampling import HASH_A, HASH_B, HASH_M, SEED_C
+
+    for d in docs:
+        toks = np.asarray(d["tokens"], np.int64)
+        pos = np.arange(len(toks), dtype=np.int64)
+        m = ((d["_n"] * HASH_A + (pos // 3) * SEED_C + HASH_B) % HASH_M) % 100 < 15
+        # brute-force expected corrupted sequence
+        exp = []
+        prev_masked = False
+        for tok, mk in zip(toks, m):
+            if not mk:
+                exp.append(int(tok))
+            elif not prev_masked:
+                exp.append(1)
+            prev_masked = bool(mk)
+        row = out.loc[d["doc_id"]]
+        assert list(row["corrupted_tokens"]) == exp, d["doc_id"]
+        assert list(row["targets"]) == toks[m].astype(int).tolist()
+        assert row["n_masked"] == int(m.sum())
+        runs = int((m & ~np.r_[False, m[:-1]]).sum())
+        assert row["n_spans"] == runs
+        # sentinel count in output equals run count
+        assert sum(1 for x in row["corrupted_tokens"] if x == 1) >= runs
+
+
+def test_span_corrupt_fluent_and_layout_invariance(ray_session):
+    import ray.data as rd
+
+    from logpipe_ray.api import Pipeline
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"doc-{i}" for i in range(20)]),
+            "_n": pa.array(list(range(20)), pa.int64()),
+            "tokens": pa.array(
+                [list(range(10, 10 + (i % 7) * 3)) for i in range(20)],
+                pa.list_(pa.int32()),
+            ),
+        }
+    )
+    p = Pipeline.from_dataset(rd.from_arrow(t))
+    a = (
+        p.span_corrupt(num_col="_n")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # split into single-row batches: result must be identical
+    b = (
+        Pipeline.from_dataset(rd.from_arrow(t).repartition(20))
+        .span_corrupt(num_col="_n")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    a2 = a.assign(
+        corrupted_tokens=a["corrupted_tokens"].map(list),
+        targets=a["targets"].map(list),
+    )
+    b2 = b.assign(
+        corrupted_tokens=b["corrupted_tokens"].map(list),
+        targets=b["targets"].map(list),
+    )
+    pd.testing.assert_frame_equal(a2, b2)
