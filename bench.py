@@ -180,6 +180,8 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "events_concurrency_timeavg",
             "events_type_autocorr",
             "seq_span_corrupt",
+            "lineitem_weighted_median_price",
+            "events_out_of_order_audit",
         ]
         all_q = Q.queries()
 

@@ -10262,6 +10262,208 @@ SELECT t.doc_id,
 FROM t LEFT JOIN r ON t.doc_id = r.doc_id"""
 
 
+def lineitem_weighted_median_price(sf_dir: str) -> pa.Table:
+    """Exact WEIGHTED median: per return flag, the smallest
+    extendedprice (cents) whose cumulative QUANTITY reaches half the
+    flag's total quantity — the importance-weighted robust statistic
+    (weighted lower median; all-integer, bitwise SQL replay).
+
+    Scale shape: dense-domain path — ONE keyed exchange builds the
+    per-(flag, price) weight table (bounded by domain, not rows;
+    per-batch partials pre-sum weights), bounded driver fold under a
+    distinct-count guard that RAISES rather than silently collecting
+    (stages/aggregate.py grouped_weighted_quantile)."""
+    from .stages.aggregate import grouped_weighted_quantile
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "vc": pc.cast(
+                    pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+                ),
+                "w": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        )
+
+    return grouped_weighted_quantile(
+        li.map_batches(prep, batch_format="pyarrow"),
+        key="l_returnflag",
+        value_col="vc",
+        weight_col="w",
+        q_permille=500,
+        out_col="wmedian_cents",
+    )
+
+
+def _sql_lineitem_weighted_median_price(sf_dir: str) -> str:
+    return """
+WITH c AS (SELECT l_returnflag,
+                  CAST(round(l_extendedprice * 100.0) AS BIGINT) AS vc,
+                  CAST(l_quantity AS BIGINT) AS w
+           FROM lineitem),
+g AS (SELECT l_returnflag, vc, sum(w) AS w FROM c GROUP BY 1, 2),
+r AS (SELECT l_returnflag, vc,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY vc
+                          ROWS UNBOUNDED PRECEDING) AS cumw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM g)
+SELECT l_returnflag, CAST(min(vc) AS BIGINT) AS wmedian_cents
+FROM r WHERE 1000 * cumw >= 500 * tot
+GROUP BY l_returnflag"""
+
+
+_TOP_MOVERS_K = 20
+
+
+def events_top_movers(sf_dir: str) -> pa.Table:
+    """HEAVY-CHANGE detection: the 20 users whose event count moved
+    most between the two snapshot halves (before/after 2024-01-16) —
+    the "what changed" screen next to heavy hitters' "what's big".
+
+    Scale shape: one scan emits 2-lane conditional count partials per
+    user -> ONE keyed Sum -> shuffle-free delta map -> local-top-k
+    merge on (|delta| desc, user_id) — never a global sort."""
+    from .stages.aggregate import top_k
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()))
+        in_a = (tsv < _SNAPSHOT_CUTOFF_US).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "pb": pa.array(in_a),
+                    "pa_": pa.array(1 - in_a),
+                }
+            )
+            .group_by("user_id")
+            .aggregate([("pb", "sum"), ("pa_", "sum")])
+        )
+        return g.rename_columns(["user_id", "pb", "pa_"])
+
+    summed = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("pb", alias_name="n_before"),
+            Sum("pa_", alias_name="n_after"),
+        )
+    )
+
+    def deltas(t: pa.Table) -> pa.Table:
+        d = pc.subtract(t["n_after"], t["n_before"])
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_before": t["n_before"],
+                "n_after": t["n_after"],
+                "delta": d,
+                "abs_delta": pc.abs(d),
+            }
+        )
+
+    return top_k(
+        summed.map_batches(deltas, batch_format="pyarrow"),
+        [("abs_delta", "descending"), ("user_id", "ascending")],
+        _TOP_MOVERS_K,
+    )
+
+
+def _sql_events_top_movers(sf_dir: str) -> str:
+    return """
+WITH a AS (SELECT user_id,
+                  CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+                  CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+           FROM events GROUP BY 1)
+SELECT user_id, n_before, n_after,
+       n_after - n_before AS delta,
+       abs(n_after - n_before) AS abs_delta
+FROM a ORDER BY abs_delta DESC, user_id LIMIT 20"""
+
+
+def events_out_of_order_audit(sf_dir: str) -> Dataset:
+    """Stream-hygiene WATERMARK audit: per type, how many events arrive
+    with an event-time EARLIER than their user's watermark (the max
+    event-time already seen in arrival order = event_id), and the
+    worst lag — the out-of-orderness measure that sizes allowed
+    lateness in a streaming deployment.
+
+    Scale shape: rows hash-bucket by user (per-key watermark
+    co-location); one exclusive grouped cummax + compare per bucket;
+    per-bucket (type) partials -> ONE tiny keyed Sum/Max."""
+    import pandas as pd
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+        ts = df["ts"].astype("int64")
+        u = df["user_id"].to_numpy()
+        # exclusive per-user running max of event time (the watermark)
+        wm = ts.groupby(u).shift().groupby(u).cummax()
+        late = ts < wm  # NaN watermark (first row) compares False
+        lag = (wm - ts).where(late, 0.0).fillna(0.0).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "late": late.astype(np.int64),
+                "lag": lag,
+            }
+        )
+        g = out.groupby("event_type", sort=False).agg(
+            p_late=("late", "sum"), p_lag=("lag", "max"), p_n=("late", "size")
+        )
+        return g.reset_index()
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("p_late", alias_name="n_late"),
+            Max("p_lag", alias_name="max_lag_us"),
+            Sum("p_n", alias_name="n"),
+        )
+    )
+
+
+def _sql_events_out_of_order_audit(sf_dir: str) -> str:
+    return """
+WITH o AS (SELECT event_type, ts,
+                  max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS wm
+           FROM events)
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE ts < wm) AS BIGINT) AS n_late,
+       CAST(coalesce(max(epoch_us(wm) - epoch_us(ts))
+                       FILTER (WHERE ts < wm), 0) AS BIGINT) AS max_lag_us,
+       CAST(count(*) AS BIGINT) AS n
+FROM o GROUP BY 1"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-6 curation: seats go to queries that have NEVER
@@ -10348,10 +10550,6 @@ REGISTRY: dict = {
         events_value_hour_regr,
         _sql_events_value_hour_regr,
     ),
-    "events_value_percentile": (
-        events_value_percentile,
-        _sql_events_value_percentile,
-    ),
     "events_value_winsorized": (
         events_value_winsorized,
         _sql_events_value_winsorized,
@@ -10361,15 +10559,10 @@ REGISTRY: dict = {
         events_session_cooccurrence,
         _sql_events_session_cooccurrence,
     ),
-    "events_type_transitions": (
-        events_type_transitions,
-        _sql_events_type_transitions,
-    ),
     "events_top_session_paths": (
         events_top_session_paths,
         _sql_events_top_session_paths,
     ),
-    "docs_cube_lang_source": (docs_cube_lang_source, _sql_docs_cube_lang_source),
     "docs_weighted_sample": (docs_weighted_sample, _sql_docs_weighted_sample),
     "docs_editdist_pairs": (docs_editdist_pairs, _sql_docs_editdist_pairs),
     "events_click_never_purchase": (
@@ -10404,9 +10597,27 @@ REGISTRY: dict = {
     ),
     "events_type_autocorr": (events_type_autocorr, _sql_events_type_autocorr),
     "seq_span_corrupt": (seq_span_corrupt, _sql_seq_span_corrupt),
+    "lineitem_weighted_median_price": (
+        lineitem_weighted_median_price,
+        _sql_lineitem_weighted_median_price,
+    ),
+    "events_top_movers": (events_top_movers, _sql_events_top_movers),
+    "events_out_of_order_audit": (
+        events_out_of_order_audit,
+        _sql_events_out_of_order_audit,
+    ),
     # ================= PARKED (after driver's 50-entry window) =======
     # Green driver rows on record (r1/r2/r3) or mini-driver-verified
     # this round; full surface stays importable + sweepable.
+    "events_type_transitions": (
+        events_type_transitions,
+        _sql_events_type_transitions,
+    ),
+    "events_value_percentile": (
+        events_value_percentile,
+        _sql_events_value_percentile,
+    ),
+    "docs_cube_lang_source": (docs_cube_lang_source, _sql_docs_cube_lang_source),
     "q13_customer_distribution": (
         q13_customer_distribution,
         _sql_q13_customer_distribution,

@@ -2268,3 +2268,72 @@ def sweep_time_integral(
             ),
         }
     )
+
+
+WEIGHTED_QUANTILE_DISTINCT_LIMIT = 5_000_000  # driver-held (key, value) rows
+
+
+def grouped_weighted_quantile(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    weight_col: str,
+    q_permille: int = 500,
+    out_col: str = "wq_value",
+    distinct_limit: int = WEIGHTED_QUANTILE_DISTINCT_LIMIT,
+) -> pa.Table:
+    """Exact per-group WEIGHTED lower quantile over integer values and
+    integer weights: the smallest v whose cumulative weight reaches
+    ``q_permille``/1000 of the group's total weight (1000*cumw >=
+    q_permille*W — all-integer, so the result replays bitwise in SQL).
+
+    Scale shape (dense-domain path, the events_value_percentile
+    contract): ONE keyed exchange builds the per-(key, value) WEIGHT
+    table — bounded by #groups x value DOMAIN, independent of row
+    count (per-batch partials pre-sum weights). The bounded table
+    folds on the driver under ``distinct_limit``; unbounded/continuous
+    domains need the selection machinery (grouped_exact_quantile's
+    histogram refinement with weight partials) — this path raises
+    rather than silently collecting."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([key, value_col, weight_col])
+            .group_by([key, value_col])
+            .aggregate([(weight_col, "sum")])
+        )
+        return g.rename_columns([key, value_col, "w"])
+
+    # bounded by #groups x domain: materialize once so the guard count
+    # and the collect don't re-execute the upstream
+    dist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key, value_col])
+        .sum("w")
+        .materialize()
+    )
+    cnt = dist.count()
+    if cnt > distinct_limit:
+        raise ValueError(
+            f"distinct (key, value) table has {cnt} rows > distinct_limit="
+            f"{distinct_limit}; use selection-based refinement for this domain"
+        )
+    df = dist.to_pandas()
+    col = "sum(w)" if "sum(w)" in df.columns else "w"
+    df = df.sort_values([key, value_col], ignore_index=True)
+    out_k, out_v = [], []
+    for k, g in df.groupby(key, sort=True):
+        w = g[col].to_numpy(np.int64)
+        cumw = np.cumsum(w)
+        tot = int(cumw[-1])
+        # smallest v with 1000*cumw >= q_permille*tot (exact ints)
+        idx = int(np.searchsorted(1000 * cumw, q_permille * tot, side="left"))
+        out_k.append(k)
+        out_v.append(int(g[value_col].iloc[idx]))
+    return pa.table(
+        {
+            key: pa.array(out_k),
+            out_col: pa.array(out_v, pa.int64()),
+        }
+    )

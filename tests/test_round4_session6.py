@@ -451,3 +451,102 @@ def test_span_corrupt_fluent_and_layout_invariance(ray_session):
         targets=b["targets"].map(list),
     )
     pd.testing.assert_frame_equal(a2, b2)
+
+
+def test_weighted_median_brute_force_and_guard(ray_session):
+    from logpipe_ray.queries import lineitem_weighted_median_price
+
+    got = (
+        lineitem_weighted_median_price(SF).to_pandas().set_index("l_returnflag")
+    )
+
+    import pyarrow.parquet as pq
+
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    li["vc"] = np.round(li["l_extendedprice"] * 100.0).astype(np.int64)
+    li["w"] = li["l_quantity"].astype(np.int64)
+    for rf, g in li.groupby("l_returnflag"):
+        g = g.sort_values("vc")
+        cumw = g["w"].cumsum().to_numpy()
+        tot = int(cumw[-1])
+        idx = int(np.searchsorted(1000 * cumw, 500 * tot, side="left"))
+        assert got.loc[rf, "wmedian_cents"] == int(g["vc"].iloc[idx]), rf
+
+    # the distinct-count guard must raise, never silently collect
+    import pytest as _pytest
+    import ray.data as rd
+
+    from logpipe_ray.stages.aggregate import grouped_weighted_quantile
+
+    big = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["a"] * 100),
+                "v": pa.array(list(range(100)), pa.int64()),
+                "w": pa.array([1] * 100, pa.int64()),
+            }
+        )
+    )
+    with _pytest.raises(ValueError, match="distinct_limit"):
+        grouped_weighted_quantile(big, "k", "v", "w", distinct_limit=10)
+
+
+def test_top_movers_brute_force(ray_session):
+    from logpipe_ray.queries import _SNAPSHOT_CUTOFF_US, events_top_movers
+
+    got = events_top_movers(SF).to_pandas().reset_index(drop=True)
+
+    df = _events_df()
+    before = (df["ts"].astype("int64") < _SNAPSHOT_CUTOFF_US).astype(np.int64)
+    want = pd.DataFrame({"user_id": df["user_id"], "b": before, "a": 1 - before})
+    want = want.groupby("user_id").agg(n_before=("b", "sum"), n_after=("a", "sum"))
+    want = want.reset_index()
+    want["delta"] = want["n_after"] - want["n_before"]
+    want["abs_delta"] = want["delta"].abs()
+    want = want.sort_values(
+        ["abs_delta", "user_id"], ascending=[False, True], ignore_index=True
+    ).head(20)
+    pd.testing.assert_frame_equal(
+        got[want.columns].reset_index(drop=True), want, check_dtype=False
+    )
+
+
+def test_out_of_order_audit_planted_disorder(ray_session):
+    """The fixture streams are in order (n_late == 0 everywhere), so
+    the oracle row can't exercise the late path — plant disorder and
+    check counts and the worst lag exactly."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.queries import events_out_of_order_audit
+
+    # user 1: arrival order (event_id) 1..4, event times 10, 50, 20, 60
+    #   -> event 3 (ts=20) is late vs watermark 50 (lag 30)
+    # user 2: arrival 5..6, times 100, 90 -> late, lag 10
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "ts": pa.array([10, 50, 20, 60, 100, 90], pa.timestamp("us")),
+            "event_type": pa.array(["x", "x", "x", "y", "y", "y"]),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = (
+            _collect(events_out_of_order_audit(d)).set_index("event_type")
+        )
+    assert out.loc["x", "n_late"] == 1 and out.loc["x", "max_lag_us"] == 30
+    assert out.loc["y", "n_late"] == 1 and out.loc["y", "max_lag_us"] == 10
+    assert out["n"].sum() == 6
+
+
+def test_out_of_order_audit_oracle_shape(ray_session):
+    from logpipe_ray.queries import events_out_of_order_audit
+
+    out = _collect(events_out_of_order_audit(SF))
+    # fixture event_ids are assigned in time order -> zero lateness
+    assert (out["n_late"] == 0).all() and (out["max_lag_us"] == 0).all()
+    assert out["n"].sum() == len(_events_df())
