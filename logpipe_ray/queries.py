@@ -10464,6 +10464,287 @@ SELECT event_type,
 FROM o GROUP BY 1"""
 
 
+def events_conversion_latency(sf_dir: str) -> Dataset:
+    """Conversion-latency histogram: per user, the gap between their
+    FIRST click and the first purchase AT OR AFTER it, bucketed in
+    hours (bucket -1 = clicked but never purchased after) — the
+    sequential funnel-timing metric that a plain min-per-type join gets
+    wrong (a purchase BEFORE the first click must not count).
+
+    Scale shape: rows hash-bucket by user (sequential condition ->
+    co-location); one lexsort fold per bucket finds first-click and
+    first-qualifying-purchase positions vectorized (segment argmax of
+    masked flags, no per-user Python); per-bucket histogram partials ->
+    ONE tiny keyed Sum (output bounded by #hour-buckets)."""
+    import pandas as pd
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()))
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        isc = np.asarray(pc.equal(et, "click")).astype(bool)
+        isp = np.asarray(pc.equal(et, "purchase")).astype(bool)
+        order = np.lexsort((eid, ts, u))
+        us, tss = u[order], ts[order]
+        c_s, p_s = isc[order], isp[order]
+        seg_start = np.ones(len(us), bool)
+        if len(us) > 1:
+            seg_start[1:] = us[1:] != us[:-1]
+        seg_id = np.cumsum(seg_start) - 1
+        n_seg = int(seg_id[-1]) + 1 if len(us) else 0
+        pos = np.arange(len(us), dtype=np.int64)
+        BIG = np.iinfo(np.int64).max
+        # first click position per user (ts-sorted -> min position)
+        first_click = np.full(n_seg, BIG, np.int64)
+        np.minimum.at(first_click, seg_id[c_s], pos[c_s])
+        # first purchase position >= the user's first-click position
+        qual = p_s & (pos >= first_click[seg_id])
+        first_purch = np.full(n_seg, BIG, np.int64)
+        np.minimum.at(first_purch, seg_id[qual], pos[qual])
+        has_click = first_click < BIG
+        converted = has_click & (first_purch < BIG)
+        lat = np.where(
+            converted,
+            tss[np.minimum(first_purch, len(us) - 1)]
+            - tss[np.minimum(first_click, len(us) - 1)],
+            -1,
+        )
+        bucket = np.where(lat >= 0, lat // 3_600_000_000, -1)[has_click]
+        g = (
+            pa.table(
+                {
+                    "hour_bucket": pa.array(bucket, pa.int64()),
+                    "c": pa.array(np.ones(len(bucket), np.int64)),
+                }
+            )
+            .group_by("hour_bucket")
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["hour_bucket", "p_c"])
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("hour_bucket")
+        .aggregate(Sum("p_c", alias_name="n_users"))
+    )
+
+
+def _sql_events_conversion_latency(sf_dir: str) -> str:
+    return """
+WITH fc AS (SELECT user_id, min(ts) AS t_click
+            FROM events WHERE event_type = 'click' GROUP BY 1),
+fp AS (SELECT e.user_id, min(e.ts) AS t_purchase
+       FROM events e JOIN fc ON e.user_id = fc.user_id
+       WHERE e.event_type = 'purchase' AND e.ts >= fc.t_click
+       GROUP BY 1),
+l AS (SELECT fc.user_id,
+             epoch_us(fp.t_purchase) - epoch_us(fc.t_click) AS lat
+      FROM fc LEFT JOIN fp ON fc.user_id = fp.user_id)
+SELECT CASE WHEN lat IS NULL THEN -1
+            ELSE lat // 3600000000 END AS hour_bucket,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM l GROUP BY 1"""
+
+
+def events_ab_hash_split(sf_dir: str) -> Dataset:
+    """A/B experiment readout: users deterministically split by id
+    parity, conversion = "made >= 1 purchase", two-proportion z-score
+    in fixed IEEE order — the experiment-analysis primitive (the split
+    here is synthetic; real assignments would come from a column).
+
+    Scale shape: per-batch (user, purchased) partials -> ONE keyed Max
+    per user (the dedup exchange) -> bounded 2x2 counts -> single-row
+    fixed-order finish (ints exact; each divide/sqrt one correctly-
+    rounded op, replayed verbatim in SQL)."""
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        purch = pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64())
+        g = (
+            pa.table({"user_id": t["user_id"], "p": purch})
+            .group_by("user_id")
+            .aggregate([("p", "max")])
+        )
+        return g.rename_columns(["user_id", "p"])
+
+    per_user = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("p", alias_name="purchased"))
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = (t["user_id"].to_numpy() % 2).astype(np.int64)
+        p = t["purchased"].to_numpy()
+        return pa.table(
+            {
+                "pn0": pa.array([int((v == 0).sum())], pa.int64()),
+                "pn1": pa.array([int((v == 1).sum())], pa.int64()),
+                "pc0": pa.array([int(p[v == 0].sum())], pa.int64()),
+                "pc1": pa.array([int(p[v == 1].sum())], pa.int64()),
+            }
+        )
+
+    summed = (
+        per_user.map_batches(counts, batch_format="pyarrow")
+        .sum(["pn0", "pn1", "pc0", "pc1"])
+    )
+
+    def finish(row: dict) -> pa.Table:
+        n0, n1 = int(row["sum(pn0)"]), int(row["sum(pn1)"])
+        c0, c1 = int(row["sum(pc0)"]), int(row["sum(pc1)"])
+        p0 = float(c0) / float(n0)
+        p1 = float(c1) / float(n1)
+        pp = float(c0 + c1) / float(n0 + n1)
+        se = np.sqrt(pp * (1.0 - pp) * (1.0 / float(n0) + 1.0 / float(n1)))
+        z = (p1 - p0) / se if se > 0 else float("nan")
+        return pa.table(
+            {
+                "n0": pa.array([n0], pa.int64()),
+                "n1": pa.array([n1], pa.int64()),
+                "conv0": pa.array([c0], pa.int64()),
+                "conv1": pa.array([c1], pa.int64()),
+                "p0": pa.array([p0], pa.float64()),
+                "p1": pa.array([p1], pa.float64()),
+                "z_score": pa.array([z], pa.float64(), mask=np.array([se <= 0])),
+            }
+        )
+
+    return finish(summed)
+
+
+def _sql_events_ab_hash_split(sf_dir: str) -> str:
+    return """
+WITH pu AS (SELECT user_id,
+                   CAST(max(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS purchased
+            FROM events GROUP BY 1),
+c AS (SELECT
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN purchased ELSE 0 END)
+             AS BIGINT) AS conv0,
+        CAST(sum(CASE WHEN user_id % 2 = 1 THEN purchased ELSE 0 END)
+             AS BIGINT) AS conv1
+      FROM pu),
+f AS (SELECT n0, n1, conv0, conv1,
+             CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+             CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+             CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS pp
+      FROM c)
+SELECT n0, n1, conv0, conv1, p0, p1,
+       CASE WHEN pp > 0 AND pp < 1
+            THEN (p1 - p0)
+                 / sqrt(pp * (1.0 - pp)
+                        * (1.0 / CAST(n0 AS DOUBLE)
+                           + 1.0 / CAST(n1 AS DOUBLE)))
+            ELSE NULL END AS z_score
+FROM f"""
+
+
+def embeddings_quantize_int8(sf_dir: str) -> Dataset:
+    """Vector COMPRESSION audit: per-vector int8 min/max quantization
+    (code = floor((v-mn)/rng*255 + 0.5)) and the worst reconstruction
+    error in ppm of the vector's range — the storage-reduction step of
+    an embedding pipeline with its quality gate.
+
+    Scale shape: shuffle-free vectorized map over the flat float
+    buffer (reduceat min/max per segment, one repeat broadcast, one
+    reduceat max of errors); every double op is pinned in the same
+    order the oracle's expression tree uses (float32 values are exact
+    in double), so the integer ppm replays bitwise."""
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        L = np.asarray(pc.list_value_length(col).fill_null(0), dtype=np.int64)
+        flat_arr = col.flatten()
+        flat = (
+            flat_arr.to_numpy(zero_copy_only=True).astype(np.float64)
+            if len(flat_arr)
+            else np.empty(0, np.float64)
+        )
+        ends = np.cumsum(L)
+        starts = ends - L
+        nz = L > 0
+        mn = np.zeros(len(L), np.float64)
+        mx = np.zeros(len(L), np.float64)
+        if len(flat):
+            mn_nz = np.minimum.reduceat(flat, starts[nz])
+            mx_nz = np.maximum.reduceat(flat, starts[nz])
+            mn[nz] = mn_nz
+            mx[nz] = mx_nz
+        rng = mx - mn
+        mn_e = np.repeat(mn, L)
+        rng_e = np.repeat(rng, L)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            code = np.floor((flat - mn_e) / rng_e * 255.0 + 0.5)
+            recon = mn_e + (code * rng_e) / 255.0
+        err = np.abs(flat - recon)
+        err[rng_e == 0] = 0.0
+        max_err = np.zeros(len(L), np.float64)
+        if len(flat):
+            max_err[nz] = np.maximum.reduceat(err, starts[nz])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ppm = np.floor(max_err / rng * 1e6)
+        ppm = np.where(rng > 0, ppm, 0.0).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "n_dims": pa.array(L),
+                "max_err_ppm": pa.array(ppm),
+            }
+        )
+
+    return emb.map_batches(fn, batch_format="pyarrow")
+
+
+def _sql_embeddings_quantize_int8(sf_dir: str) -> str:
+    return """
+WITH u AS (SELECT vec_id, CAST(x AS DOUBLE) AS v
+           FROM embeddings, unnest(embedding) AS t(x)),
+s AS (SELECT vec_id, min(v) AS mn, max(v) AS mx,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM u GROUP BY 1),
+e AS (SELECT u.vec_id,
+             abs(u.v - (s.mn + (floor((u.v - s.mn) / (s.mx - s.mn) * 255.0
+                                      + 0.5)
+                                * (s.mx - s.mn)) / 255.0)) AS err,
+             s.mx - s.mn AS rng
+      FROM u JOIN s ON u.vec_id = s.vec_id
+      WHERE s.mx > s.mn),
+m AS (SELECT vec_id,
+             CAST(floor(max(err) / any_value(rng) * 1e6) AS BIGINT) AS ppm
+      FROM e GROUP BY 1)
+SELECT s.vec_id, s.nd AS n_dims,
+       coalesce(m.ppm, 0) AS max_err_ppm
+FROM s LEFT JOIN m ON s.vec_id = m.vec_id"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-6 curation: seats go to queries that have NEVER
@@ -10527,10 +10808,6 @@ REGISTRY: dict = {
         q9_product_type_profit,
         _sql_q9_product_type_profit,
     ),
-    "q17_small_quantity_revenue": (
-        q17_small_quantity_revenue,
-        _sql_q17_small_quantity_revenue,
-    ),
     "q18_large_volume_orders": (
         q18_large_volume_orders,
         _sql_q18_large_volume_orders,
@@ -10540,12 +10817,10 @@ REGISTRY: dict = {
     "seq_chunked": (seq_chunked, _sql_seq_chunked),
     "seq_mlm_masked": (seq_mlm_masked, _sql_seq_mlm_masked),
     "seq_source_tv_drift": (seq_source_tv_drift, _sql_seq_source_tv_drift),
-    "seq_bigram_lift_topk": (seq_bigram_lift_topk, _sql_seq_bigram_lift_topk),
     "events_value_quantiles_exact": (
         events_value_quantiles_exact,
         _sql_events_value_quantiles_exact,
     ),
-    "events_value_mad": (events_value_mad, _sql_events_value_mad),
     "events_value_hour_regr": (
         events_value_hour_regr,
         _sql_events_value_hour_regr,
@@ -10606,9 +10881,24 @@ REGISTRY: dict = {
         events_out_of_order_audit,
         _sql_events_out_of_order_audit,
     ),
+    "events_conversion_latency": (
+        events_conversion_latency,
+        _sql_events_conversion_latency,
+    ),
+    "events_ab_hash_split": (events_ab_hash_split, _sql_events_ab_hash_split),
+    "embeddings_quantize_int8": (
+        embeddings_quantize_int8,
+        _sql_embeddings_quantize_int8,
+    ),
     # ================= PARKED (after driver's 50-entry window) =======
     # Green driver rows on record (r1/r2/r3) or mini-driver-verified
     # this round; full surface stays importable + sweepable.
+    "q17_small_quantity_revenue": (
+        q17_small_quantity_revenue,
+        _sql_q17_small_quantity_revenue,
+    ),
+    "seq_bigram_lift_topk": (seq_bigram_lift_topk, _sql_seq_bigram_lift_topk),
+    "events_value_mad": (events_value_mad, _sql_events_value_mad),
     "events_type_transitions": (
         events_type_transitions,
         _sql_events_type_transitions,

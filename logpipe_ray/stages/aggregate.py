@@ -1853,21 +1853,59 @@ def grouped_spearman(
 
     Average ranks are a closed form over per-(key, value) count
     tables: 2r = 2*below + cnt + 1 stays exact int64. Pass 1 builds
-    the two bounded count grids (one keyed exchange each, rows bounded
-    by domain x groups); pass 2 is a shuffle-free map accumulating
-    int64 moment partials over the doubled ranks -> tiny keyed Sum ->
-    fixed-order IEEE Pearson finish (the 2x cancels). Int64-exact
-    while n_group <~ 1e6 rows (Sxx ~ n^3)."""
+    BOTH bounded count grids in ONE two-lane keyed exchange (rows
+    bounded by domain x groups x 2, never event count); pass 2 is a
+    shuffle-free map accumulating int64 moment partials over the
+    doubled ranks -> tiny keyed Sum -> fixed-order IEEE Pearson finish
+    (the 2x cancels). Int64-exact while n_group <~ 1e6 rows (Sxx ~
+    n^3). The projected input is materialized once (the
+    grouped_exact_quantile lesson) so the grid and moment passes never
+    re-execute a lazy upstream."""
     import ray
 
-    def rank_lut(col: str):
-        dist = count_groupby(ds, [key, col], alias="c").to_pandas()
-        dist = dist.sort_values([key, col], ignore_index=True)
+    ds = ds.materialize()
+
+    def grid_partial(t: pa.Table) -> pa.Table:
+        karr = t[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        n = len(karr)
+        both = pa.table(
+            {
+                key: pa.concat_arrays([karr, karr]),
+                "lane": pa.array(
+                    np.r_[np.zeros(n, np.int64), np.ones(n, np.int64)]
+                ),
+                "v": pa.array(
+                    np.r_[
+                        t[x_col].to_numpy(zero_copy_only=False),
+                        t[y_col].to_numpy(zero_copy_only=False),
+                    ],
+                    pa.int64(),
+                ),
+                "c": pa.array(np.ones(2 * n, np.int64)),
+            }
+        )
+        g = both.group_by([key, "lane", "v"]).aggregate([("c", "sum")])
+        return g.rename_columns([key, "lane", "v", "pc"])
+
+    grids = (
+        ds.map_batches(grid_partial, batch_format="pyarrow")
+        .groupby([key, "lane", "v"])
+        .sum("pc")
+        .to_pandas()
+    )
+    ccol = "sum(pc)" if "sum(pc)" in grids.columns else "pc"
+
+    def rank_lut(lane: int):
+        dist = grids[grids["lane"] == lane].sort_values(
+            [key, "v"], ignore_index=True
+        )
         groups = sorted(dist[key].unique())
         gidx = {k: i for i, k in enumerate(groups)}
         gi = dist[key].map(gidx).to_numpy(np.int64)
-        v = dist[col].to_numpy(np.int64)
-        c = dist["c"].to_numpy(np.int64)
+        v = dist["v"].to_numpy(np.int64)
+        c = dist[ccol].to_numpy(np.int64)
         cum = np.cumsum(c)
         grp_start = np.r_[0, np.flatnonzero(np.diff(gi)) + 1]
         below = cum - c
@@ -1876,8 +1914,8 @@ def grouped_spearman(
         span = int(v.max()) + 1 if len(v) else 1
         return pa.array(groups), gi * span + v, r2, span
 
-    groups_x, comp_x, r2_x, span_x = rank_lut(x_col)
-    _, comp_y, r2_y, span_y = rank_lut(y_col)
+    groups_x, comp_x, r2_x, span_x = rank_lut(0)
+    _, comp_y, r2_y, span_y = rank_lut(1)
     ref = ray.put((groups_x, comp_x, r2_x, span_x, comp_y, r2_y, span_y))
 
     def moments(t: pa.Table) -> pa.Table:

@@ -550,3 +550,113 @@ def test_out_of_order_audit_oracle_shape(ray_session):
     # fixture event_ids are assigned in time order -> zero lateness
     assert (out["n_late"] == 0).all() and (out["max_lag_us"] == 0).all()
     assert out["n"].sum() == len(_events_df())
+
+
+def test_conversion_latency_brute_force_and_ordering(ray_session):
+    """A purchase BEFORE the user's first click must not count — the
+    sequential condition the naive min-per-type join gets wrong."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.queries import events_conversion_latency
+
+    got = _collect(events_conversion_latency(SF))
+
+    df = _events_df().sort_values(["user_id", "ts", "event_id"])
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        clicks = g[g["event_type"] == "click"]
+        if clicks.empty:
+            continue
+        t0 = clicks["ts"].iloc[0]
+        purch = g[(g["event_type"] == "purchase") & (g["ts"] >= t0)]
+        if purch.empty:
+            rows.append(-1)
+        else:
+            lat = purch["ts"].iloc[0].value // 1000 - t0.value // 1000
+            rows.append(lat // 3_600_000_000)
+    want = (
+        pd.Series(rows).value_counts().rename_axis("hour_bucket").reset_index(
+            name="n_users"
+        )
+    )
+    want = want.sort_values(list(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # planted: purchase before first click -> bucket -1, after -> 0
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([100, 200, 100, 200], pa.timestamp("us")),
+            "event_type": pa.array(["purchase", "click", "click", "purchase"]),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = _collect(events_conversion_latency(d)).set_index("hour_bucket")
+    assert out.loc[-1, "n_users"] == 1  # user 1: purchase precedes click
+    assert out.loc[0, "n_users"] == 1  # user 2: converted within the hour
+
+
+def test_ab_hash_split_brute_force(ray_session):
+    from logpipe_ray.queries import events_ab_hash_split
+
+    got = _collect(events_ab_hash_split(SF)).iloc[0]
+
+    df = _events_df()
+    pu = (
+        df.assign(p=(df["event_type"] == "purchase").astype(int))
+        .groupby("user_id")["p"]
+        .max()
+    )
+    v = pu.index.to_numpy() % 2
+    n0, n1 = int((v == 0).sum()), int((v == 1).sum())
+    c0 = int(pu[v == 0].sum())
+    c1 = int(pu[v == 1].sum())
+    assert (got["n0"], got["n1"], got["conv0"], got["conv1"]) == (n0, n1, c0, c1)
+    p0, p1 = c0 / n0, c1 / n1
+    pp = (c0 + c1) / (n0 + n1)
+    if 0 < pp < 1:
+        z = (p1 - p0) / np.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1))
+        assert np.isclose(got["z_score"], z, rtol=1e-12)
+    else:
+        # degenerate split (everyone/no-one converted): NULL by contract
+        assert pd.isna(got["z_score"])
+
+
+def test_quantize_int8_reconstruction_bound(ray_session):
+    """Round-to-nearest int8 quantization can't err more than half a
+    code step: max_err_ppm <= 1e6 / 255 / 2 (+1 for the floor)."""
+    import ray.data as rd
+
+    from logpipe_ray.queries import embeddings_quantize_int8
+
+    out = _collect(embeddings_quantize_int8(SF))
+    assert (out["max_err_ppm"] <= int(1e6 / 255 / 2) + 1).all()
+    assert (out["n_dims"] > 0).all()
+
+    # constant vector: zero range -> zero error by convention
+    from logpipe_ray.queries import embeddings_quantize_int8 as q
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[1.5, 1.5, 1.5], [0.0, 1.0, 0.25]], pa.list_(pa.float32())
+            ),
+        }
+    )
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+        small = _collect(q(d)).set_index("vec_id")
+    assert small.loc[1, "max_err_ppm"] == 0
+    # non-grid values stay inside the half-step bound
+    assert small.loc[2, "max_err_ppm"] <= int(1e6 / 255 / 2) + 1
