@@ -182,6 +182,8 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "seq_span_corrupt",
             "lineitem_weighted_median_price",
             "events_out_of_order_audit",
+            "events_conversion_latency",
+            "embeddings_quantize_int8",
         ]
         all_q = Q.queries()
 

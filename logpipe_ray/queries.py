@@ -10745,6 +10745,231 @@ SELECT s.vec_id, s.nd AS n_dims,
 FROM s LEFT JOIN m ON s.vec_id = m.vec_id"""
 
 
+_FK_RELATIONS = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    (
+        "lineitem.l_suppkey->supplier",
+        "lineitem",
+        "l_suppkey",
+        "supplier",
+        "s_suppkey",
+    ),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def fk_violations_audit(sf_dir: str) -> pa.Table:
+    """Cross-table REFERENTIAL-INTEGRITY audit: for every foreign-key
+    relation in the star schema, the count of fact rows whose key is
+    NULL or absent from the dimension — the data-quality gate the
+    single-table validation report can't see. (The generator is clean,
+    so the fixture reports zeros; the planted-violation pytest covers
+    the non-zero path.)
+
+    Scale shape: each dimension's DISTINCT key set broadcasts once
+    (dimension tables are small by design; a huge dimension would take
+    semi_anti_join_ds' shuffle route — a Bloom filter is NOT safe here,
+    false positives would hide violations); each fact side is one
+    key-column streaming scan of count partials — no shuffle anywhere."""
+    import ray as _ray
+
+    # one broadcast key set per dimension, ONE scan per fact table
+    # (lineitem carries three FKs -> all three audit in the same pass)
+    by_fact: dict = {}
+    for rel, fact, fcol, dim, dcol in _FK_RELATIONS:
+        by_fact.setdefault(fact, []).append((rel, fcol, dim, dcol))
+    key_refs = {}
+    for rel, fact, fcol, dim, dcol in _FK_RELATIONS:
+        if dim not in key_refs:
+            dim_keys = read_parquet_clean(
+                f"{sf_dir}/{dim}.parquet", columns=[dcol]
+            ).unique(dcol)
+            key_refs[dim] = _ray.put(pa.array(dim_keys))
+
+    results: dict = {}
+    for fact, rels in by_fact.items():
+        cols = sorted({fcol for _, fcol, _, _ in rels})
+        refs = {fcol: key_refs[dim] for _, fcol, dim, _ in rels}
+
+        def partial(t: pa.Table, _refs=refs) -> pa.Table:
+            out = {"pn": pa.array([t.num_rows], pa.int64())}
+            for c, ref in _refs.items():
+                keys = _ray.get(ref)
+                ok = pc.and_(
+                    pc.is_valid(t[c]),
+                    pc.fill_null(pc.is_in(t[c], value_set=keys), False),
+                )
+                bad = t.num_rows - pc.sum(pc.cast(ok, pa.int64())).as_py()
+                out[f"po_{c}"] = pa.array([int(bad)], pa.int64())
+            return pa.table(out)
+
+        agg = (
+            read_parquet_clean(f"{sf_dir}/{fact}.parquet", columns=cols)
+            .map_batches(partial, batch_format="pyarrow")
+            .sum(["pn"] + [f"po_{c}" for c in cols])
+        )
+        for rel, fcol, _, _ in rels:
+            results[rel] = (int(agg[f"sum(po_{fcol})"]), int(agg["sum(pn)"]))
+
+    out_rel = [rel for rel, *_ in _FK_RELATIONS]
+    out_orph = [results[r][0] for r in out_rel]
+    out_rows = [results[r][1] for r in out_rel]
+    return pa.table(
+        {
+            "relation": pa.array(out_rel, pa.string()),
+            "n_orphans": pa.array(out_orph, pa.int64()),
+            "n_rows": pa.array(out_rows, pa.int64()),
+        }
+    )
+
+
+def _sql_fk_violations_audit(sf_dir: str) -> str:
+    parts = []
+    for rel, fact, fcol, dim, dcol in _FK_RELATIONS:
+        parts.append(
+            f"""SELECT '{rel}' AS relation,
+       CAST(count(*) FILTER (WHERE {fcol} IS NULL
+                OR {fcol} NOT IN (SELECT {dcol} FROM {dim})) AS BIGINT)
+         AS n_orphans,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM {fact}"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def events_merge_upsert_state(sf_dir: str) -> pa.Table:
+    """MERGE INTO round-trip: the per-user latest-event STATE table is
+    built as snapshot v1 (events before 2024-01-16), written to
+    parquet, then the post-cutoff delta upserts into it latest-wins and
+    republishes atomically as v2 (pipelines/merge.py merge_into) — the
+    storage-side CDC maintenance pipeline, verified against a full
+    recompute (the oracle's window argmax over ALL events).
+
+    Scale shape: both merge inputs stream through latest_by_key's
+    two-level argmax; snapshots write as parquet and publish by atomic
+    rename; the collect here is only because the driver compares
+    values (a production run would stop at the v2 write)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .pipelines.merge import merge_into
+    from .stages.aggregate import latest_by_key
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        tsv = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "last_ts": tsv,
+                "event_id": t["event_id"],
+                "last_type": t["event_type"],
+            }
+        )
+
+    def half(before: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.less(t["last_ts"], pa.scalar(_SNAPSHOT_CUTOFF_US, pa.int64()))
+            return t.filter(m if before else pc.invert(m))
+
+        return ev.map_batches(prep, batch_format="pyarrow").map_batches(
+            fn, batch_format="pyarrow"
+        )
+
+    base_rows = half(True)
+    delta_rows = half(False)
+
+    work = tempfile.mkdtemp(prefix="merge_upsert_", dir="/tmp")
+    try:
+        v1 = f"{work}/state_v1"
+        merge_into(None, base_rows, "user_id", ["last_ts", "event_id"], v1)
+        v2 = f"{work}/state_v2"
+        merge_into(v1, delta_rows, "user_id", ["last_ts", "event_id"], v2)
+        out = pq.ParquetDataset(v2).read(
+            columns=["user_id", "last_ts", "last_type"]
+        )
+        return out.combine_chunks()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _sql_events_merge_upsert_state(sf_dir: str) -> str:
+    return """
+WITH r AS (SELECT user_id, epoch_us(ts) AS last_ts, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+SELECT user_id, last_ts, event_type AS last_type
+FROM r WHERE rn = 1"""
+
+
+def seq_bpe_encode(sf_dir: str) -> pa.Table:
+    """Tokenizer APPLY: encode the full corpus with the merge table
+    learned on the deterministic 1/4 hash sample (train-on-sample,
+    apply-everywhere — the production tokenizer deployment shape),
+    reporting per-source sequence count and token totals before/after.
+    Rows-only by design: merge application is an iterative rewrite no
+    SQL window expresses; byte-level correctness is pinned by the BPE
+    module's equality pytests and the monotone-compression pytest."""
+    from .functions.bpe import apply_merges, learn_bpe_merges
+
+    seq_dir = ensure_sequences(sf_dir)
+    ds = read_parquet_clean(seq_dir, columns=["doc_id", "source", "tokens"])
+    merges = learn_bpe_merges(ds, k_merges=8, sample_mod=4, id_col="doc_id")
+
+    before = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "source": t["source"],
+                "n_tok": pc.list_value_length(t["tokens"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    enc = apply_merges(ds, merges)
+    after = enc.map_batches(
+        lambda t: pa.table(
+            {
+                "source": t["source"],
+                "n_tok": pc.list_value_length(t["tokens"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def totals(d: Dataset, alias: str):
+        return (
+            d.groupby("source")
+            .aggregate(
+                Count(alias_name=f"n_rows_{alias}"),
+                Sum("n_tok", alias_name=f"n_tok_{alias}"),
+            )
+            .to_pandas()
+            .set_index("source")
+        )
+
+    b = totals(before, "before")
+    a = totals(after, "after")
+    j = b.join(a).reset_index()
+    return pa.table(
+        {
+            "source": pa.array(j["source"], pa.string()),
+            "n_rows": pa.array(j["n_rows_before"].astype("int64")),
+            "n_tok_before": pa.array(j["n_tok_before"].astype("int64")),
+            "n_tok_after": pa.array(j["n_tok_after"].astype("int64")),
+        }
+    )
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-6 curation: seats go to queries that have NEVER
@@ -10804,10 +11029,6 @@ REGISTRY: dict = {
         _sql_q5_local_supplier_volume,
     ),
     "q7_volume_shipping": (q7_volume_shipping, _sql_q7_volume_shipping),
-    "q9_product_type_profit": (
-        q9_product_type_profit,
-        _sql_q9_product_type_profit,
-    ),
     "q18_large_volume_orders": (
         q18_large_volume_orders,
         _sql_q18_large_volume_orders,
@@ -10820,10 +11041,6 @@ REGISTRY: dict = {
     "events_value_quantiles_exact": (
         events_value_quantiles_exact,
         _sql_events_value_quantiles_exact,
-    ),
-    "events_value_hour_regr": (
-        events_value_hour_regr,
-        _sql_events_value_hour_regr,
     ),
     "events_value_winsorized": (
         events_value_winsorized,
@@ -10838,7 +11055,6 @@ REGISTRY: dict = {
         events_top_session_paths,
         _sql_events_top_session_paths,
     ),
-    "docs_weighted_sample": (docs_weighted_sample, _sql_docs_weighted_sample),
     "docs_editdist_pairs": (docs_editdist_pairs, _sql_docs_editdist_pairs),
     "events_click_never_purchase": (
         events_click_never_purchase,
@@ -10890,9 +11106,24 @@ REGISTRY: dict = {
         embeddings_quantize_int8,
         _sql_embeddings_quantize_int8,
     ),
+    "fk_violations_audit": (fk_violations_audit, _sql_fk_violations_audit),
+    "events_merge_upsert_state": (
+        events_merge_upsert_state,
+        _sql_events_merge_upsert_state,
+    ),
+    "seq_bpe_encode": (seq_bpe_encode, None),  # iterative rewrite: rows-only
     # ================= PARKED (after driver's 50-entry window) =======
     # Green driver rows on record (r1/r2/r3) or mini-driver-verified
     # this round; full surface stays importable + sweepable.
+    "events_value_hour_regr": (
+        events_value_hour_regr,
+        _sql_events_value_hour_regr,
+    ),
+    "q9_product_type_profit": (
+        q9_product_type_profit,
+        _sql_q9_product_type_profit,
+    ),
+    "docs_weighted_sample": (docs_weighted_sample, _sql_docs_weighted_sample),
     "q17_small_quantity_revenue": (
         q17_small_quantity_revenue,
         _sql_q17_small_quantity_revenue,

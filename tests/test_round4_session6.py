@@ -660,3 +660,158 @@ def test_quantize_int8_reconstruction_bound(ray_session):
     assert small.loc[1, "max_err_ppm"] == 0
     # non-grid values stay inside the half-step bound
     assert small.loc[2, "max_err_ppm"] <= int(1e6 / 255 / 2) + 1
+
+
+def test_fk_audit_planted_violations(ray_session):
+    """The fixture is referentially clean (all zeros) — plant orphans
+    in a synthetic star and check exact counts per relation."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.queries import fk_violations_audit
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table({"o_orderkey": pa.array([1, 2], pa.int64()),
+                      "o_custkey": pa.array([10, 99], pa.int64())}),
+            os.path.join(d, "orders.parquet"),
+        )
+        pq.write_table(
+            pa.table({"c_custkey": pa.array([10, 11], pa.int64()),
+                      "c_nationkey": pa.array([0, 7], pa.int64())}),
+            os.path.join(d, "customer.parquet"),
+        )
+        pq.write_table(
+            pa.table({"n_nationkey": pa.array([0], pa.int64())}),
+            os.path.join(d, "nation.parquet"),
+        )
+        pq.write_table(
+            pa.table({"p_partkey": pa.array([5], pa.int64())}),
+            os.path.join(d, "part.parquet"),
+        )
+        pq.write_table(
+            pa.table({"s_suppkey": pa.array([3], pa.int64())}),
+            os.path.join(d, "supplier.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    # one orphan orderkey, one NULL partkey (counts),
+                    # one orphan suppkey
+                    "l_orderkey": pa.array([1, 7], pa.int64()),
+                    "l_partkey": pa.array([5, None], pa.int64()),
+                    "l_suppkey": pa.array([4, 3], pa.int64()),
+                }
+            ),
+            os.path.join(d, "lineitem.parquet"),
+        )
+        pq.write_table(
+            pa.table({"user_id": pa.array([10, 10, 12], pa.int64())}),
+            os.path.join(d, "events.parquet"),
+        )
+        out = fk_violations_audit(d).to_pandas().set_index("relation")
+
+    assert out.loc["lineitem.l_orderkey->orders", "n_orphans"] == 1
+    assert out.loc["lineitem.l_partkey->part", "n_orphans"] == 1  # NULL
+    assert out.loc["lineitem.l_suppkey->supplier", "n_orphans"] == 1
+    assert out.loc["orders.o_custkey->customer", "n_orphans"] == 1
+    assert out.loc["events.user_id->customer", "n_orphans"] == 1
+    assert out.loc["customer.c_nationkey->nation", "n_orphans"] == 1
+    assert (out["n_rows"] == [2, 2, 2, 2, 3, 2]).all()
+
+
+def test_merge_into_matches_full_recompute_and_idempotent(ray_session):
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from logpipe_ray.pipelines.merge import merge_into
+
+    rng = np.random.default_rng(11)
+    n = 500
+    rows = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 60, n), pa.int64()),
+            "v": pa.array(np.arange(n), pa.int64()),
+            "payload": pa.array(rng.integers(0, 1000, n), pa.int64()),
+        }
+    )
+    base_t = rows.slice(0, 300)
+    delta_t = rows.slice(300)
+
+    work = tempfile.mkdtemp()
+    try:
+        v1 = os.path.join(work, "v1")
+        merge_into(None, rd.from_arrow(base_t), "k", ["v"], v1)
+        v2 = os.path.join(work, "v2")
+        stats = merge_into(v1, rd.from_arrow(delta_t), "k", ["v"], v2)
+
+        got = (
+            pq.ParquetDataset(v2).read().to_pandas().sort_values("k").
+            reset_index(drop=True)
+        )
+        want = (
+            rows.to_pandas()
+            .sort_values("v")
+            .groupby("k")
+            .last()
+            .reset_index()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["k", "v", "payload"]], want)
+        assert stats["rows"] == len(want)
+
+        # idempotence: merging an empty delta republishes the same state
+        v3 = os.path.join(work, "v3")
+        merge_into(v2, rd.from_arrow(rows.slice(0, 0)), "k", ["v"], v3)
+        again = (
+            pq.ParquetDataset(v3).read().to_pandas().sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, again)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_bpe_encode_monotone_and_exact_tiny(ray_session):
+    import ray.data as rd
+
+    from logpipe_ray.functions.bpe import apply_merges
+
+    # merge table: (7, 8) -> 100, then (100, 9) -> 101
+    merges = pa.table(
+        {
+            "rank": pa.array([0, 1], pa.int64()),
+            "t1": pa.array([7, 100], pa.int64()),
+            "t2": pa.array([8, 9], pa.int64()),
+            "new_id": pa.array([100, 101], pa.int64()),
+            "cnt": pa.array([2, 1], pa.int64()),
+        }
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"]),
+            "tokens": pa.array(
+                [[7, 8, 9, 7, 8], [9, 7, 7, 8]], pa.list_(pa.int32())
+            ),
+        }
+    )
+    out = (
+        apply_merges(rd.from_arrow(t), merges)
+        .to_pandas()
+        .set_index("doc_id")["tokens"]
+    )
+    assert list(out["a"]) == [101, 100]  # 7,8->100; 100,9->101; 7,8->100
+    assert list(out["b"]) == [9, 7, 100]
+
+    from logpipe_ray.queries import seq_bpe_encode
+
+    stats = seq_bpe_encode(SF).to_pandas()
+    assert (stats["n_tok_after"] <= stats["n_tok_before"]).all()
+    assert (stats["n_tok_after"] > 0).all()
