@@ -815,3 +815,56 @@ def test_bpe_encode_monotone_and_exact_tiny(ray_session):
     stats = seq_bpe_encode(SF).to_pandas()
     assert (stats["n_tok_after"] <= stats["n_tok_before"]).all()
     assert (stats["n_tok_after"] > 0).all()
+
+
+def test_target_encoding_shrinks_toward_prior(ray_session):
+    from logpipe_ray.queries import events_type_target_encoding
+
+    got = _collect(events_type_target_encoding(SF))
+
+    df = _events_df()
+    df = df[df["value"].notna()].copy()
+    df["vc"] = np.round(df["value"] * 100.0).astype(np.int64)
+    gmean = df["vc"].sum() / len(df)
+    g = df.groupby("event_type")["vc"].agg(["count", "sum", "mean"])
+    for _, r in got.iterrows():
+        raw = g.loc[r["event_type"], "mean"]
+        # the encoding must lie strictly between the raw category mean
+        # and the global prior (shrinkage), unless they coincide
+        lo, hi = sorted([raw, gmean])
+        assert lo - 1e-9 <= r["target_enc"] <= hi + 1e-9
+        want = (g.loc[r["event_type"], "sum"] + 100.0 * gmean) / (
+            g.loc[r["event_type"], "count"] + 100.0
+        )
+        assert np.isclose(r["target_enc"], want, rtol=1e-12)
+
+
+def test_footer_stats_matches_scan_and_detects_nulls(ray_session):
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.queries import events_footer_stats
+
+    got = _collect(events_footer_stats(SF)).set_index("column")
+    df = _events_df()
+    for c in df.columns:
+        assert got.loc[c, "n_nulls"] == int(df[c].isna().sum()), c
+        assert got.loc[c, "n_rows"] == len(df)
+
+    # multi-file dir with planted nulls: footer sums must aggregate
+    with tempfile.TemporaryDirectory() as d:
+        ev_dir = os.path.join(d, "events.parquet")
+        os.makedirs(ev_dir)
+        pq.write_table(
+            pa.table({"value": pa.array([1.0, None, None])}),
+            os.path.join(ev_dir, "a.parquet"),
+        )
+        pq.write_table(
+            pa.table({"value": pa.array([None, 2.0])}),
+            os.path.join(ev_dir, "b.parquet"),
+        )
+        out = _collect(events_footer_stats(d)).set_index("column")
+    assert out.loc["value", "n_nulls"] == 3
+    assert out.loc["value", "n_rows"] == 5
