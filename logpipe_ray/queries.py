@@ -11115,6 +11115,251 @@ FROM events"""
     return "\nUNION ALL\n".join(parts)
 
 
+def events_dwell_time(sf_dir: str) -> Dataset:
+    """DWELL time per event type: the mean gap to the user's NEXT
+    event when it falls inside the same 30-min session — "how long do
+    users linger after doing X", the engagement metric sessionized
+    correctly (cross-session gaps must not count).
+
+    Scale shape: the transitions fold (user hash buckets, one lexsort
+    + shift) emits per-type (n, sum_gap) int partials -> ONE tiny keyed
+    Sum -> one IEEE divide per type."""
+    import pandas as pd
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()))
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        order = np.lexsort((eid, ts, u))
+        us, tss = u[order], ts[order]
+        gap = np.zeros(len(us), np.int64)
+        ok = np.zeros(len(us), bool)
+        if len(us) > 1:
+            g = tss[1:] - tss[:-1]
+            same = (us[1:] == us[:-1]) & (g <= _COOC_GAP_US)
+            ok[:-1] = same
+            gap[:-1] = np.where(same, g, 0)
+        out = (
+            pa.table(
+                {
+                    "event_type": et.take(pa.array(order, pa.int64())),
+                    "pn": pa.array(ok.astype(np.int64)),
+                    "pg": pa.array(gap),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("pn", "sum"), ("pg", "sum")])
+        )
+        return out.rename_columns(["event_type", "pn", "pg"])
+
+    summed = (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("pn", alias_name="n_gaps"), Sum("pg", alias_name="sum_gap_us"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_gaps"].to_numpy().astype(np.float64)
+        s = t["sum_gap_us"].to_numpy().astype(np.float64)
+        ok = n > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s / n
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_gaps": t["n_gaps"],
+                "sum_gap_us": t["sum_gap_us"],
+                "mean_dwell_us": pa.array(
+                    np.where(ok, mean, np.nan), pa.float64(), mask=~ok
+                ),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_events_dwell_time(sf_dir: str) -> str:
+    return """
+WITH o AS (SELECT event_type,
+                  epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT event_type,
+             CAST(count(*) FILTER (WHERE gap IS NOT NULL
+                                     AND gap <= 1800000000) AS BIGINT)
+               AS n_gaps,
+             CAST(coalesce(sum(gap) FILTER (WHERE gap <= 1800000000), 0)
+                  AS BIGINT) AS sum_gap_us
+      FROM o GROUP BY 1)
+SELECT event_type, n_gaps, sum_gap_us,
+       CASE WHEN n_gaps > 0
+            THEN CAST(sum_gap_us AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+            ELSE NULL END AS mean_dwell_us
+FROM s"""
+
+
+ORDERS_RECON_BROADCAST_LIMIT = 5_000_000
+
+
+def orders_totalprice_reconciliation(sf_dir: str) -> pa.Table:
+    """Cross-table RECONCILIATION: does orders.o_totalprice equal the
+    sum of its lineitems' extendedprice? Reports matched / mismatched /
+    childless order counts and the worst absolute discrepancy — the
+    financial-close audit between a header table and its detail table.
+
+    Scale shape: per-order detail cents collapse through one keyed int
+    Sum (partials first); the bounded per-order table joins the header
+    side by broadcast under a guard (hash join route above); the
+    verdict fold is vectorized on the joined bounded table."""
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        vc = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        g = (
+            pa.table({"o_orderkey": t["l_orderkey"], "ps": vc})
+            .group_by("o_orderkey")
+            .aggregate([("ps", "sum")])
+        )
+        return g.rename_columns(["o_orderkey", "ps"])
+
+    detail = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("ps", alias_name="detail_cents"))
+    )
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "total_cents": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    import pandas as pd
+
+    # per-order tables are bounded by order count; the detail side
+    # collapsed already, so a driver merge under the guard is the
+    # whole-join fast path (hash-join route for bigger headers)
+    d = detail.to_pandas()
+    if len(d) > ORDERS_RECON_BROADCAST_LIMIT:
+        raise ValueError("order count exceeds driver guard; use hash-join route")
+    o = orders.map_batches(o_prep, batch_format="pyarrow").to_pandas()
+    j = o.merge(d, on="o_orderkey", how="left")
+    childless = j["detail_cents"].isna()
+    diff = (j["total_cents"] - j["detail_cents"]).where(~childless)
+    n_match = int((diff == 0).sum())
+    n_mismatch = int((diff != 0).sum() - childless.sum())
+    max_abs = int(diff.abs().max()) if (~childless).any() else 0
+    return pa.table(
+        {
+            "n_orders": pa.array([len(j)], pa.int64()),
+            "n_match": pa.array([n_match], pa.int64()),
+            "n_mismatch": pa.array([n_mismatch], pa.int64()),
+            "n_childless": pa.array([int(childless.sum())], pa.int64()),
+            "max_abs_diff_cents": pa.array([max_abs], pa.int64()),
+        }
+    )
+
+
+def _sql_orders_totalprice_reconciliation(sf_dir: str) -> str:
+    return """
+WITH d AS (SELECT l_orderkey,
+                  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+                       AS BIGINT) AS detail_cents
+           FROM lineitem GROUP BY 1),
+j AS (SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS total_cents,
+             d.detail_cents
+      FROM orders o LEFT JOIN d ON o.o_orderkey = d.l_orderkey)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE total_cents = detail_cents) AS BIGINT)
+         AS n_match,
+       CAST(count(*) FILTER (WHERE detail_cents IS NOT NULL
+                               AND total_cents <> detail_cents) AS BIGINT)
+         AS n_mismatch,
+       CAST(count(*) FILTER (WHERE detail_cents IS NULL) AS BIGINT)
+         AS n_childless,
+       CAST(coalesce(max(abs(total_cents - detail_cents)), 0) AS BIGINT)
+         AS max_abs_diff_cents
+FROM j"""
+
+
+def events_user_activity_gini(sf_dir: str) -> pa.Table:
+    """GINI coefficient of user activity: how concentrated events are
+    across users (0 = everyone equal, ->1 = one user dominates) — the
+    inequality screen over an unbounded key, exact to the last bit.
+
+    Scale shape: ONE keyed count exchange (per-batch partials first)
+    bounds the table by #users; the Gini fold sorts the bounded count
+    vector once and evaluates sum((2i-n-1)*x_i) in PYTHON BIGINTS (it
+    overflows int64 near 1e9 users x large counts; the oracle uses
+    HUGEINT), finishing with the single exact-int division pair. Ties
+    are order-invariant (equal x_i commute in the weighted sum)."""
+    from .stages.aggregate import count_groupby
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
+    counts = count_groupby(ev, ["user_id"], alias="c").to_pandas()
+    x = np.sort(counts["c"].to_numpy(np.int64))
+    n = len(x)
+    total = int(x.sum()) if n else 0
+    if n == 0 or total == 0:
+        gini, ok = float("nan"), False
+    else:
+        i = np.arange(1, n + 1, dtype=object)
+        num = int(np.sum((2 * i - n - 1) * x.astype(object)))
+        # op order pinned to the oracle: double(num) / (double(n) *
+        # double(total)) — NOT an exact-int product converted after
+        gini, ok = float(num) / (float(n) * float(total)), True
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "n_events": pa.array([total], pa.int64()),
+            "gini": pa.array([gini], pa.float64(), mask=np.array([not ok])),
+        }
+    )
+
+
+def _sql_events_user_activity_gini(sf_dir: str) -> str:
+    return """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(x) AS BIGINT) AS n_events
+      FROM c),
+r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM c),
+s AS (SELECT sum((2 * i - (SELECT n_users FROM m) - 1) * x) AS num FROM r)
+SELECT m.n_users, m.n_events,
+       CAST(s.num AS DOUBLE) / (CAST(m.n_users AS DOUBLE)
+                                * CAST(m.n_events AS DOUBLE)) AS gini
+FROM m, s"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-6 curation: seats go to queries that have NEVER
@@ -11181,7 +11426,6 @@ REGISTRY: dict = {
     "seq_exact_dedup": (seq_exact_dedup, _sql_seq_exact_dedup),
     "seq_chunked": (seq_chunked, _sql_seq_chunked),
     "seq_mlm_masked": (seq_mlm_masked, _sql_seq_mlm_masked),
-    "seq_source_tv_drift": (seq_source_tv_drift, _sql_seq_source_tv_drift),
     "events_value_quantiles_exact": (
         events_value_quantiles_exact,
         _sql_events_value_quantiles_exact,
@@ -11189,11 +11433,6 @@ REGISTRY: dict = {
     "events_value_winsorized": (
         events_value_winsorized,
         _sql_events_value_winsorized,
-    ),
-    "events_profile": (events_profile, _sql_events_profile),
-    "events_session_cooccurrence": (
-        events_session_cooccurrence,
-        _sql_events_session_cooccurrence,
     ),
     "events_top_session_paths": (
         events_top_session_paths,
@@ -11260,9 +11499,24 @@ REGISTRY: dict = {
         _sql_events_type_target_encoding,
     ),
     "events_footer_stats": (events_footer_stats, _sql_events_footer_stats),
+    "events_dwell_time": (events_dwell_time, _sql_events_dwell_time),
+    "orders_totalprice_reconciliation": (
+        orders_totalprice_reconciliation,
+        _sql_orders_totalprice_reconciliation,
+    ),
+    "events_user_activity_gini": (
+        events_user_activity_gini,
+        _sql_events_user_activity_gini,
+    ),
     # ================= PARKED (after driver's 50-entry window) =======
     # Green driver rows on record (r1/r2/r3) or mini-driver-verified
     # this round; full surface stays importable + sweepable.
+    "events_profile": (events_profile, _sql_events_profile),
+    "events_session_cooccurrence": (
+        events_session_cooccurrence,
+        _sql_events_session_cooccurrence,
+    ),
+    "seq_source_tv_drift": (seq_source_tv_drift, _sql_seq_source_tv_drift),
     "q7_volume_shipping": (q7_volume_shipping, _sql_q7_volume_shipping),
     "docs_editdist_pairs": (docs_editdist_pairs, _sql_docs_editdist_pairs),
     "events_value_hour_regr": (

@@ -868,3 +868,92 @@ def test_footer_stats_matches_scan_and_detects_nulls(ray_session):
         out = _collect(events_footer_stats(d)).set_index("column")
     assert out.loc["value", "n_nulls"] == 3
     assert out.loc["value", "n_rows"] == 5
+
+
+def test_dwell_time_excludes_cross_session_gaps(ray_session):
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.queries import events_dwell_time
+
+    # user 1: gaps 60s (in-session), 2h (cross-session, excluded)
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [0, 60_000_000, 60_000_000 + 7_200_000_000], pa.timestamp("us")
+            ),
+            "event_type": pa.array(["a", "b", "c"]),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = _collect(events_dwell_time(d)).set_index("event_type")
+    assert out.loc["a", "n_gaps"] == 1 and out.loc["a", "sum_gap_us"] == 60_000_000
+    assert out.loc["b", "n_gaps"] == 0  # 2h gap crosses the session
+    assert pd.isna(out.loc["b", "mean_dwell_us"])
+    assert out.loc["c", "n_gaps"] == 0  # last event has no successor
+
+
+def test_reconciliation_planted_mismatch(ray_session):
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.queries import orders_totalprice_reconciliation
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                    # order 1 matches (1.00+2.00), order 2 is off by
+                    # 0.50, order 3 has no lineitems
+                    "o_totalprice": pa.array([3.0, 5.0, 9.0]),
+                }
+            ),
+            os.path.join(d, "orders.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+                    "l_extendedprice": pa.array([1.0, 2.0, 4.5]),
+                }
+            ),
+            os.path.join(d, "lineitem.parquet"),
+        )
+        out = orders_totalprice_reconciliation(d).to_pandas().iloc[0]
+    assert out["n_orders"] == 3
+    assert out["n_match"] == 1
+    assert out["n_mismatch"] == 1
+    assert out["n_childless"] == 1
+    assert out["max_abs_diff_cents"] == 50
+
+
+def test_gini_known_distributions(ray_session):
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.queries import events_user_activity_gini
+
+    def gini_of(user_ids):
+        t = pa.table({"user_id": pa.array(user_ids, pa.int64())})
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "events.parquet"))
+            return events_user_activity_gini(d).to_pandas().iloc[0]
+
+    # perfectly equal: gini 0
+    eq = gini_of([1, 1, 2, 2, 3, 3])
+    assert eq["gini"] == 0.0 and eq["n_users"] == 3
+    # maximal concentration among 2 users: (2*1-3)*... closed form
+    sk = gini_of([1] + [2] * 9)
+    # sorted x = [1, 9], n=2: num = (2*1-3)*1 + (2*2-3)*9 = -1+9 = 8
+    # den = 2*10 = 20 -> 0.4
+    assert np.isclose(sk["gini"], 0.4)
