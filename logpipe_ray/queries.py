@@ -11360,6 +11360,59 @@ SELECT m.n_users, m.n_events,
 FROM m, s"""
 
 
+def events_benford_audit(sf_dir: str) -> Dataset:
+    """BENFORD first-digit audit of positive value-cents: the
+    fraud/synthetic-data screen — observed count and share per leading
+    digit 1-9. Shares are one IEEE divide over exact ints (the Benford
+    expectation log10(1+1/d) is deliberately NOT emitted: libm log is
+    not bitwise-portable, the r4-s4 entropy lesson).
+
+    Scale shape: leading digit via one vectorized decimal-string slice
+    (identical semantics to the oracle's substr-of-CAST), count
+    partials -> ONE tiny keyed Sum (9 rows), share on the coalesced
+    result."""
+    from .stages.aggregate import count_groupby
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        vc = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        pos = pc.greater(vc, 0)
+        vc = pc.filter(vc, pos)
+        digit = pc.utf8_slice_codeunits(pc.cast(vc, pa.string()), 0, 1)
+        return pa.table({"digit": digit})
+
+    counts = count_groupby(
+        ev.map_batches(prep, batch_format="pyarrow"), ["digit"], alias="n"
+    )
+
+    def share(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.int64)
+        tot = float(int(n.sum()))
+        return pa.table(
+            {
+                "digit": t["digit"],
+                "n": t["n"],
+                "share": pa.array(n.astype(np.float64) / tot, pa.float64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(share, batch_format="pyarrow")
+
+
+def _sql_events_benford_audit(sf_dir: str) -> str:
+    return """
+WITH c AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS vc
+           FROM events WHERE value IS NOT NULL),
+d AS (SELECT substr(CAST(vc AS VARCHAR), 1, 1) AS digit
+      FROM c WHERE vc > 0),
+s AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / CAST((SELECT sum(n) FROM s) AS DOUBLE) AS share
+FROM s"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-6 curation: seats go to queries that have NEVER
@@ -11434,10 +11487,6 @@ REGISTRY: dict = {
         events_value_winsorized,
         _sql_events_value_winsorized,
     ),
-    "events_top_session_paths": (
-        events_top_session_paths,
-        _sql_events_top_session_paths,
-    ),
     "events_click_never_purchase": (
         events_click_never_purchase,
         _sql_events_click_never_purchase,
@@ -11508,9 +11557,14 @@ REGISTRY: dict = {
         events_user_activity_gini,
         _sql_events_user_activity_gini,
     ),
+    "events_benford_audit": (events_benford_audit, _sql_events_benford_audit),
     # ================= PARKED (after driver's 50-entry window) =======
     # Green driver rows on record (r1/r2/r3) or mini-driver-verified
     # this round; full surface stays importable + sweepable.
+    "events_top_session_paths": (
+        events_top_session_paths,
+        _sql_events_top_session_paths,
+    ),
     "events_profile": (events_profile, _sql_events_profile),
     "events_session_cooccurrence": (
         events_session_cooccurrence,
