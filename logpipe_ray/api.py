@@ -371,6 +371,29 @@ class Pipeline:
 
         return Pipeline(grouped_spearman(self._ds, key, x_col, y_col, **kw))
 
+    def ks_vs_global(self, key: str, value_col: str, **kw) -> "Pipeline":
+        """Exact per-group Kolmogorov-Smirnov drift vs the whole
+        dataset, integer ppm (stages/aggregate.py
+        grouped_ks_vs_global)."""
+        import ray.data as rd
+
+        from .stages.aggregate import grouped_ks_vs_global
+
+        return Pipeline(
+            rd.from_arrow(grouped_ks_vs_global(self._ds, key, value_col, **kw))
+        )
+
+    def cusum_by(self, key: str, bucket_col: str, **kw) -> "Pipeline":
+        """Per-key CUSUM change-point over a dense bucket grid
+        (stages/aggregate.py cusum_changepoint)."""
+        import ray.data as rd
+
+        from .stages.aggregate import cusum_changepoint
+
+        return Pipeline(
+            rd.from_arrow(cusum_changepoint(self._ds, key, bucket_col, **kw))
+        )
+
     def sweep_concurrent(
         self, t0_col: str, t1_col: str, bucket_us: int, out_grain_us: int, **kw
     ) -> "Pipeline":

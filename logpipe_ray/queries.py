@@ -11413,6 +11413,360 @@ SELECT digit, n,
 FROM s"""
 
 
+def docs_ks_drift(sf_dir: str) -> pa.Table:
+    """Two-sample KOLMOGOROV-SMIRNOV drift per source: the exact KS
+    statistic between each source's document-length distribution and
+    the whole corpus's, in integer parts-per-million — the
+    distribution-shape complement of the TV drift screen (TV sees mass
+    moved anywhere; KS sees it moved ACROSS a threshold, the signal a
+    length-cutoff policy cares about). Like TV, the statistic is pure
+    integer arithmetic — ks_ppm = (10⁶ · max_v |F_s(v)·N − F(v)·n_s|)
+    // (n_s·N) — so both engines compute it identically (no libm).
+
+    Scale shape: per-batch (source, n_chars) count partials -> ONE
+    keyed Sum bounded by sources × distinct lengths; the CDF fold runs
+    on that bounded table with Python bigints (the 10⁶ product
+    overflows int64 at corpus scale; oracle uses HUGEINT). Generic op:
+    stages/aggregate.py grouped_ks_vs_global."""
+    from .stages.aggregate import grouped_ks_vs_global
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    return grouped_ks_vs_global(
+        ds, "source", "n_chars", out_n="n_docs", out_col="ks_ppm"
+    )
+
+
+def _sql_docs_ks_drift(sf_dir: str) -> str:
+    return """
+WITH sc AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+                   CAST(count(*) AS HUGEINT) AS c
+            FROM documents GROUP BY 1, 2),
+gv AS (SELECT v, CAST(sum(c) AS HUGEINT) AS g FROM sc GROUP BY 1),
+ns AS (SELECT source, CAST(sum(c) AS HUGEINT) AS n_src FROM sc GROUP BY 1),
+nn AS (SELECT CAST(sum(g) AS HUGEINT) AS n_all FROM gv),
+grid AS (SELECT ns.source, gv.v, ns.n_src, gv.g, coalesce(sc.c, 0) AS c
+         FROM ns CROSS JOIN gv
+         LEFT JOIN sc ON sc.source = ns.source AND sc.v = gv.v),
+cum AS (SELECT source, v, n_src,
+               sum(c) OVER (PARTITION BY source ORDER BY v) AS fs,
+               sum(g) OVER (PARTITION BY source ORDER BY v) AS fg
+        FROM grid),
+m AS (SELECT source, CAST(max(n_src) AS BIGINT) AS n_docs,
+             max(abs(fs * (SELECT n_all FROM nn) - fg * n_src)) AS num
+      FROM cum GROUP BY 1)
+SELECT source, n_docs,
+       CAST((1000000 * num)
+            // (CAST(n_docs AS HUGEINT) * (SELECT n_all FROM nn))
+            AS BIGINT) AS ks_ppm
+FROM m"""
+
+
+def events_cusum_changepoint(sf_dir: str) -> pa.Table:
+    """CUSUM change-point screen per event type: the maximum absolute
+    cumulative deviation of daily counts from the type's own mean rate,
+    over the dense calendar grid — "did this stream's volume shift
+    level, and on which day?". Exact integers throughout: the scaled
+    deviation dev_i = prefix_i·D − i·T needs no division, and the
+    headline cusum_ppm = (10⁶ · max|dev|) // (D·T) is one floor-div
+    (Python bigints; the oracle uses HUGEINT — 10⁶·prefix·D overflows
+    int64 at corpus scale). The earliest arg-max day is reported as the
+    change point.
+
+    Scale shape: ONE bounded (type, day) count exchange (per-batch
+    partials first); grid fill, prefix and the max fold all run on the
+    bounded table in one coalesced block. Generic op:
+    stages/aggregate.py cusum_changepoint."""
+    from .stages.aggregate import cusum_changepoint
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        tsv = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.divide(tsv, pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"event_type": t["event_type"], "day": day})
+
+    return cusum_changepoint(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "event_type",
+        "day",
+        out_cols=("n_days", "n_events", "cusum_ppm", "peak_day"),
+    )
+
+
+def _sql_events_cusum_changepoint(sf_dir: str) -> str:
+    return """
+WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS HUGEINT) AS n
+           FROM events GROUP BY 1, 2),
+bd AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+d AS (SELECT unnest(generate_series(d0, d1)) AS day FROM bd),
+t AS (SELECT DISTINCT event_type FROM c),
+g AS (SELECT t.event_type, d.day, coalesce(c.n, 0) AS x
+      FROM t CROSS JOIN d
+      LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day),
+tot AS (SELECT event_type, sum(x) AS tt, CAST(count(*) AS HUGEINT) AS dd
+        FROM g GROUP BY 1),
+cum AS (SELECT event_type, day,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+               sum(x) OVER (PARTITION BY event_type ORDER BY day) AS pre
+        FROM g),
+dev AS (SELECT cum.event_type, cum.day,
+               abs(pre * tot.dd - i * tot.tt) AS adev
+        FROM cum JOIN tot ON tot.event_type = cum.event_type),
+mx AS (SELECT event_type, max(adev) AS m FROM dev GROUP BY 1),
+pk AS (SELECT dev.event_type, min(dev.day) AS peak_day
+       FROM dev JOIN mx ON mx.event_type = dev.event_type
+                       AND dev.adev = mx.m
+       GROUP BY 1)
+SELECT tot.event_type,
+       CAST(tot.dd AS BIGINT) AS n_days,
+       CAST(tot.tt AS BIGINT) AS n_events,
+       CAST(CASE WHEN tot.tt > 0
+                 THEN (1000000 * mx.m) // (tot.dd * tot.tt)
+                 ELSE 0 END AS BIGINT) AS cusum_ppm,
+       CAST(pk.peak_day AS BIGINT) AS peak_day
+FROM tot
+JOIN mx ON mx.event_type = tot.event_type
+JOIN pk ON pk.event_type = tot.event_type"""
+
+
+def events_bounce_rate(sf_dir: str) -> Dataset:
+    """BOUNCE rate per session entry type: of the 30-min-gap sessions
+    that START with type X, how many contain exactly one event — the
+    landing-page quality metric next to the entry/exit matrix.
+
+    Scale shape: the same sessionize fold (user hash buckets, one
+    lexsort) already knows each session's first and last row — bounce
+    detection is starts == ends, zero extra exchange; per-bucket
+    (entry_type, sessions, bounces) int partials -> ONE tiny keyed Sum
+    -> one IEEE divide per type."""
+    import pandas as pd
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()))
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        order = np.lexsort((eid, ts, u))
+        us, tss = u[order], ts[order]
+        new = np.ones(len(us), bool)
+        if len(us) > 1:
+            new[1:] = (us[1:] != us[:-1]) | (tss[1:] - tss[:-1] > _COOC_GAP_US)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(us)) - 1
+        g = (
+            pa.table(
+                {
+                    "entry_type": et.take(pa.array(order[starts], pa.int64())),
+                    "ps": pa.array(np.ones(len(starts), np.int64)),
+                    "pb": pa.array((ends == starts).astype(np.int64)),
+                }
+            )
+            .group_by("entry_type")
+            .aggregate([("ps", "sum"), ("pb", "sum")])
+        )
+        return g.rename_columns(["entry_type", "ps", "pb"])
+
+    summed = (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("entry_type")
+        .aggregate(
+            Sum("ps", alias_name="n_sessions"), Sum("pb", alias_name="n_bounce")
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["n_sessions"].to_numpy().astype(np.float64)
+        b = t["n_bounce"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "entry_type": t["entry_type"],
+                "n_sessions": t["n_sessions"],
+                "n_bounce": t["n_bounce"],
+                "bounce_rate": pa.array(b / s, pa.float64()),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_events_bounce_rate(sf_dir: str) -> str:
+    return """
+WITH o AS (SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS ns
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts, event_id, event_type,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+e AS (SELECT user_id, sid,
+             first(event_type ORDER BY ts, event_id) AS entry_type,
+             CAST(count(*) AS BIGINT) AS n_ev
+      FROM s GROUP BY 1, 2),
+a AS (SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(count(*) FILTER (WHERE n_ev = 1) AS BIGINT) AS n_bounce
+      FROM e GROUP BY 1)
+SELECT entry_type, n_sessions, n_bounce,
+       CAST(n_bounce AS DOUBLE) / CAST(n_sessions AS DOUBLE) AS bounce_rate
+FROM a"""
+
+
+def users_rfm_segments(sf_dir: str) -> pa.Table:
+    """RFM SEGMENTATION: every user scored 1-5 on Recency (days since
+    last event, ascending — bucket 1 is the most recent), Frequency
+    (event count) and Monetary (purchase value cents), bucket
+    boundaries at the exact k-th smallest metric value for
+    k = ceil(q·n_users), q ∈ {.2,.4,.6,.8} — ties share a bucket (no
+    row_number tiebreak, so the assignment is a pure function of the
+    metric value and replays in SQL). Output: user counts per
+    (r_bucket, f_bucket, m_bucket) cell, ≤125 rows.
+
+    Scale shape: ONE keyed exchange builds the per-user metric table
+    (per-batch partials first); thresholds come from exact_rank_value
+    (histogram-bracket selection — no global sort, no reducer holds
+    more than collect_limit values) over the MATERIALIZED bounded
+    table; scoring is a broadcast-free vectorized map; the cell
+    histogram is a second tiny keyed count."""
+    from .stages.aggregate import count_groupby, exact_rank_value
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.divide(tsv, pa.scalar(86_400_000_000, pa.int64()))
+        is_p = pc.and_(
+            pc.equal(t["event_type"], "purchase"), pc.is_valid(t["value"])
+        )
+        cents = pc.if_else(
+            is_p,
+            pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+            pa.scalar(0, pa.int64()),
+        )
+        g = (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "d": day,
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "m": cents,
+                }
+            )
+            .group_by("user_id")
+            .aggregate([("d", "max"), ("n", "sum"), ("m", "sum")])
+        )
+        return g.rename_columns(["user_id", "pd", "pn", "pm"])
+
+    per_user = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("pd", alias_name="last_day"),
+            Sum("pn", alias_name="freq"),
+            Sum("pm", alias_name="money"),
+        )
+    )
+    gmax = per_user.max("last_day")
+
+    def add_rec(t: pa.Table, _g=gmax) -> pa.Table:
+        return t.append_column(
+            "rec", pc.subtract(pa.scalar(_g, pa.int64()), t["last_day"])
+        )
+
+    metrics = per_user.map_batches(add_rec, batch_format="pyarrow").materialize()
+    nu = metrics.count()
+    thresholds: dict[str, list[int]] = {}
+    for col in ("rec", "freq", "money"):
+        ks = [(j * nu + 4) // 5 for j in (1, 2, 3, 4)]  # ceil(j·n/5), exact int
+        thresholds[col] = [int(exact_rank_value(metrics, col, k - 1)) for k in ks]
+
+    def score(t: pa.Table, _th=thresholds) -> pa.Table:
+        cols = {}
+        for col, name in (("rec", "r_bucket"), ("freq", "f_bucket"),
+                          ("money", "m_bucket")):
+            v = t[col].to_numpy(zero_copy_only=False)
+            b = np.ones(len(v), np.int64)
+            for tk in _th[col]:
+                b += v > tk
+            cols[name] = pa.array(b)
+        return pa.table(cols)
+
+    return count_groupby(
+        metrics.map_batches(score, batch_format="pyarrow"),
+        ["r_bucket", "f_bucket", "m_bucket"],
+        alias="n_users",
+    )
+
+
+def _sql_users_rfm_segments(sf_dir: str) -> str:
+    return """
+WITH m AS (SELECT user_id,
+                  max(epoch_us(ts) // 86400000000) AS last_day,
+                  CAST(count(*) AS BIGINT) AS freq,
+                  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                          AND value IS NOT NULL
+                                    THEN CAST(round(value * 100.0) AS BIGINT)
+                                    END), 0) AS BIGINT) AS money
+           FROM events GROUP BY 1),
+g AS (SELECT max(last_day) AS gmax, CAST(count(*) AS BIGINT) AS nu FROM m),
+mm AS (SELECT user_id, (SELECT gmax FROM g) - last_day AS rec, freq, money
+       FROM m),
+rr AS (SELECT rec AS v, row_number() OVER (ORDER BY rec) AS rn FROM mm),
+fr AS (SELECT freq AS v, row_number() OVER (ORDER BY freq) AS rn FROM mm),
+mr AS (SELECT money AS v, row_number() OVER (ORDER BY money) AS rn FROM mm),
+tr AS (SELECT max(CASE WHEN rn = (1 * nu + 4) // 5 THEN v END) AS t1,
+              max(CASE WHEN rn = (2 * nu + 4) // 5 THEN v END) AS t2,
+              max(CASE WHEN rn = (3 * nu + 4) // 5 THEN v END) AS t3,
+              max(CASE WHEN rn = (4 * nu + 4) // 5 THEN v END) AS t4
+       FROM rr, g GROUP BY nu),
+tf AS (SELECT max(CASE WHEN rn = (1 * nu + 4) // 5 THEN v END) AS t1,
+              max(CASE WHEN rn = (2 * nu + 4) // 5 THEN v END) AS t2,
+              max(CASE WHEN rn = (3 * nu + 4) // 5 THEN v END) AS t3,
+              max(CASE WHEN rn = (4 * nu + 4) // 5 THEN v END) AS t4
+       FROM fr, g GROUP BY nu),
+tm AS (SELECT max(CASE WHEN rn = (1 * nu + 4) // 5 THEN v END) AS t1,
+              max(CASE WHEN rn = (2 * nu + 4) // 5 THEN v END) AS t2,
+              max(CASE WHEN rn = (3 * nu + 4) // 5 THEN v END) AS t3,
+              max(CASE WHEN rn = (4 * nu + 4) // 5 THEN v END) AS t4
+       FROM mr, g GROUP BY nu),
+s AS (SELECT CAST(1 + (mm.rec > tr.t1)::INT + (mm.rec > tr.t2)::INT
+                    + (mm.rec > tr.t3)::INT + (mm.rec > tr.t4)::INT
+              AS BIGINT) AS r_bucket,
+             CAST(1 + (mm.freq > tf.t1)::INT + (mm.freq > tf.t2)::INT
+                    + (mm.freq > tf.t3)::INT + (mm.freq > tf.t4)::INT
+              AS BIGINT) AS f_bucket,
+             CAST(1 + (mm.money > tm.t1)::INT + (mm.money > tm.t2)::INT
+                    + (mm.money > tm.t3)::INT + (mm.money > tm.t4)::INT
+              AS BIGINT) AS m_bucket
+      FROM mm, tr, tf, tm)
+SELECT r_bucket, f_bucket, m_bucket, CAST(count(*) AS BIGINT) AS n_users
+FROM s GROUP BY 1, 2, 3"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-6 curation: seats go to queries that have NEVER
@@ -11508,7 +11862,6 @@ REGISTRY: dict = {
         events_snapshot_diff,
         _sql_events_snapshot_diff,
     ),
-    "events_throttled": (events_throttled, _sql_events_throttled),
     "events_session_entry_exit": (
         events_session_entry_exit,
         _sql_events_session_entry_exit,
@@ -11548,19 +11901,27 @@ REGISTRY: dict = {
         _sql_events_type_target_encoding,
     ),
     "events_footer_stats": (events_footer_stats, _sql_events_footer_stats),
-    "events_dwell_time": (events_dwell_time, _sql_events_dwell_time),
     "orders_totalprice_reconciliation": (
         orders_totalprice_reconciliation,
         _sql_orders_totalprice_reconciliation,
     ),
+    "docs_ks_drift": (docs_ks_drift, _sql_docs_ks_drift),
+    "events_cusum_changepoint": (
+        events_cusum_changepoint,
+        _sql_events_cusum_changepoint,
+    ),
+    "events_bounce_rate": (events_bounce_rate, _sql_events_bounce_rate),
+    "users_rfm_segments": (users_rfm_segments, _sql_users_rfm_segments),
+    # ================= PARKED (after driver's 50-entry window) =======
+    # Green driver rows on record (r1/r2/r3) or mini-driver-verified
+    # this round; full surface stays importable + sweepable.
+    "events_throttled": (events_throttled, _sql_events_throttled),
+    "events_dwell_time": (events_dwell_time, _sql_events_dwell_time),
     "events_user_activity_gini": (
         events_user_activity_gini,
         _sql_events_user_activity_gini,
     ),
     "events_benford_audit": (events_benford_audit, _sql_events_benford_audit),
-    # ================= PARKED (after driver's 50-entry window) =======
-    # Green driver rows on record (r1/r2/r3) or mini-driver-verified
-    # this round; full surface stays importable + sweepable.
     "events_top_session_paths": (
         events_top_session_paths,
         _sql_events_top_session_paths,

@@ -2375,3 +2375,141 @@ def grouped_weighted_quantile(
             out_col: pa.array(out_v, pa.int64()),
         }
     )
+
+
+def grouped_ks_vs_global(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    out_n: str = "n_rows",
+    out_col: str = "ks_ppm",
+) -> pa.Table:
+    """Exact two-sample KOLMOGOROV-SMIRNOV statistic of each group's
+    ``value_col`` distribution against the WHOLE dataset's, in integer
+    parts-per-million — the distribution-shape drift screen (compare
+    the total-variation screen in queries.seq_source_tv_drift: TV sees
+    mass moved anywhere, KS sees it moved across a threshold).
+
+    ks_ppm = (10**6 * max_v |F_g(v)*N - F(v)*n_g|) // (n_g*N) is pure
+    integer arithmetic (no libm), so the result replays bitwise in SQL.
+
+    Scale shape: per-batch (key, value) count partials -> ONE keyed Sum
+    bounded by #groups x distinct values; the CDF fold runs on the
+    bounded table with Python bigints (the 10**6 product overflows
+    int64 at corpus scale; SQL oracles use HUGEINT). Unbounded
+    continuous domains would need a quantile-sketch variant; integer /
+    categorical-ordinal domains are the contract here.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    key: t[key],
+                    "v": pc.cast(t[value_col], pa.int64()),
+                    "c": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by([key, "v"])
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns([key, "v", "p_c"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key, "v"])
+        .aggregate(Sum("p_c", alias_name="c"))
+    ).to_pandas()  # bounded by #groups x distinct values
+
+    piv = (
+        counts.pivot_table(index="v", columns=key, values="c", fill_value=0)
+        .astype(np.int64)
+        .sort_index()
+    )
+    g_cum = piv.sum(axis=1).to_numpy(np.int64).cumsum()
+    n_all = int(g_cum[-1]) if len(g_cum) else 0
+    keys, ns_out, ppm = [], [], []
+    for k in sorted(piv.columns):
+        fs = piv[k].to_numpy(np.int64).cumsum()
+        ns = int(fs[-1])
+        num = max(
+            (abs(int(a) * n_all - int(b) * ns) for a, b in zip(fs, g_cum)),
+            default=0,
+        )
+        keys.append(k)
+        ns_out.append(ns)
+        ppm.append((1_000_000 * num) // (ns * n_all) if ns and n_all else 0)
+    return pa.table(
+        {
+            key: pa.array(keys),
+            out_n: pa.array(ns_out, pa.int64()),
+            out_col: pa.array(ppm, pa.int64()),
+        }
+    )
+
+
+def cusum_changepoint(
+    ds: Dataset,
+    key: str,
+    bucket_col: str,
+    out_cols: tuple = ("n_buckets", "n_rows", "cusum_ppm", "peak_bucket"),
+) -> pa.Table:
+    """CUSUM change-point screen per key over a dense integer bucket
+    grid (calendar days, hours, ...): the maximum absolute cumulative
+    deviation of per-bucket counts from the key's own mean rate, plus
+    the earliest arg-max bucket — "did this stream's volume shift
+    level, and when". All deviations are exact integers
+    (dev_i = prefix_i*D - i*T, no division until the final ppm
+    floor-div in Python bigints; SQL oracles use HUGEINT).
+
+    Scale shape: ONE bounded (key, bucket) count exchange (per-batch
+    partials first); grid fill, prefix and max fold all run on the
+    bounded table in one coalesced block. The grid spans the GLOBAL
+    [min, max] bucket so every key is judged over the same horizon.
+    """
+    counts = count_groupby(ds, [key, bucket_col], alias="n").to_pandas()
+    names = (key,) + tuple(out_cols)
+    if counts.empty:
+        return pa.table(
+            {
+                names[0]: pa.array([], pa.string()),
+                names[1]: pa.array([], pa.int64()),
+                names[2]: pa.array([], pa.int64()),
+                names[3]: pa.array([], pa.int64()),
+                names[4]: pa.array([], pa.int64()),
+            }
+        )
+    d0, d1 = int(counts[bucket_col].min()), int(counts[bucket_col].max())
+    span = d1 - d0 + 1
+    keys = sorted(counts[key].unique())
+    kidx = {k: i for i, k in enumerate(keys)}
+    grid = np.zeros((len(keys), span), np.int64)
+    grid[
+        counts[key].map(kidx).to_numpy(np.int64),
+        counts[bucket_col].to_numpy(np.int64) - d0,
+    ] = counts["n"].to_numpy(np.int64)
+    out = {n: [] for n in names}
+    for k in keys:
+        c = grid[kidx[k]]
+        total = int(c.sum())
+        pre, best, best_i = 0, -1, 0
+        for i in range(span):  # span is bounded (grid), not data-sized
+            pre += int(c[i])
+            dev = abs(pre * span - (i + 1) * total)
+            if dev > best:
+                best, best_i = dev, i
+        out[names[0]].append(k)
+        out[names[1]].append(span)
+        out[names[2]].append(total)
+        out[names[3]].append(
+            (1_000_000 * best) // (span * total) if total else 0
+        )
+        out[names[4]].append(d0 + best_i)
+    return pa.table(
+        {
+            names[0]: pa.array(out[names[0]]),
+            names[1]: pa.array(out[names[1]], pa.int64()),
+            names[2]: pa.array(out[names[2]], pa.int64()),
+            names[3]: pa.array(out[names[3]], pa.int64()),
+            names[4]: pa.array(out[names[4]], pa.int64()),
+        }
+    )
