@@ -11767,6 +11767,350 @@ SELECT r_bucket, f_bucket, m_bucket, CAST(count(*) AS BIGINT) AS n_users
 FROM s GROUP BY 1, 2, 3"""
 
 
+def events_value_outlier_rate(sf_dir: str) -> pa.Table:
+    """ROBUST outlier rate per event type: the share of values farther
+    than 3 MADs from the type's median — the anomaly screen that
+    stddev-based z-scores can't do (outliers poison the stddev that is
+    supposed to detect them; the median/MAD pair is 50%-breakdown
+    robust). Counts and the ppm rate are exact integers; the 3·MAD
+    threshold is one fixed-order IEEE product both engines compute
+    identically from the bitwise-matching median/MAD
+    (grouped_exact_quantile's quantile_cont parity).
+
+    Scale shape: ONE materialized 2-column projection feeds both
+    selection passes (median, then MAD — distributed histogram-bracket
+    selection, no reducer holds a group) AND the final counting scan
+    (broadcast med/MAD LUT via pc.index_in); count partials -> tiny
+    keyed Sum."""
+    from .stages.aggregate import grouped_exact_quantile, grouped_mad
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    base = ev.map_batches(
+        lambda t: t.filter(pc.is_valid(t["value"])), batch_format="pyarrow"
+    ).materialize()
+    med_t = grouped_exact_quantile(base, "event_type", "value", q=0.5)
+    mad_t = grouped_mad(base, "event_type", "value")
+    keys = med_t["event_type"].combine_chunks()
+    med_lut = med_t["quantile_value"].to_numpy()
+    mad_by_key = {
+        k: v
+        for k, v in zip(
+            mad_t["event_type"].to_pylist(), mad_t["mad_value"].to_numpy()
+        )
+    }
+    thr_lut = np.array(
+        [3.0 * mad_by_key[k] for k in keys.to_pylist()], np.float64
+    )
+
+    def count_partial(t: pa.Table, _k=keys, _m=med_lut, _t=thr_lut) -> pa.Table:
+        idx = pc.index_in(t["event_type"], _k).to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        out = np.abs(v - _m[idx]) > _t[idx]
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "pn": pa.array(np.ones(len(v), np.int64)),
+                    "po": pa.array(out.astype(np.int64)),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("pn", "sum"), ("po", "sum")])
+        )
+        return g.rename_columns(["event_type", "pn", "po"])
+
+    summed = (
+        base.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("pn", alias_name="n"), Sum("po", alias_name="n_outliers"))
+    ).to_pandas()
+    summed["outlier_ppm"] = [
+        (1_000_000 * int(o)) // int(n)
+        for o, n in zip(summed["n_outliers"], summed["n"])
+    ]
+    return pa.table(
+        {
+            "event_type": pa.array(summed["event_type"].to_numpy(str)),
+            "n": pa.array(summed["n"].to_numpy(np.int64)),
+            "n_outliers": pa.array(summed["n_outliers"].to_numpy(np.int64)),
+            "outlier_ppm": pa.array(summed["outlier_ppm"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _sql_events_value_outlier_rate(sf_dir: str) -> str:
+    return """
+WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+md AS (SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+       FROM events e JOIN m USING (event_type)
+       WHERE e.value IS NOT NULL GROUP BY 1),
+c AS (SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (
+               WHERE abs(e.value - m.med) > 3.0 * md.mad) AS BIGINT)
+               AS n_outliers
+      FROM events e JOIN m USING (event_type) JOIN md USING (event_type)
+      WHERE e.value IS NOT NULL GROUP BY 1)
+SELECT event_type, n, n_outliers,
+       CAST((1000000 * n_outliers) // n AS BIGINT) AS outlier_ppm
+FROM c"""
+
+
+def events_cohort_ltv(sf_dir: str) -> Dataset:
+    """COHORT LTV matrix: purchase revenue (exact cents) and active
+    users by signup cohort (first-seen day) and age in days — the
+    "does week-1 spend predict week-4 spend" table that retention
+    counts alone can't answer.
+
+    Scale shape: the retention-cohorts 2-exchange plan with a revenue
+    lane added for free — per-batch (user, day) partials carry the
+    day's purchase cents; one groupby(user-bucket) fold computes each
+    user's cohort min and the (cohort, age) cells vectorized; one tiny
+    keyed Sum finishes. A user's partial volume is bounded by
+    batches × active days, never raw events."""
+    import pandas as pd
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_type", "value"],
+    )
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def prep(t: pa.Table) -> pa.Table:
+        tsv = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.divide(tsv, pa.scalar(86_400_000_000, pa.int64()))
+        is_p = pc.and_(
+            pc.equal(t["event_type"], "purchase"), pc.is_valid(t["value"])
+        )
+        cents = pc.if_else(
+            is_p,
+            pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+            pa.scalar(0, pa.int64()),
+        )
+        g = (
+            pa.table({"user_id": t["user_id"], "day": day, "cents": cents})
+            .group_by(["user_id", "day"])
+            .aggregate([("cents", "sum")])
+        ).rename_columns(["user_id", "day", "p_cents"])
+        uid = g["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
+        return g.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        u = df["user_id"].to_numpy()
+        d = df["day"].to_numpy()
+        c = df["p_cents"].to_numpy()
+        order = np.lexsort((d, u))
+        u, d, c = u[order], d[order], c[order]
+        # merge duplicate (user, day) partials from different batches
+        first = np.ones(len(u), bool)
+        first[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        gid = np.cumsum(first) - 1
+        cents = np.bincount(gid, weights=c).astype(np.int64)
+        u, d = u[first], d[first]
+        ustart = np.ones(len(u), bool)
+        ustart[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(ustart)
+        lens = np.diff(np.append(starts, len(u)))
+        cohort = np.repeat(d[starts], lens)  # day-sorted: first = min
+        return (
+            pd.DataFrame(
+                {
+                    "cohort_day": cohort,
+                    "age_days": d - cohort,
+                    "pu": np.ones(len(u), np.int64),
+                    "pv": cents,
+                }
+            )
+            .groupby(["cohort_day", "age_days"], sort=False)
+            .agg(pu=("pu", "sum"), pv=("pv", "sum"))
+            .reset_index()
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["cohort_day", "age_days"])
+        .aggregate(
+            Sum("pu", alias_name="n_active_users"),
+            Sum("pv", alias_name="ltv_cents"),
+        )
+    )
+
+
+def _sql_events_cohort_ltv(sf_dir: str) -> str:
+    return """
+WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                          AND value IS NOT NULL
+                                    THEN CAST(round(value * 100.0) AS BIGINT)
+                                    END), 0) AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2),
+f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+SELECT f.cohort_day, d.day - f.cohort_day AS age_days,
+       CAST(count(*) AS BIGINT) AS n_active_users,
+       CAST(sum(d.cents) AS BIGINT) AS ltv_cents
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2"""
+
+
+def embeddings_centroid_shift(sf_dir: str) -> pa.Table:
+    """EMBEDDING-SPACE drift per label: the L2 distance between each
+    label's centroid and the global centroid — "which class sits
+    farthest from the corpus center", the embedding-space counterpart
+    of the KS/TV drift screens. Exactness plan: each float32 component
+    is scaled by 2³² and FLOORED to an integer (floor is portable;
+    round's half-rule is not), all sums run in exact integers, and the
+    final distance is a fixed-order expression over exact cross
+    products — shift = sqrt(double(Σ_d (s_ld·c_g − s_gd·c_l)²)) /
+    (double(c_l)·double(c_g)·2³²) — sqrt and the divides are
+    correctly-rounded IEEE ops both engines replay (oracle sums in
+    HUGEINT, engine in Python bigints).
+
+    Scale shape: per-batch (label, dim) integer-sum partials over the
+    flat Arrow buffer (zero row loops) -> ONE keyed Sum bounded by
+    labels × dims; the distance fold runs on that bounded table."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        L = np.asarray(pc.list_value_length(emb).fill_null(0), dtype=np.int64)
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        q = np.floor(flat * 4294967296.0).astype(np.int64)
+        lab = np.repeat(
+            t["label"].to_numpy(zero_copy_only=False).astype(np.int64), L
+        )
+        # dim index: position within each row's list, 1-based
+        offs = np.repeat(np.cumsum(L) - L, L)
+        dim = np.arange(len(flat), dtype=np.int64) - offs + 1
+        g = (
+            pa.table(
+                {
+                    "label": pa.array(lab),
+                    "dim": pa.array(dim),
+                    "s": pa.array(q),
+                    "c": pa.array(np.ones(len(flat), np.int64)),
+                }
+            )
+            .group_by(["label", "dim"])
+            .aggregate([("s", "sum"), ("c", "sum")])
+        )
+        return g.rename_columns(["label", "dim", "p_s", "p_c"])
+
+    ld = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("p_s", alias_name="s"), Sum("p_c", alias_name="c"))
+    ).to_pandas()  # bounded by labels × dims
+
+    piv_s = ld.pivot_table(index="dim", columns="label", values="s").sort_index()
+    piv_c = ld.pivot_table(index="dim", columns="label", values="c").sort_index()
+    sg = piv_s.sum(axis=1).astype(object)
+    cg_per_dim = piv_c.sum(axis=1).to_numpy(np.int64)
+    cg = int(cg_per_dim[0])
+    labels, n_vecs, shift = [], [], []
+    for lab in sorted(piv_s.columns):
+        s_l = piv_s[lab].astype(object)
+        c_l = int(piv_c[lab].iloc[0])
+        num = sum(
+            (int(s) * cg - int(g) * c_l) ** 2 for s, g in zip(s_l, sg)
+        )
+        labels.append(int(lab))
+        n_vecs.append(c_l)
+        shift.append(
+            float(np.sqrt(float(num)))
+            / (float(c_l) * float(cg) * 4294967296.0)
+        )
+    return pa.table(
+        {
+            "label": pa.array(labels, pa.int64()),
+            "n_vecs": pa.array(n_vecs, pa.int64()),
+            "centroid_shift": pa.array(shift, pa.float64()),
+        }
+    )
+
+
+def _sql_embeddings_centroid_shift(sf_dir: str) -> str:
+    return """
+WITH u AS (SELECT CAST(label AS BIGINT) AS label, dim,
+                  CAST(floor(CAST(x AS DOUBLE) * 4294967296.0) AS HUGEINT) AS q
+           FROM (SELECT label, unnest(embedding) AS x,
+                        unnest(range(1, len(embedding) + 1)) AS dim
+                 FROM embeddings)),
+ld AS (SELECT label, dim, sum(q) AS s, CAST(count(*) AS HUGEINT) AS c
+       FROM u GROUP BY 1, 2),
+gd AS (SELECT dim, sum(s) AS sg, sum(c) AS cg FROM ld GROUP BY 1),
+nl AS (SELECT ld.label,
+              sum((ld.s * gd.cg - gd.sg * ld.c)
+                  * (ld.s * gd.cg - gd.sg * ld.c)) AS num,
+              max(ld.c) AS cl, max(gd.cg) AS cg
+       FROM ld JOIN gd USING (dim) GROUP BY 1)
+SELECT label, CAST(cl AS BIGINT) AS n_vecs,
+       sqrt(CAST(num AS DOUBLE))
+         / (CAST(cl AS DOUBLE) * CAST(cg AS DOUBLE) * 4294967296.0)
+         AS centroid_shift
+FROM nl"""
+
+
+def events_cumulative_users(sf_dir: str) -> pa.Table:
+    """USER-BASE growth curve: per calendar day, how many users appear
+    for the FIRST time and the running total of users seen so far —
+    the set-growth metric behind "are we still acquiring or just
+    churning the same base".
+
+    Scale shape: per-batch (user, min day) partials -> ONE keyed Min
+    bounded by #users; first-seen day counts + the running total fold
+    on the bounded day table (days are calendar-bounded). Only days
+    with new users appear (no dense grid — the cumsum is still
+    correct)."""
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.divide(tsv, pa.scalar(86_400_000_000, pa.int64()))
+        g = (
+            pa.table({"user_id": t["user_id"], "d": day})
+            .group_by("user_id")
+            .aggregate([("d", "min")])
+        )
+        return g.rename_columns(["user_id", "p_d"])
+
+    first_seen = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("p_d", alias_name="day"))
+    )
+    counts = count_groupby(first_seen, ["day"], alias="new_users").to_pandas()
+    counts = counts.sort_values("day").reset_index(drop=True)
+    cum = counts["new_users"].to_numpy(np.int64).cumsum()
+    return pa.table(
+        {
+            "day": pa.array(counts["day"].to_numpy(np.int64)),
+            "new_users": pa.array(counts["new_users"].to_numpy(np.int64)),
+            "cum_users": pa.array(cum, pa.int64()),
+        }
+    )
+
+
+def _sql_events_cumulative_users(sf_dir: str) -> str:
+    return """
+WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+           FROM events GROUP BY 1),
+c AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM c"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-6 curation: seats go to queries that have NEVER
@@ -11915,6 +12259,19 @@ REGISTRY: dict = {
     # ================= PARKED (after driver's 50-entry window) =======
     # Green driver rows on record (r1/r2/r3) or mini-driver-verified
     # this round; full surface stays importable + sweepable.
+    "events_value_outlier_rate": (
+        events_value_outlier_rate,
+        _sql_events_value_outlier_rate,
+    ),
+    "events_cohort_ltv": (events_cohort_ltv, _sql_events_cohort_ltv),
+    "embeddings_centroid_shift": (
+        embeddings_centroid_shift,
+        _sql_embeddings_centroid_shift,
+    ),
+    "events_cumulative_users": (
+        events_cumulative_users,
+        _sql_events_cumulative_users,
+    ),
     "events_throttled": (events_throttled, _sql_events_throttled),
     "events_dwell_time": (events_dwell_time, _sql_events_dwell_time),
     "events_user_activity_gini": (
