@@ -12556,6 +12556,326 @@ SELECT user_id, t AS grid_us,
 FROM f WHERE tag = 1"""
 
 
+_KM_CENSOR_US = 7 * 86_400_000_000  # active within 7d of corpus end = censored
+
+
+def events_km_retention(sf_dir: str) -> pa.Table:
+    """KAPLAN-MEIER retention ingredients: for each observed lifetime
+    (days between a user's first and last event), the number of
+    churns (deaths), the number of still-active users censored at that
+    lifetime (last seen within 7 days of the corpus end), and the
+    at-risk count (users whose lifetime >= t) — the exact-integer
+    inputs to the survival curve S(t) = prod(1 - d_t/n_t), kept as
+    integers so the check is bitwise instead of product-order-
+    dependent.
+
+    Scale shape: per-batch (user, min ts, max ts) partials -> ONE
+    keyed Min/Max bounded by #users; the global horizon is a Max over
+    that bounded table; lifetime/censor classification and the
+    descending at-risk cumsum run on the lifetime histogram (bounded
+    by the calendar)."""
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tsv = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        g = (
+            pa.table({"user_id": t["user_id"], "t": tsv})
+            .group_by("user_id")
+            .aggregate([("t", "min"), ("t", "max")])
+        )
+        return g.rename_columns(["user_id", "p_f", "p_l"])
+
+    users = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("p_f", alias_name="f"), Max("p_l", alias_name="l"))
+        .materialize()  # bounded by #users; horizon + histogram share it
+    )
+    gmax = int(users.max("l"))
+
+    def classify(t: pa.Table, gm=gmax) -> pa.Table:
+        f = t["f"].to_numpy(zero_copy_only=False)
+        last = t["l"].to_numpy(zero_copy_only=False)
+        dur = (last - f) // 86_400_000_000
+        cens = (last >= gm - _KM_CENSOR_US).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "duration_days": pa.array(dur),
+                    "pd": pa.array(1 - cens),
+                    "pcn": pa.array(cens),
+                }
+            )
+            .group_by("duration_days")
+            .aggregate([("pd", "sum"), ("pcn", "sum")])
+        )
+        return g.rename_columns(["duration_days", "pd", "pcn"])
+
+    hist = (
+        users.map_batches(classify, batch_format="pyarrow")
+        .groupby("duration_days")
+        .aggregate(
+            Sum("pd", alias_name="n_deaths"), Sum("pcn", alias_name="n_censored")
+        )
+    ).to_pandas()  # bounded by distinct lifetimes (calendar days)
+    hist = hist.sort_values("duration_days").reset_index(drop=True)
+    leaving = (hist["n_deaths"] + hist["n_censored"]).to_numpy(np.int64)
+    at_risk = leaving[::-1].cumsum()[::-1]
+    return pa.table(
+        {
+            "duration_days": pa.array(hist["duration_days"].to_numpy(np.int64)),
+            "n_deaths": pa.array(hist["n_deaths"].to_numpy(np.int64)),
+            "n_censored": pa.array(hist["n_censored"].to_numpy(np.int64)),
+            "n_at_risk": pa.array(at_risk, pa.int64()),
+        }
+    )
+
+
+def _sql_events_km_retention(sf_dir: str) -> str:
+    return """
+WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+           FROM events GROUP BY 1),
+d AS (SELECT (l - f) // 86400000000 AS duration_days,
+             CASE WHEN l >= (SELECT max(l) FROM u) - 604800000000
+                  THEN 1 ELSE 0 END AS cens
+      FROM u),
+c AS (SELECT duration_days,
+             CAST(sum(1 - cens) AS BIGINT) AS n_deaths,
+             CAST(sum(cens) AS BIGINT) AS n_censored
+      FROM d GROUP BY 1)
+SELECT duration_days, n_deaths, n_censored,
+       CAST(sum(n_deaths + n_censored)
+              OVER (ORDER BY duration_days DESC) AS BIGINT) AS n_at_risk
+FROM c"""
+
+
+_ATTR_WINDOW_US = 7 * 86_400_000_000  # attribution lookback
+
+
+def purchases_linear_attribution(sf_dir: str) -> Dataset:
+    """LINEAR MULTI-TOUCH attribution: every purchase's cents are
+    split equally (integer microcents, floor per share — exact and
+    order-free) across the user's clicks in the 7 days before it;
+    output is attributed microcents + pair counts per click DAY — the
+    marketing-spend counterpart of last-touch asof attribution.
+
+    Scale shape: the window-join bucket plan — purchases keep their
+    ts//W bucket, each click replicates to (b, b+1) so every
+    qualifying pair co-locates exactly once; inside a (user-hash,
+    bucket) group one lexsort + searchsorted builds the pair ranges
+    vectorized (np.repeat, no per-purchase Python); per-group partials
+    -> ONE tiny keyed Sum bounded by calendar days. No reducer ever
+    holds a user's full history — only one 7-day bucket of it."""
+    import pandas as pd
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_type", "value"],
+    )
+    W = _ATTR_WINDOW_US
+
+    def prep(t: pa.Table) -> pa.Table:
+        tsv = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        tt = t.append_column("ts_us", tsv)
+        p = tt.filter(
+            pc.and_(
+                pc.equal(tt["event_type"], "purchase"), pc.is_valid(tt["value"])
+            )
+        )
+        c = tt.filter(pc.equal(tt["event_type"], "click"))
+        cents = pc.cast(
+            pc.round(pc.multiply(p["value"], pa.scalar(100.0))), pa.int64()
+        )
+        pts = p["ts_us"].to_numpy(zero_copy_only=False)
+        cts = c["ts_us"].to_numpy(zero_copy_only=False)
+        pu = p["user_id"].to_numpy(zero_copy_only=False)
+        cu = c["user_id"].to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {
+                "user_id": pa.array(np.concatenate([pu, cu, cu])),
+                "bucket": pa.array(
+                    np.concatenate([pts // W, cts // W, cts // W + 1])
+                ),
+                "is_p": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(len(pu), np.int8),
+                            np.zeros(2 * len(cu), np.int8),
+                        ]
+                    )
+                ),
+                "ts_us": pa.array(np.concatenate([pts, cts, cts])),
+                "cents": pa.array(
+                    np.concatenate(
+                        [
+                            cents.to_numpy(zero_copy_only=False),
+                            np.zeros(2 * len(cu), np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+        hb = pd.util.hash_array(
+            out["user_id"].to_numpy(zero_copy_only=False)
+        ) % np.uint64(1 << 20)
+        comp = hb.astype(np.int64) * 100_000 + (
+            out["bucket"].to_numpy(zero_copy_only=False) % 100_000
+        )
+        return out.append_column("_g", pa.array(comp))
+
+    def per_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        is_p = df["is_p"].to_numpy() == 1
+        u = df["user_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        order = np.lexsort((is_p, ts, u))
+        us, tss, isp = u[order], ts[order], is_p[order]
+        cents = df["cents"].to_numpy()[order]
+        cmask = ~isp
+        cu, cts2 = us[cmask], tss[cmask]  # sorted by (user, ts)
+        pu, pts2, pcents = us[isp], tss[isp], cents[isp]
+        nclicks, npur = len(cts2), len(pts2)
+
+        def bound(probe_vals: np.ndarray, clicks_first_at_tie: bool):
+            # per-user searchsorted WITHOUT a per-purchase loop: merge
+            # probes into the (user, ts)-sorted click timeline, count
+            # clicks before each probe — that count IS the global index
+            # into cts2 (earlier users' clicks are part of the prefix)
+            mu = np.concatenate([cu, pu])
+            mt = np.concatenate([cts2, probe_vals])
+            ctag = 0 if clicks_first_at_tie else 1
+            mtag = np.concatenate(
+                [
+                    np.full(nclicks, ctag, np.int8),
+                    np.full(npur, 1 - ctag, np.int8),
+                ]
+            )
+            o = np.lexsort((mtag, mt, mu))
+            is_click = o < nclicks
+            before = np.cumsum(is_click) - is_click
+            res = np.empty(npur, np.int64)
+            res[o[~is_click] - nclicks] = before[~is_click]
+            return res
+
+        lo = bound(pts2 - W, clicks_first_at_tie=False)  # tc >= tp - W
+        hi = bound(pts2, clicks_first_at_tie=True)  # tc <= tp
+        k = np.maximum(hi - lo, 0)
+        sel = k > 0
+        if not sel.any():
+            return pd.DataFrame(
+                {
+                    "click_day": np.zeros(0, np.int64),
+                    "pn": np.zeros(0, np.int64),
+                    "pm": np.zeros(0, np.int64),
+                }
+            )
+        lo, hi, k = lo[sel], hi[sel], k[sel]
+        share = (pcents[sel] * 1_000_000) // k
+        total = int(k.sum())
+        base = np.repeat(lo, k)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(k) - k, k
+        )
+        click_pos = base + offs
+        micro = np.repeat(share, k)
+        day = cts2[click_pos] // 86_400_000_000
+        g = pd.DataFrame({"click_day": day, "pn": 1, "pm": micro})
+        return (
+            g.groupby("click_day", sort=False)
+            .agg(pn=("pn", "sum"), pm=("pm", "sum"))
+            .reset_index()
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(per_group, batch_format="pandas")
+        .groupby("click_day")
+        .aggregate(
+            Sum("pn", alias_name="n_pairs"),
+            Sum("pm", alias_name="attributed_microcents"),
+        )
+    )
+
+
+def _sql_purchases_linear_attribution(sf_dir: str) -> str:
+    return """
+WITH p AS (SELECT user_id, epoch_us(ts) AS tp,
+                  CAST(round(value * 100.0) AS BIGINT) AS cents,
+                  event_id
+           FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+c AS (SELECT user_id, epoch_us(ts) AS tc FROM events
+      WHERE event_type = 'click'),
+j AS (SELECT p.event_id, p.cents, c.tc
+      FROM p JOIN c ON p.user_id = c.user_id
+                   AND c.tc <= p.tp AND p.tp - c.tc <= 604800000000),
+k AS (SELECT event_id, cents, tc,
+             count(*) OVER (PARTITION BY event_id) AS k FROM j)
+SELECT tc // 86400000000 AS click_day,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum((cents * 1000000) // k) AS BIGINT) AS attributed_microcents
+FROM k GROUP BY 1"""
+
+
+_BLOOM_LOOKUP_USERS = (1, 7, 11)
+
+
+def events_bloom_pruned_scan(sf_dir: str) -> Dataset:
+    """BLOOM-INDEX point lookup: lay the events out as 16 hash-placed
+    files with a per-file Bloom filter over ``user_id``
+    (`sources/layout.py bloom_write`), then answer "all events for
+    these 3 users" touching ONLY the files whose filter admits one of
+    the keys — the equality-predicate complement of the zone-map range
+    scan (zone maps are useless here: every hash-placed file spans the
+    full user range). The oracle is a plain WHERE IN, so the whole
+    index round-trip is hash-checked; false positives can only add
+    files, never rows (the exact IN predicate runs in the fragment
+    scanner)."""
+    import hashlib
+    import os
+
+    from .sources.layout import bloom_pruned_read, bloom_write
+
+    src = f"{sf_dir}/events.parquet"
+    tag = hashlib.sha1(
+        f"{src}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    out_dir = f"/tmp/logpipe_ray_layout/events_bloom_{tag}"
+    if not os.path.exists(os.path.join(out_dir, "bloommap.json")):
+        ds = read_parquet_clean(src, columns=["user_id", "event_type", "value"])
+        bloom_write(ds, "user_id", out_dir, n_files=16)
+    pruned, stats = bloom_pruned_read(
+        out_dir, list(_BLOOM_LOOKUP_USERS), columns=["user_id", "event_type"]
+    )
+    assert stats["files_read"] < stats["files_total"], stats  # pruning real
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "event_type": t["event_type"],
+                    "c": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by(["user_id", "event_type"])
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["user_id", "event_type", "pc"])
+
+    return (
+        pruned.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("pc", alias_name="n_events"))
+    )
+
+
+def _sql_events_bloom_pruned_scan(sf_dir: str) -> str:
+    return """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events WHERE user_id IN (1, 7, 11)
+GROUP BY 1, 2"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-6 curation: seats go to queries that have NEVER
@@ -12704,6 +13024,15 @@ REGISTRY: dict = {
     # ================= PARKED (after driver's 50-entry window) =======
     # Green driver rows on record (r1/r2/r3) or mini-driver-verified
     # this round; full surface stays importable + sweepable.
+    "events_km_retention": (events_km_retention, _sql_events_km_retention),
+    "purchases_linear_attribution": (
+        purchases_linear_attribution,
+        _sql_purchases_linear_attribution,
+    ),
+    "events_bloom_pruned_scan": (
+        events_bloom_pruned_scan,
+        _sql_events_bloom_pruned_scan,
+    ),
     "events_heavy_hitters": (events_heavy_hitters, _sql_events_heavy_hitters),
     "docs_pareto_frontier": (docs_pareto_frontier, _sql_docs_pareto_frontier),
     "users_scd2_intervals": (users_scd2_intervals, _sql_users_scd2_intervals),

@@ -175,3 +175,150 @@ def pruned_read(
         strip_pandas_metadata, batch_format="pyarrow", zero_copy_batch=True
     )
     return ds, stats
+
+
+BLOOMMAP_NAME = "bloommap.json"
+
+
+def _bloom_positions(h: "np.ndarray", m_bits: int, k: int):
+    """Double-hashing bit positions for 64-bit key hashes: the i-th
+    probe is (h1 + i*h2) % m with h1/h2 carved from one deterministic
+    64-bit hash (pd.util.hash_array — stable across processes)."""
+    import numpy as np
+
+    h1 = (h % np.uint64(m_bits)).astype(np.int64)
+    h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.int64) % m_bits
+    return [(h1 + i * h2) % m_bits for i in range(k)]
+
+
+def bloom_write(
+    ds: Dataset,
+    key: str,
+    out_dir: str,
+    n_files: int = 16,
+    bits_per_key: int = 12,
+    n_hashes: int = 7,
+) -> dict:
+    """Write ``ds`` as ``n_files`` parquet files (hash-placed by
+    ``key``) plus a ``bloommap.json`` sidecar holding ONE Bloom filter
+    per file over that file's key values. The point-lookup complement
+    of ``cluster_write``'s zone maps: zone maps prune RANGE predicates
+    on clustered layouts, Bloom filters prune EQUALITY predicates on
+    ANY layout — the index records what each file actually contains,
+    making no assumption about why a key landed where it did (arrival
+    order, hash placement, compaction history all work alike).
+
+    One keyed exchange co-locates each file's rows; each file task
+    computes its filter from the distinct keys it just wrote (bits are
+    base16-packed into the sidecar; ~1.5 bytes/distinct key at the
+    default 12 bits). Written tmp+rename atomic, sidecar last."""
+    import base64
+
+    import numpy as np
+    import pandas as pd
+
+    base = ds.map_batches(
+        lambda t, c=key: t.filter(pc.is_valid(t[c])), batch_format="pyarrow"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    def assign(t: pa.Table) -> pa.Table:
+        col = t[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = pd.util.hash_array(col.to_numpy(zero_copy_only=False))
+        fid = (h % np.uint64(n_files)).astype(np.int64)
+        return t.append_column("_f", pa.array(fid))
+
+    def write_file(t: pa.Table) -> pa.Table:
+        fid = int(t["_f"][0].as_py())
+        body = t.drop(["_f"])
+        name = f"part_{fid:05d}.parquet"
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        pq.write_table(body, tmp)
+        os.replace(tmp, os.path.join(out_dir, name))
+        col = body[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        uniq = np.unique(col.to_numpy(zero_copy_only=False))
+        m_bits = max(64, int(len(uniq) * bits_per_key))
+        bits = np.zeros((m_bits + 7) // 8, np.uint8)
+        h = pd.util.hash_array(uniq)
+        for pos in _bloom_positions(h, m_bits, n_hashes):
+            np.bitwise_or.at(bits, pos // 8, np.uint8(1) << (pos % 8).astype(np.uint8))
+        return pa.table(
+            {
+                "file": pa.array([name]),
+                "m_bits": pa.array([m_bits], pa.int64()),
+                "rows": pa.array([body.num_rows], pa.int64()),
+                "bits": pa.array([base64.b64encode(bits.tobytes()).decode()]),
+            }
+        )
+
+    blooms = (
+        base.map_batches(assign, batch_format="pyarrow")
+        .groupby("_f")
+        .map_groups(write_file, batch_format="pyarrow")
+    ).to_pandas()
+    bloommap = {
+        r.file: {"m_bits": int(r.m_bits), "rows": int(r.rows), "bits": r.bits}
+        for r in blooms.itertuples()
+    }
+    tmp = os.path.join(out_dir, f".{BLOOMMAP_NAME}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"key": key, "n_hashes": n_hashes, "files": bloommap}, f)
+    os.replace(tmp, os.path.join(out_dir, BLOOMMAP_NAME))
+    return bloommap
+
+
+def bloom_pruned_read(
+    out_dir: str,
+    key_values,
+    columns: list[str] | None = None,
+) -> tuple[Dataset, dict]:
+    """Read only the files whose Bloom filter says at least one of
+    ``key_values`` may be present (false positives read a file they
+    didn't need; never the reverse), then apply the EXACT ``IN``
+    predicate in the fragment scanner. Returns (Dataset, stats) with
+    files_total / files_read as the pruning evidence."""
+    import base64
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from .factory import strip_pandas_metadata
+
+    with open(os.path.join(out_dir, BLOOMMAP_NAME)) as f:
+        meta = json.load(f)
+    key = meta["key"]
+    k = meta["n_hashes"]
+    vals = np.asarray(sorted(key_values))
+    h = pd.util.hash_array(vals)
+    picked = []
+    for name, info in meta["files"].items():
+        m_bits = info["m_bits"]
+        bits = np.frombuffer(base64.b64decode(info["bits"]), np.uint8)
+        hit = np.ones(len(vals), bool)
+        for pos in _bloom_positions(h, m_bits, k):
+            probe = (bits[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+            hit &= probe.astype(bool)
+        if hit.any():
+            picked.append(os.path.join(out_dir, name))
+    stats = {
+        "files_total": len(meta["files"]),
+        "files_read": len(picked),
+        "key": key,
+    }
+    if not picked:
+        raise ValueError(
+            f"bloom_pruned_read: no file may contain {list(key_values)!r}"
+        )
+    kw: dict = {"filter": pds.field(key).isin(list(key_values))}
+    if columns is not None:
+        kw["columns"] = columns
+    ds = rd.read_parquet(picked, **kw).map_batches(
+        strip_pandas_metadata, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds, stats

@@ -163,3 +163,87 @@ def test_resample_equal_ts_prev_next_rules(ray_session, tmp_path):
     df = events_value_resampled(sf).to_pandas()
     assert df["grid_us"].tolist() == [H]
     assert df["v_interp"].tolist() == [9.0]  # max event_id at the tie
+
+
+def test_bloom_write_pruned_read_roundtrip(ray_session, tmp_path):
+    """Bloom index: zero false negatives by construction, pruning
+    actually skips files, and the exact IN predicate removes any
+    false-positive rows."""
+    import ray.data as rd
+    from logpipe_ray.sources.layout import bloom_pruned_read, bloom_write
+
+    n = 5000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64) % 500),
+            "v": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    out = str(tmp_path / "bloomed")
+    bloom_write(rd.from_arrow(t), "k", out, n_files=16)
+    want = {3, 77, 421}
+    ds, stats = bloom_pruned_read(out, sorted(want))
+    assert stats["files_read"] < stats["files_total"]
+    got = ds.to_pandas()
+    assert set(got["k"].unique()) == want
+    # every row of the wanted keys survives (no false negatives)
+    assert len(got) == sum((np.arange(n) % 500 == k).sum() for k in want)
+
+
+def test_bloom_membership_no_false_negative(tmp_path):
+    import ray.data as rd
+    from logpipe_ray.sources.layout import bloom_pruned_read, bloom_write
+
+    t = pa.table({"k": pa.array([10, 20, 30], pa.int64())})
+    out = str(tmp_path / "b2")
+    bloom_write(rd.from_arrow(t), "k", out, n_files=4)
+    for key in (10, 20, 30):
+        _, stats = bloom_pruned_read(out, [key])
+        assert stats["files_read"] >= 1
+
+
+def test_linear_attribution_hand_case(ray_session, tmp_path):
+    """One purchase of 100.00 with 3 qualifying clicks (one exactly at
+    the 7-day edge, one outside) -> each qualifying click gets
+    floor(10000 * 1e6 / 3) microcents."""
+    from logpipe_ray.queries import purchases_linear_attribution
+
+    D = 86_400_000_000
+    W = 7 * D
+    tp = 100 * D
+    sf = _write_events(
+        tmp_path,
+        [5, 5, 5, 5, 5],
+        [tp, tp - W, tp - 1, tp - W - 1, tp - 2 * D],
+        [1, 2, 3, 4, 5],
+        ["purchase", "click", "click", "click", "click"],
+        [100.0, 0.0, 0.0, 0.0, 0.0],
+    )
+    df = purchases_linear_attribution(sf).to_pandas()
+    df = df.sort_values("click_day").reset_index(drop=True)
+    share = (10_000 * 1_000_000) // 3
+    assert df["click_day"].tolist() == [93, 98, 99]
+    assert df["n_pairs"].tolist() == [1, 1, 1]
+    assert df["attributed_microcents"].tolist() == [share] * 3
+
+
+def test_km_retention_hand_case(ray_session, tmp_path):
+    """3 users: lifetimes 2d/2d/0d; the 0d user's last event is the
+    corpus max so it is censored; at-risk counts are suffix sums."""
+    from logpipe_ray.queries import events_km_retention
+
+    D = 86_400_000_000
+    sf = _write_events(
+        tmp_path,
+        [1, 1, 2, 2, 3],
+        [0, 2 * D, D, 3 * D, 30 * D],
+        [1, 2, 3, 4, 5],
+        ["a"] * 5,
+        [0.0] * 5,
+    )
+    df = events_km_retention(sf).to_pandas()
+    df = df.sort_values("duration_days").reset_index(drop=True)
+    assert df["duration_days"].tolist() == [0, 2]
+    assert df["n_deaths"].tolist() == [0, 2]  # users 1,2 churned at 2d
+    assert df["n_censored"].tolist() == [1, 0]  # user 3 still active
+    assert df["n_at_risk"].tolist() == [3, 2]
