@@ -184,6 +184,17 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "events_out_of_order_audit",
             "events_conversion_latency",
             "embeddings_quantize_int8",
+            # round-4 session 7: distribution drift, RFM segmentation,
+            # cohort LTV, sketch-guided exact heavy hitters, hourly
+            # interpolation resampling, linear multi-touch attribution,
+            # Bloom-index point lookup
+            "docs_ks_drift",
+            "users_rfm_segments",
+            "events_cohort_ltv",
+            "events_heavy_hitters",
+            "events_value_resampled",
+            "purchases_linear_attribution",
+            "events_bloom_pruned_scan",
         ]
         all_q = Q.queries()
 

@@ -440,6 +440,60 @@ class Pipeline:
 
         return Pipeline(grouped_top_k_ties(self._ds, group_keys, rank_keys, k, **kw))
 
+    def heavy_hitters(
+        self, keys: list[str], thr_num: int, thr_den: int, **kw
+    ) -> "Pipeline":
+        """EXACT heavy hitters (count >= ceil(N*thr_num/thr_den)) via
+        mergeable Misra-Gries candidates + one exact verify pass — the
+        full key domain never shuffles (stages/aggregate.py
+        heavy_hitters)."""
+        import ray.data as rd
+
+        from .stages.aggregate import heavy_hitters
+
+        return Pipeline(
+            rd.from_arrow(heavy_hitters(self._ds, keys, thr_num, thr_den, **kw))
+        )
+
+    def pareto_by(
+        self, m1_col: str, m2_col: str, keep_cols: list[str]
+    ) -> "Pipeline":
+        """2-D Pareto frontier (maximize both metrics): per-batch local
+        skyline -> bounded survivor fold (stages/aggregate.py
+        pareto_frontier)."""
+        import ray.data as rd
+
+        from .stages.aggregate import pareto_frontier
+
+        return Pipeline(
+            rd.from_arrow(pareto_frontier(self._ds, m1_col, m2_col, keep_cols))
+        )
+
+    def scd2(
+        self, key: str, ts_col: str, tiebreak_col: str, attr_col: str, **kw
+    ) -> "Pipeline":
+        """SCD type-2 validity intervals from a change stream
+        (stages/aggregate.py scd2_intervals)."""
+        from .stages.aggregate import scd2_intervals
+
+        return Pipeline(
+            scd2_intervals(self._ds, key, ts_col, tiebreak_col, attr_col, **kw)
+        )
+
+    def resample_linear(
+        self, key: str, ts_col: str, tiebreak_col: str, value_col: str,
+        grid_us: int, **kw
+    ) -> "Pipeline":
+        """Per-key linear-interpolation resampling onto a fixed time
+        grid (stages/aggregate.py grouped_resample_linear)."""
+        from .stages.aggregate import grouped_resample_linear
+
+        return Pipeline(
+            grouped_resample_linear(
+                self._ds, key, ts_col, tiebreak_col, value_col, grid_us, **kw
+            )
+        )
+
     def semi_bloom(
         self, col: str, keys: "Pipeline | Dataset", key_col: str, **kw
     ) -> "Pipeline":

@@ -12116,119 +12116,20 @@ _HH_SKETCH_K = 600  # Misra-Gries counters; k+1 > 1/phi guarantees recall
 
 
 def events_heavy_hitters(sf_dir: str) -> pa.Table:
-    """GUARANTEED heavy hitters over (user_id, event_type) — every key
-    whose exact count >= ceil(phi*N), found WITHOUT shuffling the full
-    key domain. Two-pass sketch-guided plan: per batch, exact counts
-    truncated to a k-counter Misra-Gries summary (keep top-k, subtract
-    the (k+1)-th count — per-batch error <= batch_rows/(k+1));
-    summaries merge by counter ADDITION (Agarwal et al., "Mergeable
-    Summaries", PODS 2012), so one keyed Sum bounded by k x #batches
-    yields estimates with total underestimate < N/(k+1) < phi*N —
-    every true-heavy key survives (no false negatives). Pass 2 counts
-    ONLY the broadcast candidates exactly and filters >= threshold, so
-    the output is exact. A sentinel row (user_id = -1, never
-    truncated) carries each batch's row count, making N a free
-    byproduct of pass 1.
+    """GUARANTEED heavy hitters over (user_id, event_type): every pair
+    with exact count >= ceil(0.002 * N), found without shuffling the
+    full key domain — the sketch-guided two-pass plan (per-batch
+    Misra-Gries summaries -> mergeable keyed Sum -> guaranteed-superset
+    candidates -> one broadcast-restricted exact verify pass). Generic
+    stage: stages/aggregate.py heavy_hitters."""
+    from .stages.aggregate import heavy_hitters
 
-    Scale shape: pass-1 exchange volume is k x #batches counters (not
-    #distinct keys); pass-2 exchange is bounded by the candidate set.
-    The candidate fold is driver-side but <= k x #batches rows by
-    construction."""
     ev = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
     )
-
-    def mg_partial(t: pa.Table, k=_HH_SKETCH_K) -> pa.Table:
-        g = (
-            pa.table(
-                {
-                    "user_id": t["user_id"],
-                    "event_type": t["event_type"],
-                    "c": pa.array(np.ones(t.num_rows, np.int64)),
-                }
-            )
-            .group_by(["user_id", "event_type"])
-            .aggregate([("c", "sum")])
-        ).rename_columns(["user_id", "event_type", "c"])
-        c = g["c"].to_numpy(zero_copy_only=False)
-        if len(c) > k:
-            order = np.argsort(-c, kind="stable")
-            off = int(c[order[k]])
-            keep = order[:k]
-            kept = c[keep] - off
-            pos = keep[kept > 0]
-            g = pa.table(
-                {
-                    "user_id": g["user_id"].take(pa.array(pos, pa.int64())),
-                    "event_type": g["event_type"].take(
-                        pa.array(pos, pa.int64())
-                    ),
-                    "c": pa.array(c[pos] - off),
-                }
-            )
-        sentinel = pa.table(
-            {
-                "user_id": pa.array([-1], pa.int64()),
-                "event_type": pa.array([""], pa.string()),
-                "c": pa.array([t.num_rows], pa.int64()),
-            }
-        )
-        return pa.concat_tables([g, sentinel])
-
-    merged = (
-        ev.map_batches(mg_partial, batch_format="pyarrow")
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("c", alias_name="est"))
-    ).to_pandas()  # bounded: <= k x #batches + 1 rows
-    n_total = int(merged.loc[merged["user_id"] == -1, "est"].iloc[0])
-    thr = (_HH_PHI_NUM * n_total + _HH_PHI_DEN - 1) // _HH_PHI_DEN
-    slack = n_total // (_HH_SKETCH_K + 1)
-    cand = merged[
-        (merged["user_id"] >= 0) & (merged["est"] >= max(1, thr - slack))
-    ]
-    cand_keys = pa.array(
-        [
-            f"{u}\x1f{e}"
-            for u, e in zip(cand["user_id"], cand["event_type"])
-        ],
-        pa.string(),
+    return heavy_hitters(
+        ev, ["user_id", "event_type"], _HH_PHI_NUM, _HH_PHI_DEN, _HH_SKETCH_K
     )
-    keys_ref = ray.put(cand_keys)
-
-    def verify_partial(t: pa.Table) -> pa.Table:
-        ck = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
-        comp = pc.binary_join_element_wise(
-            pc.cast(t["user_id"], pa.string()), t["event_type"], "\x1f"
-        )
-        mask = pc.is_valid(pc.index_in(comp, ck))
-        sub = t.filter(mask)
-        g = (
-            pa.table(
-                {
-                    "user_id": sub["user_id"],
-                    "event_type": sub["event_type"],
-                    "c": pa.array(np.ones(sub.num_rows, np.int64)),
-                }
-            )
-            .group_by(["user_id", "event_type"])
-            .aggregate([("c", "sum")])
-        )
-        return g.rename_columns(["user_id", "event_type", "p_c"])
-
-    exact = (
-        ev.map_batches(verify_partial, batch_format="pyarrow")
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("p_c", alias_name="n"))
-    ).to_pandas()  # bounded by the candidate set
-    hh = exact[exact["n"] >= thr]
-    return pa.table(
-        {
-            "user_id": pa.array(hh["user_id"].to_numpy(np.int64)),
-            "event_type": pa.array(hh["event_type"].to_numpy(str)),
-            "n": pa.array(hh["n"].to_numpy(np.int64)),
-        }
-    )
-
 
 def _sql_events_heavy_hitters(sf_dir: str) -> str:
     return """
@@ -12238,72 +12139,29 @@ c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
 SELECT c.user_id, c.event_type, c.n FROM c, t WHERE c.n >= t.thr"""
 
 
-def _local_skyline_idx(m1: np.ndarray, m2: np.ndarray) -> np.ndarray:
-    """Indices of the Pareto frontier (maximize both, non-strict
-    domination: a point is dropped iff another is >= on both and > on
-    one; exact duplicates all survive). One lexsort + grouped cummax,
-    no pairwise loop."""
-    n = len(m1)
-    if n == 0:
-        return np.empty(0, np.int64)
-    order = np.lexsort((-m2, -m1))
-    a, b = m1[order], m2[order]
-    newg = np.ones(n, bool)
-    newg[1:] = a[1:] != a[:-1]
-    gid = np.cumsum(newg) - 1
-    gmax = b[newg]  # first row of each m1-group = its max m2
-    prev_best = np.concatenate(
-        ([np.iinfo(np.int64).min], np.maximum.accumulate(gmax)[:-1])
-    )
-    keep_group = gmax > prev_best
-    keep = keep_group[gid] & (b == gmax[gid])
-    return order[keep]
-
-
 def docs_pareto_frontier(sf_dir: str) -> pa.Table:
     """PARETO FRONTIER (skyline) selection: the documents not
     dominated on (token count, uppercase-letter count) — the
     multi-objective "best corpus candidates" picker where no single
-    score cut works. Non-strict domination; ties on both metrics all
-    survive (matches the NOT EXISTS oracle).
+    score cut works. Metrics are computed in the scan (vectorized
+    Arrow kernels); the skyline itself is the generic per-batch-local
+    -> bounded-fold plan (stages/aggregate.py pareto_frontier /
+    local_skyline_idx); text never leaves the scan."""
+    from .stages.aggregate import pareto_frontier
 
-    Scale shape: per-batch LOCAL skyline (lexsort + grouped cummax —
-    a point dominated inside its batch is dominated globally, so
-    survivors-only leave each batch; random-order batch skylines are
-    O(log^1 n) points) -> single bounded fold of survivors -> the same
-    vectorized skyline once at the driver. The raw table never
-    shuffles and text never leaves the scan."""
     docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
-    def local(t: pa.Table) -> pa.Table:
-        m1 = pc.add(pc.count_substring(t["text"], " "), 1)
-        m2 = pc.count_substring_regex(t["text"], "[A-Z]")
-        m1 = pc.cast(m1, pa.int64()).to_numpy(zero_copy_only=False)
-        m2 = pc.cast(m2, pa.int64()).to_numpy(zero_copy_only=False)
-        keep = _local_skyline_idx(m1, m2)
+    def metrics(t: pa.Table) -> pa.Table:
+        m1 = pc.cast(pc.add(pc.count_substring(t["text"], " "), 1), pa.int64())
+        m2 = pc.cast(pc.count_substring_regex(t["text"], "[A-Z]"), pa.int64())
         return pa.table(
-            {
-                "doc_id": t["doc_id"].take(pa.array(keep, pa.int64())),
-                "n_tokens": pa.array(m1[keep]),
-                "n_upper": pa.array(m2[keep]),
-            }
+            {"doc_id": t["doc_id"], "n_tokens": m1, "n_upper": m2}
         )
 
-    surv = docs.map_batches(local, batch_format="pyarrow").to_pandas()
-    keep = _local_skyline_idx(
-        surv["n_tokens"].to_numpy(np.int64), surv["n_upper"].to_numpy(np.int64)
-    )
-    out = surv.iloc[keep]
-    return pa.table(
-        {
-            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
-            "n_tokens": pa.array(out["n_tokens"].to_numpy(np.int64)),
-            "n_upper": pa.array(out["n_upper"].to_numpy(np.int64)),
-        }
-    )
-
+    scored = docs.map_batches(metrics, batch_format="pyarrow")
+    return pareto_frontier(scored, "n_tokens", "n_upper", ["doc_id"])
 
 def _sql_docs_pareto_frontier(sf_dir: str) -> str:
     return """
@@ -12321,79 +12179,19 @@ WHERE NOT EXISTS (
 
 
 def users_scd2_intervals(sf_dir: str) -> Dataset:
-    """SCD TYPE-2 interval build: collapse each user's event_type
-    stream into validity intervals [valid_from, valid_to) — one row
-    per maximal run of equal consecutive types in (ts, event_id)
-    order, versioned per user. The CDC-to-dimension-table operator:
-    an attribute's history becomes queryable ranges instead of a
-    change log.
-
-    Scale shape: rows hash-bucket by user (adjacency co-location);
-    ONE lexsort per bucket finds run boundaries vectorized (shift
-    compare); valid_to is the next run's start inside the same sorted
-    pass; version = per-user cumulative run index. One keyed exchange
-    total; output volume = #runs."""
-    import pandas as pd
+    """SCD TYPE-2 interval build over each user's event_type stream —
+    one row per maximal run of equal consecutive types in
+    (ts, event_id) order, with [valid_from_us, valid_to_us) validity
+    and a per-user version. Generic stage: stages/aggregate.py
+    scd2_intervals (one user-bucket lexsort, vectorized run
+    boundaries)."""
+    from .stages.aggregate import scd2_intervals
 
     ev = read_parquet_clean(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
     )
-    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
-
-    def tag(t: pa.Table) -> pa.Table:
-        uid = t["user_id"]
-        if isinstance(uid, pa.ChunkedArray):
-            uid = uid.combine_chunks()
-        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
-        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
-
-    def per_bucket(t: pa.Table) -> pa.Table:
-        u = t["user_id"].to_numpy(zero_copy_only=False)
-        ts = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()))
-        eid = t["event_id"].to_numpy(zero_copy_only=False)
-        et = t["event_type"]
-        if isinstance(et, pa.ChunkedArray):
-            et = et.combine_chunks()
-        codes = pc.dictionary_encode(et).indices.to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts, u))
-        us, tss, cs = u[order], ts[order], codes[order]
-        n = len(us)
-        new_user = np.ones(n, bool)
-        new_user[1:] = us[1:] != us[:-1]
-        start = new_user.copy()
-        start[1:] |= cs[1:] != cs[:-1]
-        sidx = np.flatnonzero(start)
-        run_user = us[sidx]
-        run_from = tss[sidx]
-        # next run's start ts, if it belongs to the same user
-        nxt_from = np.append(run_from[1:], 0)
-        same_user = np.append(run_user[1:] == run_user[:-1], False)
-        valid_to = pa.array(
-            np.where(same_user, nxt_from, 0),
-            pa.int64(),
-            mask=~same_user,
-        )
-        # per-user 1-based run version
-        first_run_of_user = new_user[sidx]
-        run_no = np.arange(len(sidx), dtype=np.int64)
-        base = np.maximum.accumulate(np.where(first_run_of_user, run_no, 0))
-        version = run_no - base + 1
-        return pa.table(
-            {
-                "user_id": pa.array(run_user),
-                "event_type": et.take(pa.array(order[sidx], pa.int64())),
-                "valid_from_us": pa.array(run_from),
-                "valid_to_us": valid_to,
-                "version": pa.array(version),
-            }
-        )
-
-    return (
-        ev.map_batches(tag, batch_format="pyarrow")
-        .groupby("_hb")
-        .map_groups(per_bucket, batch_format="pyarrow")
-    )
-
+    return scd2_intervals(ev, "user_id", "ts", "event_id", "event_type")
 
 def _sql_users_scd2_intervals(sf_dir: str) -> str:
     return """
@@ -12414,116 +12212,21 @@ _RESAMPLE_H_US = 3_600_000_000  # hourly grid
 
 def events_value_resampled(sf_dir: str) -> Dataset:
     """TIME-SERIES RESAMPLING: each user's irregular value series
-    linearly interpolated onto a fixed hourly grid (grid points
-    between the user's first and last event) — the gap-filling /
-    regularization step before any fixed-step sequence model. prev =
-    the event maximizing (ts, event_id) at or before the grid point,
-    next = the event minimizing it at or after; v = v_p + (v_n - v_p)
-    * ((h - t_p) / (t_n - t_p)) as ONE fixed-order IEEE expression
-    (exact value when prev == next), bitwise-reproducible against the
-    oracle's window-fill formulation.
-
-    Scale shape: rows hash-bucket by user; inside a bucket the grid is
-    BUILT vectorized (repeat/arange), merged with the events by two
-    lexsorts (events-before-grid for the backward fill, grid-before-
-    events for the forward fill), and filled with maximum/minimum.
-    accumulate — no per-row or per-user Python. One keyed exchange;
-    output volume = user-activity-span hours, calendar-bounded."""
-    import pandas as pd
+    linearly interpolated onto the hourly grid between its first and
+    last event — the gap-filling / regularization step before any
+    fixed-step sequence model; bitwise-reproducible against the
+    oracle's union + IGNORE NULLS window-fill formulation. Generic
+    stage: stages/aggregate.py grouped_resample_linear (grid built
+    vectorized, two merged lexsorts + accumulate fills)."""
+    from .stages.aggregate import grouped_resample_linear
 
     ev = read_parquet_clean(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
     )
-    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
-
-    def tag(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t["value"]))
-        uid = t["user_id"]
-        if isinstance(uid, pa.ChunkedArray):
-            uid = uid.combine_chunks()
-        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
-        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
-
-    def per_bucket(t: pa.Table, H=_RESAMPLE_H_US) -> pa.Table:
-        u = t["user_id"].to_numpy(zero_copy_only=False)
-        ts = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()))
-        eid = t["event_id"].to_numpy(zero_copy_only=False)
-        val = t["value"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts, u))
-        us, tss, eids, vs = u[order], ts[order], eid[order], val[order]
-        n = len(us)
-        seg = np.ones(n, bool)
-        seg[1:] = us[1:] != us[:-1]
-        starts = np.flatnonzero(seg)
-        ends = np.append(starts[1:], n) - 1
-        g0 = -((-tss[starts]) // H)  # ceil div of first ts
-        g1 = tss[ends] // H  # floor div of last ts
-        cnt = np.maximum(0, g1 - g0 + 1)
-        total = int(cnt.sum())
-        if total == 0:
-            return pa.table(
-                {
-                    "user_id": pa.array([], pa.int64()),
-                    "grid_us": pa.array([], pa.int64()),
-                    "v_interp": pa.array([], pa.float64()),
-                }
-            )
-        gu = np.repeat(us[starts], cnt)
-        base = np.repeat(g0, cnt)
-        offs = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(cnt) - cnt, cnt
-        )
-        gh = (base + offs) * H
-        # merged arrays: events tag 0, grid tag 1
-        mu = np.concatenate([us, gu])
-        mt = np.concatenate([tss, gh])
-        mtag = np.concatenate(
-            [np.zeros(n, np.int8), np.ones(total, np.int8)]
-        )
-        meid = np.concatenate([eids, np.zeros(total, np.int64)])
-        is_event_pos = np.concatenate(
-            [np.arange(n, dtype=np.int64), np.full(total, -1, np.int64)]
-        )
-        m = n + total
-        # forward fill: events BEFORE grid at equal ts (tag asc), max eid
-        o1 = np.lexsort((meid, mtag, mt, mu))
-        src1 = np.where(is_event_pos[o1] >= 0, np.arange(m), -1)
-        f1 = np.maximum.accumulate(src1)
-        prev_sorted_pos = f1[is_event_pos[o1] < 0]
-        prev_ev = is_event_pos[o1][prev_sorted_pos]
-        grid_order_1 = o1[is_event_pos[o1] < 0] - n  # grid row ids
-        # backward fill: grid BEFORE events at equal ts (tag desc), min eid
-        o2 = np.lexsort((meid, np.negative(mtag), mt, mu))
-        src2 = np.where(is_event_pos[o2] >= 0, np.arange(m), m)
-        b2 = np.minimum.accumulate(src2[::-1])[::-1]
-        next_sorted_pos = b2[is_event_pos[o2] < 0]
-        next_ev = is_event_pos[o2][next_sorted_pos]
-        grid_order_2 = o2[is_event_pos[o2] < 0] - n
-        # align both fills to grid row order
-        prev_of = np.empty(total, np.int64)
-        prev_of[grid_order_1] = prev_ev
-        next_of = np.empty(total, np.int64)
-        next_of[grid_order_2] = next_ev
-        tp, vp = tss[prev_of], vs[prev_of]
-        tn, vn = tss[next_of], vs[next_of]
-        flat = tn == tp
-        denom = np.where(flat, 1, tn - tp).astype(np.float64)
-        ratio = (gh - tp).astype(np.float64) / denom
-        v = np.where(flat, vp, vp + (vn - vp) * ratio)
-        return pa.table(
-            {
-                "user_id": pa.array(gu),
-                "grid_us": pa.array(gh),
-                "v_interp": pa.array(v),
-            }
-        )
-
-    return (
-        ev.map_batches(tag, batch_format="pyarrow")
-        .groupby("_hb")
-        .map_groups(per_bucket, batch_format="pyarrow")
+    return grouped_resample_linear(
+        ev, "user_id", "ts", "event_id", "value", _RESAMPLE_H_US
     )
-
 
 def _sql_events_value_resampled(sf_dir: str) -> str:
     return """

@@ -2513,3 +2513,336 @@ def cusum_changepoint(
             names[4]: pa.array(out[names[4]], pa.int64()),
         }
     )
+
+
+def _as_int64_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Timestamp or integer column -> int64 microseconds numpy view."""
+    if pa.types.is_timestamp(col.type):
+        col = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+    elif col.type != pa.int64():
+        col = pc.cast(col, pa.int64())
+    return np.asarray(col)
+
+
+def heavy_hitters(
+    ds: Dataset,
+    keys: list[str],
+    thr_num: int,
+    thr_den: int,
+    sketch_k: int = 600,
+) -> pa.Table:
+    """EXACT heavy hitters — every key combination whose count >=
+    ceil(N * thr_num / thr_den) — without ever shuffling the full key
+    domain. Pass 1: per-batch exact counts truncated to a
+    ``sketch_k``-counter Misra-Gries summary (keep top-k, subtract the
+    (k+1)-th count; per-batch underestimate <= batch_rows/(k+1)).
+    Summaries merge by counter ADDITION (Agarwal et al., "Mergeable
+    Summaries", PODS 2012): one keyed Sum bounded by k x #batches
+    yields estimates underestimating by < N/(k+1); with k+1 >
+    thr_den/thr_num every true-heavy key survives (no false
+    negatives). Pass 2 exactly counts ONLY the broadcast candidates
+    and filters by the true threshold, so the result is exact. The
+    first partial row of each batch carries the batch's row count in a
+    side column, making N a free byproduct of pass 1.
+
+    Keys are matched by a \\x1f-joined string composite (categorical
+    keys by nature; don't use float keys). Candidate fold is
+    driver-side but <= k x #batches rows by construction."""
+    import ray
+
+    if (sketch_k + 1) * thr_num <= thr_den:
+        raise ValueError(
+            "heavy_hitters: sketch_k too small for the threshold — "
+            f"need (k+1) > {thr_den}/{thr_num}"
+        )
+
+    def mg_partial(t: pa.Table, k=sketch_k) -> pa.Table:
+        cols = {c: t[c] for c in keys}
+        cols["c"] = pa.array(np.ones(t.num_rows, np.int64))
+        g = (
+            pa.table(cols).group_by(keys).aggregate([("c", "sum")])
+        ).rename_columns([*keys, "c"])
+        c = g["c"].to_numpy(zero_copy_only=False)
+        if len(c) > k:
+            order = np.argsort(-c, kind="stable")
+            off = int(c[order[k]])
+            pos = order[:k][(c[order[:k]] - off) > 0]
+            take = pa.array(pos, pa.int64())
+            parts = {kk: g[kk].take(take) for kk in keys}
+            parts["c"] = pa.array(c[pos] - off)
+            g = pa.table(parts)
+        bn = np.zeros(g.num_rows, np.int64)
+        if g.num_rows:
+            bn[0] = t.num_rows
+        return g.append_column("bn", pa.array(bn))
+
+    merged = (
+        ds.map_batches(mg_partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("c", alias_name="est"), Sum("bn", alias_name="bn"))
+    ).to_pandas()  # bounded: <= sketch_k x #batches rows
+    n_total = int(merged["bn"].sum())
+    thr = (thr_num * n_total + thr_den - 1) // thr_den
+    slack = n_total // (sketch_k + 1)
+    cand = merged[merged["est"] >= max(1, thr - slack)]
+    comp = None
+    for kk in keys:
+        part = cand[kk].astype(str)
+        comp = part if comp is None else comp + "\x1f" + part
+    cand_keys = pa.array(comp.to_numpy(str) if len(cand) else [], pa.string())
+    keys_ref = ray.put(cand_keys)
+
+    def verify_partial(t: pa.Table) -> pa.Table:
+        ck = keys_ref
+        if isinstance(ck, ray.ObjectRef):
+            ck = ray.get(ck)
+        comp = pc.cast(t[keys[0]], pa.string())
+        for kk in keys[1:]:
+            comp = pc.binary_join_element_wise(
+                comp, pc.cast(t[kk], pa.string()), "\x1f"
+            )
+        sub = t.filter(pc.is_valid(pc.index_in(comp, ck)))
+        cols = {c: sub[c] for c in keys}
+        cols["c"] = pa.array(np.ones(sub.num_rows, np.int64))
+        g = pa.table(cols).group_by(keys).aggregate([("c", "sum")])
+        return g.rename_columns([*keys, "p_c"])
+
+    exact = (
+        ds.map_batches(verify_partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("p_c", alias_name="n"))
+    ).to_pandas()  # bounded by the candidate set
+    hh = exact[exact["n"] >= thr].reset_index(drop=True)
+    return pa.Table.from_pandas(hh, preserve_index=False)
+
+
+def local_skyline_idx(m1: np.ndarray, m2: np.ndarray) -> np.ndarray:
+    """Indices of the 2-D Pareto frontier (maximize both; non-strict
+    domination — exact duplicates all survive). One lexsort + grouped
+    cummax, no pairwise loop."""
+    n = len(m1)
+    if n == 0:
+        return np.empty(0, np.int64)
+    order = np.lexsort((-m2, -m1))
+    a, b = m1[order], m2[order]
+    newg = np.ones(n, bool)
+    newg[1:] = a[1:] != a[:-1]
+    gid = np.cumsum(newg) - 1
+    gmax = b[newg]
+    prev_best = np.concatenate(
+        ([np.iinfo(np.int64).min], np.maximum.accumulate(gmax)[:-1])
+    )
+    keep_group = gmax > prev_best
+    keep = keep_group[gid] & (b == gmax[gid])
+    return order[keep]
+
+
+def pareto_frontier(
+    ds: Dataset, m1_col: str, m2_col: str, keep_cols: list[str]
+) -> pa.Table:
+    """2-D PARETO FRONTIER over integer metric columns: the rows not
+    dominated on (m1, m2), maximizing both. Per-batch LOCAL skyline
+    (a point dominated inside its batch is dominated globally) ->
+    bounded survivor fold -> one final vectorized skyline; the raw
+    table never shuffles. Returns keep_cols + the two metrics."""
+
+    def local(t: pa.Table) -> pa.Table:
+        m1 = pc.cast(t[m1_col], pa.int64()).to_numpy(zero_copy_only=False)
+        m2 = pc.cast(t[m2_col], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = pa.array(local_skyline_idx(m1, m2), pa.int64())
+        cols = {c: t[c].take(keep) for c in keep_cols}
+        cols[m1_col] = pa.array(m1[np.asarray(keep)])
+        cols[m2_col] = pa.array(m2[np.asarray(keep)])
+        return pa.table(cols)
+
+    surv = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    keep = local_skyline_idx(
+        surv[m1_col].to_numpy(np.int64), surv[m2_col].to_numpy(np.int64)
+    )
+    return pa.Table.from_pandas(surv.iloc[keep], preserve_index=False)
+
+
+def scd2_intervals(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    attr_col: str,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """SCD TYPE-2 interval build: collapse each key's ``attr_col``
+    stream into validity intervals [valid_from_us, valid_to_us) — one
+    row per maximal run of equal consecutive values in (ts, tiebreak)
+    order, versioned per key (the CDC-to-dimension-table operator).
+
+    Rows hash-bucket by key (adjacency co-location); ONE lexsort per
+    bucket finds run boundaries vectorized; valid_to is the next run's
+    start inside the same pass; version = per-key cumulative run
+    index. One keyed exchange; output volume = #runs."""
+    import pandas as pd
+    import ray
+
+    if num_buckets is None:
+        num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        kc = t[key]
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        hb = pd.util.hash_array(kc.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        u = t[key].to_numpy(zero_copy_only=False)
+        ts = _as_int64_us(t[ts_col])
+        eid = t[tiebreak_col].to_numpy(zero_copy_only=False)
+        et = t[attr_col]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = pc.dictionary_encode(et).indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        us, tss, cs = u[order], ts[order], codes[order]
+        n = len(us)
+        new_key = np.ones(n, bool)
+        new_key[1:] = us[1:] != us[:-1]
+        start = new_key.copy()
+        start[1:] |= cs[1:] != cs[:-1]
+        sidx = np.flatnonzero(start)
+        run_key = us[sidx]
+        run_from = tss[sidx]
+        nxt_from = np.append(run_from[1:], 0)
+        same_key = np.append(run_key[1:] == run_key[:-1], False)
+        valid_to = pa.array(
+            np.where(same_key, nxt_from, 0), pa.int64(), mask=~same_key
+        )
+        first_run = new_key[sidx]
+        run_no = np.arange(len(sidx), dtype=np.int64)
+        base = np.maximum.accumulate(np.where(first_run, run_no, 0))
+        return pa.table(
+            {
+                key: pa.array(run_key),
+                attr_col: et.take(pa.array(order[sidx], pa.int64())),
+                "valid_from_us": pa.array(run_from),
+                "valid_to_us": valid_to,
+                "version": pa.array(run_no - base + 1),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def grouped_resample_linear(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    grid_us: int,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """TIME-SERIES RESAMPLING: each key's irregular value series
+    linearly interpolated onto a fixed ``grid_us`` grid (grid points
+    between the key's first and last row). prev = the row maximizing
+    (ts, tiebreak) at or before the grid point, next = the row
+    minimizing it at or after; v = v_p + (v_n - v_p) * ((h - t_p) /
+    (t_n - t_p)) as one fixed-order IEEE expression (exactly the prev
+    value when prev == next).
+
+    Rows hash-bucket by key; inside a bucket the grid is BUILT
+    vectorized (repeat/arange), merged with the rows by two lexsorts
+    (rows-before-grid for the forward fill, grid-before-rows for the
+    backward fill) and filled with maximum/minimum.accumulate — no
+    per-row or per-key Python. One keyed exchange; output volume =
+    activity-span / grid_us per key, calendar-bounded."""
+    import pandas as pd
+    import ray
+
+    if num_buckets is None:
+        num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+    H = int(grid_us)
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value_col]))
+        kc = t[key]
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        hb = pd.util.hash_array(kc.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        u = t[key].to_numpy(zero_copy_only=False)
+        ts = _as_int64_us(t[ts_col])
+        eid = t[tiebreak_col].to_numpy(zero_copy_only=False)
+        val = t[value_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        us, tss, eids, vs = u[order], ts[order], eid[order], val[order]
+        n = len(us)
+        seg = np.ones(n, bool)
+        seg[1:] = us[1:] != us[:-1]
+        starts = np.flatnonzero(seg)
+        ends = np.append(starts[1:], n) - 1
+        g0 = -((-tss[starts]) // H)
+        g1 = tss[ends] // H
+        cnt = np.maximum(0, g1 - g0 + 1)
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    "grid_us": pa.array([], pa.int64()),
+                    "v_interp": pa.array([], pa.float64()),
+                }
+            )
+        gu = np.repeat(us[starts], cnt)
+        base = np.repeat(g0, cnt)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        gh = (base + offs) * H
+        mu = np.concatenate([us, gu])
+        mt = np.concatenate([tss, gh])
+        mtag = np.concatenate([np.zeros(n, np.int8), np.ones(total, np.int8)])
+        meid = np.concatenate([eids, np.zeros(total, np.int64)])
+        is_event_pos = np.concatenate(
+            [np.arange(n, dtype=np.int64), np.full(total, -1, np.int64)]
+        )
+        m = n + total
+        o1 = np.lexsort((meid, mtag, mt, mu))
+        src1 = np.where(is_event_pos[o1] >= 0, np.arange(m), -1)
+        f1 = np.maximum.accumulate(src1)
+        prev_sorted_pos = f1[is_event_pos[o1] < 0]
+        prev_ev = is_event_pos[o1][prev_sorted_pos]
+        grid_order_1 = o1[is_event_pos[o1] < 0] - n
+        o2 = np.lexsort((meid, np.negative(mtag), mt, mu))
+        src2 = np.where(is_event_pos[o2] >= 0, np.arange(m), m)
+        b2 = np.minimum.accumulate(src2[::-1])[::-1]
+        next_sorted_pos = b2[is_event_pos[o2] < 0]
+        next_ev = is_event_pos[o2][next_sorted_pos]
+        grid_order_2 = o2[is_event_pos[o2] < 0] - n
+        prev_of = np.empty(total, np.int64)
+        prev_of[grid_order_1] = prev_ev
+        next_of = np.empty(total, np.int64)
+        next_of[grid_order_2] = next_ev
+        tp, vp = tss[prev_of], vs[prev_of]
+        tn, vn = tss[next_of], vs[next_of]
+        flat = tn == tp
+        denom = np.where(flat, 1, tn - tp).astype(np.float64)
+        ratio = (gh - tp).astype(np.float64) / denom
+        v = np.where(flat, vp, vp + (vn - vp) * ratio)
+        return pa.table(
+            {
+                key: pa.array(gu),
+                "grid_us": pa.array(gh),
+                "v_interp": pa.array(v),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -23,7 +23,7 @@ def _brute_skyline(m1: np.ndarray, m2: np.ndarray) -> set:
 
 
 def test_local_skyline_matches_brute():
-    from logpipe_ray.queries import _local_skyline_idx
+    from logpipe_ray.stages.aggregate import local_skyline_idx as _local_skyline_idx
 
     rng = np.random.default_rng(11)
     m1 = rng.integers(0, 20, 200).astype(np.int64)
@@ -39,7 +39,7 @@ def test_local_skyline_matches_brute():
 def test_skyline_fold_is_batch_invariant():
     """Local-skyline-then-fold equals the one-shot global skyline —
     the property the distributed plan relies on."""
-    from logpipe_ray.queries import _local_skyline_idx
+    from logpipe_ray.stages.aggregate import local_skyline_idx as _local_skyline_idx
 
     rng = np.random.default_rng(5)
     m1 = rng.integers(0, 1000, 5000).astype(np.int64)
@@ -247,3 +247,31 @@ def test_km_retention_hand_case(ray_session, tmp_path):
     assert df["n_deaths"].tolist() == [0, 2]  # users 1,2 churned at 2d
     assert df["n_censored"].tolist() == [1, 0]  # user 3 still active
     assert df["n_at_risk"].tolist() == [3, 2]
+
+
+def test_fluent_new_verbs(ray_session):
+    """heavy_hitters / pareto_by / scd2 / resample_linear compose on
+    the Pipeline like any other verb."""
+    import ray.data as rd
+    from logpipe_ray.api import Pipeline
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+            "ts": pa.array([10, 20, 30, 10, 10], pa.int64()),
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "attr": pa.array(["a", "a", "b", "x", "y"]),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+            "m1": pa.array([3, 2, 3, 1, 2], pa.int64()),
+            "m2": pa.array([1, 2, 1, 3, 1], pa.int64()),
+        }
+    )
+    p = Pipeline(rd.from_arrow(t))
+    hh = p.heavy_hitters(["k"], 1, 2).to_pandas()  # count >= ceil(5/2)=3
+    assert hh["k"].tolist() == [1] and hh["n"].tolist() == [3]
+    sky = p.pareto_by("m1", "m2", ["id"]).to_pandas()
+    assert set(zip(sky["m1"], sky["m2"])) == {(3, 1), (2, 2), (1, 3)}
+    runs = p.scd2("k", "ts", "id", "attr").to_pandas()
+    assert len(runs) == 4  # k1: a,b; k2: x; k3: y
+    rs = p.resample_linear("k", "ts", "id", "v", 10).to_pandas()
+    assert len(rs) == 5  # k1 grid 10/20/30, k2 grid 10, k3 grid 10
