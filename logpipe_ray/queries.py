@@ -12579,6 +12579,221 @@ FROM events WHERE user_id IN (1, 7, 11)
 GROUP BY 1, 2"""
 
 
+_CURR_BANDS = 16  # hash sub-bands inside each n_chars value
+
+
+def docs_curriculum_order(sf_dir: str) -> Dataset:
+    """CURRICULUM ORDERING for training: every document gets a global
+    position that walks difficulty deciles round-robin — order_idx =
+    within_decile_rank * 10 + decile — so a sequential reader sees an
+    easy->hard interleave each epoch instead of a sorted-by-length
+    corpus. Difficulty = n_chars; ties break by a deterministic
+    multiplicative hash then doc_id (the SQL window replays the same
+    int64 hash bit-for-bit). Deciles are exact NTILE(10) semantics
+    over that total order (first n%10 deciles get the extra row).
+
+    Scale shape (distributed rank with NO global sort): the total
+    order's composite bucket is (n_chars, hash-band) — bounded domain
+    x 16 uniform bands, so no bucket is hot even when one length
+    dominates; per-batch bucket-count partials -> bounded driver
+    prefix (lengths x bands ints) -> ONE keyed exchange where each
+    group sorts only its own slice and adds its offset; decile and
+    interleave position are closed-form integer functions of the
+    rank."""
+    import pandas as pd
+
+    from .functions.sampling import HASH_A, HASH_B, HASH_M
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(t["doc_id"], pa.int64()), np.int64)
+        h = (ids * HASH_A + HASH_B) % HASH_M
+        nc = np.asarray(pc.cast(t["n_chars"], pa.int64()), np.int64)
+        band = h * _CURR_BANDS // HASH_M
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(nc),
+                "h": pa.array(h),
+                "comp": pa.array(nc * _CURR_BANDS + band),
+            }
+        )
+
+    with_key = docs.map_batches(keyed, batch_format="pyarrow")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["comp"]).group_by("comp").aggregate([([], "count_all")])
+        return pa.table({"comp": g["comp"], "c": g["count_all"]})
+
+    parts = (
+        with_key.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    )  # bounded: distinct lengths x bands
+    merged = parts.groupby("comp")["c"].sum().sort_index()
+    comps = merged.index.to_numpy(np.int64)
+    counts = merged.to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    n = int(counts.sum())
+    q, r0 = divmod(n, 10)
+
+    def rank_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["h", "doc_id"])
+        comp = int(df["comp"].iloc[0])
+        base = int(offsets[np.searchsorted(comps, comp)])
+        rk = base + np.arange(len(df), dtype=np.int64)
+        # NTILE(10): first r0 deciles hold q+1 rows, the rest q
+        qq = max(q, 1)
+        d0 = np.where(
+            rk < r0 * (q + 1), rk // (q + 1), r0 + (rk - r0 * (q + 1)) // qq
+        )
+        start = np.where(d0 < r0, d0 * (q + 1), r0 * (q + 1) + (d0 - r0) * q)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_chars": df["n_chars"].to_numpy(),
+                "decile": d0 + 1,
+                "order_idx": (rk - start) * 10 + d0,
+            }
+        )
+
+    return with_key.groupby("comp").map_groups(rank_group, batch_format="pandas")
+
+
+def _sql_docs_curriculum_order(sf_dir: str) -> str:
+    return """
+WITH r AS (SELECT doc_id, n_chars,
+                  row_number() OVER w - 1 AS rk,
+                  count(*) OVER () AS n,
+                  NTILE(10) OVER w AS decile
+           FROM documents
+           WINDOW w AS (ORDER BY n_chars,
+                        (doc_id * 2654435761 + 12345) % 1000000007,
+                        doc_id))
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(decile AS BIGINT) AS decile,
+       CAST((rk - CASE WHEN decile - 1 < n % 10
+                       THEN (decile - 1) * (n // 10 + 1)
+                       ELSE (n % 10) * (n // 10 + 1)
+                            + (decile - 1 - n % 10) * (n // 10) END) * 10
+            + (decile - 1) AS BIGINT) AS order_idx
+FROM r"""
+
+
+_LIFECYCLE_WK_US = 7 * 86_400_000_000
+
+
+def events_lifecycle_accounting(sf_dir: str) -> Dataset:
+    """GROWTH ACCOUNTING: per calendar week, how many users are NEW
+    (first-ever week), RETAINED (also active the week before),
+    RESURRECTED (active before, but not last week) and CHURNED
+    (active last week / last active earlier, not this week — charged
+    to the first inactive week) — the standard user-base
+    decomposition where net growth = new + resurrected - churned.
+
+    Scale shape: per-batch distinct (user, week) partials -> user
+    hash-bucket exchange; ONE lexsort per bucket dedupes cross-batch
+    pairs and classifies every week row against its predecessor
+    (vectorized shift); gap and end-of-history churn rows are emitted
+    in the same pass (the global horizon week is a one-number Max
+    computed first); per-bucket (week, stage) count partials -> tiny
+    keyed Sum."""
+    import pandas as pd
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    WK = _LIFECYCLE_WK_US
+    gmax_ts = ev.max("ts")
+    gw = int(pd.Timestamp(gmax_ts).value // 1000) // WK
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        tsv = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        wk = pc.divide(tsv, pa.scalar(WK, pa.int64()))
+        g = (
+            pa.table({"user_id": t["user_id"], "wk": wk})
+            .group_by(["user_id", "wk"])
+            .aggregate([])
+        )
+        uid = g["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
+        return g.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(t: pa.Table, gw=gw) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        w = t["wk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        us, ws = u[order], w[order]
+        first = np.ones(len(us), bool)
+        first[1:] = (us[1:] != us[:-1]) | (ws[1:] != ws[:-1])
+        us, ws = us[first], ws[first]  # cross-batch dedupe
+        new_user = np.ones(len(us), bool)
+        new_user[1:] = us[1:] != us[:-1]
+        pw = np.empty_like(ws)
+        pw[1:] = ws[:-1]
+        gap = ~new_user & (ws - pw > 1)
+        retained = ~new_user & (ws - pw == 1)
+        last = np.append(new_user[1:], True)
+        end_churn = last & (ws < gw)
+        wk_out = np.concatenate(
+            [ws[new_user], ws[retained], ws[gap], pw[gap] + 1, ws[end_churn] + 1]
+        )
+        stage = np.concatenate(
+            [
+                np.full(int(new_user.sum()), "new"),
+                np.full(int(retained.sum()), "retained"),
+                np.full(int(gap.sum()), "resurrected"),
+                np.full(int(gap.sum()) + int(end_churn.sum()), "churned"),
+            ]
+        )
+        g = (
+            pa.table(
+                {
+                    "wk": pa.array(wk_out),
+                    "stage": pa.array(stage),
+                    "c": pa.array(np.ones(len(wk_out), np.int64)),
+                }
+            )
+            .group_by(["wk", "stage"])
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["wk", "stage", "p_c"])
+
+    return (
+        ev.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["wk", "stage"])
+        .aggregate(Sum("p_c", alias_name="n_users"))
+    )
+
+
+def _sql_events_lifecycle_accounting(sf_dir: str) -> str:
+    return """
+WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+            FROM events),
+g AS (SELECT max(wk) AS gw FROM uw),
+l AS (SELECT user_id, wk,
+             lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS pw
+      FROM uw),
+stages AS (
+  SELECT wk, CASE WHEN pw IS NULL THEN 'new'
+                  WHEN wk - pw = 1 THEN 'retained'
+                  ELSE 'resurrected' END AS stage
+  FROM l
+  UNION ALL
+  SELECT pw + 1, 'churned' FROM l WHERE pw IS NOT NULL AND wk - pw > 1
+  UNION ALL
+  SELECT m.wk + 1, 'churned'
+  FROM (SELECT user_id, max(wk) AS wk FROM uw GROUP BY 1) m, g
+  WHERE m.wk < g.gw
+)
+SELECT wk, stage, CAST(count(*) AS BIGINT) AS n_users
+FROM stages GROUP BY 1, 2"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-6 curation: seats go to queries that have NEVER
@@ -12727,6 +12942,14 @@ REGISTRY: dict = {
     # ================= PARKED (after driver's 50-entry window) =======
     # Green driver rows on record (r1/r2/r3) or mini-driver-verified
     # this round; full surface stays importable + sweepable.
+    "docs_curriculum_order": (
+        docs_curriculum_order,
+        _sql_docs_curriculum_order,
+    ),
+    "events_lifecycle_accounting": (
+        events_lifecycle_accounting,
+        _sql_events_lifecycle_accounting,
+    ),
     "events_km_retention": (events_km_retention, _sql_events_km_retention),
     "purchases_linear_attribution": (
         purchases_linear_attribution,

@@ -275,3 +275,60 @@ def test_fluent_new_verbs(ray_session):
     assert len(runs) == 4  # k1: a,b; k2: x; k3: y
     rs = p.resample_linear("k", "ts", "id", "v", 10).to_pandas()
     assert len(rs) == 5  # k1 grid 10/20/30, k2 grid 10, k3 grid 10
+
+
+def test_curriculum_order_interleaves_deciles(ray_session, tmp_path):
+    """order_idx mod 10 == decile-1, positions are unique, and walking
+    order_idx visits deciles round-robin; decile matches brute NTILE
+    over the same (n_chars, hash, doc_id) total order."""
+    from logpipe_ray.queries import docs_curriculum_order
+
+    n = 97  # not a multiple of 10: first 7 deciles get the extra row
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array((np.arange(n, dtype=np.int64) * 37) % 11),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    df = docs_curriculum_order(str(tmp_path)).to_pandas()
+    assert len(df) == n
+    assert df["order_idx"].is_unique
+    assert ((df["order_idx"] % 10) == (df["decile"] - 1)).all()
+    # brute NTILE over the same total order
+    h = (df["doc_id"].to_numpy(np.int64) * 2654435761 + 12345) % 1_000_000_007
+    order = np.lexsort((df["doc_id"].to_numpy(), h, df["n_chars"].to_numpy()))
+    rk = np.empty(n, np.int64)
+    rk[order] = np.arange(n)
+    q, r0 = divmod(n, 10)
+    want = np.where(rk < r0 * (q + 1), rk // (q + 1), r0 + (rk - r0 * (q + 1)) // q)
+    assert (df["decile"].to_numpy(np.int64) == want + 1).all()
+
+
+def test_lifecycle_accounting_hand_case(ray_session, tmp_path):
+    """user 1 active wk0,1,3; user 2 active wk0 only; horizon wk3:
+    wk0 2 new; wk1 1 retained + 1 churned (user 2); wk2 1 churned
+    (user 1's gap); wk3 1 resurrected. No churn after horizon."""
+    from logpipe_ray.queries import events_lifecycle_accounting
+
+    WK = 7 * 86_400_000_000
+    sf = _write_events(
+        tmp_path,
+        [1, 1, 1, 2],
+        [0, WK, 3 * WK, 0],
+        [1, 2, 3, 4],
+        ["a"] * 4,
+        [0.0] * 4,
+    )
+    df = events_lifecycle_accounting(sf).to_pandas()
+    got = {(int(r.wk), r.stage): int(r.n_users) for r in df.itertuples()}
+    assert got == {
+        (0, "new"): 2,
+        (1, "retained"): 1,
+        (1, "churned"): 1,
+        (2, "churned"): 1,
+        (3, "resurrected"): 1,
+    }
