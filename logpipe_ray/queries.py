@@ -12794,7 +12794,69 @@ SELECT wk, stage, CAST(count(*) AS BIGINT) AS n_users
 FROM stages GROUP BY 1, 2"""
 
 
+def events_zorder_scan(sf_dir: str) -> Dataset:
+    """Z-ORDER layout pipeline: cluster the events on the Morton curve
+    of (user_id, value) into 16 files whose sidecar records each
+    file's TRUE box on BOTH columns, then answer a conjunctive
+    2-predicate scan (user_id in [3, 9] AND value in [100, 400])
+    touching only the files whose box overlaps — the 2-D pruning a
+    single-column clustering cannot give (sorted-by-x files all span
+    the full y range). Oracle is a plain WHERE, so the whole layout
+    round-trip is hash-checked (sources/layout.py zorder_write /
+    zorder_pruned_read)."""
+    import hashlib
+    import os
+
+    from .sources.layout import zorder_pruned_read, zorder_write
+
+    src = f"{sf_dir}/events.parquet"
+    tag = hashlib.sha1(
+        f"{src}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    out_dir = f"/tmp/logpipe_ray_layout/events_zorder_{tag}"
+    if not os.path.exists(os.path.join(out_dir, "zordermap.json")):
+        ds = read_parquet_clean(
+            src, columns=["user_id", "value", "event_type"]
+        )
+        zorder_write(ds, "user_id", "value", out_dir, n_files=16)
+    pruned, stats = zorder_pruned_read(
+        out_dir, x_range=(3, 9), y_range=(100.0, 400.0)
+    )
+    assert stats["files_read"] < stats["files_total"], stats  # pruning real
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
+        )
+        g = (
+            pa.table({"event_type": t["event_type"], "cents": cents})
+            .group_by(["event_type"])
+            .aggregate([([], "count_all"), ("cents", "sum")])
+        )
+        return g.rename_columns(["event_type", "pz_n", "pz_cents"])
+
+    return (
+        pruned.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("pz_n", alias_name="n_events"),
+            Sum("pz_cents", alias_name="cents_total"),
+        )
+    )
+
+
+def _sql_events_zorder_scan(sf_dir: str) -> str:
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents_total
+FROM events
+WHERE user_id >= 3 AND user_id <= 9 AND value >= 100.0 AND value <= 400.0
+GROUP BY 1"""
+
+
 REGISTRY: dict = {
+    "events_zorder_scan": (events_zorder_scan, _sql_events_zorder_scan),
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-6 curation: seats go to queries that have NEVER
     # had a driver row (the late-r3 eight, the r4 reimplementations,

@@ -322,3 +322,245 @@ def bloom_pruned_read(
         strip_pandas_metadata, batch_format="pyarrow", zero_copy_batch=True
     )
     return ds, stats
+
+
+ZORDERMAP_NAME = "zordermap.json"
+
+
+def _interleave_bits8(bx, by):
+    """Morton/Z-value from two 8-bit codes — x takes the odd bits."""
+    import numpy as np
+
+    z = np.zeros(len(bx), np.int64)
+    for i in range(8):
+        z |= ((bx >> i) & 1) << (2 * i + 1)
+        z |= ((by >> i) & 1) << (2 * i)
+    return z
+
+
+def zorder_write(
+    ds: Dataset,
+    col_x: str,
+    col_y: str,
+    out_dir: str,
+    n_files: int = 16,
+) -> dict:
+    """Z-ORDER (Morton-curve) multi-column clustering: bin both
+    columns to 8-bit codes, interleave the bits, and range-partition
+    by the z-value into ``n_files`` parquet files whose sidecar
+    records each file's TRUE [min, max] box on BOTH columns — so a
+    conjunctive 2-predicate scan prunes on both dimensions at once,
+    which a single-column clustering cannot do (sorting by x makes
+    every file span the full y range, and vice versa).
+
+    Binning = per-column equi-width histograms (one combined pass
+    after a min/max pass) read off at equi-depth ranks — approximate
+    quantiles, which only affect file-size balance, never correctness
+    (the sidecar stores true per-file boxes). File ranges come from an
+    EXACT z-value histogram (the z domain is 2^16, so per-batch
+    bincount partials merge into exact counts). Four scans total:
+    stats, column histograms, z counts, assign+write; each is a
+    2-column projection. Files are written tmp+rename atomic, sidecar
+    last."""
+    import numpy as np
+
+    from ray.data.aggregate import Max as _Max, Min as _Min
+
+    base = ds.map_batches(
+        lambda t, a=col_x, b=col_y: t.filter(
+            pc.and_(pc.is_valid(t[a]), pc.is_valid(t[b]))
+        ),
+        batch_format="pyarrow",
+    )
+    stats = base.aggregate(
+        _Min(col_x, alias_name="xlo"),
+        _Max(col_x, alias_name="xhi"),
+        _Min(col_y, alias_name="ylo"),
+        _Max(col_y, alias_name="yhi"),
+    )
+    spans = {
+        col_x: (float(stats["xlo"]), float(stats["xhi"])),
+        col_y: (float(stats["ylo"]), float(stats["yhi"])),
+    }
+    NB = 4096
+
+    def widebin(t: pa.Table) -> pa.Table:
+        out = []
+        for ci, c in enumerate((col_x, col_y)):
+            lo, hi = spans[c]
+            w = max(hi - lo, 1e-300)
+            v = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            b = np.clip(((v - lo) / w * NB).astype(np.int64), 0, NB - 1)
+            cnt = np.bincount(b, minlength=NB)
+            nz = np.flatnonzero(cnt)
+            out.append(
+                pa.table(
+                    {
+                        "ci": pa.array(np.full(len(nz), ci, np.int64)),
+                        "b": pa.array(nz),
+                        "c": pa.array(cnt[nz]),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    hist = (
+        base.map_batches(widebin, batch_format="pyarrow").to_pandas()
+    ).groupby(["ci", "b"])["c"].sum()
+
+    edges = {}
+    for ci, c in enumerate((col_x, col_y)):
+        lo, hi = spans[c]
+        w = max(hi - lo, 1e-300)
+        cnt = np.zeros(NB, np.int64)
+        sub = hist.loc[ci] if ci in hist.index.get_level_values(0) else None
+        if sub is not None:
+            cnt[sub.index.to_numpy()] = sub.to_numpy()
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        # 255 equi-depth cut bins -> 8-bit codes via searchsorted
+        ranks = (np.arange(1, 256) * n) // 256
+        cut_bins = np.searchsorted(cum, ranks, side="right")
+        edges[c] = lo + (cut_bins + 1) * (w / NB)
+
+    def zval(t: pa.Table) -> np.ndarray:
+        bx = np.searchsorted(
+            edges[col_x], t[col_x].to_numpy(zero_copy_only=False), side="right"
+        )
+        by = np.searchsorted(
+            edges[col_y], t[col_y].to_numpy(zero_copy_only=False), side="right"
+        )
+        return _interleave_bits8(bx.astype(np.int64), by.astype(np.int64))
+
+    def zcount(t: pa.Table) -> pa.Table:
+        cnt = np.bincount(zval(t), minlength=65536)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"z": pa.array(nz), "c": pa.array(cnt[nz])})
+
+    zc = (
+        base.map_batches(zcount, batch_format="pyarrow").to_pandas()
+    ).groupby("z")["c"].sum()
+    zcnt = np.zeros(65536, np.int64)
+    zcnt[zc.index.to_numpy()] = zc.to_numpy()
+    zcum = np.cumsum(zcnt)
+    n = int(zcum[-1])
+    if n == 0:
+        raise ValueError("zorder_write: empty input")
+    ranks = (np.arange(1, n_files) * n) // n_files
+    zbounds = np.unique(np.searchsorted(zcum, ranks, side="right"))
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def assign(t: pa.Table) -> pa.Table:
+        fid = np.searchsorted(zbounds, zval(t), side="right")
+        return t.append_column("_zf", pa.array(fid.astype(np.int64)))
+
+    def write_file(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        fid = int(t["_zf"][0].as_py())
+        body = t.drop(["_zf"])
+        name = f"zpart_{fid:05d}.parquet"
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        pq.write_table(body, tmp)
+        os.replace(tmp, os.path.join(out_dir, name))
+
+        def mm(c):
+            v = body[c].to_numpy(zero_copy_only=False)
+            return [_np.min(v).item(), _np.max(v).item()]
+
+        return pa.table(
+            {
+                "file": pa.array([name]),
+                "xlo": pa.array([mm(col_x)[0]]),
+                "xhi": pa.array([mm(col_x)[1]]),
+                "ylo": pa.array([mm(col_y)[0]]),
+                "yhi": pa.array([mm(col_y)[1]]),
+                "rows": pa.array([body.num_rows], pa.int64()),
+            }
+        )
+
+    zones = (
+        base.map_batches(assign, batch_format="pyarrow")
+        .groupby("_zf")
+        .map_groups(write_file, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    def _py(v):
+        return v.item() if hasattr(v, "item") else v
+
+    zmap = {
+        r.file: {
+            col_x: [_py(r.xlo), _py(r.xhi)],
+            col_y: [_py(r.ylo), _py(r.yhi)],
+            "rows": int(r.rows),
+        }
+        for r in zones.itertuples()
+    }
+    tmp = os.path.join(out_dir, f".{ZORDERMAP_NAME}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"cols": [col_x, col_y], "zones": zmap}, f)
+    os.replace(tmp, os.path.join(out_dir, ZORDERMAP_NAME))
+    return zmap
+
+
+def zorder_pruned_read(
+    out_dir: str,
+    x_range: tuple | None = None,
+    y_range: tuple | None = None,
+    columns: list[str] | None = None,
+) -> tuple[Dataset, dict]:
+    """Read only the files whose TRUE (x, y) box overlaps the
+    predicate box, then apply the exact conjunctive predicate in the
+    fragment scanner. Returns (Dataset, stats) with files_total /
+    files_read as the pruning evidence."""
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from .factory import strip_pandas_metadata
+
+    with open(os.path.join(out_dir, ZORDERMAP_NAME)) as f:
+        meta = json.load(f)
+    col_x, col_y = meta["cols"]
+
+    def overlaps(box, rng):
+        if rng is None:
+            return True
+        lo, hi = rng
+        return not (hi is not None and box[0] > hi) and not (
+            lo is not None and box[1] < lo
+        )
+
+    picked = [
+        os.path.join(out_dir, name)
+        for name, z in meta["zones"].items()
+        if overlaps(z[col_x], x_range) and overlaps(z[col_y], y_range)
+    ]
+    stats = {
+        "files_total": len(meta["zones"]),
+        "files_read": len(picked),
+        "cols": [col_x, col_y],
+    }
+    if not picked:
+        raise ValueError(
+            f"zorder_pruned_read: no file overlaps x={x_range} y={y_range}"
+        )
+    expr = None
+    for c, rng in ((col_x, x_range), (col_y, y_range)):
+        if rng is None:
+            continue
+        lo, hi = rng
+        if lo is not None:
+            e = pds.field(c) >= lo
+            expr = e if expr is None else (expr & e)
+        if hi is not None:
+            e = pds.field(c) <= hi
+            expr = e if expr is None else (expr & e)
+    kw = {"filter": expr} if expr is not None else {}
+    if columns is not None:
+        kw["columns"] = columns
+    ds = rd.read_parquet(picked, **kw).map_batches(
+        strip_pandas_metadata, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds, stats

@@ -332,3 +332,60 @@ def test_lifecycle_accounting_hand_case(ray_session, tmp_path):
         (2, "churned"): 1,
         (3, "resurrected"): 1,
     }
+
+
+def test_zorder_write_pruned_read_roundtrip(ray_session, tmp_path):
+    """Z-order layout: exact 2-predicate result, pruning on BOTH
+    dimensions (a box query touches few files; even a one-dimension
+    predicate prunes, which a single-column clustering on the OTHER
+    column could never do)."""
+    import ray.data as rd
+    from logpipe_ray.sources.layout import zorder_pruned_read, zorder_write
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    x = rng.integers(0, 1000, n).astype(np.int64)
+    y = rng.uniform(0, 1000, n)
+    t = pa.table(
+        {
+            "x": pa.array(x),
+            "y": pa.array(y),
+            "tag": pa.array((np.arange(n) % 5).astype(np.int64)),
+        }
+    )
+    out = str(tmp_path / "z")
+    zorder_write(rd.from_arrow(t), "x", "y", out, n_files=16)
+    ds, stats = zorder_pruned_read(out, x_range=(100, 200), y_range=(300.0, 400.0))
+    assert stats["files_read"] < stats["files_total"]
+    got = ds.to_pandas().sort_values(["x", "y"]).reset_index(drop=True)
+    mask = (x >= 100) & (x <= 200) & (y >= 300.0) & (y <= 400.0)
+    assert len(got) == int(mask.sum())
+    assert got["x"].min() >= 100 and got["x"].max() <= 200
+    # one-dimension predicate still prunes (x-only box)
+    _, sx = zorder_pruned_read(out, x_range=(0, 100), y_range=None)
+    assert sx["files_read"] < sx["files_total"]
+    # y-only box prunes too
+    _, sy = zorder_pruned_read(out, x_range=None, y_range=(0.0, 100.0))
+    assert sy["files_read"] < sy["files_total"]
+
+
+def test_zorder_files_balanced(ray_session, tmp_path):
+    import json
+
+    import ray.data as rd
+    from logpipe_ray.sources.layout import zorder_write
+
+    rng = np.random.default_rng(4)
+    n = 8000
+    t = pa.table(
+        {
+            "x": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+            "y": pa.array(rng.exponential(10.0, n)),  # skewed y
+        }
+    )
+    out = str(tmp_path / "zb")
+    zorder_write(rd.from_arrow(t), "x", "y", out, n_files=8)
+    meta = json.load(open(out + "/zordermap.json"))
+    rows = [z["rows"] for z in meta["zones"].values()]
+    assert sum(rows) == n
+    assert max(rows) <= 3 * max(1, min(rows))  # equi-depth z ranges
