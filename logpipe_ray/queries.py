@@ -12855,7 +12855,70 @@ WHERE user_id >= 3 AND user_id <= 9 AND value >= 100.0 AND value <= 400.0
 GROUP BY 1"""
 
 
+_GREP_PATTERN = "dup"  # rare token in the fixture corpus (~5% of docs)
+
+
+def docs_grep_scan(sf_dir: str) -> Dataset:
+    """SUBSTRING SEARCH through a trigram Bloom index ("grep at
+    100 TB", the pg_trgm / Code-Search technique): documents are laid
+    out as 32 hash-placed files each carrying a Bloom filter over its
+    distinct byte trigrams (sources/textindex.py); a pattern query
+    opens ONLY the files whose filter admits every pattern trigram,
+    then verifies with the exact match_substring predicate — false
+    positives cost a file read, never a wrong row. Output: matching
+    doc count + chars per lang; the oracle is a plain contains(), so
+    the whole index round-trip is hash-checked."""
+    import hashlib
+    import os
+
+    from .sources.textindex import grep_scan, trigram_index_write
+
+    src = f"{sf_dir}/documents.parquet"
+    tag = hashlib.sha1(
+        f"{src}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    out_dir = f"/tmp/logpipe_ray_layout/docs_trgm_{tag}"
+    if not os.path.exists(os.path.join(out_dir, "trgmmap.json")):
+        ds = read_parquet_clean(
+            src, columns=["doc_id", "text", "lang", "n_chars"]
+        )
+        trigram_index_write(ds, "doc_id", "text", out_dir, n_files=32)
+    hits, stats = grep_scan(out_dir, _GREP_PATTERN)
+    assert stats["files_read"] < stats["files_total"], stats  # pruning real
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "lang": t["lang"],
+                    "pn": pa.array(np.ones(t.num_rows, np.int64)),
+                    "pch": pc.cast(t["n_chars"], pa.int64()),
+                }
+            )
+            .group_by("lang")
+            .aggregate([("pn", "sum"), ("pch", "sum")])
+        )
+        return g.rename_columns(["lang", "pn", "pch"])
+
+    return (
+        hits.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("pn", alias_name="n_docs"), Sum("pch", alias_name="chars_total")
+        )
+    )
+
+
+def _sql_docs_grep_scan(sf_dir: str) -> str:
+    return """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total
+FROM documents WHERE contains(text, 'dup')
+GROUP BY 1"""
+
+
 REGISTRY: dict = {
+    "docs_grep_scan": (docs_grep_scan, _sql_docs_grep_scan),
     "events_zorder_scan": (events_zorder_scan, _sql_events_zorder_scan),
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-6 curation: seats go to queries that have NEVER

@@ -389,3 +389,54 @@ def test_zorder_files_balanced(ray_session, tmp_path):
     rows = [z["rows"] for z in meta["zones"].values()]
     assert sum(rows) == n
     assert max(rows) <= 3 * max(1, min(rows))  # equi-depth z ranges
+
+
+def test_trigram_index_grep_roundtrip(ray_session, tmp_path):
+    """Trigram grep: exact matches (incl. multibyte-safe byte
+    trigrams), real pruning for a rare pattern, zero results for a
+    pattern whose trigrams exist nowhere."""
+    import ray.data as rd
+    from logpipe_ray.sources.textindex import grep_scan, trigram_index_write
+
+    texts = ["the quick brown fox"] * 50 + ["lazy dogs sleep"] * 50
+    texts[7] = "a zebra walked by"
+    texts[93] = "another zebra appears"
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(100, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    out = str(tmp_path / "trgm")
+    trigram_index_write(rd.from_arrow(t), "doc_id", "text", out, n_files=16)
+    ds, stats = grep_scan(out, "zebra")
+    assert stats["files_read"] < stats["files_total"]
+    got = ds.to_pandas()
+    assert sorted(got["doc_id"].tolist()) == [7, 93]
+    # absent pattern: trigrams nowhere -> zero files opened
+    ds2, s2 = grep_scan(out, "xylophone")
+    assert s2["files_read"] == 0
+    assert (ds2 is None) or ds2.count() == 0
+
+
+def test_trigram_boundary_not_crossed(ray_session, tmp_path):
+    """A pattern spanning two adjacent docs must NOT match: the
+    double-NUL separator kills cross-doc windows and the verify step
+    is per-row."""
+    import ray.data as rd
+    from logpipe_ray.sources.textindex import grep_scan, trigram_index_write
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["abc", "def"]),
+        }
+    )
+    out = str(tmp_path / "trgm2")
+    trigram_index_write(rd.from_arrow(t), "doc_id", "text", out, n_files=1)
+    _, s = grep_scan(out, "cde")
+    # the only file is (correctly) not opened OR opened-and-empty
+    ds, _ = grep_scan(out, "abc")
+    assert ds.to_pandas()["doc_id"].tolist() == [0]
+    ds2, s2 = grep_scan(out, "cde")
+    assert s2["files_read"] == 0 or ds2.count() == 0
