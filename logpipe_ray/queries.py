@@ -12917,7 +12917,63 @@ FROM documents WHERE contains(text, 'dup')
 GROUP BY 1"""
 
 
+def seq_bigram_heavy_hitters(sf_dir: str) -> pa.Table:
+    """HEAVY HITTERS over token bigrams: every adjacent token pair
+    covering >= 0.2% of all bigram instances, exact counts — the
+    generic sketch-guided plan (stages/aggregate.py heavy_hitters)
+    exercised on a domain where its truncation genuinely fires
+    (~720 distinct pairs vs 600 sketch counters, ~22M instances at
+    sf0.01) and the key domain never rides the exchange.
+
+    The bigram expansion is the flat-buffer trick: one int64 view of
+    the flattened token lists, pairs = (flat[:-1], flat[1:]) with
+    row-crossing positions masked — no per-row Python."""
+    from .stages.aggregate import heavy_hitters
+
+    seq_dir = ensure_sequences(sf_dir)
+    ds = rd.read_parquet(f"{seq_dir}", columns=["tokens"])
+
+    def bigrams(t: pa.Table) -> pa.Table:
+        toks = t["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        L = np.asarray(pc.list_value_length(toks).fill_null(0), np.int64)
+        flat = np.asarray(toks.flatten(), np.int64)
+        if len(flat) < 2:
+            return pa.table(
+                {"t1": pa.array([], pa.int64()), "t2": pa.array([], pa.int64())}
+            )
+        good = np.ones(len(flat) - 1, bool)
+        ends = np.cumsum(L)
+        cross = ends[ends < len(flat)] - 1  # last token of each row
+        cross = cross[cross >= 0]
+        good[cross[cross < len(flat) - 1]] = False
+        return pa.table(
+            {"t1": pa.array(flat[:-1][good]), "t2": pa.array(flat[1:][good])}
+        )
+
+    pairs = ds.map_batches(bigrams, batch_format="pyarrow")
+    return heavy_hitters(pairs, ["t1", "t2"], 2, 1000)
+
+
+def _sql_seq_bigram_heavy_hitters(sf_dir: str) -> str:
+    path = ensure_sequences(sf_dir)
+    return f"""
+WITH b AS (SELECT tokens[i] AS t1, tokens[i+1] AS t2
+           FROM read_parquet('{path}/shard_*.parquet'),
+                unnest(range(1, len(tokens))) AS u(i)),
+c AS (SELECT CAST(t1 AS BIGINT) AS t1, CAST(t2 AS BIGINT) AS t2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2),
+tot AS (SELECT sum(n) AS nn FROM c)
+SELECT t1, t2, n FROM c, tot WHERE n >= (nn * 2 + 999) // 1000"""
+
+
 REGISTRY: dict = {
+    "seq_bigram_heavy_hitters": (
+        seq_bigram_heavy_hitters,
+        _sql_seq_bigram_heavy_hitters,
+    ),
     "docs_grep_scan": (docs_grep_scan, _sql_docs_grep_scan),
     "events_zorder_scan": (events_zorder_scan, _sql_events_zorder_scan),
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========

@@ -2576,20 +2576,55 @@ def heavy_hitters(
             bn[0] = t.num_rows
         return g.append_column("bn", pa.array(bn))
 
-    merged = (
+    merged_ds = (
         ds.map_batches(mg_partial, batch_format="pyarrow")
         .groupby(keys)
         .aggregate(Sum("c", alias_name="est"), Sum("bn", alias_name="bn"))
-    ).to_pandas()  # bounded: <= sketch_k x #batches rows
-    n_total = int(merged["bn"].sum())
+        .materialize()  # distinct sketched keys, distributed (not driver)
+    )
+    if merged_ds.count() == 0:
+        # fully-empty input: Dataset.schema() may be None downstream of
+        # the exchange (the skew_join r3 lesson) — resolve key types
+        # from the INPUT schema instead
+        in_schema = ds.schema(fetch_if_missing=True)
+        if in_schema is None:
+            raise ValueError("heavy_hitters: empty input with no schema")
+        base = in_schema.base_schema
+        return pa.table(
+            {
+                **{kk: pa.array([], base.field(kk).type) for kk in keys},
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    n_total = int(merged_ds.sum("bn"))
     thr = (thr_num * n_total + thr_den - 1) // thr_den
     slack = n_total // (sketch_k + 1)
-    cand = merged[merged["est"] >= max(1, thr - slack)]
+    cut = max(1, thr - slack)
+    # candidate filter runs DISTRIBUTED before the collect: the driver
+    # fold is bounded by the candidate mass (sum(est) <= N, so at most
+    # N/cut ~ 1/(phi - 1/(k+1)) candidates), never by k x #batches
+    cand = (
+        merged_ds.map_batches(
+            lambda t, c=cut: t.filter(pc.greater_equal(t["est"], c)),
+            batch_format="pyarrow",
+        )
+    ).to_pandas()
+    key_fields = [
+        merged_ds.schema().base_schema.field(kk) for kk in keys
+    ]
+    empty_out = pa.table(
+        {
+            **{f.name: pa.array([], f.type) for f in key_fields},
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    if len(cand) == 0:
+        return empty_out
     comp = None
     for kk in keys:
         part = cand[kk].astype(str)
         comp = part if comp is None else comp + "\x1f" + part
-    cand_keys = pa.array(comp.to_numpy(str) if len(cand) else [], pa.string())
+    cand_keys = pa.array(comp.to_numpy(str), pa.string())
     keys_ref = ray.put(cand_keys)
 
     def verify_partial(t: pa.Table) -> pa.Table:
@@ -2612,7 +2647,11 @@ def heavy_hitters(
         .groupby(keys)
         .aggregate(Sum("p_c", alias_name="n"))
     ).to_pandas()  # bounded by the candidate set
+    if len(exact) == 0 or "n" not in exact.columns:
+        return empty_out
     hh = exact[exact["n"] >= thr].reset_index(drop=True)
+    if len(hh) == 0:
+        return empty_out
     return pa.Table.from_pandas(hh, preserve_index=False)
 
 

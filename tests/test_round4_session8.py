@@ -440,3 +440,20 @@ def test_trigram_boundary_not_crossed(ray_session, tmp_path):
     assert ds.to_pandas()["doc_id"].tolist() == [0]
     ds2, s2 = grep_scan(out, "cde")
     assert s2["files_read"] == 0 or ds2.count() == 0
+
+
+def test_heavy_hitters_empty_and_no_hitters(ray_session):
+    """Fully-empty input and all-unique input both return a typed
+    empty result (the bench-crash regression: sf0.1 has no 0.2%-heavy
+    (user, type) pair)."""
+    import ray.data as rd
+    from logpipe_ray.stages.aggregate import heavy_hitters
+
+    t0 = pa.table({"k": pa.array([], pa.int64()), "e": pa.array([], pa.string())})
+    r0 = heavy_hitters(rd.from_arrow(t0), ["k", "e"], 2, 1000)
+    assert r0.num_rows == 0
+    assert r0.schema.names == ["k", "e", "n"]
+    assert r0.schema.field("k").type == pa.int64()
+    t1 = pa.table({"k": pa.array(np.arange(5000, dtype=np.int64))})
+    r1 = heavy_hitters(rd.from_arrow(t1), ["k"], 2, 1000)
+    assert r1.num_rows == 0 and r1.schema.names == ["k", "n"]
