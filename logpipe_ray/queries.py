@@ -11633,6 +11633,9 @@ SELECT entry_type, n_sessions, n_bounce,
 FROM a"""
 
 
+_RFM_DRIVER_LIMIT = 2_000_000  # per-user rows; above -> distributed selection
+
+
 def users_rfm_segments(sf_dir: str) -> pa.Table:
     """RFM SEGMENTATION: every user scored 1-5 on Recency (days since
     last event, ascending — bucket 1 is the most recent), Frequency
@@ -11700,9 +11703,26 @@ def users_rfm_segments(sf_dir: str) -> pa.Table:
     metrics = per_user.map_batches(add_rec, batch_format="pyarrow").materialize()
     nu = metrics.count()
     thresholds: dict[str, list[int]] = {}
-    for col in ("rec", "freq", "money"):
-        ks = [(j * nu + 4) // 5 for j in (1, 2, 3, 4)]  # ceil(j·n/5), exact int
-        thresholds[col] = [int(exact_rank_value(metrics, col, k - 1)) for k in ks]
+    ks = [(j * nu + 4) // 5 for j in (1, 2, 3, 4)]  # ceil(j·n/5), exact int
+    if nu <= _RFM_DRIVER_LIMIT:
+        # bounded fast path: ONE collect of the 4-column per-user table
+        # replaces 12 distributed selections (~30 pipeline executions,
+        # each paying Ray's fixed exchange cost — measured 11.2 s vs
+        # ~2 s at sf0.1); np.partition returns the identical k-th
+        # smallest values
+        mt = pa.concat_tables(
+            t for t in ray.get(metrics.to_arrow_refs()) if t.num_rows
+        )
+        for col in ("rec", "freq", "money"):
+            v = mt[col].to_numpy(zero_copy_only=False)
+            thresholds[col] = [
+                int(np.partition(v, k - 1)[k - 1]) for k in ks
+            ]
+    else:
+        for col in ("rec", "freq", "money"):
+            thresholds[col] = [
+                int(exact_rank_value(metrics, col, k - 1)) for k in ks
+            ]
 
     def score(t: pa.Table, _th=thresholds) -> pa.Table:
         cols = {}
@@ -12970,19 +12990,17 @@ SELECT t1, t2, n FROM c, tot WHERE n >= (nn * 2 + 999) // 1000"""
 
 
 REGISTRY: dict = {
-    "seq_bigram_heavy_hitters": (
-        seq_bigram_heavy_hitters,
-        _sql_seq_bigram_heavy_hitters,
-    ),
-    "docs_grep_scan": (docs_grep_scan, _sql_docs_grep_scan),
-    "events_zorder_scan": (events_zorder_scan, _sql_events_zorder_scan),
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
-    # Round-4 session-6 curation: seats go to queries that have NEVER
-    # had a driver row (the late-r3 eight, the r4 reimplementations,
-    # and one representative per new round-4 operator family), plus
-    # the five session-6 operators. Everything with a green r1/r2/r3
-    # driver row parks below — rows stay on record and
-    # scripts/check_correctness.py re-verifies the full registry.
+    # Round-4 session-7 curation: seats 0-10 keep the late-r3 eight +
+    # the r4 reimplementations (never driver-checked, the r3 verdict
+    # item); seats 11-26 are the session-7 flagship operator families
+    # (KS/CUSUM/bounce/RFM, sketch-guided exact heavy hitters, Pareto
+    # skyline, SCD2 intervals, interpolation resampling, Z-order scan,
+    # trigram grep, Bloom point lookup, linear attribution, curriculum
+    # ordering, growth accounting, Kaplan-Meier, cohort LTV); the rest
+    # are r4 s1-s6 ops with no prior driver row. Parked entries whose
+    # family keeps an in-window representative are mini-driver green
+    # (full sf0.01 sweep) and rotate in round 5.
     "docs_chunked": (docs_chunked, _sql_docs_chunked),
     "events_validation_report": (
         events_validation_report,
@@ -13006,24 +13024,53 @@ REGISTRY: dict = {
         events_user_distinct_by_type_approx,
         _sql_events_user_distinct_by_type_approx,
     ),
-    "purchases_asof_last_click": (  # r4: time-bucketed asof_join
+    "purchases_asof_last_click": (
         purchases_asof_last_click,
         _sql_purchases_asof_last_click,
     ),
-    "revenue_by_orderpriority_cogroup": (  # r4: bucket-granular reduce
+    "revenue_by_orderpriority_cogroup": (
         revenue_by_orderpriority_cogroup,
         _sql_revenue_by_orderpriority_cogroup,
     ),
-    "monthly_order_ship_balance": (  # r3: FULL OUTER join rep
+    "monthly_order_ship_balance": (
         monthly_order_ship_balance,
         _sql_monthly_order_ship_balance,
     ),
-    "docs_split_counts": (docs_split_counts, _sql_docs_split_counts),
-    "docs_sample_per_lang": (docs_sample_per_lang, _sql_docs_sample_per_lang),
-    "events_value_minmax_norm": (
-        events_value_minmax_norm,
-        _sql_events_value_minmax_norm,
+    "docs_ks_drift": (docs_ks_drift, _sql_docs_ks_drift),
+    "events_cusum_changepoint": (
+        events_cusum_changepoint,
+        _sql_events_cusum_changepoint,
     ),
+    "events_bounce_rate": (events_bounce_rate, _sql_events_bounce_rate),
+    "users_rfm_segments": (users_rfm_segments, _sql_users_rfm_segments),
+    "events_heavy_hitters": (events_heavy_hitters, _sql_events_heavy_hitters),
+    "docs_pareto_frontier": (docs_pareto_frontier, _sql_docs_pareto_frontier),
+    "users_scd2_intervals": (users_scd2_intervals, _sql_users_scd2_intervals),
+    "events_value_resampled": (
+        events_value_resampled,
+        _sql_events_value_resampled,
+    ),
+    "events_zorder_scan": (events_zorder_scan, _sql_events_zorder_scan),
+    "docs_grep_scan": (docs_grep_scan, _sql_docs_grep_scan),
+    "events_bloom_pruned_scan": (
+        events_bloom_pruned_scan,
+        _sql_events_bloom_pruned_scan,
+    ),
+    "purchases_linear_attribution": (
+        purchases_linear_attribution,
+        _sql_purchases_linear_attribution,
+    ),
+    "docs_curriculum_order": (
+        docs_curriculum_order,
+        _sql_docs_curriculum_order,
+    ),
+    "events_lifecycle_accounting": (
+        events_lifecycle_accounting,
+        _sql_events_lifecycle_accounting,
+    ),
+    "events_km_retention": (events_km_retention, _sql_events_km_retention),
+    "events_cohort_ltv": (events_cohort_ltv, _sql_events_cohort_ltv),
+    "docs_sample_per_lang": (docs_sample_per_lang, _sql_docs_sample_per_lang),
     "docs_source_overlap_matrix": (
         docs_source_overlap_matrix,
         _sql_docs_source_overlap_matrix,
@@ -13033,12 +13080,74 @@ REGISTRY: dict = {
         q5_local_supplier_volume,
         _sql_q5_local_supplier_volume,
     ),
+    "q21_waiting_supplier": (q21_waiting_supplier, _sql_q21_waiting_supplier),
+    "seq_exact_dedup": (seq_exact_dedup, _sql_seq_exact_dedup),
+    "lineitem_semi_bloom": (lineitem_semi_bloom, _sql_lineitem_semi_bloom),
+    "events_max_concurrency": (
+        events_max_concurrency,
+        _sql_events_max_concurrency,
+    ),
+    "events_value_ohlc_hourly": (
+        events_value_ohlc_hourly,
+        _sql_events_value_ohlc_hourly,
+    ),
+    "events_value_spearman": (
+        events_value_spearman,
+        _sql_events_value_spearman,
+    ),
+    "events_snapshot_diff": (events_snapshot_diff, _sql_events_snapshot_diff),
+    "events_concurrency_timeavg": (
+        events_concurrency_timeavg,
+        _sql_events_concurrency_timeavg,
+    ),
+    "seq_span_corrupt": (seq_span_corrupt, _sql_seq_span_corrupt),
+    "lineitem_weighted_median_price": (
+        lineitem_weighted_median_price,
+        _sql_lineitem_weighted_median_price,
+    ),
+    "events_out_of_order_audit": (
+        events_out_of_order_audit,
+        _sql_events_out_of_order_audit,
+    ),
+    "events_conversion_latency": (
+        events_conversion_latency,
+        _sql_events_conversion_latency,
+    ),
+    "embeddings_quantize_int8": (
+        embeddings_quantize_int8,
+        _sql_embeddings_quantize_int8,
+    ),
+    "fk_violations_audit": (fk_violations_audit, _sql_fk_violations_audit),
+    "events_merge_upsert_state": (
+        events_merge_upsert_state,
+        _sql_events_merge_upsert_state,
+    ),
+    "seq_bpe_encode": (seq_bpe_encode, None),
+    "events_type_target_encoding": (
+        events_type_target_encoding,
+        _sql_events_type_target_encoding,
+    ),
+    "events_footer_stats": (events_footer_stats, _sql_events_footer_stats),
+    "orders_totalprice_reconciliation": (
+        orders_totalprice_reconciliation,
+        _sql_orders_totalprice_reconciliation,
+    ),
+    # ================= PARKED (after driver's 50-entry window) =======
+    # Green driver rows on record (r1/r2/r3) or mini-driver-verified
+    # this round; full surface stays importable + sweepable.
+    "seq_bigram_heavy_hitters": (
+        seq_bigram_heavy_hitters,
+        _sql_seq_bigram_heavy_hitters,
+    ),
+    "docs_split_counts": (docs_split_counts, _sql_docs_split_counts),
+    "events_value_minmax_norm": (
+        events_value_minmax_norm,
+        _sql_events_value_minmax_norm,
+    ),
     "q18_large_volume_orders": (
         q18_large_volume_orders,
         _sql_q18_large_volume_orders,
     ),
-    "q21_waiting_supplier": (q21_waiting_supplier, _sql_q21_waiting_supplier),
-    "seq_exact_dedup": (seq_exact_dedup, _sql_seq_exact_dedup),
     "seq_chunked": (seq_chunked, _sql_seq_chunked),
     "seq_mlm_masked": (seq_mlm_masked, _sql_seq_mlm_masked),
     "events_value_quantiles_exact": (
@@ -13053,105 +13162,17 @@ REGISTRY: dict = {
         events_click_never_purchase,
         _sql_events_click_never_purchase,
     ),
-    "lineitem_semi_bloom": (lineitem_semi_bloom, _sql_lineitem_semi_bloom),
-    "events_max_concurrency": (
-        events_max_concurrency,
-        _sql_events_max_concurrency,
-    ),
-    "events_value_ohlc_hourly": (
-        events_value_ohlc_hourly,
-        _sql_events_value_ohlc_hourly,
-    ),
-    "events_value_spearman": (
-        events_value_spearman,
-        _sql_events_value_spearman,
-    ),
-    "events_snapshot_diff": (
-        events_snapshot_diff,
-        _sql_events_snapshot_diff,
-    ),
     "events_session_entry_exit": (
         events_session_entry_exit,
         _sql_events_session_entry_exit,
     ),
-    "events_concurrency_timeavg": (
-        events_concurrency_timeavg,
-        _sql_events_concurrency_timeavg,
-    ),
     "events_type_autocorr": (events_type_autocorr, _sql_events_type_autocorr),
-    "seq_span_corrupt": (seq_span_corrupt, _sql_seq_span_corrupt),
-    "lineitem_weighted_median_price": (
-        lineitem_weighted_median_price,
-        _sql_lineitem_weighted_median_price,
-    ),
     "events_top_movers": (events_top_movers, _sql_events_top_movers),
-    "events_out_of_order_audit": (
-        events_out_of_order_audit,
-        _sql_events_out_of_order_audit,
-    ),
-    "events_conversion_latency": (
-        events_conversion_latency,
-        _sql_events_conversion_latency,
-    ),
     "events_ab_hash_split": (events_ab_hash_split, _sql_events_ab_hash_split),
-    "embeddings_quantize_int8": (
-        embeddings_quantize_int8,
-        _sql_embeddings_quantize_int8,
-    ),
-    "fk_violations_audit": (fk_violations_audit, _sql_fk_violations_audit),
-    "events_merge_upsert_state": (
-        events_merge_upsert_state,
-        _sql_events_merge_upsert_state,
-    ),
-    "seq_bpe_encode": (seq_bpe_encode, None),  # iterative rewrite: rows-only
-    "events_type_target_encoding": (
-        events_type_target_encoding,
-        _sql_events_type_target_encoding,
-    ),
-    "events_footer_stats": (events_footer_stats, _sql_events_footer_stats),
-    "orders_totalprice_reconciliation": (
-        orders_totalprice_reconciliation,
-        _sql_orders_totalprice_reconciliation,
-    ),
-    "docs_ks_drift": (docs_ks_drift, _sql_docs_ks_drift),
-    "events_cusum_changepoint": (
-        events_cusum_changepoint,
-        _sql_events_cusum_changepoint,
-    ),
-    "events_bounce_rate": (events_bounce_rate, _sql_events_bounce_rate),
-    "users_rfm_segments": (users_rfm_segments, _sql_users_rfm_segments),
-    # ================= PARKED (after driver's 50-entry window) =======
-    # Green driver rows on record (r1/r2/r3) or mini-driver-verified
-    # this round; full surface stays importable + sweepable.
-    "docs_curriculum_order": (
-        docs_curriculum_order,
-        _sql_docs_curriculum_order,
-    ),
-    "events_lifecycle_accounting": (
-        events_lifecycle_accounting,
-        _sql_events_lifecycle_accounting,
-    ),
-    "events_km_retention": (events_km_retention, _sql_events_km_retention),
-    "purchases_linear_attribution": (
-        purchases_linear_attribution,
-        _sql_purchases_linear_attribution,
-    ),
-    "events_bloom_pruned_scan": (
-        events_bloom_pruned_scan,
-        _sql_events_bloom_pruned_scan,
-    ),
-    "events_heavy_hitters": (events_heavy_hitters, _sql_events_heavy_hitters),
-    "docs_pareto_frontier": (docs_pareto_frontier, _sql_docs_pareto_frontier),
-    "users_scd2_intervals": (users_scd2_intervals, _sql_users_scd2_intervals),
-    "events_value_resampled": (
-        events_value_resampled,
-        _sql_events_value_resampled,
-    ),
     "events_value_outlier_rate": (
         events_value_outlier_rate,
         _sql_events_value_outlier_rate,
     ),
-    "events_cohort_ltv": (events_cohort_ltv, _sql_events_cohort_ltv),
     "embeddings_centroid_shift": (
         embeddings_centroid_shift,
         _sql_embeddings_centroid_shift,
@@ -13202,7 +13223,10 @@ REGISTRY: dict = {
         events_value_percentile,
         _sql_events_value_percentile,
     ),
-    "docs_cube_lang_source": (docs_cube_lang_source, _sql_docs_cube_lang_source),
+    "docs_cube_lang_source": (
+        docs_cube_lang_source,
+        _sql_docs_cube_lang_source,
+    ),
     "q13_customer_distribution": (
         q13_customer_distribution,
         _sql_q13_customer_distribution,
@@ -13219,86 +13243,68 @@ REGISTRY: dict = {
     "embeddings_neardup": (embeddings_neardup, None),
     "mm_features": (mm_features, None),
     "mm_resized": (mm_resized, None),
-    "events_skew_join_customer": (  # r3: skew-aware fact-dim join
+    "events_skew_join_customer": (
         events_skew_join_customer,
         _sql_events_skew_join_customer,
     ),
-    "events_latest_per_user": (  # r3: CDC latest-snapshot argmax
+    "events_latest_per_user": (
         events_latest_per_user,
         _sql_events_latest_per_user,
     ),
-    "docs_quality_topfrac": (  # r3: exact global top-k selection
-        docs_quality_topfrac,
-        _sql_docs_quality_topfrac,
+    "docs_quality_topfrac": (docs_quality_topfrac, _sql_docs_quality_topfrac),
+    "docs_repetition_stats": (
+        docs_repetition_stats,
+        _sql_docs_repetition_stats,
     ),
-    "docs_repetition_stats": (docs_repetition_stats, _sql_docs_repetition_stats),
     "docs_ngram_novelty": (docs_ngram_novelty, _sql_docs_ngram_novelty),
     "docs_tfidf_top_terms": (docs_tfidf_top_terms, _sql_docs_tfidf_top_terms),
     "seq_mean_token_freq": (seq_mean_token_freq, _sql_seq_mean_token_freq),
-    "seq_mean_bigram_freq": (  # late r3: bigram-LM corpus scoring
-        seq_mean_bigram_freq,
-        _sql_seq_mean_bigram_freq,
-    ),
-    "seq_bpe_merges": (seq_bpe_merges, None),  # late r3: BPE training
-    "docs_bm25_topk": (docs_bm25_topk, _sql_docs_bm25_topk),  # late r3
-    "lineitem_price_band_join": (  # new r3: distributed interval join
+    "seq_mean_bigram_freq": (seq_mean_bigram_freq, _sql_seq_mean_bigram_freq),
+    "seq_bpe_merges": (seq_bpe_merges, None),
+    "docs_bm25_topk": (docs_bm25_topk, _sql_docs_bm25_topk),
+    "lineitem_price_band_join": (
         lineitem_price_band_join,
         _sql_lineitem_price_band_join,
     ),
-    "brand_nation_revenue": (  # late r3: 3-way star join, 2 dims
-        brand_nation_revenue,
-        _sql_brand_nation_revenue,
-    ),
-    "customers_order_profile": (  # late r3: LEFT OUTER join rep
+    "brand_nation_revenue": (brand_nation_revenue, _sql_brand_nation_revenue),
+    "customers_order_profile": (
         customers_order_profile,
         _sql_customers_order_profile,
     ),
-    "suppliers_pagerank": (  # late r3: deterministic fixed-point PR
-        suppliers_pagerank,
-        _sql_suppliers_pagerank,
-    ),
-    "events_p90_value": (events_p90_value, _sql_events_p90_value),  # new r3
-    "events_user_interarrival": (  # late r3: per-user gap profile
+    "suppliers_pagerank": (suppliers_pagerank, _sql_suppliers_pagerank),
+    "events_p90_value": (events_p90_value, _sql_events_p90_value),
+    "events_user_interarrival": (
         events_user_interarrival,
         _sql_events_user_interarrival,
     ),
-    "events_funnel_stages": (  # late r3: product-analytics funnel
-        events_funnel_stages,
-        _sql_events_funnel_stages,
-    ),
-    "events_top_users": (events_top_users, _sql_events_top_users),  # new r3
-    "events_hourly_anomaly": (  # late r3: z-score volume anomalies
+    "events_funnel_stages": (events_funnel_stages, _sql_events_funnel_stages),
+    "events_top_users": (events_top_users, _sql_events_top_users),
+    "events_hourly_anomaly": (
         events_hourly_anomaly,
         _sql_events_hourly_anomaly,
     ),
-    "events_incremental_hourly": (  # late r3: materialized-view merge
+    "events_incremental_hourly": (
         events_incremental_hourly,
         _sql_events_incremental_hourly,
     ),
-    "docs_shuffle_rank": (docs_shuffle_rank, _sql_docs_shuffle_rank),  # r3
-    "docs_span_dedup": (docs_span_dedup, _sql_docs_span_dedup),  # r3
-    "corpus_build_stats": (corpus_build_stats, _sql_corpus_build_stats),  # r3
-    "docs_mixture_sample": (docs_mixture_sample, _sql_docs_mixture_sample),  # r3
-    "docs_length_deciles": (  # late r3: exact NTILE profile
-        docs_length_deciles,
-        _sql_docs_length_deciles,
-    ),
-    "docs_rollup_lang_source": (  # r3: ROLLUP levels from one pass
+    "docs_shuffle_rank": (docs_shuffle_rank, _sql_docs_shuffle_rank),
+    "docs_span_dedup": (docs_span_dedup, _sql_docs_span_dedup),
+    "corpus_build_stats": (corpus_build_stats, _sql_corpus_build_stats),
+    "docs_mixture_sample": (docs_mixture_sample, _sql_docs_mixture_sample),
+    "docs_length_deciles": (docs_length_deciles, _sql_docs_length_deciles),
+    "docs_rollup_lang_source": (
         docs_rollup_lang_source,
         _sql_docs_rollup_lang_source,
     ),
-    "docs_c4_filter": (docs_c4_filter, _sql_docs_c4_filter),  # r3
-    "docs_normalized_dedup": (  # late r3: canonicalized exact dedup
+    "docs_c4_filter": (docs_c4_filter, _sql_docs_c4_filter),
+    "docs_normalized_dedup": (
         docs_normalized_dedup,
         _sql_docs_normalized_dedup,
     ),
-    "docs_streaming_dedup": (  # r3: shared-index streaming dedup
-        docs_streaming_dedup,
-        _sql_docs_streaming_dedup,
-    ),
-    "embeddings_semdedup": (embeddings_semdedup, None),  # late r3
-    "docs_topic_clusters": (docs_topic_clusters, None),  # late r3
-    "ann_hnsw_topk": (ann_hnsw_topk, None),  # new r3: graph-based ANN
+    "docs_streaming_dedup": (docs_streaming_dedup, _sql_docs_streaming_dedup),
+    "embeddings_semdedup": (embeddings_semdedup, None),
+    "docs_topic_clusters": (docs_topic_clusters, None),
+    "ann_hnsw_topk": (ann_hnsw_topk, None),
     "q1_lineitem": (q1_lineitem, _sql_q1_lineitem),
     "lp_route_counts": (lp_route_counts, _sql_lp_route_counts),
     "docs_prep_corpus": (docs_prep_corpus, _sql_docs_prep_corpus),
@@ -13331,15 +13337,21 @@ REGISTRY: dict = {
     "lp_union_errors_slow": (lp_union_errors_slow, _sql_lp_union_errors_slow),
     "seq_token_frequency": (seq_token_frequency, _sql_seq_token_frequency),
     "lp_deadletter_rows": (lp_deadletter_rows, _sql_lp_deadletter_rows),
-    "docs_decontaminate_audit": (docs_decontaminate_audit, _sql_docs_decontaminate_audit),
+    "docs_decontaminate_audit": (
+        docs_decontaminate_audit,
+        _sql_docs_decontaminate_audit,
+    ),
     "docs_minhash_dedup": (docs_minhash_dedup, None),
     "docs_dup_clusters": (docs_dup_clusters, None),
     "docs_dedup_corpus": (docs_dedup_corpus, None),
     "events_median_value": (events_median_value, _sql_events_median_value),
     "lp_filter_regex": (lp_filter_regex, _sql_lp_filter_regex),
     "seq_pack_stats": (seq_pack_stats, None),
-    "seq_bpe_merges_sampled": (seq_bpe_merges_sampled, None),  # r4: bench default
-    "events_user_event_seq": (events_user_event_seq, _sql_events_user_event_seq),
+    "seq_bpe_merges_sampled": (seq_bpe_merges_sampled, None),
+    "events_user_event_seq": (
+        events_user_event_seq,
+        _sql_events_user_event_seq,
+    ),
     "q4_late_shipment_priority": (
         q4_late_shipment_priority,
         _sql_q4_late_shipment_priority,
@@ -13369,7 +13381,7 @@ REGISTRY: dict = {
         events_type_hour_skewness,
         _sql_events_type_hour_skewness,
     ),
-    "events_user_value_ewma": (events_user_value_ewma, None),  # rows-only
+    "events_user_value_ewma": (events_user_value_ewma, None),
     "q6_forecast_revenue": (q6_forecast_revenue, _sql_q6_forecast_revenue),
     "q15_top_supplier": (q15_top_supplier, _sql_q15_top_supplier),
     "q16_supplier_cnt": (q16_supplier_cnt, _sql_q16_supplier_cnt),
@@ -13395,7 +13407,7 @@ REGISTRY: dict = {
         _sql_seq_distinct_token_ratio,
     ),
     "seq_truncation_stats": (seq_truncation_stats, _sql_seq_truncation_stats),
-    "events_value_linreg": (events_value_linreg, None),  # rows-only: solve()
+    "events_value_linreg": (events_value_linreg, None),
     "events_type_balanced_sample": (
         events_type_balanced_sample,
         _sql_events_type_balanced_sample,
@@ -13421,15 +13433,24 @@ REGISTRY: dict = {
         _sql_events_value_hour_corr,
     ),
     "events_hourly_dense": (events_hourly_dense, _sql_events_hourly_dense),
-    "events_type_hour_chi2": (events_type_hour_chi2, _sql_events_type_hour_chi2),
+    "events_type_hour_chi2": (
+        events_type_hour_chi2,
+        _sql_events_type_hour_chi2,
+    ),
     "docs_readability": (docs_readability, _sql_docs_readability),
     "events_wau_daily": (events_wau_daily, _sql_events_wau_daily),
-    "embeddings_pca_project": (embeddings_pca_project, None),  # rows-only
+    "embeddings_pca_project": (embeddings_pca_project, None),
     "events_type_share": (events_type_share, _sql_events_type_share),
     "seq_vocab_coverage": (seq_vocab_coverage, _sql_seq_vocab_coverage),
-    "lineitem_semi_high_value": (lineitem_semi_high_value, _sql_lineitem_semi_high_value),
+    "lineitem_semi_high_value": (
+        lineitem_semi_high_value,
+        _sql_lineitem_semi_high_value,
+    ),
     "events_hourly": (events_hourly, _sql_events_hourly),
-    "revenue_by_orderpriority": (revenue_by_orderpriority, _sql_revenue_by_orderpriority),
+    "revenue_by_orderpriority": (
+        revenue_by_orderpriority,
+        _sql_revenue_by_orderpriority,
+    ),
     "docs_redacted": (docs_redacted, _sql_docs_redacted),
     "lp_count_by_sink": (lp_count_by_sink, _sql_lp_count_by_sink),
     "lp_errors_rows": (lp_errors_rows, _sql_lp_errors_rows),
@@ -13438,16 +13459,25 @@ REGISTRY: dict = {
     "lp_tag_counts": (lp_tag_counts, _sql_lp_tag_counts),
     "lp_rt_histogram": (lp_rt_histogram, _sql_lp_rt_histogram),
     "events_by_type": (events_by_type, _sql_events_by_type),
-    "events_distinct_types": (events_distinct_types, _sql_events_distinct_types),
+    "events_distinct_types": (
+        events_distinct_types,
+        _sql_events_distinct_types,
+    ),
     "orders_by_mktsegment": (orders_by_mktsegment, _sql_orders_by_mktsegment),
     "docs_lang_count": (docs_lang_count, _sql_docs_lang_count),
     "docs_token_count": (docs_token_count, _sql_docs_token_count),
-    "docs_lang_token_totals": (docs_lang_token_totals, _sql_docs_lang_token_totals),
+    "docs_lang_token_totals": (
+        docs_lang_token_totals,
+        _sql_docs_lang_token_totals,
+    ),
     "docs_quality": (docs_quality, _sql_docs_quality),
     "top_orders": (top_orders, _sql_top_orders),
     "customers_per_region": (customers_per_region, _sql_customers_per_region),
     "order_size_histogram": (order_size_histogram, _sql_order_size_histogram),
-    "lineitem_anti_high_value": (lineitem_anti_high_value, _sql_lineitem_anti_high_value),
+    "lineitem_anti_high_value": (
+        lineitem_anti_high_value,
+        _sql_lineitem_anti_high_value,
+    ),
     "seq_len_histogram": (seq_len_histogram, _sql_seq_len_histogram),
     "lp_count_by_level": (lp_count_by_level, _sql_lp_count_by_level),
     "events_sessionize": (events_sessionize, _sql_events_sessionize),

@@ -457,3 +457,25 @@ def test_heavy_hitters_empty_and_no_hitters(ray_session):
     t1 = pa.table({"k": pa.array(np.arange(5000, dtype=np.int64))})
     r1 = heavy_hitters(rd.from_arrow(t1), ["k"], 2, 1000)
     assert r1.num_rows == 0 and r1.schema.names == ["k", "n"]
+
+
+def test_rfm_driver_fastpath_equals_distributed(ray_session, monkeypatch):
+    """The bounded np.partition threshold fast path returns the same
+    cells as the distributed exact_rank_value route."""
+    import logpipe_ray.queries as Q
+
+    cols = ["r_bucket", "f_bucket", "m_bucket"]
+    a = (
+        Q.users_rfm_segments("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(Q, "_RFM_DRIVER_LIMIT", 0)
+    b = (
+        Q.users_rfm_segments("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
