@@ -12989,6 +12989,193 @@ tot AS (SELECT sum(n) AS nn FROM c)
 SELECT t1, t2, n FROM c, tot WHERE n >= (nn * 2 + 999) // 1000"""
 
 
+_NATION_BCAST_LIMIT = 5_000_000  # customer rows; above -> hash join route
+
+
+def nations_share_of_region(sf_dir: str) -> pa.Table:
+    """HIERARCHICAL percent-of-parent rollup: every nation's order
+    revenue as exact cents AND as an integer-ppm share of its REGION's
+    revenue — the two-level drill-down table (child value / parent
+    total) that a flat groupby can't produce without a second pass.
+
+    Scale shape: per-batch custkey cents partials -> ONE keyed Sum
+    bounded by #customers; the customer->nation map broadcasts under
+    ``_NATION_BCAST_LIMIT`` (hash join route above); nation/region
+    resolve driver-side (tens of rows); the share division runs on the
+    ≤ #nations table in exact integers."""
+    from .stages.join import inner_join_safe
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+        )
+        g = (
+            pa.table({"o_custkey": t["o_custkey"], "c": cents})
+            .group_by("o_custkey")
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["o_custkey", "p_c"])
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("p_c", alias_name="cents"))
+    )
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    n_cust = cust.count()
+    if n_cust <= _NATION_BCAST_LIMIT:
+        cust_t = pa.concat_tables(
+            t for t in ray.get(cust.to_arrow_refs()) if t.num_columns
+        )
+        keys = cust_t["c_custkey"].combine_chunks()
+        nk = pc.cast(cust_t["c_nationkey"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        k_ref, n_ref = ray.put(keys), ray.put(nk)
+
+        def attach(t: pa.Table) -> pa.Table:
+            kk = ray.get(k_ref) if isinstance(k_ref, ray.ObjectRef) else k_ref
+            nn = ray.get(n_ref) if isinstance(n_ref, ray.ObjectRef) else n_ref
+            idx = pc.index_in(t["o_custkey"], kk).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "nationkey": pa.array(nn[idx]),
+                    "cents": t["cents"],
+                }
+            )
+
+        per_nat_ds = per_cust.map_batches(attach, batch_format="pyarrow")
+    else:
+        joined = inner_join_safe(
+            per_cust,
+            cust.map_batches(
+                lambda t: pa.table(
+                    {
+                        "o_custkey": t["c_custkey"],
+                        "nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            on="o_custkey",
+        )
+        per_nat_ds = joined.map_batches(
+            lambda t: t.select(["nationkey", "cents"]), batch_format="pyarrow"
+        )
+    per_nat = (
+        per_nat_ds.groupby("nationkey")
+        .aggregate(Sum("cents", alias_name="n_cents"))
+    ).to_pandas()  # bounded by #nations
+
+    nat = pa.concat_tables(
+        t
+        for t in ray.get(
+            read_parquet_clean(f"{sf_dir}/nation.parquet").to_arrow_refs()
+        )
+        if t.num_columns
+    ).to_pandas()
+    reg = pa.concat_tables(
+        t
+        for t in ray.get(
+            read_parquet_clean(f"{sf_dir}/region.parquet").to_arrow_refs()
+        )
+        if t.num_columns
+    ).to_pandas()
+    m = per_nat.merge(
+        nat[["n_nationkey", "n_name", "n_regionkey"]],
+        left_on="nationkey",
+        right_on="n_nationkey",
+    ).merge(reg[["r_regionkey", "r_name"]], left_on="n_regionkey",
+            right_on="r_regionkey")
+    reg_tot = m.groupby("r_name")["n_cents"].transform("sum")
+    m["share_ppm"] = (1_000_000 * m["n_cents"]) // reg_tot
+    m = m.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "r_name": pa.array(m["r_name"].to_numpy(str)),
+            "n_name": pa.array(m["n_name"].to_numpy(str)),
+            "n_cents": pa.array(m["n_cents"].to_numpy(np.int64)),
+            "share_ppm": pa.array(m["share_ppm"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _sql_nations_share_of_region(sf_dir: str) -> str:
+    return """
+WITH pc AS (SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1),
+pn AS (SELECT c.c_nationkey AS nationkey,
+              CAST(sum(pc.cents) AS BIGINT) AS n_cents
+       FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+       GROUP BY 1)
+SELECT r.r_name, n.n_name, pn.n_cents,
+       CAST((1000000 * pn.n_cents)
+            // sum(pn.n_cents) OVER (PARTITION BY r.r_name)
+            AS BIGINT) AS share_ppm
+FROM pn JOIN nation n ON pn.nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey"""
+
+
+_IVF_QUERY_IDS = (0, 1, 2)  # deterministic query vectors
+
+
+def embeddings_ivf_layout_topk(sf_dir: str) -> pa.Table:
+    """PERSISTED IVF vector index (sources/vecindex.py): the inverted
+    lists live on disk as one parquet per centroid; a query routes
+    through the sidecar centroids and reads ONLY its n_probe nearest
+    lists (4 of 16 here), then scores exact cosine inside the
+    survivors. Rows-only (approximate recall by design — the recall
+    floor and the file pruning are pytest-asserted; scores for
+    returned ids are exact)."""
+    import hashlib
+    import os
+
+    from .sources.vecindex import ivf_index_topk, ivf_index_write
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = hashlib.sha1(
+        f"{src}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    out_dir = f"/tmp/logpipe_ray_layout/emb_ivf_{tag}"
+    ds = read_parquet_clean(src, columns=["vec_id", "embedding"])
+    if not os.path.exists(os.path.join(out_dir, "ivfmap.json")):
+        ivf_index_write(ds, "vec_id", "embedding", out_dir, n_lists=16)
+    qt = pa.concat_tables(
+        t
+        for t in ray.get(
+            ds.map_batches(
+                lambda t: t.filter(
+                    pc.is_in(
+                        t["vec_id"],
+                        pa.array(list(_IVF_QUERY_IDS), pa.int64()),
+                    )
+                ),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ).to_pandas().sort_values("vec_id")
+    queries = np.stack(qt["embedding"].to_numpy())
+    out, stats = ivf_index_topk(out_dir, queries, k=10, n_probe=4)
+    assert stats["files_read"] < stats["files_total"], stats  # pruning real
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"].to_numpy(np.int64)),
+            "rank": pa.array(out["rank"].to_numpy(np.int64)),
+            "vec_id": pa.array(out["vec_id"].to_numpy(np.int64)),
+            "cosine": pa.array(out["cosine"].to_numpy(np.float64)),
+        }
+    )
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-7 curation: seats 0-10 keep the late-r3 eight +
@@ -13135,6 +13322,11 @@ REGISTRY: dict = {
     # ================= PARKED (after driver's 50-entry window) =======
     # Green driver rows on record (r1/r2/r3) or mini-driver-verified
     # this round; full surface stays importable + sweepable.
+    "nations_share_of_region": (
+        nations_share_of_region,
+        _sql_nations_share_of_region,
+    ),
+    "embeddings_ivf_layout_topk": (embeddings_ivf_layout_topk, None),
     "seq_bigram_heavy_hitters": (
         seq_bigram_heavy_hitters,
         _sql_seq_bigram_heavy_hitters,

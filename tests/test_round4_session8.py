@@ -479,3 +479,40 @@ def test_rfm_driver_fastpath_equals_distributed(ray_session, monkeypatch):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_ivf_layout_recall_and_pruning(ray_session, tmp_path):
+    """Persisted IVF index: recall@10 >= 0.9 vs exact brute force at
+    n_probe=8/16, file pruning real, and returned scores exactly equal
+    the brute-force scores for the same ids."""
+    import ray.data as rd
+    from logpipe_ray.functions.ann import brute_force_topk
+    from logpipe_ray.sources.vecindex import ivf_index_topk, ivf_index_write
+
+    rng = np.random.default_rng(9)
+    n, d = 2000, 16
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(vecs)),
+        }
+    )
+    out = str(tmp_path / "ivf")
+    ds = rd.from_arrow(t)
+    ivf_index_write(ds, "vec_id", "embedding", out, n_lists=16)
+    q = vecs[:5].astype(np.float64)
+    approx, stats = ivf_index_topk(out, q, k=10, n_probe=8)
+    assert stats["files_read"] < stats["files_total"]
+    exact = brute_force_topk(ds, q, k=10, vec_col="embedding", id_col="vec_id")
+    hits = 0
+    for qi in range(5):
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        hits += len(a & e)
+    assert hits / 50 >= 0.9, hits
+    # scores for returned ids are exact (same cosine as brute force)
+    merged = approx.merge(
+        exact, on=["query_id", "vec_id"], suffixes=("_a", "_e")
+    )
+    assert np.allclose(merged["cosine_a"], merged["cosine_e"], rtol=0, atol=0)
