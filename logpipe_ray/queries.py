@@ -13176,6 +13176,48 @@ def embeddings_ivf_layout_topk(sf_dir: str) -> pa.Table:
     )
 
 
+_ASOF_STATE_T_US = 1_705_400_000_000_000  # mid-January 2024
+
+
+def users_state_asof(sf_dir: str) -> Dataset:
+    """POINT-IN-TIME state reconstruction from the SCD2 interval
+    table: how many users were in each event_type state at instant T —
+    the dimension-table time-travel read (interval covers T:
+    valid_from <= T < valid_to, open-ended last runs cover forever).
+    The oracle derives the same state INDEPENDENTLY as each user's
+    argmax event at or before T, so this cross-validates the interval
+    semantics end-to-end, not just replays them."""
+    from .stages.aggregate import count_groupby
+
+    runs = users_scd2_intervals(sf_dir)
+    T = _ASOF_STATE_T_US
+
+    def covers(t: pa.Table) -> pa.Table:
+        lo_ok = pc.less_equal(t["valid_from_us"], T)
+        hi_ok = pc.or_kleene(
+            pc.is_null(t["valid_to_us"]), pc.greater(t["valid_to_us"], T)
+        )
+        return t.filter(pc.and_kleene(lo_ok, hi_ok))
+
+    return count_groupby(
+        runs.map_batches(covers, batch_format="pyarrow"),
+        ["event_type"],
+        alias="n_users",
+    )
+
+
+def _sql_users_state_asof(sf_dir: str) -> str:
+    return f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+           FROM events WHERE epoch_us(ts) <= {_ASOF_STATE_T_US}),
+r AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t DESC, event_id DESC) AS rn
+      FROM e)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+FROM r WHERE rn = 1 GROUP BY 1"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-7 curation: seats 0-10 keep the late-r3 eight +
@@ -13322,6 +13364,7 @@ REGISTRY: dict = {
     # ================= PARKED (after driver's 50-entry window) =======
     # Green driver rows on record (r1/r2/r3) or mini-driver-verified
     # this round; full surface stays importable + sweepable.
+    "users_state_asof": (users_state_asof, _sql_users_state_asof),
     "nations_share_of_region": (
         nations_share_of_region,
         _sql_nations_share_of_region,
