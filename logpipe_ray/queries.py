@@ -13218,6 +13218,50 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
 FROM r WHERE rn = 1 GROUP BY 1"""
 
 
+def docs_langid_confusion(sf_dir: str) -> Dataset:
+    """MODEL EVALUATION surface: the language-ID confusion matrix —
+    (true label, predicted, doc count) — the quality readout every
+    classifier stage in a curation pipeline needs next to its
+    predictions. Prediction = the same integer-scored stopword/char
+    argmax as docs_langid; the matrix is one shuffle-free count
+    partial per batch -> tiny keyed Sum bounded by #langs²."""
+    from .functions.textfns import langid_batch
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pred = langid_batch(t)
+        g = (
+            pa.table(
+                {
+                    "lang": t["lang"],
+                    "lang_pred": pred["lang_pred"],
+                    "c": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by(["lang", "lang_pred"])
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["lang", "lang_pred", "p_c"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("p_c", alias_name="n_docs"))
+    )
+
+
+def _sql_docs_langid_confusion(sf_dir: str) -> str:
+    inner = _sql_docs_langid(sf_dir)
+    return f"""
+WITH pred AS ({inner})
+SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-7 curation: seats 0-10 keep the late-r3 eight +
@@ -13364,6 +13408,10 @@ REGISTRY: dict = {
     # ================= PARKED (after driver's 50-entry window) =======
     # Green driver rows on record (r1/r2/r3) or mini-driver-verified
     # this round; full surface stays importable + sweepable.
+    "docs_langid_confusion": (
+        docs_langid_confusion,
+        _sql_docs_langid_confusion,
+    ),
     "users_state_asof": (users_state_asof, _sql_users_state_asof),
     "nations_share_of_region": (
         nations_share_of_region,
