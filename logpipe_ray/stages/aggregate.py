@@ -2695,6 +2695,19 @@ def pareto_frontier(
         return pa.table(cols)
 
     surv = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    if len(surv) == 0 or m1_col not in surv.columns:
+        # fully-empty input: resolve output types from the INPUT schema
+        in_schema = ds.schema(fetch_if_missing=True)
+        if in_schema is None:
+            raise ValueError("pareto_frontier: empty input with no schema")
+        base = in_schema.base_schema
+        return pa.table(
+            {
+                **{c: pa.array([], base.field(c).type) for c in keep_cols},
+                m1_col: pa.array([], pa.int64()),
+                m2_col: pa.array([], pa.int64()),
+            }
+        )
     keep = local_skyline_idx(
         surv[m1_col].to_numpy(np.int64), surv[m2_col].to_numpy(np.int64)
     )

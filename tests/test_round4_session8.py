@@ -516,3 +516,34 @@ def test_ivf_layout_recall_and_pruning(ray_session, tmp_path):
         exact, on=["query_id", "vec_id"], suffixes=("_a", "_e")
     )
     assert np.allclose(merged["cosine_a"], merged["cosine_e"], rtol=0, atol=0)
+
+
+def test_new_stages_empty_inputs(ray_session):
+    """Fully-empty inputs return typed empty results (the r3 skew_join
+    lesson applied proactively to the session-8 stages)."""
+    import ray.data as rd
+    from logpipe_ray.stages.aggregate import (
+        grouped_resample_linear,
+        pareto_frontier,
+        scd2_intervals,
+    )
+
+    empty = pa.table(
+        {
+            "k": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.int64()),
+            "id": pa.array([], pa.int64()),
+            "attr": pa.array([], pa.string()),
+            "v": pa.array([], pa.float64()),
+            "m1": pa.array([], pa.int64()),
+            "m2": pa.array([], pa.int64()),
+        }
+    )
+    assert len(scd2_intervals(rd.from_arrow(empty), "k", "ts", "id", "attr").to_pandas()) == 0
+    assert len(
+        grouped_resample_linear(rd.from_arrow(empty), "k", "ts", "id", "v", 10).to_pandas()
+    ) == 0
+    sky = pareto_frontier(rd.from_arrow(empty), "m1", "m2", ["k"])
+    assert sky.num_rows == 0
+    assert sky.schema.names == ["k", "m1", "m2"]
+    assert sky.schema.field("k").type == pa.int64()
