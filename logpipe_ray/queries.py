@@ -12110,6 +12110,14 @@ def events_cumulative_users(sf_dir: str) -> pa.Table:
         .aggregate(Min("p_d", alias_name="day"))
     )
     counts = count_groupby(first_seen, ["day"], alias="new_users").to_pandas()
+    if len(counts) == 0 or "day" not in counts.columns:
+        return pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                "new_users": pa.array([], pa.int64()),
+                "cum_users": pa.array([], pa.int64()),
+            }
+        )
     counts = counts.sort_values("day").reset_index(drop=True)
     cum = counts["new_users"].to_numpy(np.int64).cumsum()
     return pa.table(
@@ -12314,6 +12322,15 @@ def events_km_retention(sf_dir: str) -> pa.Table:
         .aggregate(Min("p_f", alias_name="f"), Max("p_l", alias_name="l"))
         .materialize()  # bounded by #users; horizon + histogram share it
     )
+    if users.count() == 0:
+        return pa.table(
+            {
+                "duration_days": pa.array([], pa.int64()),
+                "n_deaths": pa.array([], pa.int64()),
+                "n_censored": pa.array([], pa.int64()),
+                "n_at_risk": pa.array([], pa.int64()),
+            }
+        )
     gmax = int(users.max("l"))
 
     def classify(t: pa.Table, gm=gmax) -> pa.Table:

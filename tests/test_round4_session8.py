@@ -547,3 +547,37 @@ def test_new_stages_empty_inputs(ray_session):
     assert sky.num_rows == 0
     assert sky.schema.names == ["k", "m1", "m2"]
     assert sky.schema.field("k").type == pa.int64()
+
+
+def test_query_ops_empty_events(ray_session, tmp_path):
+    """Session-7 event queries return typed empties on an empty events
+    table (probed proactively; km_retention and cumulative_users
+    crashed before this fix)."""
+    import pyarrow.parquet as _pq
+
+    import logpipe_ray.queries as Q
+
+    t = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    _pq.write_table(t, str(tmp_path / "events.parquet"))
+    d = str(tmp_path)
+    for name in (
+        "purchases_linear_attribution",
+        "events_lifecycle_accounting",
+        "events_km_retention",
+        "users_scd2_intervals",
+        "events_value_resampled",
+        "events_cumulative_users",
+        "events_cohort_ltv",
+    ):
+        r = getattr(Q, name)(d)
+        n = r.num_rows if isinstance(r, pa.Table) else r.count()
+        assert n == 0, name
