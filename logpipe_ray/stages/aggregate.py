@@ -2585,14 +2585,20 @@ def heavy_hitters(
     if merged_ds.count() == 0:
         # fully-empty input: Dataset.schema() may be None downstream of
         # the exchange (the skew_join r3 lesson) — resolve key types
-        # from the INPUT schema instead
-        in_schema = ds.schema(fetch_if_missing=True)
-        if in_schema is None:
-            raise ValueError("heavy_hitters: empty input with no schema")
-        base = in_schema.base_schema
+        # from the INPUT schema; a fully-empty input whose own schema
+        # is unrecoverable (empty + repartitioned upstream) degrades to
+        # null-typed keys, since "no rows" is the only information left
+        from .join import _dataset_schema
+
+        base = _dataset_schema(ds)
         return pa.table(
             {
-                **{kk: pa.array([], base.field(kk).type) for kk in keys},
+                **{
+                    kk: pa.array(
+                        [], base.field(kk).type if base is not None else pa.null()
+                    )
+                    for kk in keys
+                },
                 "n": pa.array([], pa.int64()),
             }
         )
@@ -2697,13 +2703,18 @@ def pareto_frontier(
     surv = ds.map_batches(local, batch_format="pyarrow").to_pandas()
     if len(surv) == 0 or m1_col not in surv.columns:
         # fully-empty input: resolve output types from the INPUT schema
-        in_schema = ds.schema(fetch_if_missing=True)
-        if in_schema is None:
-            raise ValueError("pareto_frontier: empty input with no schema")
-        base = in_schema.base_schema
+        # (null-typed keeps as a last resort — see heavy_hitters)
+        from .join import _dataset_schema
+
+        base = _dataset_schema(ds)
         return pa.table(
             {
-                **{c: pa.array([], base.field(c).type) for c in keep_cols},
+                **{
+                    c: pa.array(
+                        [], base.field(c).type if base is not None else pa.null()
+                    )
+                    for c in keep_cols
+                },
                 m1_col: pa.array([], pa.int64()),
                 m2_col: pa.array([], pa.int64()),
             }

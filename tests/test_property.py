@@ -583,3 +583,153 @@ def test_grouped_top_k_ties_property(ray_session, n, ngroups, vals, k, seed):
     ref = df[df["rnk"] <= k].sort_values("rid").reset_index(drop=True)
     assert got["rid"].tolist() == ref["rid"].tolist()
     assert got["rnk"].astype(int).tolist() == ref["rnk"].astype(int).tolist()
+
+
+@given(
+    n=st.integers(min_value=0, max_value=150),
+    nkeys=st.integers(min_value=1, max_value=5),
+    ntypes=st.integers(min_value=1, max_value=4),
+    nparts=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=8, deadline=None)
+def test_scd2_intervals_property(ray_session, n, nkeys, ntypes, nparts, seed):
+    """scd2_intervals == a pandas run-length reference for random key
+    skew, ts ties, any partitioning — incl. n=0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logpipe_ray.stages.aggregate import scd2_intervals
+
+    rng = np.random.default_rng(seed)
+    k = rng.integers(0, nkeys, n).astype(np.int64)
+    ts = rng.integers(0, 20, n).astype(np.int64)  # heavy ties
+    eid = rng.permutation(n).astype(np.int64)
+    attr = np.array([f"t{x}" for x in rng.integers(0, ntypes, n)])
+    t = pa.table(
+        {"k": k, "ts": ts, "id": eid, "attr": pa.array(list(attr), pa.string())}
+    )
+    ds = rd.from_arrow(t).repartition(nparts)
+    got = scd2_intervals(ds, "k", "ts", "id", "attr").to_pandas()
+    if len(got):
+        got = got.sort_values(["k", "version"]).reset_index(drop=True)
+    # reference: per-key ordered run-length encode
+    ref_rows = []
+    df = pd.DataFrame({"k": k, "ts": ts, "id": eid, "attr": attr})
+    for kk, g in df.sort_values(["ts", "id"]).groupby("k", sort=True):
+        prev, ver = None, 0
+        runs = []
+        for _, r in g.iterrows():
+            if prev is None or r["attr"] != prev:
+                ver += 1
+                runs.append([kk, r["attr"], r["ts"], None, ver])
+                prev = r["attr"]
+        for i in range(len(runs) - 1):
+            runs[i][3] = runs[i + 1][2]
+        ref_rows += runs
+    ref = pd.DataFrame(
+        ref_rows,
+        columns=["k", "attr", "valid_from_us", "valid_to_us", "version"],
+    ).sort_values(["k", "version"]).reset_index(drop=True)
+    assert len(got) == len(ref)
+    if len(ref):
+        assert got["k"].tolist() == ref["k"].tolist()
+        assert got["attr"].tolist() == ref["attr"].tolist()
+        assert got["valid_from_us"].tolist() == ref["valid_from_us"].tolist()
+        gnull = got["valid_to_us"].isna().tolist()
+        rnull = ref["valid_to_us"].isna().tolist()
+        assert gnull == rnull
+        gvals = got["valid_to_us"].dropna().astype("int64").tolist()
+        rvals = ref["valid_to_us"].dropna().astype("int64").tolist()
+        assert gvals == rvals
+        assert got["version"].tolist() == ref["version"].tolist()
+
+
+@given(
+    n=st.integers(min_value=0, max_value=120),
+    nkeys=st.integers(min_value=1, max_value=4),
+    nparts=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=8, deadline=None)
+def test_resample_linear_property(ray_session, n, nkeys, nparts, seed):
+    """grouped_resample_linear == a brute per-grid-point reference
+    (prev = max (ts,id) <= h, next = min (ts,id) >= h) with ts ties."""
+    import numpy as np
+    import ray.data as rd
+
+    from logpipe_ray.stages.aggregate import grouped_resample_linear
+
+    H = 10
+    rng = np.random.default_rng(seed)
+    k = rng.integers(0, nkeys, n).astype(np.int64)
+    ts = rng.integers(0, 100, n).astype(np.int64)
+    eid = rng.permutation(n).astype(np.int64)
+    v = rng.normal(size=n)
+    ds = rd.from_arrow(
+        pa.table({"k": k, "ts": ts, "id": eid, "v": v})
+    ).repartition(nparts)
+    got = grouped_resample_linear(ds, "k", "ts", "id", "v", H).to_pandas()
+    if len(got):
+        got = got.sort_values(["k", "grid_us"]).reset_index(drop=True)
+    ref = []
+    for kk in np.unique(k):
+        m = k == kk
+        kt, ki, kv = ts[m], eid[m], v[m]
+        lo = -((-kt.min()) // H) * H
+        hi = (kt.max() // H) * H
+        for h in range(lo, hi + 1, H):
+            before = (kt <= h)
+            after = (kt >= h)
+            bi = np.lexsort((ki[before], kt[before]))[-1]
+            ai = np.lexsort((ki[after], kt[after]))[0]
+            tp, vp = kt[before][bi], kv[before][bi]
+            tn, vn = kt[after][ai], kv[after][ai]
+            if tn == tp:
+                val = vp
+            else:
+                val = vp + (vn - vp) * (float(h - tp) / float(tn - tp))
+            ref.append((kk, h, val))
+    assert len(got) == len(ref)
+    for (rk, rh, rv), (_, gr) in zip(ref, got.iterrows()):
+        assert gr["k"] == rk and gr["grid_us"] == rh
+        assert gr["v_interp"] == rv  # same IEEE expression order
+
+
+@given(
+    n=st.integers(min_value=0, max_value=400),
+    nkeys=st.integers(min_value=1, max_value=30),
+    num=st.integers(min_value=1, max_value=3),
+    nparts=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=8, deadline=None)
+def test_heavy_hitters_property(ray_session, n, nkeys, num, nparts, seed):
+    """heavy_hitters == pandas HAVING count >= ceil(N*num/10) for
+    random skew, any partitioning, sketch far smaller than needed
+    (k=8) — the guarantee must hold through truncation; incl. n=0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logpipe_ray.stages.aggregate import heavy_hitters
+
+    rng = np.random.default_rng(seed)
+    # zipf-ish skew so some keys are genuinely heavy
+    raw = rng.zipf(1.5, n) if n else np.array([], dtype=np.int64)
+    k = (raw % nkeys).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": k})).repartition(nparts)
+    got = heavy_hitters(ds, ["k"], num, 10, sketch_k=16).to_pandas()
+    thr = (num * n + 9) // 10
+    ref = (
+        pd.Series(k).value_counts().rename_axis("k").reset_index(name="n")
+        if n
+        else pd.DataFrame({"k": [], "n": []})
+    )
+    ref = ref[ref["n"] >= max(thr, 1)]
+    assert sorted(got["k"].tolist()) == sorted(ref["k"].tolist())
+    assert (
+        got.sort_values("k")["n"].tolist()
+        == ref.sort_values("k")["n"].tolist()
+    )
