@@ -733,3 +733,72 @@ def test_heavy_hitters_property(ray_session, n, nkeys, num, nparts, seed):
         got.sort_values("k")["n"].tolist()
         == ref.sort_values("k")["n"].tolist()
     )
+
+
+@given(
+    n=st.integers(min_value=0, max_value=80),
+    nkeys=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=6, deadline=None)
+def test_linear_attribution_property(ray_session, tmp_path_factory, n, nkeys, seed):
+    """purchases_linear_attribution == a brute pandas range-join
+    reference, with timestamps clustered around 7-day bucket
+    boundaries (the replication edge) and ts ties."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    from logpipe_ray.queries import purchases_linear_attribution
+
+    W = 7 * 86_400_000_000
+    D = 86_400_000_000
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, nkeys, n).astype(np.int64)
+    # cluster near bucket edges: k*W +- a few days
+    base = rng.integers(0, 4, n).astype(np.int64) * W
+    off = rng.integers(-2 * D, 2 * D, n).astype(np.int64)
+    ts = np.maximum(base + off, 0)
+    et = np.where(rng.random(n) < 0.4, "purchase", "click")
+    val = rng.integers(1, 500, n).astype(np.float64)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(u),
+            "event_type": pa.array(list(et), pa.string()),
+            "value": pa.array(val),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    d = tmp_path_factory.mktemp("attr")
+    pq_.write_table(t, str(d / "events.parquet"))
+    got = purchases_linear_attribution(str(d)).to_pandas()
+    got = (
+        got.sort_values("click_day").reset_index(drop=True)
+        if len(got)
+        else got
+    )
+    # brute reference
+    df = pd.DataFrame({"u": u, "ts": ts, "et": et, "v": val,
+                       "id": np.arange(1, n + 1)})
+    rows = {}
+    p = df[df.et == "purchase"]
+    c = df[df.et == "click"]
+    for _, pr in p.iterrows():
+        q = c[(c.u == pr.u) & (c.ts <= pr.ts) & (pr.ts - c.ts <= W)]
+        k = len(q)
+        if k == 0:
+            continue
+        cents = int(round(pr.v * 100))
+        share = (cents * 1_000_000) // k
+        for _, cl in q.iterrows():
+            day = int(cl.ts // D)
+            nn, mm = rows.get(day, (0, 0))
+            rows[day] = (nn + 1, mm + share)
+    ref = sorted(rows.items())
+    assert len(got) == len(ref)
+    for (day, (nn, mm)), (_, gr) in zip(ref, got.iterrows()):
+        assert int(gr["click_day"]) == day
+        assert int(gr["n_pairs"]) == nn
+        assert int(gr["attributed_microcents"]) == mm
