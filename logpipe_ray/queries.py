@@ -13279,6 +13279,47 @@ FROM documents d JOIN pred p USING (doc_id)
 GROUP BY 1, 2"""
 
 
+def lp_log_templates(sf_dir: str) -> Dataset:
+    """LOG TEMPLATE MINING (Drain-lite): collapse every parsed message
+    to its template by masking digit runs (<NUM>) and count
+    occurrences — "GET /api/users/1268?page=2 -> 201: ok" and
+    "GET /api/users/9?page=7 -> 200: ok" share
+    "GET /api/users/<NUM>?page=<NUM> -> <NUM>: ok". The log-analytics
+    operator that turns an unbounded message stream into a bounded
+    template catalog (novel-template alerting, volume-per-template
+    dashboards). Deterministic single-pass masking (RE2 kernel), so
+    the oracle replays it exactly; the full Drain tree is iterative
+    and order-dependent — this variant is the scale-sane fixed point.
+
+    Scale shape: masking + per-batch count partials inside the fused
+    parse scan -> ONE keyed Sum bounded by #templates (the point of
+    templating: the domain is tiny however large the stream)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_valid(t["message"]))
+        tpl = pc.replace_substring_regex(sub["message"], r"[0-9]+", "<NUM>")
+        g = (
+            pa.table({"template": tpl})
+            .group_by("template")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["template", "p"])
+
+    return (
+        _routed_partials(sf_dir, partial)
+        .groupby("template")
+        .aggregate(Sum("p", alias_name="cnt"))
+    )
+
+
+def _sql_lp_log_templates(sf_dir: str) -> str:
+    return _lp_cte(sf_dir) + """
+SELECT regexp_replace(r_message, '[0-9]+', '<NUM>', 'g') AS template,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM raw WHERE parse_ok AND r_message IS NOT NULL
+GROUP BY 1"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-7 curation: seats 0-10 keep the late-r3 eight +
@@ -13425,6 +13466,7 @@ REGISTRY: dict = {
     # ================= PARKED (after driver's 50-entry window) =======
     # Green driver rows on record (r1/r2/r3) or mini-driver-verified
     # this round; full surface stays importable + sweepable.
+    "lp_log_templates": (lp_log_templates, _sql_lp_log_templates),
     "docs_langid_confusion": (
         docs_langid_confusion,
         _sql_docs_langid_confusion,
