@@ -13320,6 +13320,112 @@ FROM raw WHERE parse_ok AND r_message IS NOT NULL
 GROUP BY 1"""
 
 
+def events_adaptive_sessions(sf_dir: str) -> Dataset:
+    """ADAPTIVE sessionization: a new session starts when the gap to
+    the user's previous event exceeds 3x THAT USER's median
+    inter-arrival gap — the per-entity threshold that fixes what a
+    global 30-minute cutoff gets wrong for both chatty and sparse
+    users. Output: sessions per user. Exactness: integer-microsecond
+    gaps; the interpolated median of integers is a half-integer (both
+    engines' midpoint forms are exact doubles), so 3x-median
+    comparisons replay bitwise.
+
+    Scale shape: user hash buckets co-locate each user's rows (the
+    sessionize contract); ONE lexsort per bucket computes gaps,
+    per-user medians (segment midpoint indexing, no per-user loop) AND
+    session starts in the same pass; output = one row per user."""
+    import pandas as pd
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()))
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        us, tss = u[order], ts[order]
+        n = len(us)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                }
+            )
+        new_user = np.ones(n, bool)
+        new_user[1:] = us[1:] != us[:-1]
+        gap = np.empty(n, np.int64)
+        gap[1:] = tss[1:] - tss[:-1]
+        has_gap = ~new_user
+        # per-user median gap: sort gaps within user, midpoint indexing
+        gu, gv = us[has_gap], gap[has_gap]
+        og = np.lexsort((gv, gu))
+        gus, gvs = gu[og], gv[og]
+        gstart = np.ones(len(gus), bool)
+        gstart[1:] = gus[1:] != gus[:-1]
+        starts = np.flatnonzero(gstart)
+        glen = np.diff(np.append(starts, len(gus)))
+        lo = starts + (glen - 1) // 2
+        hi = starts + glen // 2
+        med = (
+            gvs[lo].astype(np.float64) + gvs[hi].astype(np.float64)
+        ) / 2.0
+        med_user = gus[starts]
+        # threshold per ROW (users without gaps never test the threshold)
+        thr = np.full(n, np.inf)
+        if len(med_user):
+            idx = np.searchsorted(med_user, us)
+            safe = np.minimum(idx, len(med_user) - 1)
+            hit = med_user[safe] == us
+            thr[hit] = 3.0 * med[safe[hit]]
+        ns = new_user | (has_gap & (gap.astype(np.float64) > thr))
+        g = (
+            pa.table(
+                {
+                    "user_id": pa.array(us),
+                    "s": pa.array(ns.astype(np.int64)),
+                }
+            )
+            .group_by("user_id")
+            .aggregate([("s", "sum")])
+        )
+        return g.rename_columns(["user_id", "n_sessions"])
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def _sql_events_adaptive_sessions(sf_dir: str) -> str:
+    return """
+WITH o AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS pt
+           FROM events),
+g AS (SELECT user_id, t - pt AS gap FROM o WHERE pt IS NOT NULL),
+m AS (SELECT user_id, quantile_cont(CAST(gap AS DOUBLE), 0.5) AS med
+      FROM g GROUP BY 1),
+s AS (SELECT o.user_id,
+             CASE WHEN o.pt IS NULL
+                       OR CAST(o.t - o.pt AS DOUBLE) > 3.0 * m.med
+                  THEN 1 ELSE 0 END AS ns
+      FROM o LEFT JOIN m USING (user_id))
+SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions
+FROM s GROUP BY 1"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-7 curation: seats 0-10 keep the late-r3 eight +
@@ -13466,6 +13572,10 @@ REGISTRY: dict = {
     # ================= PARKED (after driver's 50-entry window) =======
     # Green driver rows on record (r1/r2/r3) or mini-driver-verified
     # this round; full surface stays importable + sweepable.
+    "events_adaptive_sessions": (
+        events_adaptive_sessions,
+        _sql_events_adaptive_sessions,
+    ),
     "lp_log_templates": (lp_log_templates, _sql_lp_log_templates),
     "docs_langid_confusion": (
         docs_langid_confusion,

@@ -581,3 +581,22 @@ def test_query_ops_empty_events(ray_session, tmp_path):
         r = getattr(Q, name)(d)
         n = r.num_rows if isinstance(r, pa.Table) else r.count()
         assert n == 0, name
+
+
+def test_adaptive_sessions_hand_case(ray_session, tmp_path):
+    """User 1: gaps [10, 10, 100] -> median 10, threshold 30 -> the
+    100-gap splits (2 sessions). User 2: single event -> 1 session.
+    User 3: gaps [10, 50] -> median 30, threshold 90 -> no split."""
+    from logpipe_ray.queries import events_adaptive_sessions
+
+    sf = _write_events(
+        tmp_path,
+        [1, 1, 1, 1, 2, 3, 3, 3],
+        [0, 10, 20, 120, 5, 0, 10, 60],
+        [1, 2, 3, 4, 5, 6, 7, 8],
+        ["a"] * 8,
+        [0.0] * 8,
+    )
+    df = events_adaptive_sessions(sf).to_pandas().sort_values("user_id")
+    assert df["user_id"].tolist() == [1, 2, 3]
+    assert df["n_sessions"].tolist() == [2, 1, 1]
