@@ -195,6 +195,12 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "events_value_resampled",
             "purchases_linear_attribution",
             "events_bloom_pruned_scan",
+            "events_zorder_scan",
+            "docs_grep_scan",
+            "docs_curriculum_order",
+            "events_lifecycle_accounting",
+            "events_adaptive_sessions",
+            "lp_log_templates",
         ]
         all_q = Q.queries()
 
