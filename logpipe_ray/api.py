@@ -494,6 +494,29 @@ class Pipeline:
             )
         )
 
+    def growth_accounting(
+        self, key: str, ts_col: str, period_us: int, **kw
+    ) -> "Pipeline":
+        """Per-period new/retained/resurrected/churned decomposition
+        (stages/aggregate.py growth_accounting)."""
+        from .stages.aggregate import growth_accounting
+
+        return Pipeline(growth_accounting(self._ds, key, ts_col, period_us, **kw))
+
+    def adaptive_sessions(
+        self, key: str, ts_col: str, tiebreak_col: str, gap_factor: float = 3.0,
+        **kw,
+    ) -> "Pipeline":
+        """Session counts with per-key median-gap break thresholds
+        (stages/aggregate.py adaptive_sessionize_counts)."""
+        from .stages.aggregate import adaptive_sessionize_counts
+
+        return Pipeline(
+            adaptive_sessionize_counts(
+                self._ds, key, ts_col, tiebreak_col, gap_factor, **kw
+            )
+        )
+
     def semi_bloom(
         self, col: str, keys: "Pipeline | Dataset", key_col: str, **kw
     ) -> "Pipeline":

@@ -12722,90 +12722,16 @@ _LIFECYCLE_WK_US = 7 * 86_400_000_000
 
 
 def events_lifecycle_accounting(sf_dir: str) -> Dataset:
-    """GROWTH ACCOUNTING: per calendar week, how many users are NEW
-    (first-ever week), RETAINED (also active the week before),
-    RESURRECTED (active before, but not last week) and CHURNED
-    (active last week / last active earlier, not this week — charged
-    to the first inactive week) — the standard user-base
-    decomposition where net growth = new + resurrected - churned.
-
-    Scale shape: per-batch distinct (user, week) partials -> user
-    hash-bucket exchange; ONE lexsort per bucket dedupes cross-batch
-    pairs and classifies every week row against its predecessor
-    (vectorized shift); gap and end-of-history churn rows are emitted
-    in the same pass (the global horizon week is a one-number Max
-    computed first); per-bucket (week, stage) count partials -> tiny
-    keyed Sum."""
-    import pandas as pd
+    """GROWTH ACCOUNTING: per calendar week, how many users are NEW,
+    RETAINED, RESURRECTED and CHURNED (charged to the first inactive
+    week, horizon-capped) — net growth = new + resurrected - churned.
+    Generic stage: stages/aggregate.py growth_accounting (one
+    user-bucket lexsort classifies and emits churn in the same
+    pass)."""
+    from .stages.aggregate import growth_accounting
 
     ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
-    WK = _LIFECYCLE_WK_US
-    gmax_ts = ev.max("ts")
-    gw = int(pd.Timestamp(gmax_ts).value // 1000) // WK
-    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
-
-    def pairs(t: pa.Table) -> pa.Table:
-        tsv = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
-        wk = pc.divide(tsv, pa.scalar(WK, pa.int64()))
-        g = (
-            pa.table({"user_id": t["user_id"], "wk": wk})
-            .group_by(["user_id", "wk"])
-            .aggregate([])
-        )
-        uid = g["user_id"]
-        if isinstance(uid, pa.ChunkedArray):
-            uid = uid.combine_chunks()
-        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
-        return g.append_column("_hb", pa.array(hb.astype(np.int64)))
-
-    def per_bucket(t: pa.Table, gw=gw) -> pa.Table:
-        u = t["user_id"].to_numpy(zero_copy_only=False)
-        w = t["wk"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((w, u))
-        us, ws = u[order], w[order]
-        first = np.ones(len(us), bool)
-        first[1:] = (us[1:] != us[:-1]) | (ws[1:] != ws[:-1])
-        us, ws = us[first], ws[first]  # cross-batch dedupe
-        new_user = np.ones(len(us), bool)
-        new_user[1:] = us[1:] != us[:-1]
-        pw = np.empty_like(ws)
-        pw[1:] = ws[:-1]
-        gap = ~new_user & (ws - pw > 1)
-        retained = ~new_user & (ws - pw == 1)
-        last = np.append(new_user[1:], True)
-        end_churn = last & (ws < gw)
-        wk_out = np.concatenate(
-            [ws[new_user], ws[retained], ws[gap], pw[gap] + 1, ws[end_churn] + 1]
-        )
-        stage = np.concatenate(
-            [
-                np.full(int(new_user.sum()), "new"),
-                np.full(int(retained.sum()), "retained"),
-                np.full(int(gap.sum()), "resurrected"),
-                np.full(int(gap.sum()) + int(end_churn.sum()), "churned"),
-            ]
-        )
-        g = (
-            pa.table(
-                {
-                    "wk": pa.array(wk_out),
-                    "stage": pa.array(stage),
-                    "c": pa.array(np.ones(len(wk_out), np.int64)),
-                }
-            )
-            .group_by(["wk", "stage"])
-            .aggregate([("c", "sum")])
-        )
-        return g.rename_columns(["wk", "stage", "p_c"])
-
-    return (
-        ev.map_batches(pairs, batch_format="pyarrow")
-        .groupby("_hb")
-        .map_groups(per_bucket, batch_format="pyarrow")
-        .groupby(["wk", "stage"])
-        .aggregate(Sum("p_c", alias_name="n_users"))
-    )
-
+    return growth_accounting(ev, "user_id", "ts", _LIFECYCLE_WK_US)
 
 def _sql_events_lifecycle_accounting(sf_dir: str) -> str:
     return """
@@ -13327,92 +13253,18 @@ GROUP BY 1"""
 
 
 def events_adaptive_sessions(sf_dir: str) -> Dataset:
-    """ADAPTIVE sessionization: a new session starts when the gap to
-    the user's previous event exceeds 3x THAT USER's median
-    inter-arrival gap — the per-entity threshold that fixes what a
-    global 30-minute cutoff gets wrong for both chatty and sparse
-    users. Output: sessions per user. Exactness: integer-microsecond
-    gaps; the interpolated median of integers is a half-integer (both
-    engines' midpoint forms are exact doubles), so 3x-median
-    comparisons replay bitwise.
-
-    Scale shape: user hash buckets co-locate each user's rows (the
-    sessionize contract); ONE lexsort per bucket computes gaps,
-    per-user medians (segment midpoint indexing, no per-user loop) AND
-    session starts in the same pass; output = one row per user."""
-    import pandas as pd
+    """ADAPTIVE sessionization: a session break is a gap exceeding 3x
+    THAT USER's median inter-arrival gap — per-entity thresholds
+    instead of one global cutoff. Output: sessions per user; the
+    interpolated integer median is an exact half-integer double, so
+    the threshold comparison replays bitwise. Generic stage:
+    stages/aggregate.py adaptive_sessionize_counts."""
+    from .stages.aggregate import adaptive_sessionize_counts
 
     ev = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
-    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
-
-    def tag(t: pa.Table) -> pa.Table:
-        uid = t["user_id"]
-        if isinstance(uid, pa.ChunkedArray):
-            uid = uid.combine_chunks()
-        hb = pd.util.hash_array(uid.to_numpy(zero_copy_only=False)) % num_buckets
-        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
-
-    def per_bucket(t: pa.Table) -> pa.Table:
-        u = t["user_id"].to_numpy(zero_copy_only=False)
-        ts = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()))
-        eid = t["event_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts, u))
-        us, tss = u[order], ts[order]
-        n = len(us)
-        if n == 0:
-            return pa.table(
-                {
-                    "user_id": pa.array([], pa.int64()),
-                    "n_sessions": pa.array([], pa.int64()),
-                }
-            )
-        new_user = np.ones(n, bool)
-        new_user[1:] = us[1:] != us[:-1]
-        gap = np.empty(n, np.int64)
-        gap[1:] = tss[1:] - tss[:-1]
-        has_gap = ~new_user
-        # per-user median gap: sort gaps within user, midpoint indexing
-        gu, gv = us[has_gap], gap[has_gap]
-        og = np.lexsort((gv, gu))
-        gus, gvs = gu[og], gv[og]
-        gstart = np.ones(len(gus), bool)
-        gstart[1:] = gus[1:] != gus[:-1]
-        starts = np.flatnonzero(gstart)
-        glen = np.diff(np.append(starts, len(gus)))
-        lo = starts + (glen - 1) // 2
-        hi = starts + glen // 2
-        med = (
-            gvs[lo].astype(np.float64) + gvs[hi].astype(np.float64)
-        ) / 2.0
-        med_user = gus[starts]
-        # threshold per ROW (users without gaps never test the threshold)
-        thr = np.full(n, np.inf)
-        if len(med_user):
-            idx = np.searchsorted(med_user, us)
-            safe = np.minimum(idx, len(med_user) - 1)
-            hit = med_user[safe] == us
-            thr[hit] = 3.0 * med[safe[hit]]
-        ns = new_user | (has_gap & (gap.astype(np.float64) > thr))
-        g = (
-            pa.table(
-                {
-                    "user_id": pa.array(us),
-                    "s": pa.array(ns.astype(np.int64)),
-                }
-            )
-            .group_by("user_id")
-            .aggregate([("s", "sum")])
-        )
-        return g.rename_columns(["user_id", "n_sessions"])
-
-    return (
-        ev.map_batches(tag, batch_format="pyarrow")
-        .groupby("_hb")
-        .map_groups(per_bucket, batch_format="pyarrow")
-    )
-
+    return adaptive_sessionize_counts(ev, "user_id", "ts", "event_id", 3.0)
 
 def _sql_events_adaptive_sessions(sf_dir: str) -> str:
     return """

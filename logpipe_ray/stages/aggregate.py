@@ -2909,3 +2909,177 @@ def grouped_resample_linear(
         .groupby("_hb")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def growth_accounting(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    period_us: int,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """GROWTH ACCOUNTING: per period, how many keys are NEW (first-ever
+    period), RETAINED (also active the period before), RESURRECTED
+    (active before, not last period) and CHURNED (charged to the first
+    inactive period; horizon-capped at the global max period). Output:
+    (wk, stage, n_users) — net growth = new + resurrected - churned.
+
+    Per-batch distinct (key, period) partials -> key hash-bucket
+    exchange; ONE lexsort per bucket dedupes cross-batch pairs and
+    classifies each period row against its predecessor, emitting gap
+    and end-of-history churn in the same pass; per-bucket count
+    partials -> tiny keyed Sum. The global horizon is a one-number Max
+    over the input (a second cheap pass of a 2-column projection)."""
+    import pandas as pd
+    import ray
+
+    if num_buckets is None:
+        num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+    WK = int(period_us)
+    gmax_raw = ds.max(ts_col)
+    gw = int(pd.Timestamp(gmax_raw).value // 1000) // WK if not isinstance(
+        gmax_raw, (int, np.integer)
+    ) else int(gmax_raw) // WK
+
+    def pairs(t: pa.Table) -> pa.Table:
+        tsv = _as_int64_us(t[ts_col])
+        g = (
+            pa.table({key: t[key], "wk": pa.array(tsv // WK)})
+            .group_by([key, "wk"])
+            .aggregate([])
+        )
+        kc = g[key]
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        hb = pd.util.hash_array(kc.to_numpy(zero_copy_only=False)) % num_buckets
+        return g.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(t: pa.Table, gw=gw) -> pa.Table:
+        u = t[key].to_numpy(zero_copy_only=False)
+        w = t["wk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        us, ws = u[order], w[order]
+        first = np.ones(len(us), bool)
+        first[1:] = (us[1:] != us[:-1]) | (ws[1:] != ws[:-1])
+        us, ws = us[first], ws[first]
+        new_key = np.ones(len(us), bool)
+        new_key[1:] = us[1:] != us[:-1]
+        pw = np.empty_like(ws)
+        pw[1:] = ws[:-1]
+        gap = ~new_key & (ws - pw > 1)
+        retained = ~new_key & (ws - pw == 1)
+        last = np.append(new_key[1:], True)
+        end_churn = last & (ws < gw)
+        wk_out = np.concatenate(
+            [ws[new_key], ws[retained], ws[gap], pw[gap] + 1, ws[end_churn] + 1]
+        )
+        stage = np.concatenate(
+            [
+                np.full(int(new_key.sum()), "new"),
+                np.full(int(retained.sum()), "retained"),
+                np.full(int(gap.sum()), "resurrected"),
+                np.full(int(gap.sum()) + int(end_churn.sum()), "churned"),
+            ]
+        )
+        g = (
+            pa.table(
+                {
+                    "wk": pa.array(wk_out),
+                    "stage": pa.array(stage),
+                    "c": pa.array(np.ones(len(wk_out), np.int64)),
+                }
+            )
+            .group_by(["wk", "stage"])
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["wk", "stage", "p_c"])
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["wk", "stage"])
+        .aggregate(Sum("p_c", alias_name="n_users"))
+    )
+
+
+def adaptive_sessionize_counts(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    gap_factor: float = 3.0,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """ADAPTIVE sessionization: a session break is a gap exceeding
+    ``gap_factor`` x THAT KEY's median inter-arrival gap (per-entity
+    thresholds instead of one global cutoff). Returns (key,
+    n_sessions). Integer-microsecond gaps; interpolated integer
+    medians are exact half-integer doubles, so the threshold
+    comparison replays bitwise in SQL.
+
+    One key-bucket lexsort computes gaps, per-key medians (segment
+    midpoint indexing — no per-key loop) and session starts in the
+    same pass."""
+    import pandas as pd
+    import ray
+
+    if num_buckets is None:
+        num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        kc = t[key]
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        hb = pd.util.hash_array(kc.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        u = t[key].to_numpy(zero_copy_only=False)
+        ts = _as_int64_us(t[ts_col])
+        eid = t[tiebreak_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        us, tss = u[order], ts[order]
+        n = len(us)
+        if n == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                }
+            )
+        new_key = np.ones(n, bool)
+        new_key[1:] = us[1:] != us[:-1]
+        gap = np.empty(n, np.int64)
+        gap[1:] = tss[1:] - tss[:-1]
+        has_gap = ~new_key
+        gu, gv = us[has_gap], gap[has_gap]
+        og = np.lexsort((gv, gu))
+        gus, gvs = gu[og], gv[og]
+        gstart = np.ones(len(gus), bool)
+        gstart[1:] = gus[1:] != gus[:-1]
+        starts = np.flatnonzero(gstart)
+        glen = np.diff(np.append(starts, len(gus)))
+        lo = starts + (glen - 1) // 2
+        hi = starts + glen // 2
+        med = (gvs[lo].astype(np.float64) + gvs[hi].astype(np.float64)) / 2.0
+        med_key = gus[starts]
+        thr = np.full(n, np.inf)
+        if len(med_key):
+            idx = np.searchsorted(med_key, us)
+            safe = np.minimum(idx, len(med_key) - 1)
+            hit = med_key[safe] == us
+            thr[hit] = gap_factor * med[safe[hit]]
+        ns = new_key | (has_gap & (gap.astype(np.float64) > thr))
+        g = (
+            pa.table({key: pa.array(us), "s": pa.array(ns.astype(np.int64))})
+            .group_by(key)
+            .aggregate([("s", "sum")])
+        )
+        return g.rename_columns([key, "n_sessions"])
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
