@@ -272,3 +272,433 @@ def pagerank_fixed(
             batch_format="pyarrow",
         ).materialize()
     return ranks
+
+
+# ------------------------------------------------------------ triangles
+
+TRI_NODE_BROADCAST_LIMIT = 5_000_000   # rank map ~80 MB at the limit
+TRI_EDGE_BROADCAST_LIMIT = 5_000_000   # packed edge set ~40 MB
+_TRI_WEDGE_SLICE = 4_000_000           # wedge rows expanded per slice
+
+
+def _tri_empty() -> "Dataset":
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.schema(
+            [
+                ("node", pa.int64()),
+                ("degree", pa.int64()),
+                ("n_triangles", pa.int64()),
+                ("cc_ppm", pa.int64()),
+            ]
+        ).empty_table()
+    )
+
+
+def _succ_pair_slices(lens: np.ndarray, budget: int = _TRI_WEDGE_SLICE):
+    """Yield (run_start, run_end) slices over runs described by
+    ``lens`` so each slice expands to at most ~budget successor pairs
+    (a run larger than the budget gets its own slice — per-run pair
+    count is C(len, 2), bounded by the orientation's out-degree cap)."""
+    w = lens.astype(np.int64) * (lens - 1) // 2
+    cw = np.cumsum(w)
+    total = int(cw[-1]) if len(cw) else 0
+    i = 0
+    base = 0
+    while i < len(lens):
+        j = int(np.searchsorted(cw, base + budget, side="left")) + 1
+        j = max(j, i + 1)
+        yield i, min(j, len(lens))
+        base = int(cw[min(j, len(lens)) - 1])
+        i = j
+    if total == 0 and len(lens):
+        return
+
+
+def triangle_counts(
+    edges: Dataset,
+    u_col: str = "u",
+    v_col: str = "v",
+    node_broadcast_limit: int = TRI_NODE_BROADCAST_LIMIT,
+    edge_broadcast_limit: int = TRI_EDGE_BROADCAST_LIMIT,
+    driver_edge_limit: int = PR_DRIVER_EDGE_LIMIT,
+) -> Dataset:
+    """Per-node triangle counts + degree + integer-ppm clustering
+    coefficient over an UNDIRECTED int64 edge Dataset (self-loops
+    dropped, duplicate edges deduped).
+
+    The node-iterator-with-orientation algorithm (Cohen's MapReduce
+    scheme): orient every edge from lower to higher (degree, node)
+    rank so each triangle is counted exactly once at its lowest-rank
+    corner and per-source out-neighborhoods stay small on skewed
+    graphs; expand each source's C(outdeg, 2) ordered neighbor pairs
+    (wedges); a wedge closes a triangle iff its (x, y) pair is itself
+    an oriented edge.
+
+    Scale shape: edge dedup is one keyed exchange (driver group_by
+    under ``driver_edge_limit``); degrees are count partials into one
+    bounded keyed Sum; the rank map broadcasts via ray.put under
+    ``node_broadcast_limit`` (above it, orientation falls back to
+    node-id rank — still exactly-once, weaker out-degree bound);
+    wedge expansion buckets oriented edges by source and runs a
+    vectorized lexsort + closed-form pair expansion in bounded slices;
+    membership is a binary search against the broadcast packed edge
+    set under ``edge_broadcast_limit`` (node ids must fit 32 bits on
+    that route) with the wedges never materialized — above the limit
+    wedges flow into a hash join against the oriented edge table.
+    Everything integer -> bit-reproducible across layouts and engines.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+    from .tokens import _merge_count_partials
+
+    # -------- canonical distinct edges (u < v by id, loops dropped)
+    def canon(t: pa.Table) -> pa.Table:
+        u = np.asarray(t[u_col], dtype=np.int64)
+        v = np.asarray(t[v_col], dtype=np.int64)
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        keep = lo != hi
+        return (
+            pa.table({"u": pa.array(lo[keep]), "v": pa.array(hi[keep])})
+            .group_by(["u", "v"])
+            .aggregate([])
+        )
+
+    partials = edges.map_batches(canon, batch_format="pyarrow").materialize()
+    if partials.count() == 0:
+        return _tri_empty()
+    if partials.count() <= driver_edge_limit:
+        ptbl = _concat_nonempty(partials)
+        dedges = rd.from_arrow(
+            ptbl.group_by(["u", "v"]).aggregate([])
+        ).materialize()
+    else:
+        from ray.data.aggregate import Count
+
+        dedges = (
+            partials.groupby(["u", "v"])
+            .aggregate(Count(alias_name="_m"))
+            .map_batches(
+                lambda t: t.select(["u", "v"])
+                if t.num_columns
+                else pa.schema(
+                    [("u", pa.int64()), ("v", pa.int64())]
+                ).empty_table(),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    m = dedges.count()
+    if m == 0:
+        return _tri_empty()
+
+    # -------- degrees: count partials over both endpoints
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [np.asarray(t["u"], np.int64), np.asarray(t["v"], np.int64)]
+        )
+        nodes_b, counts_b = np.unique(both, return_counts=True)
+        return pa.table(
+            {"node": pa.array(nodes_b), "p": pa.array(counts_b.astype(np.int64))}
+        )
+
+    degs = _merge_count_partials(
+        dedges.map_batches(deg_partial, batch_format="pyarrow"), "node", "deg"
+    ).materialize()
+    n = degs.count()
+
+    # -------- orientation rank
+    rank_ref = None
+    if n <= node_broadcast_limit:
+        deg_tbl = _concat_nonempty(degs)
+        nodes_arr = np.asarray(deg_tbl["node"], np.int64)
+        deg_arr = np.asarray(deg_tbl["deg"], np.int64)
+        idx = np.argsort(nodes_arr)
+        nodes_s, deg_s = nodes_arr[idx], deg_arr[idx]
+        order = np.lexsort((nodes_s, deg_s))
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n, dtype=np.int64)
+        rank_ref = ray.put((nodes_s, rank))
+
+    def orient(t: pa.Table, _r=rank_ref) -> pa.Table:
+        u = np.asarray(t["u"], np.int64)
+        v = np.asarray(t["v"], np.int64)
+        if _r is not None:
+            ns, rk = ray.get(_r)
+            ru = rk[np.searchsorted(ns, u)]
+            rv = rk[np.searchsorted(ns, v)]
+        else:  # id-rank fallback: exactly-once, weaker degree bound
+            ru, rv = u, v
+        swap = ru > rv
+        a = np.where(swap, v, u)
+        b = np.where(swap, u, v)
+        ra = np.minimum(ru, rv)
+        rb = np.maximum(ru, rv)
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "ra": pa.array(ra),
+                "rb": pa.array(rb),
+            }
+        )
+
+    oriented = dedges.map_batches(orient, batch_format="pyarrow").materialize()
+
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        a = t["a"]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        hb = (
+            pd.util.hash_array(a.to_numpy(zero_copy_only=False)) % num_buckets
+        )
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    use_pack = m <= edge_broadcast_limit
+    edge_set_ref = None
+    if use_pack:
+        etbl = _concat_nonempty(oriented)
+        ea = np.asarray(etbl["a"], np.int64)
+        eb = np.asarray(etbl["b"], np.int64)
+        if max(
+            int(ea.max()), int(eb.max())
+        ) < (1 << 31) and min(int(ea.min()), int(eb.min())) >= 0:
+            packed = np.sort((ea.astype(np.uint64) << np.uint64(32))
+                             | eb.astype(np.uint64))
+            edge_set_ref = ray.put(packed)
+        else:
+            use_pack = False  # ids too wide to pack -> join route
+
+    if use_pack:
+        # fused per-bucket: wedge expansion + membership + count
+        # partials; wedges never leave the task
+        def fold(df: "pd.DataFrame", _e=edge_set_ref) -> "pd.DataFrame":
+            E = ray.get(_e)
+            a = df["a"].to_numpy()
+            b = df["b"].to_numpy()
+            rb = df["rb"].to_numpy()
+            order = np.lexsort((rb, a))
+            a_s, b_s = a[order], b[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], a_s[1:] != a_s[:-1]])
+            ) if len(a_s) else np.empty(0, np.int64)
+            lens = np.diff(np.append(starts, len(a_s)))
+            nodes_out: list[np.ndarray] = []
+            for i, j in _succ_pair_slices(lens):
+                s0, s1 = int(starts[i]), int(starts[j - 1] + lens[j - 1])
+                ls = lens[i:j]
+                tot = int(s1 - s0)
+                within = np.arange(tot) - np.repeat(
+                    np.cumsum(ls) - ls, ls
+                )
+                msucc = np.repeat(ls, ls) - 1 - within
+                P = int(msucc.sum())
+                if P == 0:
+                    continue
+                left = np.repeat(np.arange(tot), msucc)
+                right = (
+                    np.arange(P)
+                    - np.repeat(np.cumsum(msucc) - msucc, msucc)
+                    + left
+                    + 1
+                )
+                x = b_s[s0 + left]
+                y = b_s[s0 + right]
+                keys = (x.astype(np.uint64) << np.uint64(32)) | y.astype(
+                    np.uint64
+                )
+                pos = np.searchsorted(E, keys)
+                hit = (pos < len(E)) & (E[np.minimum(pos, len(E) - 1)] == keys)
+                if not hit.any():
+                    continue
+                nodes_out.append(x[hit])
+                nodes_out.append(y[hit])
+                nodes_out.append(a_s[s0 + left[hit]])
+            if not nodes_out:
+                return pd.DataFrame(
+                    {
+                        "node": np.empty(0, np.int64),
+                        "p": np.empty(0, np.int64),
+                    }
+                )
+            allnodes = np.concatenate(nodes_out)
+            un, cn = np.unique(allnodes, return_counts=True)
+            return pd.DataFrame({"node": un, "p": cn.astype(np.int64)})
+
+        tri_partials = (
+            oriented.map_batches(tag, batch_format="pyarrow")
+            .groupby("_hb")
+            .map_groups(fold, batch_format="pandas")
+        )
+    else:
+        # join route: wedges flow into a hash join on (x, y)
+        from ..stages.join import inner_join_safe
+
+        def wedges_fold(df: "pd.DataFrame") -> "pd.DataFrame":
+            a = df["a"].to_numpy()
+            b = df["b"].to_numpy()
+            rb = df["rb"].to_numpy()
+            order = np.lexsort((rb, a))
+            a_s, b_s = a[order], b[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], a_s[1:] != a_s[:-1]])
+            ) if len(a_s) else np.empty(0, np.int64)
+            lens = np.diff(np.append(starts, len(a_s)))
+            xs, ys, ws = [], [], []
+            for i, j in _succ_pair_slices(lens):
+                s0, s1 = int(starts[i]), int(starts[j - 1] + lens[j - 1])
+                ls = lens[i:j]
+                tot = int(s1 - s0)
+                within = np.arange(tot) - np.repeat(np.cumsum(ls) - ls, ls)
+                msucc = np.repeat(ls, ls) - 1 - within
+                P = int(msucc.sum())
+                if P == 0:
+                    continue
+                left = np.repeat(np.arange(tot), msucc)
+                right = (
+                    np.arange(P)
+                    - np.repeat(np.cumsum(msucc) - msucc, msucc)
+                    + left
+                    + 1
+                )
+                xs.append(b_s[s0 + left])
+                ys.append(b_s[s0 + right])
+                ws.append(a_s[s0 + left])
+            if not xs:
+                return pd.DataFrame(
+                    {
+                        "x": np.empty(0, np.int64),
+                        "y": np.empty(0, np.int64),
+                        "wit": np.empty(0, np.int64),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "x": np.concatenate(xs),
+                    "y": np.concatenate(ys),
+                    "wit": np.concatenate(ws),
+                }
+            )
+
+        wedges = (
+            oriented.map_batches(tag, batch_format="pyarrow")
+            .groupby("_hb")
+            .map_groups(wedges_fold, batch_format="pandas")
+        )
+        closing = oriented.map_batches(
+            lambda t: pa.table({"x": t["a"], "y": t["b"]}),
+            batch_format="pyarrow",
+        )
+        matched = inner_join_safe(wedges, closing, on=("x", "y"))
+
+        def tri_partial(t: pa.Table) -> pa.Table:
+            allnodes = np.concatenate(
+                [
+                    np.asarray(t["x"], np.int64),
+                    np.asarray(t["y"], np.int64),
+                    np.asarray(t["wit"], np.int64),
+                ]
+            )
+            un, cn = np.unique(allnodes, return_counts=True)
+            return pa.table(
+                {"node": pa.array(un), "p": pa.array(cn.astype(np.int64))}
+            )
+
+        tri_partials = matched.map_batches(tri_partial, batch_format="pyarrow")
+
+    tri = _merge_count_partials(tri_partials, "node", "n_tri").materialize()
+
+    # -------- finish: degree ∪ triangle lanes -> one bounded merge
+    if n <= node_broadcast_limit:
+        tri_tbl = _concat_nonempty(tri) if tri.count() else pa.schema(
+            [("node", pa.int64()), ("n_tri", pa.int64())]
+        ).empty_table()
+        tn = np.asarray(tri_tbl["node"], np.int64)
+        tc = np.asarray(tri_tbl["n_tri"], np.int64)
+        tidx = np.argsort(tn)
+        tn, tc = tn[tidx], tc[tidx]
+        pos = np.searchsorted(tn, nodes_s)
+        found = (pos < len(tn)) & (tn[np.minimum(pos, max(len(tn) - 1, 0))]
+                                   == nodes_s) if len(tn) else np.zeros(
+            n, dtype=bool
+        )
+        ntri = np.zeros(n, dtype=np.int64)
+        ntri[found] = tc[pos[found]]
+        denom = deg_s * (deg_s - 1)
+        cc = np.where(
+            deg_s >= 2, (2_000_000 * ntri) // np.maximum(denom, 1), 0
+        )
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes_s),
+                    "degree": pa.array(deg_s),
+                    "n_triangles": pa.array(ntri),
+                    "cc_ppm": pa.array(cc.astype(np.int64)),
+                }
+            )
+        )
+
+    # distributed finish: two-lane union + one keyed Sum
+    from ray.data.aggregate import Sum as _Sum
+
+    deg_lane = degs.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "d": t["deg"],
+                "t": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    tri_lane = tri.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "d": pa.array(np.zeros(t.num_rows, np.int64)),
+                "t": t["n_tri"],
+            }
+        )
+        if t.num_columns
+        else pa.schema(
+            [("node", pa.int64()), ("d", pa.int64()), ("t", pa.int64())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+    merged = (
+        deg_lane.union(tri_lane)
+        .groupby("node")
+        .aggregate(_Sum("d", alias_name="degree"), _Sum("t", alias_name="n_triangles"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if not t.num_columns:
+            return pa.schema(
+                [
+                    ("node", pa.int64()),
+                    ("degree", pa.int64()),
+                    ("n_triangles", pa.int64()),
+                    ("cc_ppm", pa.int64()),
+                ]
+            ).empty_table()
+        d = np.asarray(t["degree"], np.int64)
+        ntri = np.asarray(t["n_triangles"], np.int64)
+        cc = np.where(
+            d >= 2, (2_000_000 * ntri) // np.maximum(d * (d - 1), 1), 0
+        )
+        return pa.table(
+            {
+                "node": t["node"],
+                "degree": pa.array(d),
+                "n_triangles": pa.array(ntri),
+                "cc_ppm": pa.array(cc.astype(np.int64)),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

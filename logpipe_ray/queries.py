@@ -13284,6 +13284,123 @@ SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions
 FROM s GROUP BY 1"""
 
 
+
+def parts_copurchase_triangles(sf_dir: str) -> Dataset:
+    """Triangle census of the part CO-PURCHASE graph — the classic
+    graph-analytics readout (community density / clustering
+    coefficient) over a market-basket projection: nodes are parts,
+    with an undirected edge between two parts iff some order contains
+    both. Output per part: degree, triangle count, and the local
+    clustering coefficient in exact integer ppm
+    (2e6·T // (d·(d-1))), so every value is bit-reproducible.
+
+    Scale shape: distinct (order, part) partials hash-bucket by order
+    (an order's rows co-locate — pair expansion is per-order, bounded
+    by lineitems-per-order²); edges feed functions.graph.
+    triangle_counts — degree-oriented node-iterator wedge expansion
+    with broadcast packed-edge-set membership under a guard and a
+    hash-join route above it; every exchange is bounded by distinct
+    edges or nodes, never raw rows."""
+    import pandas as pd
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def prep(t: pa.Table) -> pa.Table:
+        tbl = (
+            pa.table(
+                {
+                    "o": pc.cast(t["l_orderkey"], pa.int64()),
+                    "p": pc.cast(t["l_partkey"], pa.int64()),
+                }
+            )
+            .group_by(["o", "p"])
+            .aggregate([])
+        )
+        hb = (
+            pd.util.hash_array(np.asarray(tbl["o"], np.int64)) % num_buckets
+        )
+        return tbl.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        o = df["o"].to_numpy()
+        p = df["p"].to_numpy()
+        order = np.lexsort((p, o))
+        o_s, p_s = o[order], p[order]
+        # cross-batch distinct (an order's partials all land here)
+        keep = np.ones(len(o_s), dtype=bool)
+        if len(o_s) > 1:
+            keep[1:] = (o_s[1:] != o_s[:-1]) | (p_s[1:] != p_s[:-1])
+        o_s, p_s = o_s[keep], p_s[keep]
+        starts = (
+            np.flatnonzero(np.concatenate([[True], o_s[1:] != o_s[:-1]]))
+            if len(o_s)
+            else np.empty(0, np.int64)
+        )
+        lens = np.diff(np.append(starts, len(o_s)))
+        tot = len(o_s)
+        within = (
+            np.arange(tot) - np.repeat(starts, lens)
+            if tot
+            else np.empty(0, np.int64)
+        )
+        msucc = np.repeat(lens, lens) - 1 - within if tot else within
+        P = int(msucc.sum()) if tot else 0
+        if P == 0:
+            return pd.DataFrame(
+                {"u": np.empty(0, np.int64), "v": np.empty(0, np.int64)}
+            )
+        left = np.repeat(np.arange(tot), msucc)
+        right = (
+            np.arange(P) - np.repeat(np.cumsum(msucc) - msucc, msucc)
+            + left
+            + 1
+        )
+        # p sorted within each order run -> u < v already
+        return pd.DataFrame({"u": p_s[left], "v": p_s[right]})
+
+    from .functions.graph import triangle_counts
+
+    edges = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    out = triangle_counts(edges)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["partkey", "degree", "n_triangles", "cc_ppm"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_parts_copurchase_triangles(sf_dir: str) -> str:
+    return """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+deg AS (SELECT node, count(*) AS degree FROM (
+          SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY 1),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+tn AS (SELECT node, count(*) AS n_tri FROM (
+         SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+         UNION ALL SELECT c AS node FROM tri) GROUP BY 1)
+SELECT deg.node AS partkey,
+       deg.degree,
+       coalesce(tn.n_tri, 0) AS n_triangles,
+       CASE WHEN deg.degree >= 2
+            THEN (2000000 * coalesce(tn.n_tri, 0))
+                 // (deg.degree * (deg.degree - 1))
+            ELSE 0 END AS cc_ppm
+FROM deg LEFT JOIN tn USING (node)"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-7 curation: seats 0-10 keep the late-r3 eight +
@@ -13792,6 +13909,10 @@ REGISTRY: dict = {
     "lp_count_by_level": (lp_count_by_level, _sql_lp_count_by_level),
     "events_sessionize": (events_sessionize, _sql_events_sessionize),
     "docs_exact_dedup": (docs_exact_dedup, _sql_docs_exact_dedup),
+    "parts_copurchase_triangles": (
+        parts_copurchase_triangles,
+        _sql_parts_copurchase_triangles,
+    ),
 }
 
 
