@@ -13401,6 +13401,58 @@ SELECT deg.node AS partkey,
 FROM deg LEFT JOIN tn USING (node)"""
 
 
+
+def events_purchase_logit(sf_dir: str) -> pa.Table:
+    """Distributed LOGISTIC-REGRESSION training (IRLS/Newton) — the
+    quality-classifier fit of a curation pipeline, here predicting
+    is-purchase from (value_cents, hour, day-of-week). Each Newton
+    round is one streaming pass of k²+k+2-double partials against
+    ray.put-broadcast weights over a feature projection materialized
+    ONCE (functions/linalg.py logistic_fit). Rows-only by design:
+    float partials merge in block order (the pca/linreg determinism
+    contract; no SQL oracle can express Newton); pytest verifies the
+    MLE optimality condition (full-data gradient ≈ 0) and parity with
+    a single-machine Newton reference."""
+    from .functions.linalg import logistic_fit
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "value", "event_type"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        return pa.table(
+            {
+                # cents/1000 keeps the design matrix well-conditioned
+                "val_k": pc.divide(
+                    pc.round(pc.multiply(t["value"], 100.0)), 1000.0
+                ),
+                "hour": pc.cast(pc.hour(t["ts"]), pa.float64()),
+                "dow": pc.cast(pc.day_of_week(t["ts"]), pa.float64()),
+                "y": pc.cast(
+                    pc.equal(t["event_type"], "purchase"), pa.float64()
+                ),
+            }
+        )
+
+    coef, b0, n, iters, loss = logistic_fit(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["val_k", "hour", "dow"],
+        "y",
+    )
+    return pa.table(
+        {
+            "coef_val_k": pa.array([coef["val_k"]], pa.float64()),
+            "coef_hour": pa.array([coef["hour"]], pa.float64()),
+            "coef_dow": pa.array([coef["dow"]], pa.float64()),
+            "intercept": pa.array([b0], pa.float64()),
+            "n": pa.array([n], pa.int64()),
+            "iters": pa.array([iters], pa.int64()),
+            "log_loss": pa.array([loss], pa.float64()),
+        }
+    )
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-7 curation: seats 0-10 keep the late-r3 eight +
@@ -13835,6 +13887,7 @@ REGISTRY: dict = {
     ),
     "seq_truncation_stats": (seq_truncation_stats, _sql_seq_truncation_stats),
     "events_value_linreg": (events_value_linreg, None),
+    "events_purchase_logit": (events_purchase_logit, None),
     "events_type_balanced_sample": (
         events_type_balanced_sample,
         _sql_events_type_balanced_sample,

@@ -128,3 +128,66 @@ def test_triangle_wedge_slices_budget():
         assert j > i
         covered.extend(range(i, j))
     assert covered == list(range(len(lens)))
+
+
+def _logit_data(n=4000, seed=3):
+    rng = np.random.default_rng(seed)
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 2, n)
+    logits = 0.8 * x1 - 0.5 * x2 + 0.3
+    p = 1 / (1 + np.exp(-logits))
+    y = (rng.random(n) < p).astype(np.float64)
+    return pd.DataFrame({"x1": x1, "x2": x2, "y": y})
+
+
+def test_logistic_fit_mle_optimality(ray_session):
+    """At the returned weights the full-data gradient must vanish —
+    the optimality condition is an independent check of the fit."""
+    import ray.data as rd
+
+    from logpipe_ray.functions.linalg import logistic_fit
+
+    df = _logit_data()
+    coef, b0, n, iters, loss = logistic_fit(
+        rd.from_pandas(df), ["x1", "x2"], "y"
+    )
+    assert n == len(df)
+    X = np.column_stack([df.x1, df.x2, np.ones(len(df))])
+    w = np.array([coef["x1"], coef["x2"], b0])
+    p = 1 / (1 + np.exp(-(X @ w)))
+    grad = X.T @ (df.y.to_numpy() - p)
+    assert np.max(np.abs(grad)) < 1e-6
+    # loss equals the stable full-data log-loss at the solution
+    m = X @ w
+    s = 2 * df.y.to_numpy() - 1
+    ref_loss = np.sum(np.log1p(np.exp(-np.abs(s * m))) + np.maximum(-s * m, 0))
+    assert abs(loss - ref_loss) < 1e-6 * max(1.0, ref_loss)
+    # recovers the generating weights to sampling error
+    assert abs(coef["x1"] - 0.8) < 0.2
+    assert abs(coef["x2"] + 0.5) < 0.1
+
+
+def test_logistic_fit_distributed_route_equals_driver(ray_session):
+    import ray.data as rd
+
+    from logpipe_ray.functions.linalg import logistic_fit
+
+    df = _logit_data(n=2000, seed=5)
+    ds = rd.from_pandas(df).repartition(8)
+    fast = logistic_fit(ds, ["x1", "x2"], "y")
+    dist = logistic_fit(ds, ["x1", "x2"], "y", driver_row_limit=0)
+    for a, b in zip(fast[0].values(), dist[0].values()):
+        assert abs(a - b) < 1e-8
+    assert abs(fast[1] - dist[1]) < 1e-8
+    assert fast[2] == dist[2]
+
+
+def test_logistic_fit_rejects_non_binary(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from logpipe_ray.functions.linalg import logistic_fit
+
+    df = pd.DataFrame({"x1": [1.0, 2.0], "y": [0.0, 2.0]})
+    with pytest.raises(Exception, match="non-binary"):
+        logistic_fit(rd.from_pandas(df), ["x1"], "y")
