@@ -13453,6 +13453,48 @@ def events_purchase_logit(sf_dir: str) -> pa.Table:
     )
 
 
+
+_POSTINGS_TERMS = ["spark", "vector"]
+
+
+def docs_postings_search(sf_dir: str) -> Dataset:
+    """Boolean term search through a persisted INVERTED INDEX
+    (sources/textindex.py postings_write/postings_lookup — the sixth
+    pruned-read layer beside zone maps, Bloom, Z-order, trigram and
+    IVF): distinct (term, doc_id) postings hash-placed by term into 32
+    bucket files, each sorted by (term, doc_id); an AND query opens
+    ONLY the buckets its terms hash to and finishes with a distributed
+    set intersection — per-doc matched-term count partials into one
+    bounded keyed Sum, docs where count == #terms survive. The oracle
+    replays the same tokenization with string_split(text, ' '), so the
+    whole index round-trip is hash-checked."""
+    import hashlib
+    import os
+
+    from .sources.textindex import postings_lookup, postings_write
+
+    src = f"{sf_dir}/documents.parquet"
+    tag = hashlib.sha1(
+        f"{src}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    out_dir = f"/tmp/logpipe_ray_layout/docs_post_{tag}"
+    if not os.path.exists(os.path.join(out_dir, "postmap.json")):
+        ds = read_parquet_clean(src, columns=["doc_id", "text"])
+        postings_write(ds, "doc_id", "text", out_dir, n_buckets=32)
+    hits, stats = postings_lookup(out_dir, _POSTINGS_TERMS, mode="and")
+    # the query must touch at most one bucket per distinct term
+    assert stats["files_read"] <= len(set(_POSTINGS_TERMS)), stats
+    return hits
+
+
+def _sql_docs_postings_search(sf_dir: str) -> str:
+    preds = " AND ".join(
+        f"list_contains(string_split(text, ' '), '{t}')"
+        for t in _POSTINGS_TERMS
+    )
+    return f"SELECT doc_id FROM documents WHERE {preds}"
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-7 curation: seats 0-10 keep the late-r3 eight +
@@ -13962,6 +14004,10 @@ REGISTRY: dict = {
     "lp_count_by_level": (lp_count_by_level, _sql_lp_count_by_level),
     "events_sessionize": (events_sessionize, _sql_events_sessionize),
     "docs_exact_dedup": (docs_exact_dedup, _sql_docs_exact_dedup),
+    "docs_postings_search": (
+        docs_postings_search,
+        _sql_docs_postings_search,
+    ),
     "parts_copurchase_triangles": (
         parts_copurchase_triangles,
         _sql_parts_copurchase_triangles,

@@ -200,3 +200,175 @@ def grep_scan(
         .map_batches(verify, batch_format="pyarrow")
     )
     return ds, stats
+
+
+# ------------------------------------------------------------- postings
+
+POSTMAP_NAME = "postmap.json"
+
+
+def _term_doc_pairs(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """Distinct (term, doc) pairs of a batch — vectorized: one Arrow
+    split on the single-space delimiter (the SQL-replayable
+    string_split(text, ' ') tokenization), list lengths drive a repeat
+    of the doc ids, one group_by dedups."""
+    col = t[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ids = t[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    toks = pc.split_pattern(col.fill_null(""), " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = toks.flatten()
+    doc = np.repeat(ids.to_numpy(zero_copy_only=False), lens)
+    pairs = pa.table({"term": flat, "doc_id": pa.array(doc)})
+    pairs = pairs.filter(pc.not_equal(pairs["term"], ""))
+    return pairs.group_by(["term", "doc_id"]).aggregate([])
+
+
+def postings_write(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    n_buckets: int = 32,
+) -> dict:
+    """INVERTED INDEX: distinct (term, doc_id) postings hash-placed by
+    term into ``n_buckets`` parquet files, each sorted by (term,
+    doc_id) so parquet row-group stats prune within a file too. A term
+    lookup opens only its bucket file — boolean queries touch
+    #query-terms buckets, never the corpus.
+
+    Scale shape: per-batch distinct pairs (one Arrow split + repeat +
+    group_by, no per-row Python) -> ONE keyed exchange on the bucket id
+    co-locates each bucket's postings -> per-bucket final dedup + sort
+    + atomic write (tmp+rename, sidecar last). Pair volume is bounded
+    by tokens, dedup'd twice (batch-local then bucket)."""
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def assign(t: pa.Table) -> pa.Table:
+        pairs = _term_doc_pairs(t, id_col, text_col)
+        h = pd.util.hash_array(
+            pairs["term"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        b = (h % np.uint64(n_buckets)).astype(np.int64)
+        return pairs.append_column("_b", pa.array(b))
+
+    def write_bucket(t: pa.Table) -> pa.Table:
+        b = int(t["_b"][0].as_py())
+        body = (
+            t.drop(["_b"])
+            .group_by(["term", "doc_id"])
+            .aggregate([])
+            .sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        )
+        name = f"post_{b:05d}.parquet"
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        pq.write_table(body, tmp)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table(
+            {
+                "bucket": pa.array([b], pa.int64()),
+                "file": pa.array([name]),
+                "rows": pa.array([body.num_rows], pa.int64()),
+            }
+        )
+
+    written = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(write_bucket, batch_format="pyarrow")
+    ).to_pandas()
+    files = {int(r.bucket): {"file": r.file, "rows": int(r.rows)}
+             for r in written.itertuples()}
+    meta = {"n_buckets": n_buckets, "id_col": id_col, "files": files}
+    tmp = os.path.join(out_dir, f".{POSTMAP_NAME}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, POSTMAP_NAME))
+    return meta
+
+
+def postings_lookup(
+    index_dir: str,
+    terms: list[str],
+    mode: str = "and",
+) -> tuple[Dataset, dict]:
+    """Boolean term query through the postings index: open ONLY the
+    bucket files the query terms hash to, filter to the exact terms,
+    then combine — ``and`` keeps docs whose per-doc matched-term count
+    equals len(terms) (a distributed set intersection as one bounded
+    count exchange), ``or`` dedups the union. Returns (Dataset with a
+    doc-id column, stats with files_total/files_read pruning
+    evidence)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tokens import _merge_count_partials
+    from .factory import strip_pandas_metadata
+
+    if mode not in ("and", "or"):
+        raise ValueError(f"postings_lookup: unknown mode {mode!r}")
+    uniq = sorted(set(terms))
+    if not uniq:
+        raise ValueError("postings_lookup: no terms")
+    with open(os.path.join(index_dir, POSTMAP_NAME)) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    nb = np.uint64(meta["n_buckets"])
+    h = pd.util.hash_array(np.asarray(uniq, dtype=object))
+    buckets = sorted({int(x % nb) for x in h})
+    picked = [
+        os.path.join(index_dir, meta["files"][str(b)]["file"])
+        if str(b) in meta["files"]
+        else None
+        for b in buckets
+    ]
+    picked = [p for p in picked if p is not None and os.path.exists(p)]
+    stats = {
+        "files_total": len(meta["files"]),
+        "files_read": len(picked),
+        "terms": uniq,
+    }
+    empty = pa.schema([(id_col, pa.int64())]).empty_table()
+    if not picked:
+        return rd.from_arrow(empty), stats
+
+    tset = pa.array(uniq, pa.string())
+
+    def pick_pairs(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.is_in(t["term"], value_set=tset))
+        # postings are (term, doc) distinct -> count partials per doc
+        g = (
+            pa.table(
+                {
+                    "doc": hit["doc_id"],
+                    "p": pa.array(np.ones(hit.num_rows, np.int64)),
+                }
+            )
+            .group_by("doc")
+            .aggregate([("p", "sum")])
+        )
+        return g.rename_columns(["doc", "p"])
+
+    counts = _merge_count_partials(
+        rd.read_parquet(picked)
+        .map_batches(strip_pandas_metadata, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .map_batches(pick_pairs, batch_format="pyarrow"),
+        "doc",
+        "nt",
+    )
+    need = len(uniq)
+
+    def finish(t: pa.Table, _need=need, _mode=mode) -> pa.Table:
+        if not t.num_columns:
+            return pa.schema([(id_col, pa.int64())]).empty_table()
+        if _mode == "and":
+            t = t.filter(pc.equal(t["nt"], _need))
+        return pa.table({id_col: t["doc"]})
+
+    return counts.map_batches(finish, batch_format="pyarrow"), stats

@@ -191,3 +191,64 @@ def test_logistic_fit_rejects_non_binary(ray_session):
     df = pd.DataFrame({"x1": [1.0, 2.0], "y": [0.0, 2.0]})
     with pytest.raises(Exception, match="non-binary"):
         logistic_fit(rd.from_pandas(df), ["x1"], "y")
+
+
+def _postings_docs():
+    texts = [
+        "red fox jumps",
+        "red dog sleeps",
+        "blue fox runs",
+        "red fox red fox",  # duplicate terms within a doc
+        "green",
+        "",
+    ]
+    return pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+
+
+def test_postings_roundtrip_and_or(ray_session, tmp_path):
+    import ray.data as rd
+
+    from logpipe_ray.sources.textindex import postings_lookup, postings_write
+
+    df = _postings_docs()
+    out = str(tmp_path / "post")
+    postings_write(rd.from_pandas(df), "doc_id", "text", out, n_buckets=8)
+
+    hits, stats = postings_lookup(out, ["red", "fox"], mode="and")
+    assert sorted(hits.to_pandas().doc_id.tolist()) == [0, 3]
+    assert stats["files_read"] <= 2
+
+    hits, _ = postings_lookup(out, ["red", "fox"], mode="or")
+    assert sorted(hits.to_pandas().doc_id.tolist()) == [0, 1, 2, 3]
+
+    # single term
+    hits, stats = postings_lookup(out, ["green"], mode="and")
+    assert hits.to_pandas().doc_id.tolist() == [4]
+    assert stats["files_read"] == 1
+
+    # absent term: AND with a live term must be empty
+    hits, _ = postings_lookup(out, ["red", "zebra"], mode="and")
+    assert hits.count() == 0
+
+    # duplicate query terms dedup (not double-counted in the AND)
+    hits, _ = postings_lookup(out, ["red", "red", "fox"], mode="and")
+    assert sorted(hits.to_pandas().doc_id.tolist()) == [0, 3]
+
+
+def test_postings_pruning_and_errors(ray_session, tmp_path):
+    import pytest
+    import ray.data as rd
+
+    from logpipe_ray.sources.textindex import postings_lookup, postings_write
+
+    df = _postings_docs()
+    out = str(tmp_path / "post")
+    meta = postings_write(rd.from_pandas(df), "doc_id", "text", out, n_buckets=8)
+    # a one-term lookup must not read more than one bucket
+    _, stats = postings_lookup(out, ["blue"])
+    assert stats["files_read"] <= 1 < stats["files_total"]
+    assert len(meta["files"]) == stats["files_total"]
+    with pytest.raises(ValueError, match="no terms"):
+        postings_lookup(out, [])
+    with pytest.raises(ValueError, match="unknown mode"):
+        postings_lookup(out, ["red"], mode="xor")
