@@ -376,3 +376,147 @@ def weighted_sample_sql_predicate(
         f" < CAST({HASH_M} AS BIGINT) * {rate_pct}"
         f" * LEAST({weight_expr}, {w_cap}))"
     )
+
+
+def token_budget_mix(
+    ds: Dataset,
+    group_col: str,
+    weight_col: str,
+    budgets: dict,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_budget: int = 0,
+    n_buckets: int = 64,
+) -> Dataset:
+    """Fill each group to a WEIGHT BUDGET in a deterministic shuffle
+    order — the "mix sources to a token recipe" step of a
+    training-corpus build (each lang/source contributes at most its
+    budgeted tokens; greedy fill in hash order makes the pick
+    reproducible and resume-safe): a row is kept iff the EXCLUSIVE
+    prefix sum of ``weight_col`` over its group, ordered by
+    (shuffle_hash(id, seed), id), is still below the group's budget —
+    so the first over-budget document is included (budget semantics =
+    "start while under budget"), groups under budget keep everything,
+    budget 0 drops the group.
+
+    Scale shape (the global_shuffle_rank plan, per group): the hash is
+    uniform so order-preserving range buckets h*B//M balance by
+    construction; per-batch (group, bucket) weight-sum partials merge
+    on the driver (bounded by groups x B rows), an exclusive prefix
+    per group gives each bucket its starting offset; ONE keyed
+    exchange on (group, bucket) then sorts ~N/(groups·B) rows locally
+    and emits the kept rows. Exactly replayable in SQL (SUM OVER
+    PARTITION BY ... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING over
+    the same integer hash). Returns (id_col, group_col, weight_col)
+    for the kept rows."""
+    import numpy as np
+    import pandas as pd
+
+    def keyed(t: pa.Table) -> pa.Table:
+        h = shuffle_hash(t[id_col], seed)
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                group_col: t[group_col],
+                weight_col: pc.cast(t[weight_col], pa.int64()),
+                "_h": pa.array(h),
+                "_bk": pa.array(h * n_buckets // HASH_M),
+            }
+        )
+
+    with_key = ds.map_batches(keyed, batch_format="pyarrow")
+
+    def wsum_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([group_col, "_bk", weight_col])
+            .group_by([group_col, "_bk"])
+            .aggregate([(weight_col, "sum")])
+        )
+        return g.rename_columns([group_col, "_bk", "w"])
+
+    parts = with_key.map_batches(
+        wsum_partial, batch_format="pyarrow"
+    ).to_pandas()
+    if len(parts) == 0:
+        return ds.map_batches(
+            lambda t: pa.schema(
+                [
+                    (id_col, pa.int64()),
+                    (group_col, pa.string()),
+                    (weight_col, pa.int64()),
+                ]
+            ).empty_table(),
+            batch_format="pyarrow",
+        )
+    merged = (
+        parts.groupby([group_col, "_bk"])["w"].sum().reset_index()
+        .sort_values([group_col, "_bk"])
+    )
+    # exclusive prefix per group over bucket order
+    csum = merged.groupby(group_col)["w"].cumsum().to_numpy()
+    merged["off"] = csum - merged["w"].to_numpy()
+    offsets = {
+        (g, int(b)): int(o)
+        for g, b, o in zip(merged[group_col], merged["_bk"], merged["off"])
+    }
+    import ray as _ray
+
+    off_ref = _ray.put(offsets)
+
+    def fill_group(df: "pd.DataFrame", _o=off_ref) -> "pd.DataFrame":
+        off_map = _ray.get(_o)
+        g = df[group_col].iloc[0]
+        budget = int(budgets.get(g, default_budget))
+        base = int(off_map[(g, int(df["_bk"].iloc[0]))])
+        if base >= budget:
+            sub = df.iloc[:0]  # keeps the input dtypes -> uniform blocks
+            return pd.DataFrame(
+                {
+                    id_col: sub[id_col].to_numpy(),
+                    group_col: sub[group_col].to_numpy(),
+                    weight_col: sub[weight_col].to_numpy(dtype=np.int64),
+                }
+            )
+        df = df.sort_values(["_h", id_col])
+        w = df[weight_col].to_numpy(dtype=np.int64)
+        prior = base + np.cumsum(w) - w
+        keep = prior < budget
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy()[keep],
+                group_col: df[group_col].to_numpy()[keep],
+                weight_col: w[keep],
+            }
+        )
+
+    return with_key.groupby([group_col, "_bk"]).map_groups(
+        fill_group, batch_format="pandas"
+    )
+
+
+def token_budget_mix_sql(
+    table: str,
+    group_col: str,
+    weight_expr: str,
+    budgets: dict,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_budget: int = 0,
+    weight_col: str = "w",
+) -> str:
+    """DuckDB replay of token_budget_mix: the same integer hash and an
+    exclusive windowed SUM per group."""
+    h = f"(({id_col} * {_seed_mult(seed)} + {HASH_B}) % {HASH_M})"
+    case = " ".join(
+        f"WHEN '{g}' THEN {int(b)}" for g, b in sorted(budgets.items())
+    )
+    return f"""
+WITH t AS (SELECT {id_col}, {group_col}, CAST({weight_expr} AS BIGINT) AS w,
+                  {h} AS h FROM {table}),
+p AS (SELECT *, coalesce(SUM(w) OVER (PARTITION BY {group_col}
+         ORDER BY h, {id_col}
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM t)
+SELECT {id_col}, {group_col}, w AS {weight_col}
+FROM p
+WHERE prior < (CASE {group_col} {case} ELSE {int(default_budget)} END)"""

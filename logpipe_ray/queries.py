@@ -13495,6 +13495,60 @@ def _sql_docs_postings_search(sf_dir: str) -> str:
     return f"SELECT doc_id FROM documents WHERE {preds}"
 
 
+
+_MIX_BUDGETS = {"en": 500, "de": 200, "es": 300, "fr": 999_999, "zh": 0}
+
+
+def docs_token_budget_mix(sf_dir: str) -> Dataset:
+    """TOKEN-BUDGET MIXTURE SAMPLING — the "fill each language/source
+    to its recipe budget" step of a training-corpus build (every
+    modern pretraining mix caps each source's token contribution):
+    docs are taken per lang in a deterministic hash-shuffle order
+    until the lang's token budget is exhausted (exclusive-prefix
+    semantics: the first over-budget doc is still included; fr's huge
+    budget exercises take-all, zh's 0 budget exercises exclusion).
+    functions/sampling.py token_budget_mix: (group, hash-range-bucket)
+    weight partials -> bounded driver exclusive prefix -> ONE keyed
+    exchange where each bucket sorts locally and keeps its rows —
+    no global sort, replayed bitwise by a windowed SUM oracle."""
+    from .functions.sampling import token_budget_mix
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks().fill_null(""), " ")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_tok": pc.cast(pc.list_value_length(toks), pa.int64()),
+            }
+        )
+
+    return token_budget_mix(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        group_col="lang",
+        weight_col="n_tok",
+        budgets=_MIX_BUDGETS,
+        id_col="doc_id",
+    )
+
+
+def _sql_docs_token_budget_mix(sf_dir: str) -> str:
+    from .functions.sampling import token_budget_mix_sql
+
+    return token_budget_mix_sql(
+        "documents",
+        "lang",
+        "len(string_split(text, ' '))",
+        _MIX_BUDGETS,
+        id_col="doc_id",
+        weight_col="n_tok",
+    )
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-7 curation: seats 0-10 keep the late-r3 eight +
@@ -14004,6 +14058,10 @@ REGISTRY: dict = {
     "lp_count_by_level": (lp_count_by_level, _sql_lp_count_by_level),
     "events_sessionize": (events_sessionize, _sql_events_sessionize),
     "docs_exact_dedup": (docs_exact_dedup, _sql_docs_exact_dedup),
+    "docs_token_budget_mix": (
+        docs_token_budget_mix,
+        _sql_docs_token_budget_mix,
+    ),
     "docs_postings_search": (
         docs_postings_search,
         _sql_docs_postings_search,

@@ -252,3 +252,65 @@ def test_postings_pruning_and_errors(ray_session, tmp_path):
         postings_lookup(out, [])
     with pytest.raises(ValueError, match="unknown mode"):
         postings_lookup(out, ["red"], mode="xor")
+
+
+def test_token_budget_mix_matches_brute(ray_session):
+    import ray.data as rd
+
+    from logpipe_ray.functions.sampling import (
+        HASH_B,
+        HASH_M,
+        _seed_mult,
+        token_budget_mix,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "grp": rng.choice(["a", "b", "c", "d"], n),
+            "w": rng.integers(1, 50, n).astype(np.int64),
+        }
+    )
+    budgets = {"a": 1000, "b": 10_000_000, "c": 0}  # d -> default 250
+    out = token_budget_mix(
+        rd.from_pandas(df).repartition(7),
+        "grp",
+        "w",
+        budgets,
+        id_col="doc_id",
+        default_budget=250,
+        seed=3,
+    ).to_pandas()
+
+    # brute reference: exclusive prefix in (hash, id) order per group
+    h = (df.doc_id.to_numpy() * _seed_mult(3) + HASH_B) % HASH_M
+    ref_ids = []
+    for g, sub in df.assign(h=h).groupby("grp"):
+        sub = sub.sort_values(["h", "doc_id"])
+        prior = sub.w.cumsum().to_numpy() - sub.w.to_numpy()
+        b = budgets.get(g, 250)
+        ref_ids.extend(sub.doc_id.to_numpy()[prior < b].tolist())
+    assert sorted(out.doc_id.tolist()) == sorted(ref_ids)
+    # group c fully excluded, group b fully kept
+    assert (out.grp == "c").sum() == 0
+    assert (out.grp == "b").sum() == (df.grp == "b").sum()
+    # the first over-budget doc IS included: per kept group, total w
+    # >= budget OR the group ran out of docs
+    for g, sub in out.groupby("grp"):
+        b = budgets.get(g, 250)
+        total = int(sub.w.sum())
+        assert total >= min(b, int(df[df.grp == g].w.sum()))
+
+    # partitioning invariance
+    out2 = token_budget_mix(
+        rd.from_pandas(df).repartition(2),
+        "grp",
+        "w",
+        budgets,
+        id_col="doc_id",
+        default_budget=250,
+        seed=3,
+    ).to_pandas()
+    assert sorted(out2.doc_id.tolist()) == sorted(out.doc_id.tolist())
