@@ -520,3 +520,101 @@ p AS (SELECT *, coalesce(SUM(w) OVER (PARTITION BY {group_col}
 SELECT {id_col}, {group_col}, w AS {weight_col}
 FROM p
 WHERE prior < (CASE {group_col} {case} ELSE {int(default_budget)} END)"""
+
+
+def mmr_select(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    quality_col: str,
+    k: int = 20,
+    pool: int = 200,
+    lam: float = 0.7,
+    hash_dim: int = 4096,
+) -> pa.Table:
+    """MAXIMAL-MARGINAL-RELEVANCE diverse selection — pick k documents
+    maximizing λ·quality − (1−λ)·max-similarity-to-already-picked, the
+    "diverse exemplars, not k near-copies" selection step of corpus
+    curation / few-shot pool building.
+
+    Scale shape: the candidate POOL is a distributed top-``pool`` by
+    (quality desc, id asc) — per-batch local top-k then one tiny merge
+    (O(pool x batches) movement, never rows); the greedy MMR loop is
+    inherently sequential, so it runs on the driver over the bounded
+    pool only: token sets hash into a (pool x hash_dim) incidence
+    matrix and each round is one vectorized Jaccard update (O(pool x
+    hash_dim)). Deterministic: quality ties break by id, score ties by
+    pool order; no RNG. Rows-only by design (greedy + float scores —
+    not SQL-expressible); pytest pins a brute reference and a
+    planted-duplicate case where diversity changes the pick.
+
+    Returns an Arrow table (id_col, mmr_rank, mmr_score)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.aggregate import top_k
+
+    cand = top_k(
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: pc.cast(t[id_col], pa.int64()),
+                    text_col: t[text_col],
+                    quality_col: pc.cast(t[quality_col], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        [(quality_col, "descending"), (id_col, "ascending")],
+        pool,
+    ).to_pandas()
+    n = len(cand)
+    if n == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "mmr_rank": pa.array([], pa.int64()),
+                "mmr_score": pa.array([], pa.float64()),
+            }
+        )
+    k = min(k, n)
+    ids = cand[id_col].to_numpy()
+    q = cand[quality_col].to_numpy(dtype=np.float64)
+    qspan = q.max() - q.min()
+    qn = (q - q.min()) / qspan if qspan > 0 else np.ones(n)
+    # hashed token incidence matrix
+    M = np.zeros((n, hash_dim), dtype=np.float32)
+    for i, text in enumerate(cand[text_col]):
+        toks = np.asarray(
+            list(set((text or "").split(" "))), dtype=object
+        )
+        if len(toks):
+            cols = pd.util.hash_array(toks) % np.uint64(hash_dim)
+            M[i, cols.astype(np.int64)] = 1.0
+    sizes = M.sum(axis=1)
+    picked: list[int] = []
+    sel_scores: list[float] = []
+    max_sim = np.zeros(n, dtype=np.float64)
+    taken = np.zeros(n, dtype=bool)
+    for _ in range(k):
+        score = lam * qn - (1.0 - lam) * max_sim
+        score = np.where(taken, -np.inf, score)
+        # deterministic argmax: best score, then pool order (= quality
+        # desc, id asc — the candidate sort)
+        j = int(np.argmax(score))
+        picked.append(j)
+        sel_scores.append(float(score[j]))
+        taken[j] = True
+        inter = M @ M[j]
+        union = sizes + sizes[j] - inter
+        sim = np.divide(
+            inter, union, out=np.zeros(n), where=union > 0
+        )
+        max_sim = np.maximum(max_sim, sim)
+    return pa.table(
+        {
+            id_col: pa.array(ids[picked], pa.int64()),
+            "mmr_rank": pa.array(np.arange(k, dtype=np.int64)),
+            "mmr_score": pa.array(np.asarray(sel_scores), pa.float64()),
+        }
+    )

@@ -13549,6 +13549,28 @@ def _sql_docs_token_budget_mix(sf_dir: str) -> str:
     )
 
 
+
+def docs_mmr_select(sf_dir: str) -> pa.Table:
+    """MMR DIVERSE SELECTION: the top-20 documents by λ·quality −
+    (1−λ)·max-Jaccard-to-already-picked — "diverse exemplars, not 20
+    near-copies" (functions/sampling.py mmr_select). The candidate
+    pool is a distributed top-200 by (n_chars desc, id) — O(pool x
+    batches) movement; the inherently sequential greedy runs on the
+    driver over the bounded pool with one vectorized hashed-token
+    Jaccard update per round. Rows-only by design (greedy + float
+    scores are not SQL-expressible); pytest pins a brute reference
+    and a planted-duplicate case."""
+    from .functions.sampling import mmr_select
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    tbl = mmr_select(
+        ds, "doc_id", "text", "n_chars", k=20, pool=200, lam=0.7
+    )
+    return tbl.select(["doc_id", "mmr_rank"])
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-7 curation: seats 0-10 keep the late-r3 eight +
@@ -13984,6 +14006,7 @@ REGISTRY: dict = {
     "seq_truncation_stats": (seq_truncation_stats, _sql_seq_truncation_stats),
     "events_value_linreg": (events_value_linreg, None),
     "events_purchase_logit": (events_purchase_logit, None),
+    "docs_mmr_select": (docs_mmr_select, None),
     "events_type_balanced_sample": (
         events_type_balanced_sample,
         _sql_events_type_balanced_sample,

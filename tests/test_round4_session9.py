@@ -314,3 +314,84 @@ def test_token_budget_mix_matches_brute(ray_session):
         seed=3,
     ).to_pandas()
     assert sorted(out2.doc_id.tolist()) == sorted(out.doc_id.tolist())
+
+
+def test_mmr_select_diversity_changes_pick(ray_session):
+    """Two near-identical high-quality docs: pure quality ranking
+    would take both; MMR must skip the duplicate for a diverse doc."""
+    import ray.data as rd
+
+    from logpipe_ray.functions.sampling import mmr_select
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "alpha beta gamma delta epsilon",
+                "alpha beta gamma delta zeta",     # near-dup of 0
+                "one two three four five",          # diverse
+                "alpha beta",                        # low quality
+            ],
+            "q": [100.0, 99.0, 90.0, 10.0],
+        }
+    )
+    out = mmr_select(
+        rd.from_pandas(docs), "doc_id", "text", "q", k=3, pool=10, lam=0.5
+    ).to_pandas()
+    assert out.doc_id.tolist()[0] == 0          # best quality first
+    assert out.doc_id.tolist()[1] == 2          # diversity beats near-dup
+    assert out.mmr_rank.tolist() == [0, 1, 2]
+    # scores non-increasing? not guaranteed in general MMR, but the
+    # first score is the max normalized quality * lambda
+    assert abs(out.mmr_score.iloc[0] - 0.5) < 1e-12
+
+
+def test_mmr_select_matches_brute(ray_session):
+    import ray.data as rd
+
+    from logpipe_ray.functions.sampling import mmr_select
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(3, 12)))
+        for _ in range(40)
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            "text": texts,
+            "q": rng.integers(0, 1000, 40).astype(np.float64),
+        }
+    )
+    k, lam, dim = 8, 0.7, 4096
+    out = mmr_select(
+        rd.from_pandas(df).repartition(5),
+        "doc_id",
+        "text",
+        "q",
+        k=k,
+        pool=40,
+        lam=lam,
+        hash_dim=dim,
+    ).to_pandas()
+
+    # brute greedy with EXACT token-set Jaccard (hash_dim large enough
+    # that 30 words collide with prob ~ tiny; verify no collision)
+    toksets = [set(t.split(" ")) for t in df.text]
+    order = df.sort_values(["q", "doc_id"], ascending=[False, True])
+    idx = order.index.to_numpy()
+    q = order.q.to_numpy()
+    qn = (q - q.min()) / (q.max() - q.min())
+    picked, maxsim = [], np.zeros(len(idx))
+    for _ in range(k):
+        score = lam * qn - (1 - lam) * maxsim
+        score[picked] = -np.inf
+        j = int(np.argmax(score))
+        picked.append(j)
+        for i in range(len(idx)):
+            a, b = toksets[idx[i]], toksets[idx[j]]
+            sim = len(a & b) / len(a | b) if a | b else 0.0
+            maxsim[i] = max(maxsim[i], sim)
+    ref_ids = [int(df.doc_id.iloc[idx[j]]) for j in picked]
+    assert out.doc_id.tolist() == ref_ids
