@@ -201,6 +201,14 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "events_lifecycle_accounting",
             "events_adaptive_sessions",
             "lp_log_templates",
+            # round-4 session 9: graph triangle census, inverted-index
+            # boolean search, token-budget mixture fill, MMR diverse
+            # selection, distributed logistic regression
+            "parts_copurchase_triangles",
+            "docs_postings_search",
+            "docs_token_budget_mix",
+            "docs_mmr_select",
+            "events_purchase_logit",
         ]
         all_q = Q.queries()
 

@@ -527,6 +527,47 @@ class Pipeline:
         k = keys._ds if isinstance(keys, Pipeline) else keys
         return Pipeline(bloom_semi_join(self._ds, col, k, key_col, **kw))
 
+    def triangles(self, u_col: str = "u", v_col: str = "v", **kw) -> "Pipeline":
+        """Per-node triangle counts + clustering coefficient over an
+        undirected edge stream (functions/graph.py triangle_counts)."""
+        from .functions.graph import triangle_counts
+
+        return Pipeline(triangle_counts(self._ds, u_col, v_col, **kw))
+
+    def mix_to_budget(
+        self, group_col: str, weight_col: str, budgets: dict, **kw
+    ) -> "Pipeline":
+        """Deterministic greedy fill of each group to a weight budget
+        (functions/sampling.py token_budget_mix)."""
+        from .functions.sampling import token_budget_mix
+
+        return Pipeline(
+            token_budget_mix(self._ds, group_col, weight_col, budgets, **kw)
+        )
+
+    def mmr(
+        self, id_col: str, text_col: str, quality_col: str, k: int = 20, **kw
+    ) -> "Pipeline":
+        """MMR diverse top-k selection (functions/sampling.py
+        mmr_select)."""
+        import ray.data as rd
+
+        from .functions.sampling import mmr_select
+
+        return Pipeline(
+            rd.from_arrow(
+                mmr_select(self._ds, id_col, text_col, quality_col, k, **kw)
+            )
+        )
+
+    def logit_fit(self, x_cols: list[str], y_col: str, **kw):
+        """Binary logistic regression by distributed IRLS — terminal
+        verb, returns (coef, intercept, n, iters, loss)
+        (functions/linalg.py logistic_fit)."""
+        from .functions.linalg import logistic_fit
+
+        return logistic_fit(self._ds, x_cols, y_col, **kw)
+
     def sink(self, sink_type: str, **options) -> dict:
         from .sinks.factory import create_sink
 

@@ -395,3 +395,50 @@ def test_mmr_select_matches_brute(ray_session):
             maxsim[i] = max(maxsim[i], sim)
     ref_ids = [int(df.doc_id.iloc[idx[j]]) for j in picked]
     assert out.doc_id.tolist() == ref_ids
+
+
+def test_fluent_api_session9_methods(ray_session):
+    import ray.data as rd
+
+    from logpipe_ray.api import Pipeline
+
+    edges = Pipeline.from_dataset(
+        rd.from_pandas(
+            pd.DataFrame({"u": [1, 1, 2], "v": [2, 3, 3]})
+        )
+    )
+    tri = edges.triangles().to_pandas().sort_values("node")
+    assert tri.n_triangles.tolist() == [1, 1, 1]
+
+    docs = Pipeline.from_dataset(
+        rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": np.arange(6, dtype=np.int64),
+                    "grp": ["a"] * 3 + ["b"] * 3,
+                    "w": np.array([10, 10, 10, 5, 5, 5], np.int64),
+                    "text": ["x y"] * 6,
+                    "q": np.arange(6, dtype=np.float64),
+                }
+            )
+        )
+    )
+    mixed = docs.mix_to_budget("grp", "w", {"a": 15, "b": 0}).to_pandas()
+    assert set(mixed.grp) == {"a"} and len(mixed) == 2
+
+    sel = docs.mmr("doc_id", "text", "q", k=2).to_pandas()
+    assert len(sel) == 2 and sel.mmr_rank.tolist() == [0, 1]
+
+    # logit_fit needs a binary label column — build one
+    docs2 = Pipeline.from_dataset(
+        rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "x": np.linspace(-2, 2, 200),
+                    "y": (np.linspace(-2, 2, 200) > 0).astype(np.float64),
+                }
+            )
+        )
+    )
+    coef, b0, n, iters, loss = docs2.logit_fit(["x"], "y", max_iters=12)
+    assert n == 200 and coef["x"] > 0
