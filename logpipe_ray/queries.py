@@ -13652,7 +13652,6 @@ REGISTRY: dict = {
     ),
     "events_km_retention": (events_km_retention, _sql_events_km_retention),
     "events_cohort_ltv": (events_cohort_ltv, _sql_events_cohort_ltv),
-    "docs_sample_per_lang": (docs_sample_per_lang, _sql_docs_sample_per_lang),
     "docs_source_overlap_matrix": (
         docs_source_overlap_matrix,
         _sql_docs_source_overlap_matrix,
@@ -13665,6 +13664,18 @@ REGISTRY: dict = {
     "q21_waiting_supplier": (q21_waiting_supplier, _sql_q21_waiting_supplier),
     "seq_exact_dedup": (seq_exact_dedup, _sql_seq_exact_dedup),
     "lineitem_semi_bloom": (lineitem_semi_bloom, _sql_lineitem_semi_bloom),
+    "docs_token_budget_mix": (
+        docs_token_budget_mix,
+        _sql_docs_token_budget_mix,
+    ),
+    "docs_postings_search": (
+        docs_postings_search,
+        _sql_docs_postings_search,
+    ),
+    "parts_copurchase_triangles": (
+        parts_copurchase_triangles,
+        _sql_parts_copurchase_triangles,
+    ),
     "events_max_concurrency": (
         events_max_concurrency,
         _sql_events_max_concurrency,
@@ -13678,10 +13689,6 @@ REGISTRY: dict = {
         _sql_events_value_spearman,
     ),
     "events_snapshot_diff": (events_snapshot_diff, _sql_events_snapshot_diff),
-    "events_concurrency_timeavg": (
-        events_concurrency_timeavg,
-        _sql_events_concurrency_timeavg,
-    ),
     "seq_span_corrupt": (seq_span_corrupt, _sql_seq_span_corrupt),
     "lineitem_weighted_median_price": (
         lineitem_weighted_median_price,
@@ -13704,7 +13711,6 @@ REGISTRY: dict = {
         events_merge_upsert_state,
         _sql_events_merge_upsert_state,
     ),
-    "seq_bpe_encode": (seq_bpe_encode, None),
     "events_type_target_encoding": (
         events_type_target_encoding,
         _sql_events_type_target_encoding,
@@ -14081,18 +14087,15 @@ REGISTRY: dict = {
     "lp_count_by_level": (lp_count_by_level, _sql_lp_count_by_level),
     "events_sessionize": (events_sessionize, _sql_events_sessionize),
     "docs_exact_dedup": (docs_exact_dedup, _sql_docs_exact_dedup),
-    "docs_token_budget_mix": (
-        docs_token_budget_mix,
-        _sql_docs_token_budget_mix,
+    # parked (session-9 rotation; family rep stays in-window)
+    "events_concurrency_timeavg": (
+        events_concurrency_timeavg,
+        _sql_events_concurrency_timeavg,
     ),
-    "docs_postings_search": (
-        docs_postings_search,
-        _sql_docs_postings_search,
-    ),
-    "parts_copurchase_triangles": (
-        parts_copurchase_triangles,
-        _sql_parts_copurchase_triangles,
-    ),
+    # parked (session-9 rotation; family rep stays in-window)
+    "docs_sample_per_lang": (docs_sample_per_lang, _sql_docs_sample_per_lang),
+    # parked (session-9 rotation; family rep stays in-window)
+    "seq_bpe_encode": (seq_bpe_encode, None),
 }
 
 
