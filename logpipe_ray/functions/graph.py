@@ -702,3 +702,180 @@ def triangle_counts(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ BFS
+
+BFS_NODE_BROADCAST_LIMIT = 5_000_000
+
+
+def bfs_distances(
+    edges: Dataset,
+    seeds: Dataset,
+    max_depth: int = 3,
+    u_col: str = "u",
+    v_col: str = "v",
+    seed_col: str = "node",
+    driver_edge_limit: int = PR_DRIVER_EDGE_LIMIT,
+) -> Dataset:
+    """Multi-source BFS hop distances over an UNDIRECTED edge Dataset:
+    (node, dist) for every node within ``max_depth`` hops of any seed
+    (unreachable nodes are absent). Deterministic integers ->
+    hash-reproducible across layouts and engines.
+
+    Scale shape: edges canonical-dedup once (driver group_by under
+    ``driver_edge_limit``, keyed aggregate above); under the limit the
+    whole traversal runs on the driver over a CSR adjacency (sorted
+    arrays + searchsorted, vectorized per level). Above it, each level
+    is Dataset algebra: frontier ⋈ edges (inner_join_safe on src) ->
+    distinct neighbor candidates at dist l+1 -> union with the running
+    (node, dist) state -> ONE keyed Min per level keeps the earliest
+    level. Per-level exchange volume is bounded by frontier-adjacent
+    edges, never the graph. Both routes pytest-forced equal."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    # canonical dedup (reuse triangle_counts' shape)
+    def canon(t: pa.Table) -> pa.Table:
+        u = np.asarray(t[u_col], dtype=np.int64)
+        v = np.asarray(t[v_col], dtype=np.int64)
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        keep = lo != hi
+        return (
+            pa.table({"u": pa.array(lo[keep]), "v": pa.array(hi[keep])})
+            .group_by(["u", "v"])
+            .aggregate([])
+        )
+
+    partials = edges.map_batches(canon, batch_format="pyarrow").materialize()
+    empty_out = rd.from_arrow(
+        pa.schema([("node", pa.int64()), ("dist", pa.int64())]).empty_table()
+    )
+    if partials.count() == 0:
+        return empty_out
+
+    seed_tbl = pa.concat_tables(
+        [
+            t.select([seed_col])
+            for t in ray.get(seeds.to_arrow_refs())
+            if t.num_columns and t.num_rows
+        ]
+        or [pa.schema([(seed_col, pa.int64())]).empty_table()]
+    )
+    seed_arr = np.unique(np.asarray(seed_tbl[seed_col], np.int64))
+    if len(seed_arr) == 0:
+        return empty_out
+
+    if partials.count() <= driver_edge_limit:
+        et = _concat_nonempty(partials)
+        dt = (
+            et.group_by(["u", "v"]).aggregate([])
+        )
+        u = np.asarray(dt["u"], np.int64)
+        v = np.asarray(dt["v"], np.int64)
+        # symmetric CSR: both directions, sorted by src
+        src = np.concatenate([u, v])
+        dst = np.concatenate([v, u])
+        order = np.argsort(src, kind="stable")
+        src, dst = src[order], dst[order]
+        nodes = np.unique(src)
+        frontier = np.intersect1d(seed_arr, nodes)
+        # seeds not present in the graph still get dist 0 (they are
+        # nodes of the universe the caller passed) — match the SQL
+        # oracle, whose d0 is the seed set itself
+        dist = {int(s): 0 for s in seed_arr}
+        for lvl in range(1, max_depth + 1):
+            if len(frontier) == 0:
+                break
+            lo = np.searchsorted(src, frontier, side="left")
+            hi = np.searchsorted(src, frontier, side="right")
+            neigh = np.unique(
+                np.concatenate(
+                    [dst[a:b] for a, b in zip(lo, hi)]
+                    or [np.empty(0, np.int64)]
+                )
+            )
+            new = np.array(
+                [x for x in neigh.tolist() if x not in dist], np.int64
+            )
+            for x in new.tolist():
+                dist[x] = lvl
+            frontier = new
+        items = sorted(dist.items())
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([a for a, _ in items], pa.int64()),
+                    "dist": pa.array([b for _, b in items], pa.int64()),
+                }
+            )
+        )
+
+    # distributed route: per-level frontier ⋈ edges -> keyed Min merge
+    from ..stages.join import inner_join_safe
+
+    sym = partials.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [
+                        t["u"].combine_chunks(),
+                        t["v"].combine_chunks(),
+                    ]
+                ),
+                "dst": pa.concat_arrays(
+                    [
+                        t["v"].combine_chunks(),
+                        t["u"].combine_chunks(),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    dist_ds = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(seed_arr, pa.int64()),
+                "dist": pa.array(np.zeros(len(seed_arr), np.int64)),
+            }
+        )
+    ).materialize()
+    frontier_ds = dist_ds
+    for lvl in range(1, max_depth + 1):
+        if frontier_ds.count() == 0:
+            break
+        cand = inner_join_safe(
+            sym,
+            frontier_ds.map_batches(
+                lambda t: pa.table({"node": t["node"]}),
+                batch_format="pyarrow",
+            ),
+            on=("src",),
+            right_on=("node",),
+        ).map_batches(
+            lambda t, _l=lvl: pa.table(
+                {
+                    "node": t["dst"],
+                    "dist": pa.array(
+                        np.full(t.num_rows, _l, dtype=np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        merged = (
+            dist_ds.union(cand)
+            .groupby("node")
+            .aggregate(Min("dist", alias_name="dist"))
+            .materialize()
+        )
+        frontier_ds = merged.map_batches(
+            lambda t, _l=lvl: t.filter(pc.equal(t["dist"], _l))
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+        ).materialize()
+        dist_ds = merged
+    return dist_ds

@@ -13571,6 +13571,114 @@ def docs_mmr_select(sf_dir: str) -> pa.Table:
     return tbl.select(["doc_id", "mmr_rank"])
 
 
+
+_BFS_SEED_MOD = 97
+_BFS_DEPTH = 3
+
+
+def parts_bfs_reach(sf_dir: str) -> Dataset:
+    """Multi-source BFS over the part co-purchase graph — "how many
+    hops from the seed assortment is every other part" (supply-chain /
+    recommendation reach analysis; the iterative-traversal complement
+    to PageRank and the triangle census). Seeds = parts with
+    partkey % 97 == 0; output (node, dist) for nodes within 3 hops.
+    functions/graph.py bfs_distances: driver CSR route under the edge
+    guard, per-level frontier ⋈ edges -> keyed Min state merge above
+    it (both routes pytest-forced equal). The oracle unrolls the
+    levels as DISTINCT-join CTEs with a min() fold."""
+    import pandas as pd
+
+    from .functions.graph import bfs_distances
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def prep(t: pa.Table) -> pa.Table:
+        tbl = (
+            pa.table(
+                {
+                    "o": pc.cast(t["l_orderkey"], pa.int64()),
+                    "p": pc.cast(t["l_partkey"], pa.int64()),
+                }
+            )
+            .group_by(["o", "p"])
+            .aggregate([])
+        )
+        hb = (
+            pd.util.hash_array(np.asarray(tbl["o"], np.int64)) % num_buckets
+        )
+        return tbl.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        o = df["o"].to_numpy()
+        p = df["p"].to_numpy()
+        order = np.lexsort((p, o))
+        o_s, p_s = o[order], p[order]
+        keep = np.ones(len(o_s), dtype=bool)
+        if len(o_s) > 1:
+            keep[1:] = (o_s[1:] != o_s[:-1]) | (p_s[1:] != p_s[:-1])
+        o_s, p_s = o_s[keep], p_s[keep]
+        starts = (
+            np.flatnonzero(np.concatenate([[True], o_s[1:] != o_s[:-1]]))
+            if len(o_s)
+            else np.empty(0, np.int64)
+        )
+        lens = np.diff(np.append(starts, len(o_s)))
+        tot = len(o_s)
+        within = (
+            np.arange(tot) - np.repeat(starts, lens)
+            if tot
+            else np.empty(0, np.int64)
+        )
+        msucc = np.repeat(lens, lens) - 1 - within if tot else within
+        P = int(msucc.sum()) if tot else 0
+        if P == 0:
+            return pd.DataFrame(
+                {"u": np.empty(0, np.int64), "v": np.empty(0, np.int64)}
+            )
+        left = np.repeat(np.arange(tot), msucc)
+        right = (
+            np.arange(P) - np.repeat(np.cumsum(msucc) - msucc, msucc)
+            + left
+            + 1
+        )
+        return pd.DataFrame({"u": p_s[left], "v": p_s[right]})
+
+    edges = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    def seed_partial(t: pa.Table) -> pa.Table:
+        p = np.asarray(t["l_partkey"], np.int64)
+        return pa.table(
+            {"node": pa.array(np.unique(p[p % _BFS_SEED_MOD == 0]))}
+        )
+
+    seeds = li.map_batches(seed_partial, batch_format="pyarrow")
+    return bfs_distances(edges, seeds, max_depth=_BFS_DEPTH)
+
+
+def _sql_parts_bfs_reach(sf_dir: str) -> str:
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+d0 AS (SELECT DISTINCT p AS node FROM op WHERE p % {_BFS_SEED_MOD} = 0),
+d1 AS (SELECT DISTINCT e.v AS node FROM e JOIN d0 ON e.u = d0.node),
+d2 AS (SELECT DISTINCT e.v AS node FROM e JOIN d1 ON e.u = d1.node),
+d3 AS (SELECT DISTINCT e.v AS node FROM e JOIN d2 ON e.u = d2.node)
+SELECT node, CAST(min(lvl) AS BIGINT) AS dist FROM (
+  SELECT node, 0 AS lvl FROM d0
+  UNION ALL SELECT node, 1 FROM d1
+  UNION ALL SELECT node, 2 FROM d2
+  UNION ALL SELECT node, 3 FROM d3)
+GROUP BY node"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-7 curation: seats 0-10 keep the late-r3 eight +
@@ -14013,6 +14121,7 @@ REGISTRY: dict = {
     "events_value_linreg": (events_value_linreg, None),
     "events_purchase_logit": (events_purchase_logit, None),
     "docs_mmr_select": (docs_mmr_select, None),
+    "parts_bfs_reach": (parts_bfs_reach, _sql_parts_bfs_reach),
     "events_type_balanced_sample": (
         events_type_balanced_sample,
         _sql_events_type_balanced_sample,

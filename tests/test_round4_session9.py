@@ -442,3 +442,74 @@ def test_fluent_api_session9_methods(ray_session):
     )
     coef, b0, n, iters, loss = docs2.logit_fit(["x"], "y", max_iters=12)
     assert n == 200 and coef["x"] > 0
+
+
+def _brute_bfs(edges: set, seeds: set, max_depth: int) -> dict:
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for lvl in range(1, max_depth + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = lvl
+                    nxt.add(m)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_distances_matches_brute_and_routes(ray_session):
+    import ray.data as rd
+
+    from logpipe_ray.functions.graph import bfs_distances
+
+    rng = np.random.default_rng(17)
+    df = _random_edges(rng, 120, 260)  # sparse-ish: levels matter
+    canon = {
+        (min(a, b), max(a, b))
+        for a, b in zip(df.u.tolist(), df.v.tolist())
+        if a != b
+    }
+    seeds = {0, 5, 111}
+    ref = _brute_bfs(canon, seeds, 3)
+
+    seeds_ds = rd.from_pandas(
+        pd.DataFrame({"node": sorted(seeds)}).astype(np.int64)
+    )
+    out = bfs_distances(
+        rd.from_pandas(df), seeds_ds, max_depth=3
+    ).to_pandas()
+    assert dict(zip(out.node.tolist(), out.dist.tolist())) == ref
+
+    # forced distributed route (driver_edge_limit=0)
+    out2 = bfs_distances(
+        rd.from_pandas(df), seeds_ds, max_depth=3, driver_edge_limit=0
+    ).to_pandas()
+    assert dict(zip(out2.node.tolist(), out2.dist.tolist())) == ref
+
+
+def test_bfs_distances_degenerate(ray_session):
+    import ray.data as rd
+
+    from logpipe_ray.functions.graph import bfs_distances
+
+    seeds = rd.from_pandas(pd.DataFrame({"node": [1]}).astype(np.int64))
+    # empty edges -> empty output (no graph at all)
+    empty = rd.from_arrow(
+        pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    assert bfs_distances(empty, seeds).count() == 0
+
+    # seed disconnected from the only edge: seed keeps dist 0, edge
+    # nodes unreachable
+    one = rd.from_pandas(pd.DataFrame({"u": [7], "v": [8]}))
+    out = bfs_distances(one, seeds, max_depth=2).to_pandas()
+    assert dict(zip(out.node, out.dist)) == {1: 0}
+
+    # empty seed set -> empty output
+    noseed = rd.from_arrow(pa.table({"node": pa.array([], pa.int64())}))
+    assert bfs_distances(one, noseed).count() == 0
