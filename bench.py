@@ -205,6 +205,7 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             # boolean search, token-budget mixture fill, MMR diverse
             # selection, distributed logistic regression
             "parts_copurchase_triangles",
+            "parts_bfs_reach",
             "docs_postings_search",
             "docs_token_budget_mix",
             "docs_mmr_select",

@@ -534,6 +534,16 @@ class Pipeline:
 
         return Pipeline(triangle_counts(self._ds, u_col, v_col, **kw))
 
+    def bfs(
+        self, seeds: "Pipeline | Dataset", max_depth: int = 3, **kw
+    ) -> "Pipeline":
+        """Multi-source BFS hop distances over an undirected edge
+        stream (functions/graph.py bfs_distances)."""
+        from .functions.graph import bfs_distances
+
+        s = seeds._ds if isinstance(seeds, Pipeline) else seeds
+        return Pipeline(bfs_distances(self._ds, s, max_depth, **kw))
+
     def mix_to_budget(
         self, group_col: str, weight_col: str, budgets: dict, **kw
     ) -> "Pipeline":

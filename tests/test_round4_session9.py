@@ -410,6 +410,12 @@ def test_fluent_api_session9_methods(ray_session):
     tri = edges.triangles().to_pandas().sort_values("node")
     assert tri.n_triangles.tolist() == [1, 1, 1]
 
+    import ray.data as _rd
+
+    seeds = _rd.from_pandas(pd.DataFrame({"node": [1]}).astype(np.int64))
+    d = edges.bfs(seeds, max_depth=2).to_pandas()
+    assert dict(zip(d.node, d.dist)) == {1: 0, 2: 1, 3: 1}
+
     docs = Pipeline.from_dataset(
         rd.from_pandas(
             pd.DataFrame(
