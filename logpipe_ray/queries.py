@@ -13285,31 +13285,51 @@ FROM s GROUP BY 1"""
 
 
 
-def parts_copurchase_triangles(sf_dir: str) -> Dataset:
-    """Triangle census of the part CO-PURCHASE graph — the classic
-    graph-analytics readout (community density / clustering
-    coefficient) over a market-basket projection: nodes are parts,
-    with an undirected edge between two parts iff some order contains
-    both. Output per part: degree, triangle count, and the local
-    clustering coefficient in exact integer ppm
-    (2e6·T // (d·(d-1))), so every value is bit-reproducible.
 
-    Scale shape: distinct (order, part) partials hash-bucket by order
-    (an order's rows co-locate — pair expansion is per-order, bounded
-    by lineitems-per-order²); edges feed functions.graph.
-    triangle_counts — degree-oriented node-iterator wedge expansion
-    with broadcast packed-edge-set membership under a guard and a
-    hash-join route above it; every exchange is bounded by distinct
-    edges or nodes, never raw rows."""
+_COPURCHASE_DRIVER_PAIRS = 5_000_000
+
+
+def _order_pair_expand(o_s: "np.ndarray", p_s: "np.ndarray"):
+    """All within-order part pairs (u < v) from (order, part) arrays
+    sorted by (o, p): adjacent-dup dedup, run boundaries, closed-form
+    successor-pair expansion — one vectorized pass, no per-order loop."""
+    keep = np.ones(len(o_s), dtype=bool)
+    if len(o_s) > 1:
+        keep[1:] = (o_s[1:] != o_s[:-1]) | (p_s[1:] != p_s[:-1])
+    o_s, p_s = o_s[keep], p_s[keep]
+    if not len(o_s):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.flatnonzero(np.concatenate([[True], o_s[1:] != o_s[:-1]]))
+    lens = np.diff(np.append(starts, len(o_s)))
+    tot = len(o_s)
+    within = np.arange(tot) - np.repeat(starts, lens)
+    msucc = np.repeat(lens, lens) - 1 - within
+    P = int(msucc.sum())
+    if P == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    left = np.repeat(np.arange(tot), msucc)
+    right = (
+        np.arange(P) - np.repeat(np.cumsum(msucc) - msucc, msucc) + left + 1
+    )
+    return p_s[left], p_s[right]
+
+
+def _copurchase_edges(li: Dataset) -> Dataset:
+    """Edges of the part co-purchase graph (u < v per order; duplicate
+    edges across orders are fine — every consumer dedups). Driver fast
+    path: the distinct (order, part) partials collapse on the driver
+    under _COPURCHASE_DRIVER_PAIRS (~16 B/pair) and ONE vectorized
+    pair expansion runs in numpy — this removes the keyed exchange
+    whose Ray-sort fixed cost dominates at bench scale (measured
+    ~5 s of the triangle query's 11 s). Above the guard the exchange
+    route hash-buckets by order (an order's rows co-locate) and
+    expands per bucket."""
     import pandas as pd
 
-    li = read_parquet_clean(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
-    )
-    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+    import ray.data as rd
 
     def prep(t: pa.Table) -> pa.Table:
-        tbl = (
+        return (
             pa.table(
                 {
                     "o": pc.cast(t["l_orderkey"], pa.int64()),
@@ -13319,55 +13339,77 @@ def parts_copurchase_triangles(sf_dir: str) -> Dataset:
             .group_by(["o", "p"])
             .aggregate([])
         )
-        hb = (
-            pd.util.hash_array(np.asarray(tbl["o"], np.int64)) % num_buckets
+
+    partials = li.map_batches(prep, batch_format="pyarrow").materialize()
+    if partials.count() <= _COPURCHASE_DRIVER_PAIRS:
+        tbl = pa.concat_tables(
+            [t for t in ray.get(partials.to_arrow_refs()) if t.num_columns]
         )
-        return tbl.append_column("_hb", pa.array(hb.astype(np.int64)))
+        o = np.asarray(tbl["o"], np.int64)
+        p = np.asarray(tbl["p"], np.int64)
+        order = np.lexsort((p, o))
+        u, v = _order_pair_expand(o[order], p[order])
+        # chunk the expanded edges into ~CPU blocks so downstream
+        # stages parallelize (a single from_arrow block would serialize
+        # every consumer's map stage)
+        ncpu = max(2, int(ray.cluster_resources().get("CPU", 4)))
+        step = max(1, (len(u) + ncpu - 1) // ncpu)
+        chunks = [
+            pa.table(
+                {
+                    "u": pa.array(u[i : i + step]),
+                    "v": pa.array(v[i : i + step]),
+                }
+            )
+            for i in range(0, max(len(u), 1), step)
+        ]
+        return rd.from_arrow(chunks)
+
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        hb = (
+            pd.util.hash_array(np.asarray(t["o"], np.int64)) % num_buckets
+        )
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
 
     def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
         o = df["o"].to_numpy()
         p = df["p"].to_numpy()
         order = np.lexsort((p, o))
-        o_s, p_s = o[order], p[order]
-        # cross-batch distinct (an order's partials all land here)
-        keep = np.ones(len(o_s), dtype=bool)
-        if len(o_s) > 1:
-            keep[1:] = (o_s[1:] != o_s[:-1]) | (p_s[1:] != p_s[:-1])
-        o_s, p_s = o_s[keep], p_s[keep]
-        starts = (
-            np.flatnonzero(np.concatenate([[True], o_s[1:] != o_s[:-1]]))
-            if len(o_s)
-            else np.empty(0, np.int64)
-        )
-        lens = np.diff(np.append(starts, len(o_s)))
-        tot = len(o_s)
-        within = (
-            np.arange(tot) - np.repeat(starts, lens)
-            if tot
-            else np.empty(0, np.int64)
-        )
-        msucc = np.repeat(lens, lens) - 1 - within if tot else within
-        P = int(msucc.sum()) if tot else 0
-        if P == 0:
-            return pd.DataFrame(
-                {"u": np.empty(0, np.int64), "v": np.empty(0, np.int64)}
-            )
-        left = np.repeat(np.arange(tot), msucc)
-        right = (
-            np.arange(P) - np.repeat(np.cumsum(msucc) - msucc, msucc)
-            + left
-            + 1
-        )
-        # p sorted within each order run -> u < v already
-        return pd.DataFrame({"u": p_s[left], "v": p_s[right]})
+        u, v = _order_pair_expand(o[order], p[order])
+        return pd.DataFrame({"u": u, "v": v})
 
-    from .functions.graph import triangle_counts
-
-    edges = (
-        li.map_batches(prep, batch_format="pyarrow")
+    return (
+        partials.map_batches(tag, batch_format="pyarrow")
         .groupby("_hb")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def parts_copurchase_triangles(sf_dir: str) -> Dataset:
+    """Triangle census of the part CO-PURCHASE graph — the classic
+    graph-analytics readout (community density / clustering
+    coefficient) over a market-basket projection: nodes are parts,
+    with an undirected edge between two parts iff some order contains
+    both. Output per part: degree, triangle count, and the local
+    clustering coefficient in exact integer ppm
+    (2e6·T // (d·(d-1))), so every value is bit-reproducible.
+
+    Scale shape: edges via _copurchase_edges (driver pair expansion
+    under the guard, per-order bucket exchange above); they feed
+    functions.graph.
+    triangle_counts — degree-oriented node-iterator wedge expansion
+    with broadcast packed-edge-set membership under a guard and a
+    hash-join route above it; every exchange is bounded by distinct
+    edges or nodes, never raw rows."""
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = _copurchase_edges(li)
+
+    from .functions.graph import triangle_counts
+
     out = triangle_counts(edges)
     return out.map_batches(
         lambda t: t.rename_columns(
@@ -13586,71 +13628,13 @@ def parts_bfs_reach(sf_dir: str) -> Dataset:
     guard, per-level frontier ⋈ edges -> keyed Min state merge above
     it (both routes pytest-forced equal). The oracle unrolls the
     levels as DISTINCT-join CTEs with a min() fold."""
-    import pandas as pd
-
     from .functions.graph import bfs_distances
 
     li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
-    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+    edges = _copurchase_edges(li)
 
-    def prep(t: pa.Table) -> pa.Table:
-        tbl = (
-            pa.table(
-                {
-                    "o": pc.cast(t["l_orderkey"], pa.int64()),
-                    "p": pc.cast(t["l_partkey"], pa.int64()),
-                }
-            )
-            .group_by(["o", "p"])
-            .aggregate([])
-        )
-        hb = (
-            pd.util.hash_array(np.asarray(tbl["o"], np.int64)) % num_buckets
-        )
-        return tbl.append_column("_hb", pa.array(hb.astype(np.int64)))
-
-    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
-        o = df["o"].to_numpy()
-        p = df["p"].to_numpy()
-        order = np.lexsort((p, o))
-        o_s, p_s = o[order], p[order]
-        keep = np.ones(len(o_s), dtype=bool)
-        if len(o_s) > 1:
-            keep[1:] = (o_s[1:] != o_s[:-1]) | (p_s[1:] != p_s[:-1])
-        o_s, p_s = o_s[keep], p_s[keep]
-        starts = (
-            np.flatnonzero(np.concatenate([[True], o_s[1:] != o_s[:-1]]))
-            if len(o_s)
-            else np.empty(0, np.int64)
-        )
-        lens = np.diff(np.append(starts, len(o_s)))
-        tot = len(o_s)
-        within = (
-            np.arange(tot) - np.repeat(starts, lens)
-            if tot
-            else np.empty(0, np.int64)
-        )
-        msucc = np.repeat(lens, lens) - 1 - within if tot else within
-        P = int(msucc.sum()) if tot else 0
-        if P == 0:
-            return pd.DataFrame(
-                {"u": np.empty(0, np.int64), "v": np.empty(0, np.int64)}
-            )
-        left = np.repeat(np.arange(tot), msucc)
-        right = (
-            np.arange(P) - np.repeat(np.cumsum(msucc) - msucc, msucc)
-            + left
-            + 1
-        )
-        return pd.DataFrame({"u": p_s[left], "v": p_s[right]})
-
-    edges = (
-        li.map_batches(prep, batch_format="pyarrow")
-        .groupby("_hb")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
     def seed_partial(t: pa.Table) -> pa.Table:
         p = np.asarray(t["l_partkey"], np.int64)
         return pa.table(
