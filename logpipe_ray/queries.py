@@ -13663,6 +13663,77 @@ SELECT node, CAST(min(lvl) AS BIGINT) AS dist FROM (
 GROUP BY node"""
 
 
+
+def docs_compression_audit(sf_dir: str) -> Dataset:
+    """COMPRESSION-RATIO quality screen per lang — the Gopher/FineWeb
+    heuristic: highly repetitive (low-entropy) text compresses far
+    better than natural prose, so per-group zlib ratios flag template
+    spam and boilerplate. Exact integers: sum of raw UTF-8 bytes, sum
+    of zlib(level=6) bytes, ratio in ppm (floor division) — zlib is
+    deterministic for a fixed level, but no SQL oracle can replay it
+    -> rows-only by design; pytest plants repetitive-vs-random docs
+    and checks the ordering plus an independent recomputation.
+
+    Scale shape: one shuffle-free pass; per-batch (lang, n, raw, comp)
+    partials (zlib per doc is a C call; the loop is per-document, not
+    per-byte) -> one keyed Sum bounded by #langs."""
+    import zlib
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        raw = np.empty(len(texts), np.int64)
+        comp = np.empty(len(texts), np.int64)
+        for i, s in enumerate(texts):
+            b = (s or "").encode("utf-8")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, 6))
+        g = (
+            pa.table(
+                {
+                    "lang": pa.array(langs),
+                    "pn": pa.array(np.ones(len(texts), np.int64)),
+                    "praw": pa.array(raw),
+                    "pcomp": pa.array(comp),
+                }
+            )
+            .group_by("lang")
+            .aggregate([("pn", "sum"), ("praw", "sum"), ("pcomp", "sum")])
+        )
+        return g.rename_columns(["lang", "pn", "praw", "pcomp"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if not t.num_columns:
+            return pa.schema(
+                [
+                    ("lang", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("raw_bytes", pa.int64()),
+                    ("zlib_bytes", pa.int64()),
+                    ("ratio_ppm", pa.int64()),
+                ]
+            ).empty_table()
+        raw = np.asarray(t["raw_bytes"], np.int64)
+        comp = np.asarray(t["zlib_bytes"], np.int64)
+        ppm = np.where(raw > 0, (1_000_000 * comp) // np.maximum(raw, 1), 0)
+        return t.append_column("ratio_ppm", pa.array(ppm.astype(np.int64)))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("pn", alias_name="n_docs"),
+            Sum("praw", alias_name="raw_bytes"),
+            Sum("pcomp", alias_name="zlib_bytes"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-7 curation: seats 0-10 keep the late-r3 eight +
@@ -14105,6 +14176,7 @@ REGISTRY: dict = {
     "events_value_linreg": (events_value_linreg, None),
     "events_purchase_logit": (events_purchase_logit, None),
     "docs_mmr_select": (docs_mmr_select, None),
+    "docs_compression_audit": (docs_compression_audit, None),
     "parts_bfs_reach": (parts_bfs_reach, _sql_parts_bfs_reach),
     "events_type_balanced_sample": (
         events_type_balanced_sample,

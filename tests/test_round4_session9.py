@@ -519,3 +519,42 @@ def test_bfs_distances_degenerate(ray_session):
     # empty seed set -> empty output
     noseed = rd.from_arrow(pa.table({"node": pa.array([], pa.int64())}))
     assert bfs_distances(one, noseed).count() == 0
+
+
+def test_compression_audit_semantics(ray_session, tmp_path):
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.queries import docs_compression_audit
+
+    rep = "spam spam spam " * 50          # compresses very well
+    rng = np.random.default_rng(9)
+    rand = " ".join(
+        "".join(chr(97 + c) for c in rng.integers(0, 26, 8))
+        for _ in range(100)
+    )                                       # compresses poorly
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": [rep, rand],
+            "lang": ["rep", "rnd"],
+            "source": ["s", "s"],
+            "n_chars": pa.array([len(rep), len(rand)], pa.int64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = docs_compression_audit(str(d)).to_pandas().set_index("lang")
+    # independent recomputation
+    for lang, text in (("rep", rep), ("rnd", rand)):
+        b = text.encode()
+        assert out.loc[lang, "raw_bytes"] == len(b)
+        assert out.loc[lang, "zlib_bytes"] == len(zlib.compress(b, 6))
+        assert (
+            out.loc[lang, "ratio_ppm"]
+            == 1_000_000 * len(zlib.compress(b, 6)) // len(b)
+        )
+    # repetitive text compresses far better than random text
+    assert out.loc["rep", "ratio_ppm"] < out.loc["rnd", "ratio_ppm"] // 2
