@@ -879,3 +879,155 @@ def bfs_distances(
         ).materialize()
         dist_ds = merged
     return dist_ds
+
+
+# ----------------------------------------------------------------- k-core
+
+def kcore_nodes(
+    edges: Dataset,
+    k: int,
+    max_rounds: int = 100,
+    driver_edge_limit: int = PR_DRIVER_EDGE_LIMIT,
+) -> Dataset:
+    """Nodes of the k-CORE of an undirected graph — iterative peeling
+    (remove nodes with degree < k, recompute, repeat to fixpoint), the
+    classic community/noise separator. Returns a (node,) Dataset.
+    Deterministic (the k-core is unique) -> layout-independent.
+
+    Scale shape: edge dedup as in triangle_counts; under
+    ``driver_edge_limit`` the peeling runs on the driver, one
+    vectorized bincount per round. Above it each round is Dataset
+    algebra: alive-edge semi joins on both endpoints -> degree count
+    partials -> one keyed Sum -> filter deg >= k; rounds are capped at
+    ``max_rounds`` (peeling converges in at most #nodes rounds; real
+    graphs take a handful). Both routes pytest-forced equal."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def canon(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["u"], dtype=np.int64)
+        v = np.asarray(t["v"], dtype=np.int64)
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        keep = lo != hi
+        return (
+            pa.table({"u": pa.array(lo[keep]), "v": pa.array(hi[keep])})
+            .group_by(["u", "v"])
+            .aggregate([])
+        )
+
+    partials = edges.map_batches(canon, batch_format="pyarrow").materialize()
+    empty_out = rd.from_arrow(
+        pa.schema([("node", pa.int64())]).empty_table()
+    )
+    if partials.count() == 0:
+        return empty_out
+
+    if partials.count() <= driver_edge_limit:
+        et = _concat_nonempty(partials)
+        dt = et.group_by(["u", "v"]).aggregate([])
+        u = np.asarray(dt["u"], np.int64)
+        v = np.asarray(dt["v"], np.int64)
+        nodes = np.unique(np.concatenate([u, v]))
+        ui = np.searchsorted(nodes, u)
+        vi = np.searchsorted(nodes, v)
+        alive = np.ones(len(nodes), dtype=bool)
+        for _ in range(max_rounds):
+            ea = alive[ui] & alive[vi]
+            deg = np.bincount(ui[ea], minlength=len(nodes)) + np.bincount(
+                vi[ea], minlength=len(nodes)
+            )
+            dead = alive & (deg < k)
+            if not dead.any():
+                break
+            alive &= ~dead
+        return rd.from_arrow(
+            pa.table({"node": pa.array(nodes[alive], pa.int64())})
+        )
+
+    # distributed route: semi-join peeling rounds
+    from ray.data.aggregate import Count
+
+    dedges = (
+        partials.groupby(["u", "v"])
+        .aggregate(Count(alias_name="_m"))
+        .map_batches(
+            lambda t: t.select(["u", "v"])
+            if t.num_columns
+            else pa.schema(
+                [("u", pa.int64()), ("v", pa.int64())]
+            ).empty_table(),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        both = np.unique(
+            np.concatenate(
+                [np.asarray(t["u"], np.int64), np.asarray(t["v"], np.int64)]
+            )
+        )
+        return pa.table({"node": pa.array(both)})
+
+    from .tokens import _merge_count_partials
+    from ..stages.join import inner_join_safe
+
+    alive = (
+        dedges.map_batches(node_partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t["node"], "p": pa.array(np.ones(t.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Sum("p", alias_name="_x"))
+        .map_batches(
+            lambda t: t.select(["node"])
+            if t.num_columns
+            else pa.schema([("node", pa.int64())]).empty_table(),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_alive = alive.count()
+    for _ in range(max_rounds):
+        if n_alive == 0:
+            return empty_out
+        ea = inner_join_safe(
+            inner_join_safe(dedges, alive, on=("u",), right_on=("node",)),
+            alive,
+            on=("v",),
+            right_on=("node",),
+        )
+
+        def deg_partial(t: pa.Table) -> pa.Table:
+            both = np.concatenate(
+                [np.asarray(t["u"], np.int64), np.asarray(t["v"], np.int64)]
+            )
+            nb, cb = np.unique(both, return_counts=True)
+            return pa.table(
+                {"node": pa.array(nb), "p": pa.array(cb.astype(np.int64))}
+            )
+
+        deg_parts = ea.map_batches(
+            deg_partial, batch_format="pyarrow"
+        ).materialize()
+        if deg_parts.count() == 0:
+            # no surviving edges: no node can reach degree k >= 1
+            return empty_out
+        degs = _merge_count_partials(deg_parts, "node", "deg")
+        new_alive = degs.map_batches(
+            lambda t, _k=k: pa.table(
+                {"node": t["node"].filter(pc.greater_equal(t["deg"], _k))}
+            )
+            if t.num_columns
+            else pa.schema([("node", pa.int64())]).empty_table(),
+            batch_format="pyarrow",
+        ).materialize()
+        n_new = new_alive.count()
+        if n_new == n_alive:
+            break
+        alive, n_alive = new_alive, n_new
+    return alive

@@ -13734,6 +13734,72 @@ def docs_compression_audit(sf_dir: str) -> Dataset:
     )
 
 
+
+_KCORE_K = 3
+_KCORE_MIN_COOCCUR = 2
+
+
+def parts_kcore_members(sf_dir: str) -> Dataset:
+    """K-CORE COMMUNITY EXTRACTION over the STRONG co-purchase graph
+    (edges = part pairs co-purchased in >= 2 distinct orders; the
+    weight filter turns the near-complete raw graph into a sparse
+    affinity graph): nodes surviving iterative degree-< k peeling —
+    the dense-community separator beside PageRank / triangles / BFS
+    (functions/graph.py kcore_nodes; driver bincount peeling under the
+    edge guard, semi-join rounds above, pytest-forced equal). The
+    k-core is unique -> deterministic; rows-only by design (an
+    unbounded fixpoint is not SQL-expressible), brute-reference
+    pytest."""
+    from .functions.graph import kcore_nodes
+    from ray.data.aggregate import Sum as _Sum
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = _copurchase_edges(li)
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["u", "v"])
+            .group_by(["u", "v"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["u", "v", "c"])
+
+    partials = edges.map_batches(
+        cnt_partial, batch_format="pyarrow"
+    ).materialize()
+    if partials.count() <= _COPURCHASE_DRIVER_PAIRS:
+        tbl = pa.concat_tables(
+            [t for t in ray.get(partials.to_arrow_refs()) if t.num_columns]
+        )
+        m = (
+            tbl.group_by(["u", "v"]).aggregate([("c", "sum")])
+            .rename_columns(["u", "v", "c"])
+        )
+        strong = rd.from_arrow(
+            m.filter(pc.greater_equal(m["c"], _KCORE_MIN_COOCCUR)).select(
+                ["u", "v"]
+            )
+        )
+    else:
+        strong = (
+            partials.groupby(["u", "v"])
+            .aggregate(_Sum("c", alias_name="c"))
+            .map_batches(
+                lambda t: t.filter(
+                    pc.greater_equal(t["c"], _KCORE_MIN_COOCCUR)
+                ).select(["u", "v"])
+                if t.num_columns
+                else pa.schema(
+                    [("u", pa.int64()), ("v", pa.int64())]
+                ).empty_table(),
+                batch_format="pyarrow",
+            )
+        )
+    return kcore_nodes(strong, k=_KCORE_K)
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-7 curation: seats 0-10 keep the late-r3 eight +
@@ -14177,6 +14243,7 @@ REGISTRY: dict = {
     "events_purchase_logit": (events_purchase_logit, None),
     "docs_mmr_select": (docs_mmr_select, None),
     "docs_compression_audit": (docs_compression_audit, None),
+    "parts_kcore_members": (parts_kcore_members, None),
     "parts_bfs_reach": (parts_bfs_reach, _sql_parts_bfs_reach),
     "events_type_balanced_sample": (
         events_type_balanced_sample,

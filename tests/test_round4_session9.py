@@ -558,3 +558,56 @@ def test_compression_audit_semantics(ray_session, tmp_path):
         )
     # repetitive text compresses far better than random text
     assert out.loc["rep", "ratio_ppm"] < out.loc["rnd", "ratio_ppm"] // 2
+
+
+def _brute_kcore(edges: set, k: int) -> set:
+    import collections
+
+    alive = set()
+    for u, v in edges:
+        alive.add(u)
+        alive.add(v)
+    while True:
+        deg = collections.Counter()
+        for u, v in edges:
+            if u in alive and v in alive:
+                deg[u] += 1
+                deg[v] += 1
+        dead = {n for n in alive if deg[n] < k}
+        if not dead:
+            return alive
+        alive -= dead
+
+
+def test_kcore_matches_brute_and_routes(ray_session):
+    import ray.data as rd
+
+    from logpipe_ray.functions.graph import kcore_nodes
+
+    rng = np.random.default_rng(23)
+    df = _random_edges(rng, 80, 200)
+    canon = {
+        (min(a, b), max(a, b))
+        for a, b in zip(df.u.tolist(), df.v.tolist())
+        if a != b
+    }
+    def nodes_of(ds):
+        pdf = ds.to_pandas()
+        return set(pdf["node"].tolist()) if "node" in pdf.columns else set()
+
+    for k in (2, 3, 4):
+        ref = _brute_kcore(canon, k)
+        assert nodes_of(kcore_nodes(rd.from_pandas(df), k)) == ref, k
+        assert (
+            nodes_of(kcore_nodes(rd.from_pandas(df), k, driver_edge_limit=0))
+            == ref
+        ), k
+
+    # chain of 5: 2-core is empty (leaves peel one end at a time —
+    # exercises multi-round convergence)
+    chain = rd.from_pandas(pd.DataFrame({"u": [1, 2, 3, 4], "v": [2, 3, 4, 5]}))
+    assert kcore_nodes(chain, 2).count() == 0
+    assert kcore_nodes(chain, 2, driver_edge_limit=0).count() == 0
+    # triangle survives 2-core
+    tri = rd.from_pandas(pd.DataFrame({"u": [1, 2, 3], "v": [2, 3, 1]}))
+    assert set(kcore_nodes(tri, 2).to_pandas().node) == {1, 2, 3}
