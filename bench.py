@@ -210,6 +210,8 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "docs_token_budget_mix",
             "docs_mmr_select",
             "events_purchase_logit",
+            "docs_compression_audit",
+            "parts_kcore_members",
         ]
         all_q = Q.queries()
 

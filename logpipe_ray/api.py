@@ -534,6 +534,16 @@ class Pipeline:
 
         return Pipeline(triangle_counts(self._ds, u_col, v_col, **kw))
 
+    def approx_quantiles_by(
+        self, key: str, value_col: str, qs: list[float], **kw
+    ):
+        """Per-group approximate quantiles from mergeable compressed
+        summaries — terminal verb, returns an Arrow table
+        (functions/sketches.py grouped_approx_quantiles)."""
+        from .functions.sketches import grouped_approx_quantiles
+
+        return grouped_approx_quantiles(self._ds, key, value_col, qs, **kw)
+
     def bfs(
         self, seeds: "Pipeline | Dataset", max_depth: int = 3, **kw
     ) -> "Pipeline":

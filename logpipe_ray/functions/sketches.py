@@ -443,3 +443,96 @@ def bloom_semi_join(
         survivors, left_col, keys_ds, key_col, anti=False,
         num_partitions=num_partitions,
     )
+
+
+def grouped_approx_quantiles(
+    ds: Dataset,
+    key_col: str,
+    value_col: str,
+    qs: list[float],
+    buckets: int = 256,
+) -> "pa.Table":
+    """Per-group approximate quantiles from MERGEABLE compressed
+    summaries — the sketch alternative to the exact
+    grouped_exact_quantile when groups x refinement passes are too
+    expensive: each batch contributes one quantile_sketch per group it
+    sees (<= buckets (value, weight) pairs, independent of rows), the
+    bounded partials merge per group on the driver. Rank error within
+    a group ~ #batches-touching-it / buckets. Deterministic for a
+    fixed layout (no RNG); approximate across layouts -> rows-only /
+    pytest surface (error-bound test vs exact), never an oracle.
+
+    Returns an Arrow table (key, q, value) sorted by (key, q)."""
+    import numpy as np
+
+    import ray as _ray
+    import pyarrow.compute as _pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        karr = keys.to_numpy(zero_copy_only=False)
+        order = np.argsort(karr, kind="stable")
+        ks = karr[order]
+        vals = t[value_col].to_numpy(zero_copy_only=False)[order]
+        starts = (
+            np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+            if len(ks)
+            else np.empty(0, np.int64)
+        )
+        lens = np.diff(np.append(starts, len(ks)))
+        out_k, out_v, out_w = [], [], []
+        for s, ln in zip(starts, lens):
+            v, w = quantile_sketch(
+                pa.array(vals[s : s + ln], pa.float64()), buckets
+            )
+            out_k.append(ks[s])
+            out_v.append(v.tobytes())
+            out_w.append(w.tobytes())
+        return pa.table(
+            {
+                "k": pa.array(out_k, keys.type),
+                "vals": pa.array(out_v, pa.binary()),
+                "wts": pa.array(out_w, pa.binary()),
+            }
+        )
+
+    parts = [
+        t
+        for t in _ray.get(
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_columns and t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "k": pa.array([], pa.string()),
+                "q": pa.array([], pa.float64()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+    tbl = pa.concat_tables(parts)
+    karr = tbl["k"].to_numpy(zero_copy_only=False)
+    out_k, out_q, out_val = [], [], []
+    for key in np.unique(karr):
+        mask = _pc.equal(tbl["k"], key.item() if hasattr(key, "item") else key)
+        sub = tbl.filter(mask)
+        sks = [
+            (np.frombuffer(v, np.float64), np.frombuffer(w, np.int64))
+            for v, w in zip(
+                sub["vals"].to_pylist(), sub["wts"].to_pylist()
+            )
+        ]
+        for q, val in zip(qs, quantile_merge_query(sks, qs)):
+            out_k.append(key)
+            out_q.append(q)
+            out_val.append(val)
+    return pa.table(
+        {
+            "k": pa.array(out_k, tbl["k"].type),
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_val, pa.float64()),
+        }
+    )

@@ -611,3 +611,90 @@ def test_kcore_matches_brute_and_routes(ray_session):
     # triangle survives 2-core
     tri = rd.from_pandas(pd.DataFrame({"u": [1, 2, 3], "v": [2, 3, 1]}))
     assert set(kcore_nodes(tri, 2).to_pandas().node) == {1, 2, 3}
+
+
+def test_grouped_approx_quantiles_error_bound(ray_session):
+    import ray.data as rd
+
+    from logpipe_ray.functions.sketches import grouped_approx_quantiles
+
+    rng = np.random.default_rng(31)
+    n = 40_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "v": rng.normal(0, 100, n),
+        }
+    )
+    qs = [0.1, 0.5, 0.9]
+    out = grouped_approx_quantiles(
+        rd.from_pandas(df).repartition(8), "g", "v", qs, buckets=512
+    ).to_pandas()
+    assert len(out) == 9
+    for (g, q), sub in out.groupby(["k", "q"]):
+        vals = np.sort(df[df.g == g].v.to_numpy())
+        got = sub["value"].iloc[0]
+        # rank error bound: position of the estimate within the sorted
+        # group must be within ~2% of the target rank
+        pos = np.searchsorted(vals, got) / len(vals)
+        assert abs(pos - q) < 0.02, (g, q, pos)
+
+    # empty input -> typed empty
+    empty = rd.from_pandas(df.iloc[:0])
+    assert (
+        grouped_approx_quantiles(empty, "g", "v", qs).num_rows == 0
+    )
+
+
+def test_token_budget_mix_property(ray_session):
+    """Hypothesis: any weights/budgets/partitioning — the kept set
+    equals the exclusive-prefix brute reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import ray.data as rd
+
+    from logpipe_ray.functions.sampling import (
+        HASH_B,
+        HASH_M,
+        _seed_mult,
+        token_budget_mix,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        n=st.integers(0, 300),
+        seed=st.integers(0, 5),
+        b_a=st.integers(0, 2000),
+        b_b=st.integers(0, 2000),
+        parts=st.integers(1, 6),
+        data_seed=st.integers(0, 10_000),
+    )
+    def run(n, seed, b_a, b_b, parts, data_seed):
+        rng = np.random.default_rng(data_seed)
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "grp": rng.choice(["a", "b"], n) if n else np.array([], object),
+                "w": rng.integers(0, 80, n).astype(np.int64),
+            }
+        )
+        budgets = {"a": b_a, "b": b_b}
+        out = token_budget_mix(
+            rd.from_pandas(df).repartition(parts),
+            "grp",
+            "w",
+            budgets,
+            id_col="doc_id",
+            seed=seed,
+        ).to_pandas()
+        got = sorted(out["doc_id"].tolist()) if "doc_id" in out.columns else []
+        h = (df.doc_id.to_numpy() * _seed_mult(seed) + HASH_B) % HASH_M
+        ref = []
+        for g, sub in df.assign(h=h).groupby("grp"):
+            sub = sub.sort_values(["h", "doc_id"])
+            prior = sub.w.cumsum().to_numpy() - sub.w.to_numpy()
+            ref.extend(sub.doc_id.to_numpy()[prior < budgets[g]].tolist())
+        assert got == sorted(ref)
+
+    run()
