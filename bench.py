@@ -212,6 +212,7 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "events_purchase_logit",
             "docs_compression_audit",
             "parts_kcore_members",
+            "docs_postings_bm25",
         ]
         all_q = Q.queries()
 

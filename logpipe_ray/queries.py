@@ -13800,6 +13800,45 @@ def parts_kcore_members(sf_dir: str) -> Dataset:
     return kcore_nodes(strong, k=_KCORE_K)
 
 
+
+_RANKED_TERMS = ["vector", "stream"]
+
+
+def docs_postings_bm25(sf_dir: str) -> Dataset:
+    """BM25 ranked retrieval THROUGH the persisted ranked postings
+    index (sources/textindex.py ranked_postings_write/postings_bm25):
+    the index stores (term, doc_id, tf, dl) postings hash-placed by
+    term plus corpus stats in the sidecar, so a query touches ONLY its
+    terms' buckets — never the corpus — and reproduces the full-scan
+    BM25 scores bitwise (fixed term order, left-associated IEEE sum;
+    zero-tf terms contribute exactly 0.0; exact df from the distinct
+    postings). The oracle is the full-scan SQL scorer over all
+    documents — matched docs exceed k at every scale, so index-backed
+    and full-scan top-25 agree exactly (hash-checked end to end)."""
+    import hashlib
+    import os
+
+    from .sources.textindex import postings_bm25, ranked_postings_write
+
+    src = f"{sf_dir}/documents.parquet"
+    tag = hashlib.sha1(
+        f"{src}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    out_dir = f"/tmp/logpipe_ray_layout/docs_rpost_{tag}"
+    if not os.path.exists(os.path.join(out_dir, "rankmap.json")):
+        ds = read_parquet_clean(src, columns=["doc_id", "text"])
+        ranked_postings_write(ds, "doc_id", "text", out_dir, n_buckets=32)
+    hits, stats = postings_bm25(out_dir, _RANKED_TERMS, k=25)
+    assert stats["files_read"] <= len(set(_RANKED_TERMS)), stats
+    return hits
+
+
+def _sql_docs_postings_bm25(sf_dir: str) -> str:
+    from .functions.search import bm25_sql
+
+    return bm25_sql("documents", _RANKED_TERMS, k=25)
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-7 curation: seats 0-10 keep the late-r3 eight +
@@ -14244,6 +14283,7 @@ REGISTRY: dict = {
     "docs_mmr_select": (docs_mmr_select, None),
     "docs_compression_audit": (docs_compression_audit, None),
     "parts_kcore_members": (parts_kcore_members, None),
+    "docs_postings_bm25": (docs_postings_bm25, _sql_docs_postings_bm25),
     "parts_bfs_reach": (parts_bfs_reach, _sql_parts_bfs_reach),
     "events_type_balanced_sample": (
         events_type_balanced_sample,

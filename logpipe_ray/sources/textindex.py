@@ -372,3 +372,300 @@ def postings_lookup(
         return pa.table({id_col: t["doc"]})
 
     return counts.map_batches(finish, batch_format="pyarrow"), stats
+
+
+# ---------------------------------------------------- ranked postings
+
+RANKMAP_NAME = "rankmap.json"
+
+
+def ranked_postings_write(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    n_buckets: int = 32,
+) -> dict:
+    """Ranked INVERTED INDEX: (term, doc_id, tf, dl) postings
+    hash-placed by term, plus corpus stats (n_docs, dl_sum) in the
+    sidecar — everything BM25 needs at query time without touching the
+    corpus. Tokenization = the BM25 contract (lowercased WORD_SPLIT_RE
+    split, empties dropped; functions/search.py), so index-backed
+    scores are bitwise-identical to the full-scan scorer.
+
+    Scale shape: per-batch (term, doc, tf) via one Arrow split + one
+    group_by (dl rides along, constant per doc); ONE keyed exchange on
+    the term-hash bucket; per-bucket sort + atomic write; one cheap
+    stats pass (n, dl_sum int partials). Volume bounded by distinct
+    (term, doc) pairs."""
+    import pandas as pd
+
+    from ..functions.search import WORD_SPLIT_RE
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(col.fill_null("")), WORD_SPLIT_RE
+        )
+        lens = np.asarray(
+            pc.list_value_length(words).fill_null(0), dtype=np.int64
+        )
+        flat = words.flatten()
+        doc = np.repeat(ids.to_numpy(zero_copy_only=False), lens)
+        nonempty = np.asarray(pc.not_equal(flat, "").fill_null(False))
+        starts = np.concatenate([[0], np.cumsum(lens)])
+        csum = np.concatenate([[0], np.cumsum(nonempty, dtype=np.int64)])
+        dl = csum[starts[1:]] - csum[starts[:-1]]  # per input doc
+        # dl per flat word (repeat) so it rides the group_by
+        dlw = np.repeat(dl, lens)
+        tbl = pa.table(
+            {
+                "term": flat,
+                "doc_id": pa.array(doc),
+                "dl": pa.array(dlw),
+            }
+        ).filter(nonempty)
+        g = (
+            tbl.group_by(["term", "doc_id", "dl"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["term", "doc_id", "dl", "tf"])
+        )
+        h = pd.util.hash_array(
+            g["term"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return g.append_column(
+            "_b", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def write_bucket(t: pa.Table) -> pa.Table:
+        bkt = int(t["_b"][0].as_py())
+        body = t.drop(["_b"]).sort_by(
+            [("term", "ascending"), ("doc_id", "ascending")]
+        )
+        name = f"rpost_{bkt:05d}.parquet"
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        pq.write_table(body, tmp)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table(
+            {
+                "bucket": pa.array([bkt], pa.int64()),
+                "file": pa.array([name]),
+                "rows": pa.array([body.num_rows], pa.int64()),
+            }
+        )
+
+    written = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(write_bucket, batch_format="pyarrow")
+    ).to_pandas()
+
+    def stats(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(col.fill_null("")), WORD_SPLIT_RE
+        )
+        flat = words.flatten()
+        ne = int(
+            pc.sum(
+                pc.cast(pc.not_equal(flat, "").fill_null(False), pa.int64())
+            ).as_py()
+            or 0
+        )
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "dls": pa.array([ne], pa.int64()),
+            }
+        )
+
+    sdf = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    meta = {
+        "n_buckets": n_buckets,
+        "id_col": id_col,
+        "n_docs": int(sdf["n"].sum()),
+        "dl_sum": int(sdf["dls"].sum()),
+        "files": {
+            int(r.bucket): {"file": r.file, "rows": int(r.rows)}
+            for r in written.itertuples()
+        },
+    }
+    tmp = os.path.join(out_dir, f".{RANKMAP_NAME}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, RANKMAP_NAME))
+    return meta
+
+
+def postings_bm25(
+    index_dir: str,
+    terms: list[str],
+    k: int = 25,
+    k1: float = 1.2,
+    b: float = 0.75,
+    driver_match_limit: int = 5_000_000,
+) -> tuple[Dataset, dict]:
+    """BM25 top-k THROUGH the ranked postings index: open only the
+    query terms' buckets, take their (doc, tf, dl) postings, score
+    with the exact full-scan expression tree (fixed term order,
+    left-associated sum; zero-tf terms contribute exactly 0.0, so
+    skipping them is bitwise-identical) and keep the top k by
+    (score desc, doc_id). df per term is exact (postings are distinct
+    per (term, doc)). Matched postings pivot on the driver under
+    ``driver_match_limit``; above it they hash-bucket by doc (a doc's
+    postings co-locate -> identical fixed-order sum) and a local
+    top-k merge finishes. Returns ((doc_id, dl, score) Dataset, stats).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from .factory import strip_pandas_metadata
+
+    uniq = sorted(set(terms))
+    if not uniq:
+        raise ValueError("postings_bm25: no terms")
+    with open(os.path.join(index_dir, RANKMAP_NAME)) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    n = float(meta["n_docs"])
+    avgdl = float(meta["dl_sum"]) / n
+    nb = np.uint64(meta["n_buckets"])
+    h = pd.util.hash_array(np.asarray(uniq, dtype=object))
+    buckets = sorted({int(x % nb) for x in h})
+    picked = [
+        os.path.join(index_dir, meta["files"][str(bk)]["file"])
+        for bk in buckets
+        if str(bk) in meta["files"]
+        and os.path.exists(
+            os.path.join(index_dir, meta["files"][str(bk)]["file"])
+        )
+    ]
+    stats = {
+        "files_total": len(meta["files"]),
+        "files_read": len(picked),
+        "terms": terms,
+    }
+    empty = pa.schema(
+        [(id_col, pa.int64()), ("dl", pa.int64()), ("score", pa.float64())]
+    ).empty_table()
+    if not picked:
+        return rd.from_arrow(empty), stats
+
+    tset = pa.array(uniq, pa.string())
+    matched = (
+        rd.read_parquet(picked)
+        .map_batches(strip_pandas_metadata, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["term"], value_set=tset)),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    # exact per-term df from the postings (distinct per (term, doc))
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["term"]).group_by("term").aggregate([([], "count_all")])
+        return g.rename_columns(["term", "c"])
+
+    dfp = matched.map_batches(df_partial, batch_format="pyarrow").to_pandas()
+    df_map = dfp.groupby("term")["c"].sum().to_dict()
+    idf = [
+        (n - float(df_map.get(t, 0)) + 0.5) / (float(df_map.get(t, 0)) + 0.5)
+        for t in terms
+    ]
+
+    def pivot_score(tbl: pa.Table) -> pa.Table:
+        docs = np.asarray(tbl["doc_id"], np.int64)
+        tfs = np.asarray(tbl["tf"], np.int64)
+        dls = np.asarray(tbl["dl"], np.int64)
+        tcodes = np.asarray(
+            pc.index_in(tbl["term"], value_set=tset).fill_null(-1)
+        )
+        udocs, inv = np.unique(docs, return_inverse=True)
+        dl_doc = np.zeros(len(udocs), np.int64)
+        dl_doc[inv] = dls
+        tf_mat = np.zeros((len(uniq), len(udocs)), np.float64)
+        tf_mat[tcodes, inv] = tfs.astype(np.float64)
+        dl = dl_doc.astype(np.float64)
+        score = np.zeros(len(udocs), np.float64)
+        upos = {t: i for i, t in enumerate(uniq)}
+        # caller term order, left-associated — the oracle's tree
+        for i, t in enumerate(terms):
+            tfi = tf_mat[upos[t]]
+            denom = tfi + k1 * (1.0 - b + b * (dl / avgdl))
+            score = score + (idf[i] * (tfi * (k1 + 1.0))) / denom
+        return pa.table(
+            {
+                id_col: pa.array(udocs),
+                "dl": pa.array(dl_doc),
+                "score": pa.array(score),
+            }
+        )
+
+    if matched.count() <= driver_match_limit:
+        tbl = pa.concat_tables(
+            [
+                t
+                for t in __import__("ray").get(matched.to_arrow_refs())
+                if t.num_columns and t.num_rows
+            ]
+            or [
+                pa.schema(
+                    [
+                        ("term", pa.string()),
+                        ("doc_id", pa.int64()),
+                        ("dl", pa.int64()),
+                        ("tf", pa.int64()),
+                    ]
+                ).empty_table()
+            ]
+        )
+        if tbl.num_rows == 0:
+            return rd.from_arrow(empty), stats
+        scored = pivot_score(tbl)
+        order = np.lexsort(
+            (
+                np.asarray(scored[id_col], np.int64),
+                -np.asarray(scored["score"], np.float64),
+            )
+        )[:k]
+        return rd.from_arrow(scored.take(pa.array(order))), stats
+
+    # distributed route: bucket by doc (a doc's postings co-locate)
+    from ..stages.aggregate import top_k as _topk
+
+    nbk = 4 * max(
+        2, int(__import__("ray").cluster_resources().get("CPU", 4))
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        hb = (
+            pd.util.hash_array(np.asarray(t["doc_id"], np.int64)) % nbk
+        )
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        tbl = pa.Table.from_pandas(
+            pdf.drop(columns=["_hb"]), preserve_index=False
+        )
+        return pivot_score(tbl).to_pandas()
+
+    scored = (
+        matched.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(fold, batch_format="pandas")
+    )
+    return (
+        _topk(scored, [("score", "descending"), (id_col, "ascending")], k),
+        stats,
+    )

@@ -698,3 +698,50 @@ def test_token_budget_mix_property(ray_session):
         assert got == sorted(ref)
 
     run()
+
+
+def test_ranked_postings_bm25_matches_full_scan(ray_session, tmp_path):
+    import ray.data as rd
+
+    from logpipe_ray.functions.search import bm25_topk
+    from logpipe_ray.sources.textindex import (
+        postings_bm25,
+        ranked_postings_write,
+    )
+
+    rng = np.random.default_rng(41)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(2, 15)))
+        for _ in range(120)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64), "text": texts})
+    out = str(tmp_path / "rpost")
+    ranked_postings_write(
+        rd.from_pandas(df), "doc_id", "text", out, n_buckets=8
+    )
+    terms = ["beta", "epsilon"]
+    full = (
+        bm25_topk(rd.from_pandas(df), terms, k=10)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    idx, stats = postings_bm25(out, terms, k=10)
+    idx = idx.to_pandas().reset_index(drop=True)
+    assert stats["files_read"] <= 2 < stats["files_total"]
+    # bitwise score parity and identical ranking vs the full scan
+    assert idx.doc_id.tolist() == full.doc_id.tolist()
+    assert idx.dl.tolist() == full.dl.tolist()
+    assert all(a == b for a, b in zip(idx.score, full.score))
+
+    # forced distributed route equals the driver pivot
+    dist, _ = postings_bm25(out, terms, k=10, driver_match_limit=0)
+    dist = dist.to_pandas().reset_index(drop=True)
+    assert dist.doc_id.tolist() == full.doc_id.tolist()
+    assert all(a == b for a, b in zip(dist.score, full.score))
+
+    # absent term: contributes idf of df=0 but tf=0 everywhere -> same
+    # ranking as the term alone
+    solo, _ = postings_bm25(out, ["beta", "qqqq"], k=10)
+    ref, _ = postings_bm25(out, ["beta"], k=10)
+    assert solo.to_pandas().doc_id.tolist() == ref.to_pandas().doc_id.tolist()
