@@ -213,6 +213,7 @@ def run_benchmark(sf_dir: str, num_cpus: int, headline_only: bool = False) -> di
             "docs_compression_audit",
             "parts_kcore_members",
             "docs_postings_bm25",
+            "events_markov_eval",
         ]
         all_q = Q.queries()
 

@@ -13839,6 +13839,154 @@ def _sql_docs_postings_bm25(sf_dir: str) -> str:
     return bm25_sql("documents", _RANKED_TERMS, k=25)
 
 
+
+_MARKOV_SPLIT = "2024-01-16 00:00:00"
+
+
+def events_markov_eval(sf_dir: str) -> pa.Table:
+    """MODEL-EVAL harness for the Markov next-event predictor: train
+    transition counts on the FIRST HALF of the month (pairs wholly
+    before the split), predict argmax-next (count desc, type asc
+    tie-break), score accuracy on pairs wholly in the SECOND half —
+    the "does yesterday's model predict tomorrow" readout beside the
+    transition matrix itself. Exact integers end to end; unseen
+    prev-types score zero correct.
+
+    Scale shape: one user-bucketed lexsort+shift pass emits BOTH
+    lanes' (prev, next, lane) count partials (pairs straddling the
+    split are dropped); one keyed Sum bounded by 2·types²; the
+    bounded table finishes on the driver (argmax + join)."""
+    import pandas as pd
+
+    T0 = int(pd.Timestamp(_MARKOV_SPLIT).value // 1000)
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def prep(t: pa.Table) -> pa.Table:
+        hb = (
+            pd.util.hash_array(np.asarray(t["user_id"], np.int64))
+            % num_buckets
+        )
+        return pa.table(
+            {
+                "u": pc.cast(t["user_id"], pa.int64()),
+                "ts": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+                "eid": pc.cast(t["event_id"], pa.int64()),
+                "et": t["event_type"],
+                "_hb": pa.array(hb.astype(np.int64)),
+            }
+        )
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        u = df["u"].to_numpy()
+        ts = df["ts"].to_numpy()
+        eid = df["eid"].to_numpy()
+        et = df["et"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        us, tss, ets = u[order], ts[order], et[order]
+        empty = pd.DataFrame(
+            {
+                "p": pd.Series([], dtype="string"),
+                "n": pd.Series([], dtype="string"),
+                "lane": pd.Series([], dtype=np.int64),
+                "c": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(us) < 2:
+            return empty
+        same = us[1:] == us[:-1]
+        t_prev, t_next = tss[:-1], tss[1:]
+        train = same & (t_prev < T0) & (t_next < T0)
+        test = same & (t_prev >= T0) & (t_next >= T0)
+        p = np.concatenate([ets[:-1][train], ets[:-1][test]])
+        nx = np.concatenate([ets[1:][train], ets[1:][test]])
+        lane = np.concatenate(
+            [
+                np.zeros(int(train.sum()), np.int64),
+                np.ones(int(test.sum()), np.int64),
+            ]
+        )
+        if not len(p):
+            return empty
+        return (
+            pd.DataFrame({"p": p, "n": nx, "lane": lane})
+            .groupby(["p", "n", "lane"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+
+    counts = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["p", "n", "lane"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    if len(counts) == 0:
+        return pa.table(
+            {
+                "prev_type": pa.array([], pa.string()),
+                "n_test": pa.array([], pa.int64()),
+                "n_correct": pa.array([], pa.int64()),
+            }
+        )
+    tr = counts[counts.lane == 0]
+    te = counts[counts.lane == 1]
+    # argmax prediction per prev: count desc, next-type asc tie-break
+    pred = {}
+    for pv, sub in tr.groupby("p"):
+        best = sub.sort_values(["c", "n"], ascending=[False, True]).iloc[0]
+        pred[pv] = best["n"]
+    rows = []
+    for pv, sub in te.groupby("p"):
+        n_test = int(sub.c.sum())
+        pn = pred.get(pv)
+        n_corr = int(sub[sub.n == pn].c.sum()) if pn is not None else 0
+        rows.append((pv, n_test, n_corr))
+    rows.sort()
+    return pa.table(
+        {
+            "prev_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_test": pa.array([r[1] for r in rows], pa.int64()),
+            "n_correct": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _sql_events_markov_eval(sf_dir: str) -> str:
+    return f"""
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         lead(event_type) OVER w AS nxt,
+         lead(ts) OVER w AS nts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tr AS (SELECT event_type AS p, nxt AS n FROM o
+       WHERE nxt IS NOT NULL AND ts < TIMESTAMP '{_MARKOV_SPLIT}'
+         AND nts < TIMESTAMP '{_MARKOV_SPLIT}'),
+te AS (SELECT event_type AS p, nxt AS n FROM o
+       WHERE nxt IS NOT NULL AND ts >= TIMESTAMP '{_MARKOV_SPLIT}'
+         AND nts >= TIMESTAMP '{_MARKOV_SPLIT}'),
+cnt AS (SELECT p, n, count(*) AS c FROM tr GROUP BY 1, 2),
+pred AS (
+  SELECT p, n AS pn FROM (
+    SELECT p, n, row_number() OVER (PARTITION BY p
+                                    ORDER BY c DESC, n) AS rn
+    FROM cnt) WHERE rn = 1
+)
+SELECT te.p AS prev_type,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN te.n = pred.pn THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM te LEFT JOIN pred ON te.p = pred.p
+GROUP BY 1"""
+
+
 REGISTRY: dict = {
     # ============ DRIVER WINDOW (driver checks the FIRST 50) =========
     # Round-4 session-7 curation: seats 0-10 keep the late-r3 eight +
@@ -14284,6 +14432,7 @@ REGISTRY: dict = {
     "docs_compression_audit": (docs_compression_audit, None),
     "parts_kcore_members": (parts_kcore_members, None),
     "docs_postings_bm25": (docs_postings_bm25, _sql_docs_postings_bm25),
+    "events_markov_eval": (events_markov_eval, _sql_events_markov_eval),
     "parts_bfs_reach": (parts_bfs_reach, _sql_parts_bfs_reach),
     "events_type_balanced_sample": (
         events_type_balanced_sample,

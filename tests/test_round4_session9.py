@@ -745,3 +745,59 @@ def test_ranked_postings_bm25_matches_full_scan(ray_session, tmp_path):
     solo, _ = postings_bm25(out, ["beta", "qqqq"], k=10)
     ref, _ = postings_bm25(out, ["beta"], k=10)
     assert solo.to_pandas().doc_id.tolist() == ref.to_pandas().doc_id.tolist()
+
+
+def test_markov_eval_hand_case(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from logpipe_ray.queries import events_markov_eval
+
+    # user 1 train: a->b, b->a, a->b  => pred(a)=b, pred(b)=a
+    # user 1 test:  a->b (correct), b->b (wrong)
+    # user 2 test:  c->a (prev c unseen in train -> 0 correct)
+    jan = pd.Timestamp("2024-01-01")
+    feb_half = pd.Timestamp("2024-01-20")
+    rows = [
+        (1, jan + pd.Timedelta(minutes=i), i, t)
+        for i, t in enumerate(["a", "b", "a", "b"])
+    ] + [
+        (1, feb_half + pd.Timedelta(minutes=i), 100 + i, t)
+        for i, t in enumerate(["a", "b", "b"])
+    ] + [
+        (2, feb_half + pd.Timedelta(minutes=i), 200 + i, t)
+        for i, t in enumerate(["c", "a"])
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    out = events_markov_eval(str(d)).to_pandas().set_index("prev_type")
+    assert out.loc["a", "n_test"] == 1 and out.loc["a", "n_correct"] == 1
+    assert out.loc["b", "n_test"] == 1 and out.loc["b", "n_correct"] == 0
+    assert out.loc["c", "n_test"] == 1 and out.loc["c", "n_correct"] == 0
+
+    # single-event users only -> typed empty
+    tiny = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([jan], pa.timestamp("us")),
+            "user_id": pa.array([9], pa.int64()),
+            "event_type": pa.array(["a"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    d2 = tmp_path / "sf2"
+    d2.mkdir()
+    pq.write_table(tiny, str(d2 / "events.parquet"))
+    out2 = events_markov_eval(str(d2))
+    assert out2.num_rows == 0
