@@ -14017,7 +14017,6 @@ REGISTRY: dict = {
         events_clustered_scan,
         _sql_events_clustered_scan,
     ),
-    "monthly_balance_long": (monthly_balance_long, _sql_monthly_balance_long),
     "events_user_distinct_by_type_approx": (
         events_user_distinct_by_type_approx,
         _sql_events_user_distinct_by_type_approx,
@@ -14039,7 +14038,6 @@ REGISTRY: dict = {
         events_cusum_changepoint,
         _sql_events_cusum_changepoint,
     ),
-    "events_bounce_rate": (events_bounce_rate, _sql_events_bounce_rate),
     "users_rfm_segments": (users_rfm_segments, _sql_users_rfm_segments),
     "events_heavy_hitters": (events_heavy_hitters, _sql_events_heavy_hitters),
     "docs_pareto_frontier": (docs_pareto_frontier, _sql_docs_pareto_frontier),
@@ -14092,6 +14090,8 @@ REGISTRY: dict = {
         parts_copurchase_triangles,
         _sql_parts_copurchase_triangles,
     ),
+    "docs_postings_bm25": (docs_postings_bm25, _sql_docs_postings_bm25),
+    "events_markov_eval": (events_markov_eval, _sql_events_markov_eval),
     "events_max_concurrency": (
         events_max_concurrency,
         _sql_events_max_concurrency,
@@ -14431,8 +14431,6 @@ REGISTRY: dict = {
     "docs_mmr_select": (docs_mmr_select, None),
     "docs_compression_audit": (docs_compression_audit, None),
     "parts_kcore_members": (parts_kcore_members, None),
-    "docs_postings_bm25": (docs_postings_bm25, _sql_docs_postings_bm25),
-    "events_markov_eval": (events_markov_eval, _sql_events_markov_eval),
     "parts_bfs_reach": (parts_bfs_reach, _sql_parts_bfs_reach),
     "events_type_balanced_sample": (
         events_type_balanced_sample,
@@ -14517,6 +14515,10 @@ REGISTRY: dict = {
     "docs_sample_per_lang": (docs_sample_per_lang, _sql_docs_sample_per_lang),
     # parked (session-9 rotation; family rep stays in-window)
     "seq_bpe_encode": (seq_bpe_encode, None),
+    # parked (session-9 late rotation; family rep stays in-window)
+    "monthly_balance_long": (monthly_balance_long, _sql_monthly_balance_long),
+    # parked (session-9 late rotation; family rep stays in-window)
+    "events_bounce_rate": (events_bounce_rate, _sql_events_bounce_rate),
 }
 
 
