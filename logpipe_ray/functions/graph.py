@@ -303,17 +303,16 @@ def _succ_pair_slices(lens: np.ndarray, budget: int = _TRI_WEDGE_SLICE):
     count is C(len, 2), bounded by the orientation's out-degree cap)."""
     w = lens.astype(np.int64) * (lens - 1) // 2
     cw = np.cumsum(w)
-    total = int(cw[-1]) if len(cw) else 0
     i = 0
     base = 0
     while i < len(lens):
-        j = int(np.searchsorted(cw, base + budget, side="left")) + 1
+        # largest j with cw[j-1] - base <= budget; a slice only exceeds
+        # the budget when a SINGLE run is itself oversized (j == i+1)
+        j = int(np.searchsorted(cw, base + budget, side="right"))
         j = max(j, i + 1)
         yield i, min(j, len(lens))
         base = int(cw[min(j, len(lens)) - 1])
         i = j
-    if total == 0 and len(lens):
-        return
 
 
 def triangle_counts(

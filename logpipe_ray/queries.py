@@ -12032,19 +12032,24 @@ def embeddings_centroid_shift(sf_dir: str) -> pa.Table:
         .aggregate(Sum("p_s", alias_name="s"), Sum("p_c", alias_name="c"))
     ).to_pandas()  # bounded by labels × dims
 
-    piv_s = ld.pivot_table(index="dim", columns="label", values="s").sort_index()
-    piv_c = ld.pivot_table(index="dim", columns="label", values="c").sort_index()
-    sg = piv_s.sum(axis=1).astype(object)
-    cg_per_dim = piv_c.sum(axis=1).to_numpy(np.int64)
-    cg = int(cg_per_dim[0])
+    # Fold on exact Python ints straight from the int64 frame — a
+    # pivot_table here would coerce the sums through float64 (default
+    # aggfunc mean), silently rounding above 2^53 (~2.3M vectors per
+    # label at q≈4e9/component) and breaking the bitwise SQL parity.
+    # The table is bounded by labels × dims, so the loop is tiny.
+    s_map: dict[int, dict[int, int]] = {}
+    c_map: dict[int, int] = {}
+    for lab, dim, s, c in ld[["label", "dim", "s", "c"]].itertuples(index=False):
+        s_map.setdefault(int(lab), {})[int(dim)] = int(s)
+        c_map[int(lab)] = int(c)  # identical across dims for a label
+    dims = sorted({d for m in s_map.values() for d in m})
+    sg = {d: sum(m.get(d, 0) for m in s_map.values()) for d in dims}
+    cg = sum(c_map.values())
     labels, n_vecs, shift = [], [], []
-    for lab in sorted(piv_s.columns):
-        s_l = piv_s[lab].astype(object)
-        c_l = int(piv_c[lab].iloc[0])
-        num = sum(
-            (int(s) * cg - int(g) * c_l) ** 2 for s, g in zip(s_l, sg)
-        )
-        labels.append(int(lab))
+    for lab in sorted(s_map):
+        m, c_l = s_map[lab], c_map[lab]
+        num = sum((m.get(d, 0) * cg - sg[d] * c_l) ** 2 for d in dims)
+        labels.append(lab)
         n_vecs.append(c_l)
         shift.append(
             float(np.sqrt(float(num)))
@@ -13830,6 +13835,10 @@ def docs_postings_bm25(sf_dir: str) -> Dataset:
         ranked_postings_write(ds, "doc_id", "text", out_dir, n_buckets=32)
     hits, stats = postings_bm25(out_dir, _RANKED_TERMS, k=25)
     assert stats["files_read"] <= len(set(_RANKED_TERMS)), stats
+    # The index only ranks docs with >=1 query-term posting; the
+    # full-scan oracle ranks zero-score docs too (tie-broken by id).
+    # Assert the precondition so a data change can't diverge silently.
+    assert stats["matched_docs"] is None or stats["matched_docs"] >= 25, stats
     return hits
 
 

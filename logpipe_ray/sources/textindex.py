@@ -446,8 +446,19 @@ def ranked_postings_write(
 
     def write_bucket(t: pa.Table) -> pa.Table:
         bkt = int(t["_b"][0].as_py())
-        body = t.drop(["_b"]).sort_by(
-            [("term", "ascending"), ("doc_id", "ascending")]
+        # Re-aggregate at the bucket level (like the boolean index's
+        # writer): duplicate doc_id input rows otherwise land as
+        # duplicate (term, doc) postings — df over-counts and the
+        # scorer's pivot keeps only the last tf. Grouping on dl too
+        # means duplicates with IDENTICAL text fold exactly; rows that
+        # reuse an id with DIFFERENT text still violate the documented
+        # unique-id precondition (dl differs, postings stay split).
+        body = (
+            t.drop(["_b"])
+            .group_by(["term", "doc_id", "dl"])
+            .aggregate([("tf", "sum")])
+            .rename_columns(["term", "doc_id", "dl", "tf"])
+            .sort_by([("term", "ascending"), ("doc_id", "ascending")])
         )
         name = f"rpost_{bkt:05d}.parquet"
         tmp = os.path.join(out_dir, f".{name}.tmp")
@@ -492,8 +503,9 @@ def ranked_postings_write(
     meta = {
         "n_buckets": n_buckets,
         "id_col": id_col,
-        "n_docs": int(sdf["n"].sum()),
-        "dl_sum": int(sdf["dls"].sum()),
+        # an empty corpus yields zero batches -> a column-less frame
+        "n_docs": int(sdf["n"].sum()) if "n" in sdf.columns else 0,
+        "dl_sum": int(sdf["dls"].sum()) if "dls" in sdf.columns else 0,
         "files": {
             int(r.bucket): {"file": r.file, "rows": int(r.rows)}
             for r in written.itertuples()
@@ -537,6 +549,15 @@ def postings_bm25(
         meta = json.load(f)
     id_col = meta["id_col"]
     n = float(meta["n_docs"])
+    empty_stats = {"files_total": len(meta["files"]), "files_read": 0,
+                   "terms": terms, "matched_docs": 0}
+    if meta["n_docs"] == 0:  # index built over an empty corpus
+        return rd.from_arrow(
+            pa.schema(
+                [(id_col, pa.int64()), ("dl", pa.int64()),
+                 ("score", pa.float64())]
+            ).empty_table()
+        ), empty_stats
     avgdl = float(meta["dl_sum"]) / n
     nb = np.uint64(meta["n_buckets"])
     h = pd.util.hash_array(np.asarray(uniq, dtype=object))
@@ -549,15 +570,23 @@ def postings_bm25(
             os.path.join(index_dir, meta["files"][str(bk)]["file"])
         )
     ]
+    # matched_docs: the index can only rank docs holding >=1 query-term
+    # posting, while a full-scan oracle also ranks zero-score docs
+    # (tie-broken by id) — the two silently diverge whenever matched
+    # docs < k. Callers that compare against a full scan must check
+    # matched_docs >= k (None on the distributed route, where counting
+    # distinct docs would cost an extra pass).
     stats = {
         "files_total": len(meta["files"]),
         "files_read": len(picked),
         "terms": terms,
+        "matched_docs": None,
     }
     empty = pa.schema(
         [(id_col, pa.int64()), ("dl", pa.int64()), ("score", pa.float64())]
     ).empty_table()
     if not picked:
+        stats["matched_docs"] = 0
         return rd.from_arrow(empty), stats
 
     tset = pa.array(uniq, pa.string())
@@ -631,8 +660,10 @@ def postings_bm25(
             ]
         )
         if tbl.num_rows == 0:
+            stats["matched_docs"] = 0
             return rd.from_arrow(empty), stats
         scored = pivot_score(tbl)
+        stats["matched_docs"] = scored.num_rows
         order = np.lexsort(
             (
                 np.asarray(scored[id_col], np.int64),

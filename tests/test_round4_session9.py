@@ -128,6 +128,12 @@ def test_triangle_wedge_slices_budget():
         assert j > i
         covered.extend(range(i, j))
     assert covered == list(range(len(lens)))
+    # budget contract: a slice may exceed the budget ONLY when it is a
+    # single oversized run (round-5 fix: searchsorted side='right')
+    w = lens * (lens - 1) // 2
+    for i, j in slices:
+        if j - i > 1:
+            assert int(w[i:j].sum()) <= 10_000
 
 
 def _logit_data(n=4000, seed=3):
