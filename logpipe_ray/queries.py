@@ -10268,10 +10268,11 @@ def lineitem_weighted_median_price(sf_dir: str) -> pa.Table:
     flag's total quantity — the importance-weighted robust statistic
     (weighted lower median; all-integer, bitwise SQL replay).
 
-    Scale shape: dense-domain path — ONE keyed exchange builds the
-    per-(flag, price) weight table (bounded by domain, not rows;
-    per-batch partials pre-sum weights), bounded driver fold under a
-    distinct-count guard that RAISES rather than silently collecting
+    Scale shape: ONE keyed exchange builds the per-(flag, price)
+    weight table (bounded by domain, not rows; per-batch partials
+    pre-sum weights); under the distinct-count guard it folds on the
+    driver (vectorized segment scan), above it exact integer histogram
+    refinement narrows one bracket per flag — byte-equal routes
     (stages/aggregate.py grouped_weighted_quantile)."""
     from .stages.aggregate import grouped_weighted_quantile
 

@@ -2329,10 +2329,14 @@ def grouped_weighted_quantile(
     contract): ONE keyed exchange builds the per-(key, value) WEIGHT
     table — bounded by #groups x value DOMAIN, independent of row
     count (per-batch partials pre-sum weights). The bounded table
-    folds on the driver under ``distinct_limit``; unbounded/continuous
-    domains need the selection machinery (grouped_exact_quantile's
-    histogram refinement with weight partials) — this path raises
-    rather than silently collecting."""
+    folds on the driver (vectorized segment scan) under
+    ``distinct_limit``; wider domains fall back to EXACT integer
+    histogram refinement over the materialized weight table (the
+    grouped_exact_quantile selection idea, but all-integer bucket
+    edges and weight sums, so no float edge-rounding slack is needed
+    and both routes are byte-equal). Non-negative integer weights are
+    the contract; each refinement pass exchanges O(groups x n_buckets)
+    rows and the driver holds O(groups) bracket state."""
     import pandas as pd
 
     def partial(t: pa.Table) -> pa.Table:
@@ -2344,7 +2348,8 @@ def grouped_weighted_quantile(
         return g.rename_columns([key, value_col, "w"])
 
     # bounded by #groups x domain: materialize once so the guard count
-    # and the collect don't re-execute the upstream
+    # and the collect (or the refinement passes) never re-execute the
+    # upstream
     dist = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby([key, value_col])
@@ -2353,26 +2358,170 @@ def grouped_weighted_quantile(
     )
     cnt = dist.count()
     if cnt > distinct_limit:
-        raise ValueError(
-            f"distinct (key, value) table has {cnt} rows > distinct_limit="
-            f"{distinct_limit}; use selection-based refinement for this domain"
+        return _weighted_quantile_selection(
+            dist, key, value_col, q_permille, out_col
         )
     df = dist.to_pandas()
     col = "sum(w)" if "sum(w)" in df.columns else "w"
     df = df.sort_values([key, value_col], ignore_index=True)
-    out_k, out_v = [], []
-    for k, g in df.groupby(key, sort=True):
-        w = g[col].to_numpy(np.int64)
-        cumw = np.cumsum(w)
-        tot = int(cumw[-1])
-        # smallest v with 1000*cumw >= q_permille*tot (exact ints)
-        idx = int(np.searchsorted(1000 * cumw, q_permille * tot, side="left"))
-        out_k.append(k)
-        out_v.append(int(g[value_col].iloc[idx]))
+    n = len(df)
+    if n == 0:
+        return pa.table(
+            {key: pa.array([]), out_col: pa.array([], pa.int64())}
+        )
+    kv = df[key].to_numpy()
+    v = df[value_col].to_numpy(np.int64)
+    w = df[col].to_numpy(np.int64)
+    # vectorized per-segment fold: first row of each group where
+    # 1000*cumw >= q_permille*tot (exact ints; 1000*cumw assumes group
+    # totals < 2^63/1000, same bound the SQL replay's BIGINT carries)
+    start = np.ones(n, dtype=bool)
+    start[1:] = kv[1:] != kv[:-1]
+    starts = np.flatnonzero(start)
+    lens = np.diff(np.append(starts, n))
+    cw = np.cumsum(w)
+    seg_base = np.concatenate([[0], cw[starts[1:] - 1]]) if len(starts) > 1 else np.zeros(1, np.int64)
+    cumw = cw - np.repeat(seg_base, lens)
+    tot = np.repeat(cumw[starts + lens - 1], lens)
+    hit = 1000 * cumw >= q_permille * tot
+    pos = np.where(hit, np.arange(n), n)
+    first = np.minimum.reduceat(pos, starts)
     return pa.table(
         {
-            key: pa.array(out_k),
-            out_col: pa.array(out_v, pa.int64()),
+            key: pa.array(list(kv[starts])),
+            out_col: pa.array(v[first], pa.int64()),
+        }
+    )
+
+
+def _weighted_quantile_selection(
+    dist: Dataset,
+    key: str,
+    value_col: str,
+    q_permille: int,
+    out_col: str,
+    n_buckets: int = 2048,
+    max_iters: int = 12,
+) -> pa.Table:
+    """Distributed EXACT weighted-quantile selection over the
+    materialized per-(key, value) weight table (``dist``), for value
+    domains too wide to collect: iteratively narrow one integer
+    bracket [lo, hi] per group. Each pass streams the weight table
+    once, scattering in-bracket weights into ceil(span/step) equal
+    integer sub-ranges (step = span//n_buckets + 1) plus a fresh
+    below-bracket lane; the driver picks the first bucket whose
+    cumulative weight reaches T = ceil(q_permille*W/1000). All bucket
+    edges and weight sums are integers, so the bracket narrows EXACTLY
+    (no float slack) and when step == 1 the bucket index IS the
+    answer. Domain span 2^63 resolves in <= 7 passes at the default
+    2048 buckets; per-pass exchange is O(groups x n_buckets)."""
+    import ray
+
+    wcol = "sum(w)" if "sum(w)" in dist.schema().names else "w"
+    stats = (
+        dist.groupby(key)
+        .aggregate(
+            Sum(wcol, alias_name="W"),
+            Min(value_col, alias_name="lo"),
+            Max(value_col, alias_name="hi"),
+        )
+        .to_pandas()
+    )
+    if not len(stats):
+        return pa.table({key: pa.array([]), out_col: pa.array([], pa.int64())})
+
+    st: dict = {}
+    resolved: dict = {}
+    for _, r in stats.iterrows():
+        k, lo, hi, W = r[key], int(r["lo"]), int(r["hi"]), int(r["W"])
+        # smallest cumw with 1000*cumw >= q_permille*W  (exact ceil)
+        t_target = -(-q_permille * W // 1000)
+        if lo == hi:
+            resolved[k] = lo
+        else:
+            st[k] = {"lo": lo, "hi": hi, "t": t_target}
+
+    nb = n_buckets
+    span_lane = nb + 1  # slot 0 = below-bracket weight, 1..nb = buckets
+    for _ in range(max_iters):
+        if not st:
+            break
+        gkeys = sorted(st)
+        ks = pa.array(gkeys)
+        lo_a = np.array([st[k]["lo"] for k in gkeys], np.int64)
+        hi_a = np.array([st[k]["hi"] for k in gkeys], np.int64)
+        step_a = (hi_a - lo_a) // nb + 1
+        ref = ray.put((ks, lo_a, hi_a, step_a))
+
+        def hist_partial(t: pa.Table, _ref=ref) -> pa.Table:
+            ks_, lo_, hi_, step_ = ray.get(_ref)
+            gi = pc.index_in(t[key], value_set=ks_).to_numpy(
+                zero_copy_only=False
+            )
+            ok = gi >= 0 if gi.dtype.kind == "i" else ~np.isnan(gi)
+            gi = np.where(ok, gi, 0).astype(np.int64)
+            v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = t[wcol].to_numpy(zero_copy_only=False).astype(np.int64)
+            rel = v - lo_[gi]
+            inb = ok & (rel >= 0) & (v <= hi_[gi])
+            blw = ok & (rel < 0)
+            pos = np.where(inb, rel // step_[gi] + 1, 0)
+            keep = inb | blw
+            # integer scatter-add (np.bincount(weights=) is float64 and
+            # would round exact weight sums above 2^53)
+            flat = np.zeros(len(ks_) * span_lane, np.int64)
+            np.add.at(flat, gi[keep] * span_lane + pos[keep], w[keep])
+            nz = np.nonzero(flat)[0]
+            return pa.table(
+                {
+                    key: pc.take(ks_, pa.array(nz // span_lane)),
+                    "pos": pa.array(nz % span_lane, pa.int64()),
+                    "wsum": pa.array(flat[nz], pa.int64()),
+                }
+            )
+
+        hist = (
+            dist.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby([key, "pos"])
+            .sum("wsum")
+            .to_pandas()
+        )
+        col = "sum(wsum)" if "sum(wsum)" in hist.columns else "wsum"
+        groups = {k: g for k, g in hist.groupby(key, sort=False)}
+        for i, k in enumerate(gkeys):
+            s = st[k]
+            counts = np.zeros(span_lane, np.int64)
+            g = groups.get(k)
+            if g is not None:
+                counts[g["pos"].to_numpy(np.int64)] = g[col].to_numpy(
+                    np.int64
+                )
+            cum = int(counts[0]) + np.cumsum(counts[1:])
+            b = int(np.searchsorted(cum, s["t"], side="left"))
+            b = min(b, nb - 1)  # all-zero-weight group: take first bucket
+            step = int(step_a[i])
+            if step == 1:
+                resolved[k] = s["lo"] + b
+                del st[k]
+                continue
+            new_lo = s["lo"] + b * step
+            new_hi = min(s["hi"], s["lo"] + (b + 1) * step - 1)
+            s["lo"], s["hi"] = new_lo, new_hi
+            if new_lo == new_hi:
+                resolved[k] = new_lo
+                del st[k]
+    if st:
+        raise RuntimeError(
+            f"weighted-quantile brackets unresolved after {max_iters} "
+            f"passes: {sorted(st)}"
+        )
+    out_keys = sorted(resolved)
+    return pa.table(
+        {
+            key: pa.array(out_keys),
+            out_col: pa.array(
+                [resolved[k] for k in out_keys], pa.int64()
+            ),
         }
     )
 

@@ -472,23 +472,41 @@ def test_weighted_median_brute_force_and_guard(ray_session):
         idx = int(np.searchsorted(1000 * cumw, 500 * tot, side="left"))
         assert got.loc[rf, "wmedian_cents"] == int(g["vc"].iloc[idx]), rf
 
-    # the distinct-count guard must raise, never silently collect
-    import pytest as _pytest
+    # above the distinct-count guard the selection route must kick in
+    # and agree byte-for-byte with the dense driver fold
     import ray.data as rd
 
     from logpipe_ray.stages.aggregate import grouped_weighted_quantile
 
-    big = rd.from_arrow(
-        pa.table(
-            {
-                "k": pa.array(["a"] * 100),
-                "v": pa.array(list(range(100)), pa.int64()),
-                "w": pa.array([1] * 100, pa.int64()),
-            }
-        )
+    rng = np.random.default_rng(11)
+    n = 5000
+    tbl = pa.table(
+        {
+            "k": pa.array(rng.choice(["a", "b", "c"], n)),
+            # wide signed domain + a hot repeated value + zero weights
+            "v": pa.array(
+                np.where(
+                    rng.random(n) < 0.2,
+                    42,
+                    rng.integers(-(2**40), 2**40, n),
+                ),
+                pa.int64(),
+            ),
+            "w": pa.array(rng.integers(0, 50, n), pa.int64()),
+        }
     )
-    with _pytest.raises(ValueError, match="distinct_limit"):
-        grouped_weighted_quantile(big, "k", "v", "w", distinct_limit=10)
+    big = rd.from_arrow(tbl).repartition(7)
+    for qpm in (500, 250, 990):
+        dense = grouped_weighted_quantile(
+            big, "k", "v", "w", q_permille=qpm
+        ).to_pandas()
+        forced = grouped_weighted_quantile(
+            big, "k", "v", "w", q_permille=qpm, distinct_limit=0
+        ).to_pandas()
+        pd.testing.assert_frame_equal(
+            dense.sort_values("k", ignore_index=True),
+            forced.sort_values("k", ignore_index=True),
+        )
 
 
 def test_top_movers_brute_force(ray_session):
