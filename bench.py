@@ -383,6 +383,31 @@ def run_stats(sf_dir: str, num_cpus: int, query: str) -> None:
     ray.shutdown()
 
 
+def _compact(result: dict, budget: int = 1800) -> dict:
+    """The driver records only a ~2000-char tail of stdout and parses
+    the last JSON line in it; a result with the full per-query dict
+    overflowed that in round 4 and the official record lost the
+    headline. Trim the queries dict (slowest kept first) until the
+    line fits the budget; the full line is still printed beforehand."""
+    if len(json.dumps(result)) <= budget:
+        return result
+    out = dict(result)
+    q = result.get("queries", {})
+    kept: dict = {}
+    out["queries"] = kept
+    out["queries_total"] = len(q)
+    out["queries_shown"] = 0
+    used = len(json.dumps(out))
+    for k, v in sorted(q.items(), key=lambda kv: -kv[1]):
+        add = len(json.dumps({k: v})) + 2
+        if used + add > budget:
+            break
+        kept[k] = v
+        used += add
+    out["queries_shown"] = len(kept)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -396,7 +421,13 @@ def main() -> None:
         run_stats(sf_dir, num_cpus, sys.argv[sys.argv.index("--stats") + 1])
         return
     headline_only = os.environ.get("LOGPIPE_BENCH_HEADLINE_ONLY") == "1"
-    print(json.dumps(run_benchmark(sf_dir, num_cpus, headline_only=headline_only)))
+    result = run_benchmark(sf_dir, num_cpus, headline_only=headline_only)
+    comp = _compact(result)
+    if comp is not result:
+        # full per-query detail first (may exceed the capture buffer);
+        # the LAST line is the compact one the driver's tail parser sees
+        print(json.dumps(result))
+    print(json.dumps(comp))
 
 
 if __name__ == "__main__":

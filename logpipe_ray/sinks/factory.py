@@ -16,14 +16,45 @@ from __future__ import annotations
 from ray.data import Dataset
 
 
-def _parquet_sink(ds: Dataset, path: str, partition_cols=None, **kw) -> dict:
-    ds.write_parquet(path, partition_cols=partition_cols, **kw)
-    return {"sink": "parquet", "path": path}
+def _append_run_dir(path: str, append: bool) -> tuple[str, int | None]:
+    """File-sender append parity (senderFactory.js:29-41 reopened the
+    output file in 'a' mode): with ``append=True`` each run writes NEW
+    files into a fresh ``run=NNNN`` subdirectory of ``path`` (monotonic
+    run index = max existing + 1), and reading ``path`` back yields the
+    UNION of all runs (ray.data readers list directories recursively,
+    so base files from a prior non-append write are included too).
+    With ``append=False`` (default) the target is REPLACED, matching
+    the reference's 'w' mode, and files land directly under ``path``.
+    Directory-of-runs instead of true file append keeps writes atomic,
+    parallel and resumable at scale."""
+    import os
+    import re
+    import shutil
+
+    if not append:
+        shutil.rmtree(path, ignore_errors=True)
+        return path, None
+    runs = [
+        int(m.group(1))
+        for e in (os.listdir(path) if os.path.isdir(path) else [])
+        if (m := re.fullmatch(r"run=(\d+)", e))
+    ]
+    run = max(runs, default=-1) + 1
+    return os.path.join(path, f"run={run:04d}"), run
 
 
-def _json_sink(ds: Dataset, path: str, **kw) -> dict:
-    ds.write_json(path, **kw)
-    return {"sink": "json", "path": path}
+def _parquet_sink(
+    ds: Dataset, path: str, partition_cols=None, append: bool = False, **kw
+) -> dict:
+    run_dir, run = _append_run_dir(path, append)
+    ds.write_parquet(run_dir, partition_cols=partition_cols, **kw)
+    return {"sink": "parquet", "path": path, "run": run}
+
+
+def _json_sink(ds: Dataset, path: str, append: bool = False, **kw) -> dict:
+    run_dir, run = _append_run_dir(path, append)
+    ds.write_json(run_dir, **kw)
+    return {"sink": "json", "path": path, "run": run}
 
 
 def _console_sink(ds: Dataset, limit: int = 20, pretty: bool = False, **kw) -> dict:

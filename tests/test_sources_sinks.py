@@ -226,6 +226,33 @@ def test_sink_factory(ray_session, tmp_path, capsys):
         create_sink("kafka")
 
 
+def test_sink_append_mode(ray_session, tmp_path):
+    """senderFactory.js:29-41 append parity: two appended runs read
+    back as the union; a non-append write replaces everything."""
+    import pyarrow as pa
+
+    def mk(lo, hi):
+        return rd.from_arrow(pa.table({"v": list(range(lo, hi))}))
+
+    jdir = str(tmp_path / "j")
+    out1 = create_sink("json", path=jdir, append=True)(mk(0, 5))
+    out2 = create_sink("json", path=jdir, append=True)(mk(5, 8))
+    assert (out1["run"], out2["run"]) == (0, 1)
+    got = sorted(rd.read_json(jdir).to_pandas()["v"].tolist())
+    assert got == list(range(8))
+    # non-append write REPLACES prior runs ('w' mode)
+    create_sink("json", path=jdir)(mk(100, 103))
+    got = sorted(rd.read_json(jdir).to_pandas()["v"].tolist())
+    assert got == [100, 101, 102]
+    # parquet append: base (non-append) write + one appended run union
+    pdir = str(tmp_path / "pq")
+    create_sink("parquet", path=pdir)(mk(0, 4))
+    out3 = create_sink("parquet", path=pdir, append=True)(mk(4, 6))
+    assert out3["run"] == 0
+    got = sorted(rd.read_parquet(pdir).to_pandas()["v"].tolist())
+    assert got == list(range(6))
+
+
 def test_read_csv_option_parity(ray_session, tmp_path):
     """csvParser.js option surface (separator/quote/escape/header/
     skipLines) with generate-csv.js quoting rules: cells containing the
