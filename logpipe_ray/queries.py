@@ -402,8 +402,11 @@ def _sql_lp_count_by_sink(sf_dir: str) -> str:
 
 def lp_user_sessions(sf_dir: str) -> Dataset:
     """Sessionize the parsed log stream per user (30-min inactivity
-    gap): parse the ISO timestamp (second precision), co-locate by
-    user via groupby, count sessions/events per user."""
+    gap): parse the ISO timestamp (second precision), then
+    ``sessionize_counts`` (stages/aggregate.py) — ONE user hash-bucket
+    exchange and one vectorized lexsort per bucket; no per-user pandas
+    frames (round-5 migration off groupby(user).map_groups)."""
+    from .stages.aggregate import sessionize_counts
 
     def prep(t: pa.Table) -> pa.Table:
         ok = pc.and_(
@@ -418,23 +421,7 @@ def lp_user_sessions(sf_dir: str) -> Dataset:
         return pa.table({"user_id": sub["user_id"], "ts": ts})
 
     ds = _routed_partials(sf_dir, prep)
-
-    def sessions(df):
-        import pandas as pd
-
-        df = df.sort_values("ts")
-        gaps = df["ts"].diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame(
-            [
-                {
-                    "user_id": df["user_id"].iloc[0],
-                    "n_sessions": int(gaps.sum()) + 1,
-                    "n_events": len(df),
-                }
-            ]
-        )
-
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return sessionize_counts(ds, "user_id", "ts", gap_us=30 * 60 * 1_000_000)
 
 
 def _sql_lp_user_sessions(sf_dir: str) -> str:
@@ -766,27 +753,15 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)"""
 
 def events_sessionize(sf_dir: str) -> Dataset:
     """Session windows (30-min inactivity gap) per user — the
-    streaming-shaped pattern: groupby(key).map_groups over ts-sorted
-    groups (partitioning assumption: one group = one user's full
-    history; stated per SURVEY.md §2.6)."""
+    streaming-window pattern (SURVEY.md §2.6) via
+    ``sessionize_counts``: rows hash-bucket by user (the inherent
+    co-location), then ONE vectorized lexsort per bucket computes all
+    users' session counts. A reducer holds ~N/buckets rows instead of
+    one pandas frame per user (round-5 migration)."""
+    from .stages.aggregate import sessionize_counts
+
     ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
-
-    def sessions(df):
-        import pandas as pd
-
-        df = df.sort_values("ts")
-        gaps = df["ts"].diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame(
-            [
-                {
-                    "user_id": df["user_id"].iloc[0],
-                    "n_sessions": int(gaps.sum()) + 1,
-                    "n_events": len(df),
-                }
-            ]
-        )
-
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return sessionize_counts(ds, "user_id", "ts", gap_us=30 * 60 * 1_000_000)
 
 
 def _sql_events_sessionize(sf_dir: str) -> str:
@@ -3063,47 +3038,20 @@ def _sql_docs_bm25_topk(sf_dir: str) -> str:
 
 def events_user_interarrival(sf_dir: str) -> Dataset:
     """Per-user inter-arrival profile: event count, active span, mean
-    and max gap (microseconds). The gap math happens per user after a
-    keyed shuffle co-locates each user's events — user cardinality
-    grows with the data, so no reducer is hot (unlike event_type).
+    and max gap (microseconds), users with >= 2 events.
 
-    Determinism: gaps are integer microseconds; the mean is computed
-    as span/(n-1) — the telescoped sum, a single exact division — and
-    the gap MULTISET is invariant to how equal timestamps are ordered,
-    so max_gap is stable; (ts, event_id) ordering pins it completely.
-    """
+    ``interarrival_stats`` (stages/aggregate.py): one user hash-bucket
+    exchange, one lexsort + segment reduceat per bucket — no per-user
+    pandas frames (round-5 migration). Determinism: gaps are integer
+    microseconds; the mean is span/(n-1) (telescoped sum, one exact
+    division); the gap MULTISET is invariant to how equal timestamps
+    are ordered, so max_gap needs no tiebreak."""
+    from .stages.aggregate import interarrival_stats
+
     ds = read_parquet_clean(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     )
-
-    def gaps(df):
-        import pandas as pd
-
-        if len(df) < 2:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.Series([], dtype="int64"),
-                    "n_events": pd.Series([], dtype="int64"),
-                    "span_us": pd.Series([], dtype="int64"),
-                    "avg_gap_us": pd.Series([], dtype="float64"),
-                    "max_gap_us": pd.Series([], dtype="int64"),
-                }
-            )
-        df = df.sort_values(["ts", "event_id"])
-        tsu = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        d = np.diff(tsu)
-        span = int(tsu[-1] - tsu[0])
-        return pd.DataFrame(
-            {
-                "user_id": [int(df["user_id"].iloc[0])],
-                "n_events": [len(df)],
-                "span_us": [span],
-                "avg_gap_us": [float(span) / (len(df) - 1)],
-                "max_gap_us": [int(d.max())],
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+    return interarrival_stats(ds, "user_id", "ts")
 
 
 def _sql_events_user_interarrival(sf_dir: str) -> str:
@@ -3296,36 +3244,19 @@ def events_funnel_stages(sf_dir: str) -> Dataset:
     """Funnel analysis: per user, the furthest stage reached through
     view -> click -> purchase with strictly increasing timestamps
     (earliest-first greedy traversal — the standard product-analytics
-    funnel). Keyed by user like sessionize, so no hot reducer; stage
-    logic is integer-microsecond mins, hash-exact vs the staged-CTE
-    oracle."""
+    funnel). ``funnel_stages_reached`` (stages/aggregate.py): one user
+    hash-bucket exchange; per bucket the stage mins for ALL users are
+    computed at once (np.unique codes + np.minimum.at per stage) — no
+    per-user pandas frames (round-5 migration). Stage logic is
+    integer-microsecond mins, hash-exact vs the staged-CTE oracle."""
+    from .stages.aggregate import funnel_stages_reached
+
     ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
     )
-
-    def funnel(df):
-        import pandas as pd
-
-        tsu = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        et = df["event_type"].to_numpy()
-        stage = 0
-        v = tsu[et == "view"]
-        if v.size:
-            stage, t = 1, v.min()
-            c = tsu[(et == "click") & (tsu > t)]
-            if c.size:
-                stage, t = 2, c.min()
-                p = tsu[(et == "purchase") & (tsu > t)]
-                if p.size:
-                    stage = 3
-        return pd.DataFrame(
-            {
-                "user_id": [int(df["user_id"].iloc[0])],
-                "stage_reached": [stage],
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(funnel, batch_format="pandas")
+    return funnel_stages_reached(
+        ds, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
 
 
 def _sql_events_funnel_stages(sf_dir: str) -> str:

@@ -3232,3 +3232,239 @@ def adaptive_sessionize_counts(
         .groupby("_hb")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def sessionize_counts(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    gap_us: int,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """FIXED-GAP sessionization counts: per key, the number of sessions
+    (a new session starts when the gap since the key's previous event
+    exceeds ``gap_us``) and the total event count. Output: (key,
+    n_sessions, n_events).
+
+    Scale shape (reference parity: sessionize is the canonical
+    streaming-window op, SURVEY.md §2.6): rows hash-bucket by key —
+    the only exchange — and ONE vectorized lexsort per bucket computes
+    every key's gaps, session starts and counts with zero per-key
+    Python. A reducer holds ~N/num_buckets rows, never "one pandas
+    frame per key" (the naive groupby(key).map_groups shape this
+    replaced dispatches one Python callback per key and dies on key
+    cardinality, not data size). Session counts depend only on the
+    multiset of ts values per key (equal-ts ties gap 0, never a
+    break), so no tiebreak column is needed for determinism."""
+    import pandas as pd
+
+    if num_buckets is None:
+        num_buckets = 4 * max(2, _default_cpus())
+
+    def tag(t: pa.Table) -> pa.Table:
+        arr = t[key]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        hb = pd.util.hash_array(arr.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        kc = t[key]
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        u = kc.to_numpy(zero_copy_only=False)
+        ts = _as_int64_us(t[ts_col])
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    key: kc.slice(0, 0),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((ts, u))
+        us, tss = u[order], ts[order]
+        new_key = np.ones(n, bool)
+        new_key[1:] = us[1:] != us[:-1]
+        brk = new_key.copy()
+        brk[1:] |= (tss[1:] - tss[:-1]) > gap_us
+        starts = np.flatnonzero(new_key)
+        lens = np.diff(np.append(starts, n))
+        # per-key session count = segment sum of break flags
+        csum = np.concatenate([[0], np.cumsum(brk.astype(np.int64))])
+        nsess = csum[starts + lens] - csum[starts]
+        return pa.table(
+            {
+                key: kc.take(pa.array(order[starts], pa.int64())),
+                "n_sessions": pa.array(nsess, pa.int64()),
+                "n_events": pa.array(lens.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def interarrival_stats(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-key inter-arrival profile: (key, n_events, span_us,
+    avg_gap_us, max_gap_us) for keys with >= 2 events. span/max are
+    int64 microseconds; avg_gap = span / (n-1) in double.
+
+    Same bounded shape as ``sessionize_counts``: one key hash-bucket
+    exchange, one lexsort per bucket, segment arithmetic (cumulative
+    max via np.maximum.reduceat) — no per-key Python frames. All
+    outputs depend only on each key's sorted ts multiset, so no
+    tiebreak column is required."""
+    import pandas as pd
+
+    if num_buckets is None:
+        num_buckets = 4 * max(2, _default_cpus())
+
+    I64MIN = np.iinfo(np.int64).min
+
+    def tag(t: pa.Table) -> pa.Table:
+        arr = t[key]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        hb = pd.util.hash_array(arr.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        kc = t[key]
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        u = kc.to_numpy(zero_copy_only=False)
+        ts = _as_int64_us(t[ts_col])
+        n = len(u)
+        empty = pa.table(
+            {
+                key: kc.slice(0, 0),
+                "n_events": pa.array([], pa.int64()),
+                "span_us": pa.array([], pa.int64()),
+                "avg_gap_us": pa.array([], pa.float64()),
+                "max_gap_us": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        order = np.lexsort((ts, u))
+        us, tss = u[order], ts[order]
+        new_key = np.ones(n, bool)
+        new_key[1:] = us[1:] != us[:-1]
+        starts = np.flatnonzero(new_key)
+        lens = np.diff(np.append(starts, n))
+        gap = np.empty(n, np.int64)
+        gap[0] = I64MIN
+        gap[1:] = np.where(new_key[1:], I64MIN, tss[1:] - tss[:-1])
+        maxg = np.maximum.reduceat(gap, starts)
+        span = tss[starts + lens - 1] - tss[starts]
+        multi = lens >= 2
+        if not multi.any():
+            return empty
+        return pa.table(
+            {
+                key: kc.take(pa.array(order[starts[multi]], pa.int64())),
+                "n_events": pa.array(lens[multi].astype(np.int64), pa.int64()),
+                "span_us": pa.array(span[multi], pa.int64()),
+                "avg_gap_us": pa.array(
+                    span[multi].astype(np.float64) / (lens[multi] - 1),
+                    pa.float64(),
+                ),
+                "max_gap_us": pa.array(maxg[multi], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def funnel_stages_reached(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Greedy earliest-first funnel: per key, the furthest stage index
+    reached through ``stages`` with strictly increasing timestamps
+    (t_{i+1} = min ts of stage i+1 events after t_i). Output: (key,
+    stage_reached) with 0 = no stage-1 event. Every key present in the
+    input gets a row.
+
+    Scale shape: one key hash-bucket exchange; per bucket the stage
+    mins are computed for ALL keys at once (np.unique codes +
+    np.minimum.at per stage — len(stages) vectorized passes), so
+    reducer work is O(bucket rows x stages) with zero per-key
+    Python."""
+    import pandas as pd
+
+    if num_buckets is None:
+        num_buckets = 4 * max(2, _default_cpus())
+
+    I64MIN = np.iinfo(np.int64).min
+    I64MAX = np.iinfo(np.int64).max
+
+    def tag(t: pa.Table) -> pa.Table:
+        arr = t[key]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        hb = pd.util.hash_array(arr.to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int64)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        kc = t[key]
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        u = kc.to_numpy(zero_copy_only=False)
+        ts = _as_int64_us(t[ts_col])
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    key: kc.slice(0, 0),
+                    "stage_reached": pa.array([], pa.int64()),
+                }
+            )
+        uniq, first_idx, codes = np.unique(u, return_index=True, return_inverse=True)
+        nu = len(uniq)
+        stage_masks = []
+        for s in stages:
+            eq = pc.equal(t[type_col], pa.scalar(s))
+            if isinstance(eq, pa.ChunkedArray):
+                eq = eq.combine_chunks()
+            mv = eq.to_numpy(zero_copy_only=False)
+            stage_masks.append(mv == True)  # noqa: E712 — nulls -> False
+        t_prev = np.full(nu, I64MIN, np.int64)
+        reached_cnt = np.zeros(nu, np.int64)
+        for mask in stage_masks:
+            m = mask & (ts > t_prev[codes])
+            t_s = np.full(nu, I64MAX, np.int64)
+            np.minimum.at(t_s, codes[m], ts[m])
+            hit = t_s < I64MAX
+            reached_cnt += hit
+            t_prev = np.where(hit, t_s, I64MAX)
+        return pa.table(
+            {
+                key: kc.take(pa.array(first_idx, pa.int64())),
+                "stage_reached": pa.array(reached_cnt, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
