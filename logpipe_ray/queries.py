@@ -13254,13 +13254,17 @@ def _order_pair_expand(o_s: "np.ndarray", p_s: "np.ndarray"):
 def _copurchase_edges(li: Dataset) -> Dataset:
     """Edges of the part co-purchase graph (u < v per order; duplicate
     edges across orders are fine — every consumer dedups). Driver fast
-    path: the distinct (order, part) partials collapse on the driver
-    under _COPURCHASE_DRIVER_PAIRS (~16 B/pair) and ONE vectorized
-    pair expansion runs in numpy — this removes the keyed exchange
-    whose Ray-sort fixed cost dominates at bench scale (measured
-    ~5 s of the triangle query's 11 s). Above the guard the exchange
-    route hash-buckets by order (an order's rows co-locate) and
-    expands per bucket."""
+    path: under _COPURCHASE_DRIVER_PAIRS the distinct (order, part)
+    partials collapse on the driver (~16 B/pair — the cheap part) and
+    ONE lexsort finds order-run boundaries, but the PAIR EXPANSION
+    itself (output can be many times the input) runs in parallel Ray
+    tasks over pair-balanced, run-aligned slices — the driver never
+    allocates the expanded arrays (round-5 fix for the 7-12.5 s
+    page-fault swings the r4 audit traced to driver-side expansion).
+    This removes the keyed exchange whose Ray-sort fixed cost
+    dominates at bench scale (measured ~5 s of the triangle query's
+    11 s). Above the guard the exchange route hash-buckets by order
+    (an order's rows co-locate) and expands per bucket."""
     import pandas as pd
 
     import ray.data as rd
@@ -13285,22 +13289,41 @@ def _copurchase_edges(li: Dataset) -> Dataset:
         o = np.asarray(tbl["o"], np.int64)
         p = np.asarray(tbl["p"], np.int64)
         order = np.lexsort((p, o))
-        u, v = _order_pair_expand(o[order], p[order])
-        # chunk the expanded edges into ~CPU blocks so downstream
-        # stages parallelize (a single from_arrow block would serialize
-        # every consumer's map stage)
+        o_s, p_s = o[order], p[order]
+        n = len(o_s)
+        empty = pa.table(
+            {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+        )
+        if n == 0:
+            return rd.from_arrow(empty)
+        # run boundaries + per-run pair counts -> slice the SORTED
+        # input into ~4xCPU run-aligned chunks with balanced pair
+        # output, then expand each chunk in a Ray task
+        starts = np.flatnonzero(np.concatenate([[True], o_s[1:] != o_s[:-1]]))
+        lens = np.diff(np.append(starts, n))
+        pair_cum = np.cumsum(lens * (lens - 1) // 2)
+        total_pairs = int(pair_cum[-1])
+        if total_pairs == 0:
+            return rd.from_arrow(empty)
         ncpu = max(2, int(ray.cluster_resources().get("CPU", 4)))
-        step = max(1, (len(u) + ncpu - 1) // ncpu)
-        chunks = [
-            pa.table(
-                {
-                    "u": pa.array(u[i : i + step]),
-                    "v": pa.array(v[i : i + step]),
-                }
-            )
-            for i in range(0, max(len(u), 1), step)
+        nchunks = min(4 * ncpu, len(starts))
+        targets = total_pairs * np.arange(1, nchunks + 1) / nchunks
+        run_ends = np.unique(np.searchsorted(pair_cum, targets, side="left"))
+        row_bounds = np.concatenate(
+            [[0], np.append(starts, n)[run_ends + 1]]
+        )
+
+        @ray.remote
+        def expand(o_chunk: np.ndarray, p_chunk: np.ndarray) -> pa.Table:
+            u, v = _order_pair_expand(o_chunk, p_chunk)
+            return pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+        refs = [
+            expand.remote(o_s[a:b], p_s[a:b])
+            for a, b in zip(row_bounds[:-1], row_bounds[1:])
+            if b > a
         ]
-        return rd.from_arrow(chunks)
+        return rd.from_arrow_refs(refs)
 
     num_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 4)))
 

@@ -156,3 +156,44 @@ def test_sessionize_counts_string_keys_and_nulls(ray_session):
         ray.data.from_pandas(df), "user_id", "ts", gap_us=GAP_US
     ).schema()
     assert str(tbl.base_schema.field("user_id").type) in ("string", "large_string")
+
+
+def test_copurchase_edges_sliced_expansion(ray_session):
+    """The task-sliced driver route of _copurchase_edges equals a
+    single global pair expansion (round-5: expansion moved off the
+    driver into run-aligned Ray tasks)."""
+    import ray
+    from logpipe_ray.queries import _copurchase_edges, _order_pair_expand
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, 400, n),
+            "l_partkey": rng.integers(0, 60, n),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = _copurchase_edges(ds).to_pandas()
+
+    dd = df.drop_duplicates()
+    o = dd["l_orderkey"].to_numpy(np.int64)
+    p = dd["l_partkey"].to_numpy(np.int64)
+    order = np.lexsort((p, o))
+    u, v = _order_pair_expand(o[order], p[order])
+    ref = pd.DataFrame({"u": u, "v": v})
+    pd.testing.assert_frame_equal(
+        _sorted(got), _sorted(ref), check_dtype=False
+    )
+
+
+def test_copurchase_edges_no_pairs(ray_session):
+    """Orders with a single distinct part yield a typed empty edge set."""
+    import ray
+    from logpipe_ray.queries import _copurchase_edges
+
+    df = pd.DataFrame({"l_orderkey": [1, 2, 3, 3], "l_partkey": [9, 8, 7, 7]})
+    ds = _copurchase_edges(ray.data.from_pandas(df))
+    assert ds.count() == 0
+    # typed empty: schema is carried even with zero rows
+    assert ds.schema().names == ["u", "v"]
