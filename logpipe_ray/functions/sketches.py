@@ -130,6 +130,80 @@ def approx_quantiles(
     return quantile_merge_query(parts, qs)
 
 
+
+def histogram_quantiles(
+    ds: Dataset, col: str, qs: list[float], buckets: int = 4096
+) -> list[float]:
+    """DETERMINISTIC approximate quantiles via a fixed-grid histogram:
+    pass 1 takes global min/max (native aggregates), pass 2 counts
+    rows per equal-width bucket (mergeable int partials — the only
+    thing that shuffles, bounded by buckets x batches). The estimate
+    for quantile q is the UPPER EDGE of the first bucket whose
+    cumulative count reaches ceil(q * total) (nearest-rank on the
+    quantized domain), so the error is at most one bucket width
+    ((max-min)/buckets) and the answer is invariant to partitioning /
+    batch boundaries — unlike per-batch compressed summaries, whose
+    merge result depends on block layout. Every float step is a fixed
+    IEEE expression (width = (max-min)/buckets; k = floor((v-min)/
+    width); est = min + (k+1)*width), so SQL replays it bitwise."""
+    import pyarrow.compute as _pc
+
+    stats = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "lo": pa.array([_pc.min(t[col]).as_py()], pa.float64()),
+                "hi": pa.array([_pc.max(t[col]).as_py()], pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    lo_vals = stats["lo"].dropna()
+    if lo_vals.empty:
+        return [float("nan")] * len(qs)
+    lo = float(lo_vals.min())
+    hi = float(stats["hi"].dropna().max())
+    width = (hi - lo) / buckets
+    if width <= 0.0:
+        # constant column: every quantile is that constant
+        total_only = True
+        width = 1.0
+    else:
+        total_only = False
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col].drop_null() if isinstance(t[col], pa.Array)
+                       else t[col].combine_chunks().drop_null(), np.float64)
+        if not len(v):
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        k = np.minimum(
+            np.floor((v - lo) / width).astype(np.int64), buckets - 1
+        )
+        kk, cc = np.unique(k, return_counts=True)
+        return pa.table({"k": pa.array(kk), "c": pa.array(cc.astype(np.int64))})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .sum("c")
+        .to_pandas()
+        .sort_values("k")
+    )
+    cum = hist["sum(c)"].cumsum().to_numpy()
+    ks = hist["k"].to_numpy()
+    total = int(cum[-1])
+    out = []
+    for q in qs:
+        target = max(1, int(np.ceil(q * total)))
+        i = int(np.searchsorted(cum, target))
+        if total_only:
+            out.append(lo)
+        else:
+            out.append(lo + (float(ks[i]) + 1.0) * width)
+    return out
+
+
 def heavy_hitters_topk(
     ds,
     key_col: str,

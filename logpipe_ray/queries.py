@@ -1427,6 +1427,96 @@ def seq_pack_stats(sf_dir: str) -> Dataset:
     return items.map_batches(task, batch_format="pyarrow", batch_size=None)
 
 
+def _sql_seq_pack_stats(sf_dir: str) -> str:
+    """Replays greedy first-fit packing WITHOUT row-at-a-time
+    recursion (a naive recursive CTE needs one round per document —
+    310 s at sf0.01): the 'next context start' function
+    f(i) = 1 + max{j : cum(j) <= cum(i-1) + 1024} comes from ONE ASOF
+    join over per-shard prefix sums (need <= 1024 guarantees a match),
+    then pointer-doubling builds f^(2^m) jump tables and the orbit of
+    row 0 under f — the context starts — in ceil(log2(max shard
+    rows)) = 18 chained MATERIALIZED CTEs (plain WITH
+    references would inline each level twice -> exponential
+    expansion). Context membership is one final ASOF join. Stats per
+    context replay pack_batch exactly: n_seqs = members,
+    fill = sum(min(len,1022)+2)/1024 (BOS/EOS counted, PAD not),
+    truncated = members with len > 1022."""
+    ROUNDS = 18  # supports shards up to 2^18 = 262k docs
+    path = ensure_sequences(sf_dir)
+    ctes = [
+        f"""docs AS MATERIALIZED (
+  SELECT filename AS shard, file_row_number AS rn,
+         least(len(tokens), 1022) + 2 AS need,
+         CASE WHEN len(tokens) > 1022 THEN 1 ELSE 0 END AS tr
+  FROM read_parquet('{path}/shard_*.parquet',
+                    filename=true, file_row_number=true)
+)""",
+        """cums AS MATERIALIZED (
+  SELECT shard, rn, need, tr,
+         sum(need) OVER (PARTITION BY shard ORDER BY rn) AS cum,
+         sum(need) OVER (PARTITION BY shard ORDER BY rn) - need AS prev
+  FROM docs
+)""",
+        "nsz AS (SELECT shard, count(*) AS n FROM docs GROUP BY shard)",
+        """j0 AS MATERIALIZED (
+  SELECT c.shard, c.rn AS i, b.rn + 1 AS f
+  FROM cums c ASOF JOIN cums b
+    ON c.shard = b.shard AND b.cum <= c.prev + 1024
+  UNION ALL
+  SELECT shard, n, n FROM nsz
+)""",
+    ]
+    prev = "j0"
+    for m in range(1, ROUNDS):
+        ctes.append(
+            f"""j{m} AS MATERIALIZED (
+  SELECT a.shard, a.i, b.f
+  FROM {prev} a JOIN {prev} b ON a.shard = b.shard AND a.f = b.i
+)"""
+        )
+        prev = f"j{m}"
+    ctes.append(
+        "o0 AS MATERIALIZED (SELECT shard, CAST(0 AS BIGINT) AS s FROM nsz)"
+    )
+    for m in range(ROUNDS):
+        ctes.append(
+            f"""o{m + 1} AS MATERIALIZED (
+  SELECT shard, s FROM o{m}
+  UNION
+  SELECT j.shard, j.f AS s
+  FROM o{m} o JOIN j{m} j ON o.shard = j.shard AND o.s = j.i
+)"""
+        )
+    ctes.append(
+        f"""starts AS (
+  SELECT o.shard, o.s FROM o{ROUNDS} o JOIN nsz USING (shard)
+  WHERE o.s < nsz.n
+)"""
+    )
+    ctes.append(
+        """ctx_map AS MATERIALIZED (
+  SELECT shard, s,
+         row_number() OVER (PARTITION BY shard ORDER BY s) - 1 AS ctx
+  FROM starts
+)"""
+    )
+    ctes.append(
+        """ctxed AS (
+  SELECT c.shard, c.need, c.tr, m.ctx
+  FROM cums c ASOF JOIN ctx_map m ON c.shard = m.shard AND m.s <= c.rn
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT CAST(count(*) AS INTEGER) AS n_seqs,
+       CAST(sum(need) AS DOUBLE) / 1024 AS fill_ratio,
+       CAST(sum(tr) AS INTEGER) AS truncated
+FROM ctxed GROUP BY shard, ctx"""
+    )
+
+
 # ------------------------------------------------ training-data ops (dedup,
 # ANN, text analysis, multimodal). Non-SQL-expressible ops have no oracle
 # entry -> the driver records a rows-only check.
@@ -2291,17 +2381,26 @@ SELECT doc_id,
 FROM fp"""
 
 
+_HIST_Q_BUCKETS = 4096
+
+
 def events_value_quantiles(sf_dir: str) -> "pa.Table":
-    """Approximate p50/p90/p99 of events.value via the mergeable
-    quantile summary sketch (functions/sketches.py): one <=256-pair
-    compressed summary per batch is all that leaves the workers.
-    Rows-only check (approximate by design; rank error is bounded and
-    pytest-asserted; exact quantiles are covered by
-    events_median_value's oracled two-sided check)."""
-    from .functions.sketches import approx_quantiles
+    """Approximate p50/p90/p99 of events.value via the DETERMINISTIC
+    fixed-grid histogram (functions/sketches.py:histogram_quantiles):
+    min/max pass + mergeable per-bucket count partials; the estimate
+    is nearest-rank on the 4096-bucket quantized domain (error <= one
+    bucket width) and is invariant to partitioning, so the fixed-order
+    IEEE math replays bitwise in SQL (round-5: replaces the per-batch
+    compressed-summary sketch, whose merge result depended on block
+    layout and could only get a rows-only check; that path remains
+    available as functions.sketches.approx_quantiles with its
+    rank-error pytest)."""
+    from .functions.sketches import histogram_quantiles
 
     ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
-    p50, p90, p99 = approx_quantiles(ds, "value", [0.5, 0.9, 0.99])
+    p50, p90, p99 = histogram_quantiles(
+        ds, "value", [0.5, 0.9, 0.99], buckets=_HIST_Q_BUCKETS
+    )
     return pa.table(
         {
             "p50": pa.array([p50], pa.float64()),
@@ -2309,6 +2408,45 @@ def events_value_quantiles(sf_dir: str) -> "pa.Table":
             "p99": pa.array([p99], pa.float64()),
         }
     )
+
+
+def _sql_events_value_quantiles(sf_dir: str) -> str:
+    """Replays the histogram estimate bitwise: same width, same
+    floor-bucket assignment, same nearest-rank rule, same
+    lo + (k+1)*width finish (all double, fixed order)."""
+    B = _HIST_Q_BUCKETS
+    qexprs = []
+    for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        qexprs.append(
+            f"""(SELECT CASE WHEN (SELECT width FROM span) <= 0.0
+            THEN (SELECT lo FROM span)
+            ELSE (SELECT lo FROM span)
+                 + (CAST(k AS DOUBLE) + 1.0) * (SELECT width FROM span)
+       END
+  FROM cumhist
+  WHERE cum >= greatest(1, CAST(ceil({q} * (SELECT total FROM tot)) AS BIGINT))
+  ORDER BY k LIMIT 1) AS {name}"""
+        )
+    sel = ",\n       ".join(qexprs)
+    return f"""
+WITH span AS (
+  SELECT min(value) AS lo, max(value) AS hi,
+         (max(value) - min(value)) / {B} AS width
+  FROM events WHERE value IS NOT NULL
+),
+hist AS (
+  SELECT CASE WHEN (SELECT width FROM span) <= 0.0 THEN 0
+              ELSE least(CAST(floor((value - (SELECT lo FROM span))
+                                    / (SELECT width FROM span)) AS BIGINT),
+                         {B - 1}) END AS k,
+         count(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+cumhist AS (
+  SELECT k, sum(c) OVER (ORDER BY k) AS cum FROM hist
+),
+tot AS (SELECT sum(c) AS total FROM hist)
+SELECT {sel}"""
 
 
 def seq_vocab_pruned(sf_dir: str) -> Dataset:
@@ -14308,7 +14446,7 @@ REGISTRY: dict = {
     "seq_bigram_topk": (seq_bigram_topk, _sql_seq_bigram_topk),
     "seq_vocab_pruned": (seq_vocab_pruned, _sql_seq_vocab_pruned),
     "events_running_total": (events_running_total, _sql_events_running_total),
-    "events_value_quantiles": (events_value_quantiles, None),
+    "events_value_quantiles": (events_value_quantiles, _sql_events_value_quantiles),
     "lp_parsed_fields": (lp_parsed_fields, _sql_lp_parsed_fields),
     "lp_stats_by_level": (lp_stats_by_level, _sql_lp_stats_by_level),
     "lp_enriched": (lp_enriched, _sql_lp_enriched),
@@ -14329,7 +14467,7 @@ REGISTRY: dict = {
     "docs_dedup_corpus": (docs_dedup_corpus, None),
     "events_median_value": (events_median_value, _sql_events_median_value),
     "lp_filter_regex": (lp_filter_regex, _sql_lp_filter_regex),
-    "seq_pack_stats": (seq_pack_stats, None),
+    "seq_pack_stats": (seq_pack_stats, _sql_seq_pack_stats),
     "seq_bpe_merges_sampled": (seq_bpe_merges_sampled, None),
     "events_user_event_seq": (
         events_user_event_seq,
