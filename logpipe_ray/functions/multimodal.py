@@ -400,3 +400,84 @@ def frame_sample(
         concurrency=concurrency,
         zero_copy_batch=True,
     )
+
+
+def media_table_from_documents(ds: Dataset) -> Dataset:
+    """Deterministic media corpus DERIVED from the documents table
+    (round 5): payload = the document's utf8 bytes (single space when
+    empty — np.add.reduceat misreads zero-length segments, and the
+    guard keeps the byte math SQL-replayable), metadata = pure integer
+    functions of doc_id. Same schema as synthesize_media_table, but an
+    independent DuckDB oracle can recompute every byte — which makes
+    the mm_* driver rows hash-checkable instead of rows-only. The
+    derivation is one vectorized Arrow pass (string->binary cast is
+    zero-copy)."""
+    import pyarrow.compute as pc
+
+    def derive(t: pa.Table) -> pa.Table:
+        doc_id = t["doc_id"]
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        empty = pc.equal(pc.binary_length(text), 0)
+        payload = pc.if_else(empty, pa.scalar(" "), text).cast(pa.binary())
+        did = doc_id
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        mime = pc.if_else(
+            pc.equal(pc.bit_wise_and(did, 1), 0),
+            pa.scalar("image/png"),
+            pa.scalar("image/jpeg"),
+        )
+        def _mod961(x):
+            # pyarrow has no modulo kernel: x % 961 = x - 961*(x//961)
+            q = pc.divide(x, pa.scalar(961, pa.int64()))
+            return pc.subtract(x, pc.multiply(q, pa.scalar(961, pa.int64())))
+
+        w37 = pc.multiply(doc_id, pa.scalar(37, pa.int64()))
+        h61 = pc.multiply(doc_id, pa.scalar(61, pa.int64()))
+        width = pc.add(pa.scalar(64, pa.int64()), _mod961(w37)).cast(pa.int32())
+        height = pc.add(pa.scalar(64, pa.int64()), _mod961(h61)).cast(pa.int32())
+        return pa.table(
+            {
+                "item_id": doc_id,
+                "payload": payload,
+                "mime": mime,
+                "width": width,
+                "height": height,
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def video_table_from_documents(ds: Dataset, frame_bytes: int = 256) -> Dataset:
+    """Deterministic video corpus derived from documents: payload =
+    utf8 bytes, n_frames = byte length // frame_bytes (docs shorter
+    than one frame have zero frames and sample no rows). Same schema
+    as synthesize_video_table; SQL-replayable like
+    media_table_from_documents."""
+    import pyarrow.compute as pc
+
+    def derive(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        payload = text.cast(pa.binary())
+        nf = pc.divide(
+            pc.binary_length(payload).cast(pa.int64()),
+            pa.scalar(frame_bytes, pa.int64()),
+        ).cast(pa.int32())
+        return pa.table(
+            {
+                "item_id": t["doc_id"],
+                "payload": payload,
+                "mime": pa.array(["video/mp4"] * t.num_rows, pa.string()),
+                "n_frames": nf,
+                "fps": pa.array(
+                    np.full(t.num_rows, 24.0, np.float32), pa.float32()
+                ),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")

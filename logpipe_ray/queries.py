@@ -2128,7 +2128,200 @@ SELECT CAST(2 AS BIGINT),
        (SELECT count(*) FROM w2 WHERE text NOT IN (SELECT text FROM w1))"""
 
 
+# ---- MinHash-LSH SQL replay (round 5): the whole hash chain is
+# deterministic integer math (FNV-1a + splitmix64 word hashes ->
+# rolling-polynomial k-shingles -> (a*x+b) mod 2^61-1 permutations ->
+# banded fold), so DuckDB replays it bitwise with HUGEINT mod-2^64
+# arithmetic — the same technique as _sql_docs_fingerprint. Every
+# wrapping numpy uint64 step maps to an explicit % 2^64; products that
+# could exceed HUGEINT (x * mix-constant with both near 2^64) use the
+# 32-bit split (x*c mod 2^64 = xl*cl + 2^32*(xl*ch + xh*cl) mod 2^64);
+# splitmix xor-shift stages run through CTE chains so each expression
+# references a COLUMN, not an inlined subexpression (inline expansion
+# is exponential in chain depth). Candidate capping (first `max_group`
+# ids per LSH bucket) and the exact word-set Jaccard verify replay the
+# driver route of minhash_lsh_candidates/_verify_pairs_ds.
+
+_U64 = 1 << 64
+_FNV_PRIME = 0x100000001B3
+_FNV_BASIS = 0xCBF29CE484222325
+_SM_MIX1 = 0xBF58476D1CE4E5B9
+_SM_MIX2 = 0x94D049BB133111EB
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _sql_umul64(x: str, c: int) -> str:
+    """x * c mod 2^64 for column/expr x < 2^64 and constant c < 2^64,
+    HUGEINT-safe via 32-bit constant split."""
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"((({x}) % 4294967296) * {cl} + ((({x}) % 4294967296) * {ch}"
+        f" + (({x}) // 4294967296) * {cl}) * 4294967296) % {_U64}"
+    )
+
+
+def _sql_xorshift(x: str, s: int) -> str:
+    """x XOR (x >> s) for x < 2^64 (via UBIGINT xor)."""
+    return (
+        f"CAST(xor(CAST(({x}) AS UBIGINT), CAST((({x}) // {1 << s})"
+        f" AS UBIGINT)) AS HUGEINT)"
+    )
+
+
+def _sql_splitmix_ctes(src_cte: str, keys: str, col: str, prefix: str) -> list:
+    """CTE chain applying splitmix64 to column `col` of `src_cte`;
+    result lands in CTE `{prefix}5` (same keys, same column name)."""
+    steps = [
+        _sql_xorshift(col, 30),
+        _sql_umul64(col, _SM_MIX1),
+        _sql_xorshift(col, 27),
+        _sql_umul64(col, _SM_MIX2),
+        _sql_xorshift(col, 31),
+    ]
+    out, prev = [], src_cte
+    for i, e in enumerate(steps, 1):
+        out.append(
+            f"{prefix}{i} AS MATERIALIZED"
+            f" (SELECT {keys}, {e} AS {col} FROM {prev})"
+        )
+        prev = f"{prefix}{i}"
+    return out
+
+
+def _sql_word_hash_ctes(table: str) -> list:
+    """CTEs: w (doc_id, word, pos), wh5 (word -> 64-bit hash) — the
+    exact hash64_strings chain (FNV-1a over bytes, splitmix finish);
+    valid for ASCII fixtures (ord == utf8 byte), like
+    _sql_docs_fingerprint."""
+    fnv = (
+        f"list_reduce(list_prepend(CAST({_FNV_BASIS} AS HUGEINT), "
+        f"[CAST(ord(word[k]) AS HUGEINT) FOR k IN range(1, length(word)+1)]), "
+        f"(a, b) -> (CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT))"
+        f" AS HUGEINT) * {_FNV_PRIME}) % {_U64})"
+    )
+    return [
+        f"""w AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM {table})""",
+        "uw AS MATERIALIZED (SELECT DISTINCT word FROM w)",
+        f"wh0 AS MATERIALIZED (SELECT word, {fnv} AS h FROM uw)",
+    ] + _sql_splitmix_ctes("wh0", "word", "h", "wh")
+
+
+def _minhash_pairs_ctes(
+    table: str,
+    threshold: float,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 1,
+    max_group: int = 200,
+    seed: int = 42,
+) -> list:
+    """CTE list ending in `pairs` (a, b, jaccard) — the bitwise replay
+    of minhash_dedup_pairs (functions/dedup.py)."""
+    rng = np.random.default_rng(seed)
+    A = rng.integers(1, _MERSENNE61, num_perm, dtype=np.uint64)
+    Bc = rng.integers(0, _MERSENNE61, num_perm, dtype=np.uint64)
+    r = num_perm // bands
+
+    ctes = _sql_word_hash_ctes(table)
+    ctes.append(
+        "wp AS MATERIALIZED (SELECT w.doc_id, w.pos, wh5.h FROM w"
+        " JOIN wh5 USING (word))"
+    )
+    acc, joins = "t0.h", "wp t0"
+    for j in range(1, shingle_k):
+        joins += (
+            f" JOIN wp t{j} ON t{j}.doc_id = t0.doc_id"
+            f" AND t{j}.pos = t0.pos + {j}"
+        )
+        acc = f"(({acc}) * {_FNV_PRIME} + t{j}.h) % {_U64}"
+    ctes.append(
+        f"sh0 AS MATERIALIZED (SELECT t0.doc_id, {acc} AS h FROM {joins})"
+    )
+    ctes += _sql_splitmix_ctes("sh0", "doc_id", "h", "sh")
+    mins = []
+    for i in range(num_perm):
+        # numpy wraps a*h and +b mod 2^64 BEFORE the Mersenne mod;
+        # a < 2^61 so the HUGEINT product is exact, then % 2^64 % P
+        prod = f"(h * {int(A[i])}) % {_U64}"
+        mins.append(
+            f"min((({prod}) + {int(Bc[i])}) % {_U64} % {_MERSENNE61}) AS m{i}"
+        )
+    ctes.append(
+        "sig AS MATERIALIZED (SELECT doc_id, "
+        + ", ".join(mins)
+        + " FROM sh5 GROUP BY doc_id)"
+    )
+    coal = ", ".join(
+        f"coalesce(m{i}, CAST({_U64 - 1} AS HUGEINT)) AS m{i}"
+        for i in range(num_perm)
+    )
+    ctes.append(
+        f"""sig_all AS MATERIALIZED (
+  SELECT d.doc_id, {coal}
+  FROM (SELECT doc_id FROM {table}) d LEFT JOIN sig USING (doc_id))"""
+    )
+    folds = []
+    for b_ in range(bands):
+        facc = f"m{b_ * r}"
+        for j in range(1, r):
+            facc = f"(({facc}) * {_FNV_PRIME} + m{b_ * r + j}) % {_U64}"
+        folds.append(facc)
+    ctes.append(
+        f"""bt0 AS MATERIALIZED (
+  SELECT doc_id, unnest(range(0, {bands})) AS band_id,
+         unnest([{", ".join(folds)}]) AS h
+  FROM sig_all)"""
+    )
+    ctes += _sql_splitmix_ctes("bt0", "doc_id, band_id", "h", "bt")
+    ctes.append(
+        f"""kept AS MATERIALIZED (
+  SELECT band_id, h, doc_id FROM (
+    SELECT band_id, h, doc_id,
+           row_number() OVER (PARTITION BY band_id, h ORDER BY doc_id) AS rk
+    FROM bt5) WHERE rk <= {max_group})"""
+    )
+    ctes.append(
+        """cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM kept x JOIN kept y
+    ON x.band_id = y.band_id AND x.h = y.h AND x.doc_id < y.doc_id)"""
+    )
+    ctes.append("ws AS MATERIALIZED (SELECT DISTINCT doc_id, word FROM w)")
+    ctes.append("wn AS (SELECT doc_id, count(*) AS n FROM ws GROUP BY doc_id)")
+    ctes.append(
+        """inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c JOIN ws wa ON wa.doc_id = c.a
+              JOIN ws wb ON wb.doc_id = c.b AND wb.word = wa.word
+  GROUP BY c.a, c.b)"""
+    )
+    jac = "CAST(coalesce(i.i, 0) AS DOUBLE) / (na.n + nb.n - coalesce(i.i, 0))"
+    ctes.append(
+        f"""pairs AS MATERIALIZED (
+  SELECT c.a, c.b, {jac} AS jaccard
+  FROM cand c
+  JOIN wn na ON na.doc_id = c.a
+  JOIN wn nb ON nb.doc_id = c.b
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  WHERE {jac} >= {threshold})"""
+    )
+    return ctes
+
+
+def _sql_docs_minhash_dedup(sf_dir: str) -> str:
+    ctes = _minhash_pairs_ctes(
+        "documents", threshold=0.7, num_perm=64, bands=16, shingle_k=3
+    )
+    return "WITH " + ",\n".join(ctes) + "\nSELECT a, b, jaccard FROM pairs"
+
+
 def docs_minhash_dedup(sf_dir: str):
+    """MinHash-LSH near-dup pairs (word-trigram shingles, 64 perms,
+    16 bands) with exact word-set Jaccard verification at 0.7 —
+    oracled bitwise by the _minhash_pairs_ctes SQL replay (round 5)."""
     from .functions.dedup import minhash_dedup_pairs
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -2138,10 +2331,20 @@ def docs_minhash_dedup(sf_dir: str):
 
 
 def docs_ngram_jaccard_dedup(sf_dir: str):
+    """Word-bigram-shingled MinHash candidates + exact word-set
+    Jaccard at 0.6 — oracled bitwise by the same SQL replay as
+    docs_minhash_dedup (round 5)."""
     from .functions.dedup import ngram_jaccard_dedup_pairs
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ngram_jaccard_dedup_pairs(ds, n=2, threshold=0.6)
+
+
+def _sql_docs_ngram_jaccard_dedup(sf_dir: str) -> str:
+    ctes = _minhash_pairs_ctes(
+        "documents", threshold=0.6, num_perm=64, bands=16, shingle_k=2
+    )
+    return "WITH " + ",\n".join(ctes) + "\nSELECT a, b, jaccard FROM pairs"
 
 
 def lp_union_errors_slow(sf_dir: str) -> Dataset:
@@ -2160,10 +2363,45 @@ SELECT doc_id, sink FROM routed WHERE sink = 'slow'"""
 
 
 def docs_dup_clusters(sf_dir: str):
+    """Near-dup clusters (connected components over the verified pair
+    graph; label = component-min id, union-by-min preserves it) —
+    oracled by the MinHash SQL replay + a recursive min-label
+    reachability CTE (round 5)."""
     from .functions.dedup import dup_clusters
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return dup_clusters(ds, threshold=0.6, shingle_k=2)
+
+
+def _cluster_label_ctes() -> list:
+    """CTEs on top of `pairs`: recursive reachability -> `labels`
+    (doc_id, cluster_id = component min). Row count is bounded by
+    sum(component size^2) — verified-duplicate components are tiny."""
+    return [
+        """nodes AS (SELECT a AS node FROM pairs UNION SELECT b FROM pairs)""",
+        """edges AS (SELECT a AS s, b AS d FROM pairs
+  UNION SELECT b, a FROM pairs)""",
+        """reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node)""",
+        """labels AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node)""",
+    ]
+
+
+def _sql_docs_dup_clusters(sf_dir: str) -> str:
+    ctes = _minhash_pairs_ctes(
+        "documents", threshold=0.6, num_perm=64, bands=16, shingle_k=2
+    ) + _cluster_label_ctes()
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + """
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels"""
+    )
 
 
 def docs_dedup_corpus(sf_dir: str) -> Dataset:
@@ -2177,6 +2415,22 @@ def docs_dedup_corpus(sf_dir: str) -> Dataset:
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return dedup_corpus_ids(ds, threshold=0.6, shingle_k=2)
+
+
+def _sql_docs_dedup_corpus(sf_dir: str) -> str:
+    """Survivors = every doc id except non-minimum members of verified
+    duplicate components (same pair graph + labels as
+    _sql_docs_dup_clusters)."""
+    ctes = _minhash_pairs_ctes(
+        "documents", threshold=0.6, num_perm=64, bands=16, shingle_k=2
+    ) + _cluster_label_ctes()
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + """
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id != cluster_id)"""
+    )
 
 
 def seq_vocab_coverage(sf_dir: str) -> "pa.Table":
@@ -2223,10 +2477,78 @@ FROM ranked"""
 
 
 def docs_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (4x16-bit chunk banding, Hamming <= 6)
+    — oracled bitwise by the SQL replay below (round 5)."""
     from .functions.dedup import simhash_dedup_pairs
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_dedup_pairs(ds, max_distance=6)
+
+
+def _sql_docs_simhash_pairs(sf_dir: str) -> str:
+    """Replays simhash_signatures exactly: per doc, output bit p is
+    set iff 2 * (#word occurrences with bit p of the 64-bit word hash
+    set) > n_words (the sign of the +-1 bit sums; numpy pack/unpack
+    use the same little-endian byte layout on both sides, so the
+    mapping is the identity on bit positions — pytest-verified).
+    Banding/cap/verify replay simhash_dedup_pairs: 4x16-bit chunks,
+    first-200-by-id per bucket, bit_count(xor) <= 6."""
+    max_distance, max_group = 6, 200
+    ctes = _sql_word_hash_ctes("documents")
+    ctes.append(
+        "occ AS MATERIALIZED (SELECT w.doc_id, wh5.h FROM w"
+        " JOIN wh5 USING (word))"
+    )
+    csums = ", ".join(
+        f"sum(CAST((h // {1 << p}) % 2 AS BIGINT)) AS c{p}" for p in range(64)
+    )
+    ctes.append(
+        f"""cnts AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n, {csums} FROM occ GROUP BY doc_id)"""
+    )
+    bits = " + ".join(
+        f"CASE WHEN 2 * c{p} > n THEN CAST({1 << p} AS HUGEINT)"
+        f" ELSE CAST(0 AS HUGEINT) END"
+        for p in range(64)
+    )
+    ctes.append(
+        f"""sig AS MATERIALIZED (
+  SELECT d.doc_id, coalesce({bits}, CAST(0 AS HUGEINT)) AS s
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN cnts USING (doc_id))"""
+    )
+    chunks = ", ".join(f"(s // {1 << (16 * c)}) % 65536" for c in range(4))
+    ctes.append(
+        f"""ch AS MATERIALIZED (
+  SELECT doc_id, unnest(range(0, 4)) AS chunk_id,
+         unnest([{chunks}]) AS chunk_val
+  FROM sig)"""
+    )
+    ctes.append(
+        f"""kept AS MATERIALIZED (
+  SELECT chunk_id, chunk_val, doc_id FROM (
+    SELECT chunk_id, chunk_val, doc_id,
+           row_number() OVER (PARTITION BY chunk_id, chunk_val
+                              ORDER BY doc_id) AS rk
+    FROM ch) WHERE rk <= {max_group})"""
+    )
+    ctes.append(
+        """cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM kept x JOIN kept y
+    ON x.chunk_id = y.chunk_id AND x.chunk_val = y.chunk_val
+   AND x.doc_id < y.doc_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT c.a, c.b,
+       CAST(bit_count(xor(CAST(sa.s AS UBIGINT), CAST(sb.s AS UBIGINT)))
+            AS BIGINT) AS dist
+FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+WHERE bit_count(xor(CAST(sa.s AS UBIGINT), CAST(sb.s AS UBIGINT)))
+      <= {max_distance}"""
+    )
 
 
 def embeddings_neardup(sf_dir: str):
@@ -2995,31 +3317,99 @@ def ann_hnsw_topk(sf_dir: str):
     return out[["query_id", "rank", "vec_id"]]
 
 
+def _media_ds(sf_dir: str):
+    """documents -> deterministic media table (payload = utf8 bytes,
+    metadata = integer functions of doc_id) — round 5: replaces the
+    RNG-synthesized corpus so an independent DuckDB oracle can replay
+    every byte and the mm_* driver rows become hash-checked. The
+    actor-pool decode/resize/sample plumbing is unchanged."""
+    from .functions.multimodal import media_table_from_documents
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return media_table_from_documents(ds)
+
+
+# the derived-media metadata expressions, shared by the mm_* oracles
+_SQL_MEDIA = """m AS (
+  SELECT doc_id AS item_id,
+         CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS payload_txt,
+         CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+              ELSE 'image/jpeg' END AS mime,
+         CAST(64 + (doc_id * 37) % 961 AS INTEGER) AS width,
+         CAST(64 + (doc_id * 61) % 961 AS INTEGER) AS height
+  FROM documents)"""
+
+
 def mm_resized(sf_dir: str):
     """Multimodal resize plumbing: actor-pool aspect-preserving resize
-    over the deterministic synthetic media table (decode stubbed;
-    metadata transform + payload-size behavior real and tested)."""
-    import ray.data as rd2
+    over the documents-derived media table (decode stubbed; metadata
+    transform + payload-size behavior real, and hash-checked against
+    the SQL replay below)."""
+    import pyarrow.compute as pc2
 
-    from .functions.multimodal import media_resize, synthesize_media_table
+    from .functions.multimodal import media_resize
 
-    t = synthesize_media_table(2000)
-    out = media_resize(rd2.from_arrow(t), target=(256, 256))
+    out = media_resize(_media_ds(sf_dir), target=(256, 256))
     return out.map_batches(
-        lambda b: b.drop(["payload"]), batch_format="pyarrow"
-    )  # driver check sees metadata, not the heavy bytes
+        lambda b: pa.table(
+            {
+                "item_id": b["item_id"],
+                "mime": b["mime"],
+                "width": b["width"],
+                "height": b["height"],
+                # the fake resize keeps ceil-free trunc(len * area
+                # ratio) bytes — expose the size so the byte path is
+                # checked too (the heavy payload itself stays out of
+                # the compare)
+                "resized_bytes": pc2.binary_length(b["payload"]).cast(
+                    pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_mm_resized(sf_dir: str) -> str:
+    """Replays MediaResizeStage's fake path: scale = min(256/max(w,1),
+    256/max(h,1), 1) in double; new dims truncate toward zero with a
+    floor of 1; kept bytes = max(trunc(len * (new_w*new_h)/max(w*h,1)),
+    1) — all fixed-order IEEE."""
+    return f"""
+WITH {_SQL_MEDIA},
+s AS (
+  SELECT item_id, mime, width AS w, height AS h,
+         octet_length(encode(payload_txt)) AS pb,
+         least(least(256.0 / greatest(width, 1),
+                     256.0 / greatest(height, 1)), 1.0) AS scale
+  FROM m),
+d AS (
+  SELECT item_id, mime, w, h, pb,
+         greatest(CAST(trunc(w * scale) AS INTEGER), 1) AS new_w,
+         greatest(CAST(trunc(h * scale) AS INTEGER), 1) AS new_h
+  FROM s)
+SELECT item_id, mime, CAST(new_w AS INTEGER) AS width,
+       CAST(new_h AS INTEGER) AS height,
+       greatest(CAST(trunc(pb * ((CAST(new_w AS DOUBLE) * new_h)
+                                 / greatest(CAST(w AS DOUBLE) * h, 1)))
+                     AS BIGINT), 1) AS resized_bytes
+FROM d"""
 
 
 def mm_frame_sample(sf_dir: str):
     """Video frame sampling plumbing: one row per sampled frame
-    (item_id, frame_idx, frame byte length)."""
+    (item_id, frame_idx, frame byte length) over the documents-derived
+    video table — hash-checked against the SQL replay."""
     import pyarrow.compute as pc2
-    import ray.data as rd2
 
-    from .functions.multimodal import frame_sample, synthesize_video_table
+    from .functions.multimodal import frame_sample, video_table_from_documents
 
-    t = synthesize_video_table(1000)
-    out = frame_sample(rd2.from_arrow(t), k=4)
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = frame_sample(video_table_from_documents(ds), k=4)
     return out.map_batches(
         lambda b: pa.table(
             {
@@ -3032,15 +3422,59 @@ def mm_frame_sample(sf_dir: str):
     )
 
 
+def _sql_mm_frame_sample(sf_dir: str) -> str:
+    """FrameSampleStage fake path: n_frames = bytes // 256; k =
+    min(4, n_frames); sampled indices (pos * n_frames) // k for pos in
+    0..k-1; every sampled frame is a full 256-byte slice (frame k-1
+    ends at n_frames*256 <= payload length)."""
+    return """
+WITH v AS (
+  SELECT doc_id AS item_id,
+         octet_length(encode(text)) // 256 AS nf
+  FROM documents),
+k AS (SELECT item_id, nf, least(4, nf) AS k FROM v WHERE nf >= 1)
+SELECT item_id,
+       CAST((pos * nf) // k AS INTEGER) AS frame_idx,
+       CAST(256 AS BIGINT) AS frame_len
+FROM (SELECT item_id, nf, k, unnest(range(0, k)) AS pos FROM k)"""
+
+
 def mm_features(sf_dir: str):
-    """Multimodal plumbing demo: deterministic synthetic binary media
-    table -> actor-pool decode(stub)+feature stage."""
-    import ray.data as rd2
+    """Multimodal plumbing demo: documents-derived binary media table
+    -> actor-pool decode(stub)+feature stage — hash-checked against
+    the SQL byte-statistics replay."""
+    from .functions.multimodal import media_features
 
-    from .functions.multimodal import media_features, synthesize_media_table
+    return media_features(_media_ds(sf_dir), concurrency=(1, 4), batch_size=256)
 
-    t = synthesize_media_table(2000)
-    return media_features(rd2.from_arrow(t), concurrency=(1, 4), batch_size=256)
+
+def _sql_mm_features(sf_dir: str) -> str:
+    """MediaFeatureStage fake path: byte sums are exact integers (so
+    the float64 mean/std replay is order-independent); var = sq/n -
+    mean^2 and std = sqrt(max(var, 0)) in the engine's operation
+    order. ASCII fixtures: ord(char) == utf8 byte."""
+    return f"""
+WITH {_SQL_MEDIA},
+b AS (
+  SELECT item_id, mime, width, height,
+         octet_length(encode(payload_txt)) AS pb,
+         list_aggregate(
+           [CAST(ord(payload_txt[k]) AS BIGINT)
+            FOR k IN range(1, length(payload_txt) + 1)], 'sum') AS s,
+         list_aggregate(
+           [CAST(ord(payload_txt[k]) AS BIGINT)
+            * CAST(ord(payload_txt[k]) AS BIGINT)
+            FOR k IN range(1, length(payload_txt) + 1)], 'sum') AS sq
+  FROM m)
+SELECT item_id, mime, width, height,
+       CAST(pb AS BIGINT) AS payload_bytes,
+       CAST(s AS DOUBLE) / greatest(pb, 1) AS byte_mean,
+       sqrt(greatest(CAST(sq AS DOUBLE) / greatest(pb, 1)
+                     - (CAST(s AS DOUBLE) / greatest(pb, 1))
+                       * (CAST(s AS DOUBLE) / greatest(pb, 1)), 0.0))
+         AS byte_std,
+       CAST(width AS DOUBLE) / greatest(height, 1) AS aspect_ratio
+FROM b"""
 
 
 # ------------------------------------------------- round-3 late: LM / search
@@ -14362,8 +14796,8 @@ REGISTRY: dict = {
     ),
     "docs_negative_pairs": (docs_negative_pairs, _sql_docs_negative_pairs),
     "embeddings_neardup": (embeddings_neardup, None),
-    "mm_features": (mm_features, None),
-    "mm_resized": (mm_resized, None),
+    "mm_features": (mm_features, _sql_mm_features),
+    "mm_resized": (mm_resized, _sql_mm_resized),
     "events_skew_join_customer": (
         events_skew_join_customer,
         _sql_events_skew_join_customer,
@@ -14454,7 +14888,7 @@ REGISTRY: dict = {
     "ann_brute_topk": (ann_brute_topk, _sql_ann_brute_topk),
     "lp_user_sessions": (lp_user_sessions, _sql_lp_user_sessions),
     "ann_ivf_topk": (ann_ivf_topk, None),
-    "mm_frame_sample": (mm_frame_sample, None),
+    "mm_frame_sample": (mm_frame_sample, _sql_mm_frame_sample),
     "lp_union_errors_slow": (lp_union_errors_slow, _sql_lp_union_errors_slow),
     "seq_token_frequency": (seq_token_frequency, _sql_seq_token_frequency),
     "lp_deadletter_rows": (lp_deadletter_rows, _sql_lp_deadletter_rows),
@@ -14462,9 +14896,9 @@ REGISTRY: dict = {
         docs_decontaminate_audit,
         _sql_docs_decontaminate_audit,
     ),
-    "docs_minhash_dedup": (docs_minhash_dedup, None),
-    "docs_dup_clusters": (docs_dup_clusters, None),
-    "docs_dedup_corpus": (docs_dedup_corpus, None),
+    "docs_minhash_dedup": (docs_minhash_dedup, _sql_docs_minhash_dedup),
+    "docs_dup_clusters": (docs_dup_clusters, _sql_docs_dup_clusters),
+    "docs_dedup_corpus": (docs_dedup_corpus, _sql_docs_dedup_corpus),
     "events_median_value": (events_median_value, _sql_events_median_value),
     "lp_filter_regex": (lp_filter_regex, _sql_lp_filter_regex),
     "seq_pack_stats": (seq_pack_stats, _sql_seq_pack_stats),
@@ -14538,8 +14972,8 @@ REGISTRY: dict = {
         events_type_balanced_sample,
         _sql_events_type_balanced_sample,
     ),
-    "docs_simhash_pairs": (docs_simhash_pairs, None),
-    "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, None),
+    "docs_simhash_pairs": (docs_simhash_pairs, _sql_docs_simhash_pairs),
+    "docs_ngram_jaccard_dedup": (docs_ngram_jaccard_dedup, _sql_docs_ngram_jaccard_dedup),
     "events_approx_distinct_users": (
         events_approx_distinct_users,
         _sql_events_approx_distinct_users,
