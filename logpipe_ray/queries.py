@@ -15058,6 +15058,82 @@ REGISTRY: dict = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Round-5 window rotation (VERDICT r4 item 1): the driver checks the
+# FIRST 50 queries() entries. Every entry in the r4 window is green on
+# record (CORRECTNESS_r04 50/50), so all 50 park and the seats go to:
+#   * the 10 formerly-`no_oracle` entries that gained bitwise SQL
+#     oracles this round (their only driver rows were fails);
+#   * the 4 queries whose implementation migrated off per-key pandas
+#     map_groups this round (green r1/r2 rows predate the rewrite);
+#   * 36 never-driver-checked oracled entries — the full TPC-H set
+#     plus one representative per remaining unchecked operator family.
+# The literal dict above keeps its historical order + curation notes;
+# this list re-orders it without touching entries.
+_WINDOW_R5 = [
+    # formerly no_oracle, now bitwise-oracled (round 5)
+    "events_value_quantiles",
+    "seq_pack_stats",
+    "docs_minhash_dedup",
+    "docs_ngram_jaccard_dedup",
+    "docs_simhash_pairs",
+    "docs_dup_clusters",
+    "docs_dedup_corpus",
+    "mm_features",
+    "mm_resized",
+    "mm_frame_sample",
+    # reimplemented this round (bucketed vectorized sessionize family)
+    "lp_user_sessions",
+    "events_sessionize",
+    "events_user_interarrival",
+    "events_funnel_stages",
+    # never driver-checked: TPC-H suite
+    "q2_min_acctbal_supplier",
+    "q4_late_shipment_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_customers",
+    "q11_important_stock_value",
+    "q12_priority_by_shipmonth",
+    "q13_customer_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_bundle_revenue",
+    "q20_promotion_candidates",
+    "q22_idle_rich_customers",
+    # never driver-checked: one per remaining operator family
+    "events_adaptive_sessions",
+    "lp_log_templates",
+    "docs_langid_confusion",
+    "users_state_asof",
+    "nations_share_of_region",
+    "seq_bigram_heavy_hitters",
+    "docs_split_counts",
+    "events_value_minmax_norm",
+    "seq_chunked",
+    "seq_mlm_masked",
+    "events_value_quantiles_exact",
+    "events_value_winsorized",
+    "events_click_never_purchase",
+    "events_session_entry_exit",
+    "events_type_autocorr",
+    "events_top_movers",
+    "events_ab_hash_split",
+    "events_value_outlier_rate",
+]
+assert len(_WINDOW_R5) == 50, len(_WINDOW_R5)
+assert all(name in REGISTRY for name in _WINDOW_R5)
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _WINDOW_R5},
+    **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_R5},
+}
+
+
 def queries() -> dict:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
