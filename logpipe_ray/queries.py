@@ -7511,10 +7511,13 @@ WHERE levenshtein(a.p, c.p) <= 24"""
 def events_user_value_ewma(sf_dir: str) -> Dataset:
     """Per-user recency-weighted value signal: the adjust=False EWMA
     (alpha = 0.3) of each user's time-ordered event values, reported as
-    the user's last smoothed value + observation count. Rows-only (SQL
-    has no EWMA; the recursion is order-sensitive float by
-    construction) — pytest forces parity with a naive per-key
-    recursion (tests/test_property.py)."""
+    the user's last smoothed value + observation count. Oracled
+    bitwise (round 5): SQL has no EWMA aggregate, but DuckDB's
+    list_reduce is a SEQUENTIAL left fold, so the per-user recursion —
+    including pandas' com round-trip constants and its skip-if-equal
+    quirk — replays in exact IEEE order over list(value ORDER BY ts,
+    event_id). Also pytest-forced against a naive per-key recursion
+    (tests/test_property.py)."""
     from .stages.aggregate import grouped_ewma_last
 
     ev = read_parquet_clean(
@@ -7527,6 +7530,33 @@ def events_user_value_ewma(sf_dir: str) -> Dataset:
         ev, key="user_id", order_cols=["ts", "event_id"], value_col="value",
         alpha=0.3,
     )
+
+
+def _sql_events_user_value_ewma(sf_dir: str) -> str:
+    """grouped_ewma_last's exact contract (stages/aggregate.py): alpha
+    round-trips through com (a' = 1/(1 + (1/a - 1))), each step is
+    y = (owf*y + a'*x) / (owf + a') with owf = 1 - a', and equal
+    consecutive values skip the update entirely (pandas' cython
+    kernel avoids the float ops, keeping y bit-identical). list_reduce
+    folds left sequentially, so the replay is bitwise."""
+    alpha = 0.3
+    com = 1.0 / alpha - 1.0
+    a2 = 1.0 / (1.0 + com)
+    owf = 1.0 - a2
+    return f"""
+WITH e AS (
+  SELECT user_id, value, ts, event_id FROM events WHERE value IS NOT NULL
+),
+lists AS (
+  SELECT user_id, count(*) AS n_obs,
+         list(value ORDER BY ts, event_id) AS vals
+  FROM e GROUP BY user_id
+)
+SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+       list_reduce(vals, (acc, x) -> CASE WHEN acc = x THEN acc
+            ELSE ({owf!r} * acc + {a2!r} * x) / ({owf!r} + {a2!r}) END)
+         AS ewma_last
+FROM lists"""
 
 
 
@@ -14279,9 +14309,9 @@ def parts_kcore_members(sf_dir: str) -> Dataset:
     the dense-community separator beside PageRank / triangles / BFS
     (functions/graph.py kcore_nodes; driver bincount peeling under the
     edge guard, semi-join rounds above, pytest-forced equal). The
-    k-core is unique -> deterministic; rows-only by design (an
-    unbounded fixpoint is not SQL-expressible), brute-reference
-    pytest."""
+    k-core is unique -> deterministic; oracled (round 5) by a
+    48-round unrolled peel in SQL (see _sql_parts_kcore_members) plus
+    the brute-reference pytest."""
     from .functions.graph import kcore_nodes
     from ray.data.aggregate import Sum as _Sum
 
@@ -14330,6 +14360,43 @@ def parts_kcore_members(sf_dir: str) -> Dataset:
             )
         )
     return kcore_nodes(strong, k=_KCORE_K)
+
+
+def _sql_parts_kcore_members(sf_dir: str) -> str:
+    """Replays the strong-graph build (distinct (order, part) ->
+    within-order pairs -> co-occurrence count >= _KCORE_MIN_COOCCUR)
+    and the k-core peel as {rounds} unrolled MATERIALIZED rounds
+    (each: degree within the surviving set, HAVING >= k). The k-core
+    is the unique fixpoint and peeling strictly shrinks the set, so
+    any rounds beyond convergence are no-ops; 48 rounds covers graphs
+    that peel 4x deeper than sf0.01's measured 10 rounds. (A true
+    unbounded fixpoint would need aggregation inside a recursive CTE,
+    which SQL forbids — this bounded unroll is the honest equivalent,
+    like the 18-round pointer-doubling in _sql_seq_pack_stats.)"""
+    rounds = 48
+    k = _KCORE_K
+    ctes = [
+        """op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""",
+        f"""strong AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT a.p AS u, b.p AS v, count(*) AS c
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p)
+  WHERE c >= {_KCORE_MIN_COOCCUR})""",
+        """dir AS MATERIALIZED (
+  SELECT u AS node, v AS other FROM strong
+  UNION ALL SELECT v, u FROM strong)""",
+        "s0 AS MATERIALIZED (SELECT DISTINCT node FROM dir)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""s{i + 1} AS MATERIALIZED (
+  SELECT d.node FROM dir d
+  JOIN s{i} a ON d.node = a.node
+  JOIN s{i} b ON d.other = b.node
+  GROUP BY d.node HAVING count(*) >= {k})"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node FROM s{rounds}"
 
 
 
@@ -14936,7 +15003,7 @@ REGISTRY: dict = {
         events_type_hour_skewness,
         _sql_events_type_hour_skewness,
     ),
-    "events_user_value_ewma": (events_user_value_ewma, None),
+    "events_user_value_ewma": (events_user_value_ewma, _sql_events_user_value_ewma),
     "q6_forecast_revenue": (q6_forecast_revenue, _sql_q6_forecast_revenue),
     "q15_top_supplier": (q15_top_supplier, _sql_q15_top_supplier),
     "q16_supplier_cnt": (q16_supplier_cnt, _sql_q16_supplier_cnt),
@@ -14966,7 +15033,7 @@ REGISTRY: dict = {
     "events_purchase_logit": (events_purchase_logit, None),
     "docs_mmr_select": (docs_mmr_select, None),
     "docs_compression_audit": (docs_compression_audit, None),
-    "parts_kcore_members": (parts_kcore_members, None),
+    "parts_kcore_members": (parts_kcore_members, _sql_parts_kcore_members),
     "parts_bfs_reach": (parts_bfs_reach, _sql_parts_bfs_reach),
     "events_type_balanced_sample": (
         events_type_balanced_sample,
