@@ -350,3 +350,83 @@ def logistic_fit(
     coef = {c: float(w[i]) for i, c in enumerate(x_cols)}
     b = float(w[d]) if intercept else 0.0
     return coef, b, n_total, iters_done, loss
+
+
+def linreg_fit_int_cramer(
+    ds: Dataset, x_cols: list[str], y_col: str
+) -> tuple[dict, float, int]:
+    """OLS for INTEGER-valued features + response (2 features +
+    intercept), EXACTLY reproducible: per-batch int64 moment partials
+    (9 scalars: n, Σx1², Σx1x2, Σx1, Σx2², Σx2, Σx1y, Σx2y, Σy) are
+    order-invariant exact integers, and the 3x3 normal equations are
+    solved by CRAMER'S RULE on Python bigints — each coefficient is
+    float(det_i) / float(det), exactly two IEEE roundings, which a SQL
+    oracle replays with HUGEINT determinants (unlike linreg_fit's
+    LAPACK solve, whose float pivoting is not SQL-expressible).
+    Integer-overflow bound: int64 partials need rows x max|x*y| <
+    2^63 (~4e17 cents-hours — fine past 1e10 rows); the driver fold
+    and determinants are arbitrary-precision.
+
+    Returns (coef dict, intercept, n) like linreg_fit."""
+    import ray as _ray
+
+    if len(x_cols) != 2:
+        raise ValueError("linreg_fit_int_cramer: exactly 2 features")
+    c1, c2 = x_cols
+
+    def moments(t: pa.Table) -> pa.Table:
+        x1 = t[c1].to_numpy(zero_copy_only=False).astype(np.int64)
+        x2 = t[c2].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(y)], pa.int64()),
+                "s11": pa.array([int(x1 @ x1)], pa.int64()),
+                "s12": pa.array([int(x1 @ x2)], pa.int64()),
+                "s1": pa.array([int(x1.sum())], pa.int64()),
+                "s22": pa.array([int(x2 @ x2)], pa.int64()),
+                "s2": pa.array([int(x2.sum())], pa.int64()),
+                "s1y": pa.array([int(x1 @ y)], pa.int64()),
+                "s2y": pa.array([int(x2 @ y)], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in _ray.get(
+            ds.map_batches(moments, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_columns and t.num_rows
+    ]
+    if not parts:
+        raise ValueError("linreg_fit_int_cramer: empty input")
+    tbl = pa.concat_tables(parts)
+    s = {k: sum(int(v) for v in tbl[k].to_pylist()) for k in tbl.column_names}
+    n = s["n"]
+    A = [
+        [s["s11"], s["s12"], s["s1"]],
+        [s["s12"], s["s22"], s["s2"]],
+        [s["s1"], s["s2"], n],
+    ]
+    b = [s["s1y"], s["s2y"], s["sy"]]
+
+    def det3(m) -> int:
+        return (
+            m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+            - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+            + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+        )
+
+    det = det3(A)
+    if det == 0:
+        raise ValueError("linreg_fit_int_cramer: singular system")
+
+    def repl(col: int):
+        return [
+            [b[r] if c == col else A[r][c] for c in range(3)]
+            for r in range(3)
+        ]
+
+    beta = [float(det3(repl(i))) / float(det) for i in range(3)]
+    return {c1: beta[0], c2: beta[1]}, beta[2], n

@@ -9548,13 +9548,14 @@ FROM grid GROUP BY source"""
 def events_value_linreg(sf_dir: str) -> pa.Table:
     """Multi-feature OLS fit (value_cents ~ hour + day-of-week +
     intercept) over the full events stream in ONE streaming pass —
-    the normal-equations plan (functions/linalg.py linreg_fit): each
-    batch ships (d+1)² + (d+1) doubles of (XᵀX, Xᵀy) partials
-    regardless of row count; the driver solves the 3x3 system.
-    Rows-only by design: float partials merge in block order (same
-    determinism contract as PCA; no SQL oracle can express solve());
-    pytest pins coefficients against numpy lstsq."""
-    from .functions.linalg import linreg_fit
+    the normal-equations plan. Features and response are integers, so
+    the fit uses linreg_fit_int_cramer (functions/linalg.py, round 5):
+    int64 moment partials are EXACT and order-invariant, and the 3x3
+    system solves by Cramer's rule on bigints — each coefficient is
+    float(det_i)/float(det), replayed bitwise by the HUGEINT SQL
+    oracle (the generic float-partial linreg_fit + LAPACK solve
+    remains for non-integer features, pytest-pinned to numpy lstsq)."""
+    from .functions.linalg import linreg_fit_int_cramer
 
     ev = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["ts", "value"]
@@ -9564,13 +9565,15 @@ def events_value_linreg(sf_dir: str) -> pa.Table:
         t = t.filter(pc.is_valid(t["value"]))
         return pa.table(
             {
-                "hour": pc.cast(pc.hour(t["ts"]), pa.float64()),
-                "dow": pc.cast(pc.day_of_week(t["ts"]), pa.float64()),
-                "y": pc.round(pc.multiply(t["value"], 100.0)),
+                "hour": pc.cast(pc.hour(t["ts"]), pa.int64()),
+                "dow": pc.cast(pc.day_of_week(t["ts"]), pa.int64()),
+                "y": pc.cast(
+                    pc.round(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
             }
         )
 
-    coef, b0, n = linreg_fit(
+    coef, b0, n = linreg_fit_int_cramer(
         ev.map_batches(prep, batch_format="pyarrow"), ["hour", "dow"], "y"
     )
     return pa.table(
@@ -9581,6 +9584,51 @@ def events_value_linreg(sf_dir: str) -> pa.Table:
             "n": pa.array([n], pa.int64()),
         }
     )
+
+
+def _sql_events_value_linreg(sf_dir: str) -> str:
+    """HUGEINT replay of linreg_fit_int_cramer: exact integer moment
+    sums, the same fixed-expansion 3x3 determinants, and one double
+    division per coefficient. Arrow's day_of_week is Monday=0 ->
+    DuckDB isodow - 1."""
+    det = (
+        "{a00}*({a11}*{a22} - {a12}*{a21})"
+        " - {a01}*({a10}*{a22} - {a12}*{a20})"
+        " + {a02}*({a10}*{a21} - {a11}*{a20})"
+    )
+    A = [["s11", "s12", "s1"], ["s12", "s22", "s2"], ["s1", "s2", "n"]]
+    b = ["s1y", "s2y", "sy"]
+
+    def d(col: int | None) -> str:
+        m = [
+            [b[r] if c == col else A[r][c] for c in range(3)]
+            for r in range(3)
+        ]
+        return det.format(
+            a00=m[0][0], a01=m[0][1], a02=m[0][2],
+            a10=m[1][0], a11=m[1][1], a12=m[1][2],
+            a20=m[2][0], a21=m[2][1], a22=m[2][2],
+        )
+
+    return f"""
+WITH e AS (
+  SELECT CAST(hour(ts) AS HUGEINT) AS h,
+         CAST(isodow(ts) - 1 AS HUGEINT) AS d,
+         CAST(round(value * 100.0) AS HUGEINT) AS y
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(h*h) AS s11, sum(h*d) AS s12, sum(h) AS s1,
+         sum(d*d) AS s22, sum(d) AS s2,
+         sum(h*y) AS s1y, sum(d*y) AS s2y, sum(y) AS sy
+  FROM e
+)
+SELECT CAST({d(0)} AS DOUBLE) / CAST({d(None)} AS DOUBLE) AS coef_hour,
+       CAST({d(1)} AS DOUBLE) / CAST({d(None)} AS DOUBLE) AS coef_dow,
+       CAST({d(2)} AS DOUBLE) / CAST({d(None)} AS DOUBLE) AS intercept,
+       CAST(n AS BIGINT) AS n
+FROM s"""
 
 
 _NEG_PAIR_BUCKETS = 64
@@ -15029,7 +15077,7 @@ REGISTRY: dict = {
         _sql_seq_distinct_token_ratio,
     ),
     "seq_truncation_stats": (seq_truncation_stats, _sql_seq_truncation_stats),
-    "events_value_linreg": (events_value_linreg, None),
+    "events_value_linreg": (events_value_linreg, _sql_events_value_linreg),
     "events_purchase_logit": (events_purchase_logit, None),
     "docs_mmr_select": (docs_mmr_select, None),
     "docs_compression_audit": (docs_compression_audit, None),

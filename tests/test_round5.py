@@ -197,3 +197,32 @@ def test_copurchase_edges_no_pairs(ray_session):
     assert ds.count() == 0
     # typed empty: schema is carried even with zero rows
     assert ds.schema().names == ["u", "v"]
+
+
+def test_linreg_int_cramer_matches_lstsq(ray_session):
+    """Exact integer-Cramer OLS equals numpy lstsq to float precision
+    and is invariant to partitioning."""
+    import ray
+    from logpipe_ray.functions.linalg import linreg_fit_int_cramer
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    x1 = rng.integers(0, 24, n)
+    x2 = rng.integers(0, 7, n)
+    y = 250 * x1 - 40 * x2 + 1300 + rng.integers(-500, 500, n)
+    df = pd.DataFrame({"x1": x1, "x2": x2, "y": y})
+
+    X = np.column_stack([x1, x2, np.ones(n)]).astype(np.float64)
+    ref, *_ = np.linalg.lstsq(X, y.astype(np.float64), rcond=None)
+
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        coef, b0, cnt = linreg_fit_int_cramer(ds, ["x1", "x2"], "y")
+        assert cnt == n
+        outs.append((coef["x1"], coef["x2"], b0))
+        np.testing.assert_allclose(
+            [coef["x1"], coef["x2"], b0], ref, rtol=1e-9
+        )
+    # partition-invariant BITWISE (integer partials + one float division)
+    assert outs[0] == outs[1]
