@@ -15237,9 +15237,12 @@ _WINDOW_R5 = [
     "events_click_never_purchase",
     "events_session_entry_exit",
     "events_type_autocorr",
-    "events_top_movers",
-    "events_ab_hash_split",
-    "events_value_outlier_rate",
+    # post-verdict round-5 oracles (EWMA list_reduce fold, unrolled
+    # k-core peel, integer-Cramer OLS) — swapped in for two sampling
+    # reps so the novel replays get official rows
+    "events_user_value_ewma",
+    "parts_kcore_members",
+    "events_value_linreg",
 ]
 assert len(_WINDOW_R5) == 50, len(_WINDOW_R5)
 assert all(name in REGISTRY for name in _WINDOW_R5)
