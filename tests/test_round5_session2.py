@@ -1,0 +1,152 @@
+"""Round-5 session-2: the BPE-training SQL replay (the last
+algorithmically-oracle-able `no_oracle` family).
+
+The DuckDB oracle replays every BPE round bitwise — pair counts,
+(cnt DESC, t1, t2) argmax, and the greedy left-to-right non-overlap
+rewrite expressed as run-parity. These tests pin the replay against
+the repo's own kernels on a synthetic corpus engineered around the
+hard cases (overlap runs of even/odd length, ties, empty and
+length-1 sequences), plus the real fixture end-to-end.
+"""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_shards(tmp_path, seqs_per_shard):
+    for s, seqs in enumerate(seqs_per_shard):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(
+                    [f"doc-{s:04d}-{i:06d}" for i in range(len(seqs))]
+                ),
+                "tokens": pa.array(
+                    [list(map(int, x)) for x in seqs], pa.list_(pa.int32())
+                ),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / f"shard_{s:04d}.parquet"))
+    return str(tmp_path)
+
+
+@pytest.fixture(scope="module")
+def overlap_corpus(tmp_path_factory):
+    """Two shards engineered for the rewrite's hard cases: (a,a) runs
+    of even and odd length (run-parity), exact count ties (argmax
+    tiebreak), empty and singleton sequences, and pairs that only
+    become frequent AFTER an earlier merge creates the new token."""
+    rng = np.random.default_rng(11)
+    seqs0 = [
+        [2, 2, 2, 2, 2, 2],          # even run of (2,2)
+        [2, 2, 2, 2, 2],             # odd run
+        [3, 3, 3, 1, 3, 3, 3, 3],    # runs split by a non-match
+        [],                          # empty sequence
+        [7],                         # singleton
+        [1, 2, 1, 2, 1, 2, 1],       # alternating — (1,2)/(2,1) tie shape
+    ]
+    seqs1 = [rng.integers(1, 8, size=int(rng.integers(0, 14))) for _ in range(60)]
+    return seqs0, seqs1
+
+
+def _learn_sql(path: str, k: int) -> str:
+    from logpipe_ray.queries import (
+        _sql_bpe_flat_cte,
+        _sql_bpe_merge_rows,
+        _sql_bpe_round_ctes,
+    )
+
+    nid = "(SELECT nid0 FROM mx)"
+    ctes = [
+        _sql_bpe_flat_cte("", path),
+        "mx AS (SELECT CAST(max(tok) + 1 AS INTEGER) AS nid0 FROM f0)",
+    ]
+    for r in range(k):
+        ctes += _sql_bpe_round_ctes("", r, nid)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + _sql_bpe_merge_rows("", k, nid) + "\nORDER BY rank"
+    )
+
+
+def test_bpe_learn_sql_replay_synthetic(tmp_path, overlap_corpus):
+    from logpipe_ray.functions.bpe import _learn_driver
+
+    seqs0, seqs1 = overlap_corpus
+    path = _write_shards(tmp_path, [seqs0, seqs1])
+    tbl = pq.read_table(path, columns=["tokens"])
+    flat = tbl["tokens"].combine_chunks().flatten()
+    first_new_id = int(pa.compute.max(flat).as_py() or 0) + 1
+
+    K = 6
+    ref = _learn_driver(tbl, K, "tokens", first_new_id)
+    got = duckdb.connect().execute(_learn_sql(path, K)).fetchall()
+    assert [tuple(int(v) for v in row) for row in got] == [
+        tuple(r) for r in ref
+    ]
+    assert len(ref) >= 3  # the corpus actually trains several merges
+
+
+def test_bpe_apply_sql_replay_synthetic(tmp_path, overlap_corpus):
+    """The APPLY chain (best_from=literal merge CTEs) must reproduce
+    apply_merge_batch exactly — checked on the post-rewrite per-seq
+    token COUNTS (what seq_bpe_encode aggregates) and total sum."""
+    from logpipe_ray.functions.bpe import apply_merge_batch, _learn_driver
+    from logpipe_ray.queries import _sql_bpe_flat_cte, _sql_bpe_round_ctes
+
+    seqs0, seqs1 = overlap_corpus
+    path = _write_shards(tmp_path, [seqs0, seqs1])
+    tbl = pq.read_table(path, columns=["tokens"])
+    flat = tbl["tokens"].combine_chunks().flatten()
+    nid0 = int(pa.compute.max(flat).as_py() or 0) + 1
+
+    K = 4
+    merges = _learn_driver(tbl, K, "tokens", nid0)
+    assert len(merges) == K
+    out = tbl
+    for rank, t1, t2, new_id, _ in merges:
+        out = apply_merge_batch(out, t1, t2, new_id, "tokens")
+    ref_lens = sorted(
+        pa.compute.list_value_length(out["tokens"]).to_pylist()
+    )
+
+    ctes = [_sql_bpe_flat_cte("a", path)]
+    for r, (rank, t1, t2, new_id, _) in enumerate(merges):
+        ctes.append(
+            f"sb{r} AS (SELECT CAST({t1} AS INTEGER) AS t1,"
+            f" CAST({t2} AS INTEGER) AS t2)"
+        )
+        ctes += _sql_bpe_round_ctes("a", r, str(nid0), best_from=f"sb{r}")
+    sql = (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT seq, count(*) AS n FROM af{K} GROUP BY seq"
+    )
+    got = duckdb.connect().execute(sql).fetchdf()
+    # empty/fully-consumed seqs don't appear in the flat table
+    n_nonempty = int((pa.compute.list_value_length(out["tokens"]).to_numpy(
+        zero_copy_only=False) > 0).sum())
+    assert len(got) == n_nonempty
+    got_lens = sorted(
+        int(v) for v in got["n"]
+    ) + [0] * (len(ref_lens) - n_nonempty)
+    assert sorted(got_lens) == ref_lens
+
+
+def test_bpe_sampled_oracle_on_fixture(ray_session):
+    """End-to-end at sf0.001: the registry query (real distributed
+    route incl. the hash-sample) vs its DuckDB oracle (FNV+splitmix
+    membership replay + 12 replay rounds)."""
+    from logpipe_ray.queries import (
+        _sql_seq_bpe_merges_sampled,
+        seq_bpe_merges_sampled,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ray_tbl = seq_bpe_merges_sampled(sf)
+    got = duckdb.connect().execute(_sql_seq_bpe_merges_sampled(sf)).fetchdf()
+    assert len(got) == ray_tbl.num_rows
+    rdf = ray_tbl.to_pandas()
+    for c in ["rank", "t1", "t2", "new_id", "cnt"]:
+        assert got[c].tolist() == rdf[c].tolist(), c
