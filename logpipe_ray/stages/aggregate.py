@@ -2309,6 +2309,11 @@ def sweep_time_integral(
 
 
 WEIGHTED_QUANTILE_DISTINCT_LIMIT = 5_000_000  # driver-held (key, value) rows
+# per-batch partial rows at or under this fold on the driver WITHOUT the
+# keyed exchange — the fold's cumulative scan absorbs duplicate
+# (key, value) rows across batches, so the all-to-all Aggregate buys
+# nothing until the partial mass itself outgrows the driver
+WEIGHTED_QUANTILE_DRIVER_MERGE_ROWS = 4_000_000
 
 
 def grouped_weighted_quantile(
@@ -2319,6 +2324,7 @@ def grouped_weighted_quantile(
     q_permille: int = 500,
     out_col: str = "wq_value",
     distinct_limit: int = WEIGHTED_QUANTILE_DISTINCT_LIMIT,
+    driver_merge_rows: int = WEIGHTED_QUANTILE_DRIVER_MERGE_ROWS,
 ) -> pa.Table:
     """Exact per-group WEIGHTED lower quantile over integer values and
     integer weights: the smallest v whose cumulative weight reaches
@@ -2347,20 +2353,24 @@ def grouped_weighted_quantile(
         )
         return g.rename_columns([key, value_col, "w"])
 
-    # bounded by #groups x domain: materialize once so the guard count
-    # and the collect (or the refinement passes) never re-execute the
-    # upstream
-    dist = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby([key, value_col])
-        .sum("w")
-        .materialize()
-    )
-    cnt = dist.count()
-    if cnt > distinct_limit:
-        return _weighted_quantile_selection(
-            dist, key, value_col, q_permille, out_col
-        )
+    # bounded by #groups x domain x batches: materialize the per-batch
+    # partials once so the guard count and the fold (or the exchange +
+    # refinement passes) never re-execute the upstream
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if parts.count() <= driver_merge_rows:
+        # driver-merge fast path: skip the keyed all-to-all entirely.
+        # Partial rows may repeat a (key, value) across batches; the
+        # sorted cumulative scan below crosses the threshold at the
+        # same distinct value whether or not duplicates were pre-summed
+        # (F(v) counts ALL rows <= v either way), so this route is
+        # byte-equal to the exchanged one (forced-route pytest).
+        dist = parts
+    else:
+        dist = parts.groupby([key, value_col]).sum("w").materialize()
+        if dist.count() > distinct_limit:
+            return _weighted_quantile_selection(
+                dist, key, value_col, q_permille, out_col
+            )
     df = dist.to_pandas()
     col = "sum(w)" if "sum(w)" in df.columns else "w"
     df = df.sort_values([key, value_col], ignore_index=True)

@@ -497,12 +497,23 @@ def test_weighted_median_brute_force_and_guard(ray_session):
     )
     big = rd.from_arrow(tbl).repartition(7)
     for qpm in (500, 250, 990):
+        # three routes, all byte-equal: driver-merge (default — no keyed
+        # exchange), exchanged dense fold (driver_merge_rows=0), and
+        # distributed selection refinement (+ distinct_limit=0)
         dense = grouped_weighted_quantile(
             big, "k", "v", "w", q_permille=qpm
         ).to_pandas()
-        forced = grouped_weighted_quantile(
-            big, "k", "v", "w", q_permille=qpm, distinct_limit=0
+        exchanged = grouped_weighted_quantile(
+            big, "k", "v", "w", q_permille=qpm, driver_merge_rows=0
         ).to_pandas()
+        forced = grouped_weighted_quantile(
+            big, "k", "v", "w", q_permille=qpm,
+            driver_merge_rows=0, distinct_limit=0,
+        ).to_pandas()
+        pd.testing.assert_frame_equal(
+            dense.sort_values("k", ignore_index=True),
+            exchanged.sort_values("k", ignore_index=True),
+        )
         pd.testing.assert_frame_equal(
             dense.sort_values("k", ignore_index=True),
             forced.sort_values("k", ignore_index=True),
