@@ -186,6 +186,109 @@ def _learn_driver(
 # (few-block repartition + driver-merged top-1).
 BPE_DRIVER_ROWS = 25_000
 
+# The fused-task loop (one pass per round: rewrite last merge + count
+# pairs in the SAME task, partials folded in a pick task, never on the
+# driver) holds one partial per block in the pick task's heap, so it
+# routes only up to this many blocks; beyond it (the 100 TB regime,
+# where a single pick task could not hold blocks x distinct-pair
+# partials) the Dataset loop with _merge_count_partials' bounded
+# keyed-aggregate routing takes over. Block count, not row count, is
+# the right guard: per-block partials are bounded by the (vocab+k)^2
+# pair domain, which byte-level BPE keeps small.
+BPE_FUSED_MAX_BLOCKS = 4096
+
+
+def _fused_round(block: pa.Table, merge, tokens_col: str):
+    """One fused BPE round over one block: apply the PREVIOUS round's
+    merge (None on round 0), then count the rewritten block's adjacent
+    pairs — the same kernels the Dataset loop runs as two passes."""
+    if block.num_columns == 0:
+        return block, pa.table(
+            {"key": pa.array([], pa.int64()), "p": pa.array([], pa.int64())}
+        )
+    if merge is not None:
+        t1, t2, nid = merge
+        block = apply_merge_batch(block, t1, t2, nid, tokens_col)
+    return block, _pair_count_partial(tokens_col)(block)
+
+
+def _pick_top(*partials):
+    """Fold per-block pair partials and return (packed_key, count) of
+    the global argmax with the (cnt DESC, key ASC) tiebreak — runs as
+    a task so the driver never touches the partial mass (this VM
+    charges ~1s/25MB of first-touch driver pages)."""
+    tbls = [p for p in partials if p.num_rows]
+    if not tbls:
+        return (-1, 0)
+    t = pa.concat_tables(tbls)
+    k = np.asarray(t["key"], dtype=np.int64)
+    c = np.asarray(t["p"], dtype=np.int64)
+    order = np.argsort(k, kind="stable")
+    ks, cs = k[order], c[order]
+    starts = np.ones(len(ks), dtype=bool)
+    starts[1:] = ks[1:] != ks[:-1]
+    idx = np.flatnonzero(starts)
+    sums = np.add.reduceat(cs, idx)
+    keys = ks[idx]
+    best = np.lexsort((keys, -sums))[0]
+    return (int(keys[best]), int(sums[best]))
+
+
+def _learn_dataset_loop(
+    cur, k_merges: int, tokens_col: str, first_new_id: int
+) -> list[tuple[int, int, int, int, int]]:
+    """The all-Dataset loop (2 pipeline executions per round through
+    _merge_count_partials' bounded keyed-aggregate routing) — the
+    route for corpora whose block count exceeds what one pick task
+    should fold (BPE_FUSED_MAX_BLOCKS)."""
+    rows: list = []
+    next_id = first_new_id
+    for rank in range(k_merges):
+        top = _top_pair(cur, tokens_col)
+        if top is None or top[2] < 2:
+            break
+        t1, t2, cnt = top
+        rows.append((rank, t1, t2, next_id, cnt))
+        cur = cur.map_batches(
+            lambda t, _a=t1, _b=t2, _n=next_id: apply_merge_batch(
+                t, _a, _b, _n, tokens_col
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        next_id += 1
+    return rows
+
+
+def _learn_fused_tasks(
+    refs: list, k_merges: int, tokens_col: str, first_new_id: int
+) -> list[tuple[int, int, int, int, int]]:
+    """All-rounds fused-task loop over materialized block refs: round r
+    rewrites merge r-1 and counts in ONE pass per block (k passes total
+    vs the Dataset loop's 2k — the learned table never needs the final
+    rewrite), with zero per-round Dataset exchanges. Byte-equal to the
+    other routes by construction: identical per-block kernels, and
+    global pair counts are sums of per-block value_counts under any
+    blocking (forced-route pytest)."""
+    import ray
+
+    fused = ray.remote(num_returns=2)(_fused_round)
+    pick = ray.remote(_pick_top)
+
+    rows: list = []
+    next_id = first_new_id
+    merge = None
+    for rank in range(k_merges):
+        outs = [fused.remote(r, merge, tokens_col) for r in refs]
+        refs = [o[0] for o in outs]
+        key, cnt = ray.get(pick.remote(*[o[1] for o in outs]))
+        if key < 0 or cnt < 2:
+            break
+        t1, t2 = key // int(_PACK), key % int(_PACK)
+        rows.append((rank, t1, t2, next_id, cnt))
+        merge = (t1, t2, next_id)
+        next_id += 1
+    return rows
+
 
 def learn_bpe_merges(
     ds: Dataset,
@@ -271,21 +374,13 @@ def learn_bpe_merges(
         ).to_pandas()
         first_new_id = int(maxes["m"].max()) + 1
 
-    rows = []
-    next_id = first_new_id
-    for rank in range(k_merges):
-        top = _top_pair(cur, tokens_col)
-        if top is None or top[2] < 2:
-            break
-        t1, t2, cnt = top
-        rows.append((rank, t1, t2, next_id, cnt))
-        cur = cur.map_batches(
-            lambda t, _a=t1, _b=t2, _n=next_id: apply_merge_batch(
-                t, _a, _b, _n, tokens_col
-            ),
-            batch_format="pyarrow",
-        ).materialize()
-        next_id += 1
+    import ray
+
+    refs = cur.to_arrow_refs()
+    if len(refs) <= BPE_FUSED_MAX_BLOCKS:
+        rows = _learn_fused_tasks(refs, k_merges, tokens_col, first_new_id)
+    else:
+        rows = _learn_dataset_loop(cur, k_merges, tokens_col, first_new_id)
 
     return pa.table(
         {

@@ -148,10 +148,14 @@ def test_sample_mod_equals_prefiltered_training(ray_session):
 
 
 def test_driver_and_distributed_routes_byte_equal(ray_session):
-    """The bounded-driver training route (corpus <= driver_rows) and
-    the distributed per-round loop must learn the IDENTICAL merge
-    table — same kernels, forced via driver_rows=0."""
+    """All THREE training routes must learn the IDENTICAL merge table:
+    the bounded-driver loop (corpus <= driver_rows), the fused-task
+    loop (driver_rows=0, blocks <= BPE_FUSED_MAX_BLOCKS — one
+    rewrite+count pass per round), and the all-Dataset loop (the
+    >BPE_FUSED_MAX_BLOCKS route, called directly)."""
     import ray.data as rd
+
+    from logpipe_ray.functions.bpe import _learn_dataset_loop
 
     rng = np.random.default_rng(41)
     seqs = [rng.integers(3, 30, size=rng.integers(4, 40)).tolist() for _ in range(500)]
@@ -162,3 +166,14 @@ def test_driver_and_distributed_routes_byte_equal(ray_session):
     )
     assert a.num_rows == 8
     assert a.equals(b)
+
+    cur = rd.from_arrow(tbl).select_columns(["tokens"]).materialize()
+    first_new_id = int(max(max(s) for s in seqs if s)) + 1
+    ds_rows = _learn_dataset_loop(cur, 8, "tokens", first_new_id)
+    got = [
+        (int(a["rank"][i].as_py()), int(a["t1"][i].as_py()),
+         int(a["t2"][i].as_py()), int(a["new_id"][i].as_py()),
+         int(a["cnt"][i].as_py()))
+        for i in range(a.num_rows)
+    ]
+    assert ds_rows == got
