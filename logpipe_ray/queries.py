@@ -3870,6 +3870,7 @@ def suppliers_pagerank(sf_dir: str) -> Dataset:
     and the oracle replays the identical integer expressions with the
     iterations unrolled — a HASH-CHECKED iterative algorithm."""
     from .functions.graph import pagerank_fixed
+    from .stages.join import auto_join
 
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
@@ -3877,12 +3878,16 @@ def suppliers_pagerank(sf_dir: str) -> Dataset:
     lineitem = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
     )
-    joined = lineitem.join(
-        orders.repartition(8),
-        join_type="inner",
-        num_partitions=8,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+    # orders->custkey is a unique-key lookup: broadcast it (one ray.put,
+    # zero shuffle) up to ~32 MB of dict; beyond that auto_join routes
+    # to the skew-guarded hash join — the honest both-sides-big plan
+    joined = auto_join(
+        lineitem,
+        orders,
+        key="l_orderkey",
+        dim_key="o_orderkey",
+        dim_cols=["o_custkey"],
+        dim_broadcast_rows=2_000_000,
     )
 
     def edges_fwd(t: pa.Table) -> pa.Table:
