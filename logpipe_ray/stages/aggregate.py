@@ -1995,6 +1995,77 @@ def grouped_spearman(
     return summed.map_batches(finish, batch_format="pyarrow")
 
 
+# boundary rows at or under this fold in ONE task (global lexsort +
+# cumsum — the bucketed plan's math with a zero prefix), skipping the
+# totals exchange, the per-bucket shuffle and the finish repartition;
+# the task, not the driver, holds the rows (first-touch driver pages
+# cost ~1s/25MB on this VM)
+SWEEP_FOLD_TASK_ROWS = 4_000_000
+
+
+def _sweep_bounds_blocks(blocks) -> tuple:
+    import pyarrow as _pa
+
+    tbls = [b for b in blocks if b.num_columns and b.num_rows]
+    if not tbls:
+        return None, None
+    t = _pa.concat_tables(tbls)
+    tv = np.asarray(t["t"], dtype=np.int64)
+    dv = np.asarray(t["delta"], dtype=np.int64)
+    order = np.lexsort((-dv, tv))  # +1 before -1 at ties
+    return tv[order], np.cumsum(dv[order])
+
+
+def _sweep_max_fold(bucket_us: int, out_grain_us: int, out_col: str, *blocks):
+    """Global sweep fold: per out-grain max of the running count.
+    Equal to the bucketed plan by construction — buckets partition the
+    sorted t-axis into contiguous slices, where prefix(b) + local
+    cumsum IS the global cumsum."""
+    ts_s, conc = _sweep_bounds_blocks(blocks)
+    if ts_s is None:
+        return pa.table(
+            {"grain": pa.array([], pa.int64()), out_col: pa.array([], pa.int64())}
+        )
+    g = ts_s // out_grain_us
+    starts = np.ones(len(g), dtype=bool)
+    starts[1:] = g[1:] != g[:-1]
+    idx = np.flatnonzero(starts)
+    return pa.table(
+        {
+            "grain": pa.array(g[idx], pa.int64()),
+            out_col: pa.array(np.maximum.reduceat(conc, idx), pa.int64()),
+        }
+    )
+
+
+def _sweep_integral_fold(*blocks):
+    """Global time-weighted sweep fold: integral / peak / span / avg
+    in one pass — the bucketed plan's math with one bucket and zero
+    prefix (cross-bucket segments collapse into the same cumsum)."""
+    ts_s, conc = _sweep_bounds_blocks(blocks)
+    if ts_s is None:
+        peak = integral = span = 0
+    else:
+        integral = (
+            int(np.sum(conc[:-1] * (ts_s[1:] - ts_s[:-1])))
+            if len(conc) > 1
+            else 0
+        )
+        peak = int(conc.max())
+        span = int(ts_s[-1] - ts_s[0])
+    avg = float(integral) / float(span) if span > 0 else float("nan")
+    return pa.table(
+        {
+            "peak_concurrent": pa.array([peak], pa.int64()),
+            "conc_us_integral": pa.array([integral], pa.int64()),
+            "span_us": pa.array([span], pa.int64()),
+            "avg_concurrency": pa.array(
+                [avg], pa.float64(), mask=np.array([span <= 0])
+            ),
+        }
+    )
+
+
 def sweep_max_concurrent(
     intervals: Dataset,
     t0_col: str,
@@ -2002,6 +2073,7 @@ def sweep_max_concurrent(
     bucket_us: int,
     out_grain_us: int,
     out_col: str = "max_concurrent",
+    fold_task_rows: int = SWEEP_FOLD_TASK_ROWS,
 ) -> Dataset:
     """Interval SWEEP-LINE: peak number of concurrently-open intervals
     per ``out_grain_us`` bucket (inclusive occupancy — an interval
@@ -2041,7 +2113,18 @@ def sweep_max_concurrent(
             }
         )
 
-    bounds = intervals.map_batches(boundaries, batch_format="pyarrow")
+    bounds = intervals.map_batches(
+        boundaries, batch_format="pyarrow"
+    ).materialize()
+    if bounds.count() <= fold_task_rows:
+        import ray.data as _rd
+
+        out = ray.get(
+            ray.remote(_sweep_max_fold).remote(
+                bucket_us, out_grain_us, out_col, *bounds.to_arrow_refs()
+            )
+        )
+        return _rd.from_arrow(out)
 
     def totals_partial(t: pa.Table) -> pa.Table:
         g = t.select(["b", "delta"]).group_by("b").aggregate([("delta", "sum")])
@@ -2206,6 +2289,7 @@ def sweep_time_integral(
     t0_col: str,
     t1_col: str,
     bucket_us: int,
+    fold_task_rows: int = SWEEP_FOLD_TASK_ROWS,
 ) -> pa.Table:
     """Time-WEIGHTED interval sweep: the exact integral of concurrency
     over time (interval-microseconds), the peak, the swept span, and
@@ -2236,7 +2320,13 @@ def sweep_time_integral(
             }
         )
 
-    bounds = intervals.map_batches(boundaries, batch_format="pyarrow")
+    bounds = intervals.map_batches(
+        boundaries, batch_format="pyarrow"
+    ).materialize()
+    if bounds.count() <= fold_task_rows:
+        return ray.get(
+            ray.remote(_sweep_integral_fold).remote(*bounds.to_arrow_refs())
+        )
 
     def totals_partial(t: pa.Table) -> pa.Table:
         g = t.select(["b", "delta"]).group_by("b").aggregate([("delta", "sum")])

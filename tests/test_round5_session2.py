@@ -134,6 +134,46 @@ def test_bpe_apply_sql_replay_synthetic(tmp_path, overlap_corpus):
     assert sorted(got_lens) == ref_lens
 
 
+def test_sweep_fold_task_routes_byte_equal(ray_session):
+    """The single-task sweep fold (default below SWEEP_FOLD_TASK_ROWS)
+    and the bucketed boundary-scan plan (forced via fold_task_rows=0)
+    must agree exactly — intervals engineered with cross-bucket spans,
+    boundary ties (+1/-1 at the same t), and zero-length intervals."""
+    import pandas as pd
+    import ray.data as rd
+
+    from logpipe_ray.stages.aggregate import (
+        sweep_max_concurrent,
+        sweep_time_integral,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    t0 = rng.integers(0, 40 * 3_600_000_000, n)
+    dur = np.where(
+        rng.random(n) < 0.1, 0, rng.integers(1, 9 * 3_600_000_000, n)
+    )
+    tbl = pa.table(
+        {
+            "t0": pa.array(t0.astype(np.int64)),
+            "t1": pa.array((t0 + dur).astype(np.int64)),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(6)
+    kw = dict(t0_col="t0", t1_col="t1", bucket_us=3_600_000_000,
+              out_grain_us=86_400_000_000)
+    fast = sweep_max_concurrent(ds, **kw).to_pandas()
+    slow = sweep_max_concurrent(ds, **kw, fold_task_rows=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        fast.sort_values("grain", ignore_index=True),
+        slow.sort_values("grain", ignore_index=True),
+    )
+
+    fi = sweep_time_integral(ds, "t0", "t1", 3_600_000_000)
+    si = sweep_time_integral(ds, "t0", "t1", 3_600_000_000, fold_task_rows=0)
+    assert fi.equals(si)
+
+
 def test_bpe_sampled_oracle_on_fixture(ray_session):
     """End-to-end at sf0.001: the registry query (real distributed
     route incl. the hash-sample) vs its DuckDB oracle (FNV+splitmix
