@@ -94,26 +94,79 @@ def brute_force_topk(
     )
 
 
+# Lloyd iterations run as one task per BLOCK (not a Dataset pass per
+# round) up to this many blocks: k rounds cost k task waves instead of
+# k pipeline executions, and only (n_centroids x dim) partials travel.
+# Above the guard the map_batches loop takes over (its keyed partials
+# amortize at real volume, where per-execution fixed cost vanishes).
+IVF_FUSED_MAX_BLOCKS = 4096
+
+
+def _centroid_pick_block(block: pa.Table, id_col: str, stride: int) -> pa.Table:
+    if block.num_columns == 0 or block.num_rows == 0:
+        return block
+    ids = np.asarray(block[id_col], dtype=np.int64)
+    return block.filter(pa.array(ids % stride == 0))
+
+
+def _centroid_partial_block(
+    block: pa.Table, c: np.ndarray, vec_col: str
+) -> tuple:
+    """Per-centroid (float32 partial sums, counts) of one block — the
+    same math as the Dataset loop's per-batch partial (float32
+    round-trip included, so the ordered fold reproduces its float
+    sequence per centroid)."""
+    if block.num_columns == 0 or block.num_rows == 0:
+        return (
+            np.zeros_like(c, dtype=np.float32),
+            np.zeros(len(c), dtype=np.float64),
+        )
+    m = _vec_matrix(block[vec_col]).astype(np.float64)
+    assign = np.argmin(((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1)
+    sums = np.zeros_like(c)
+    np.add.at(sums, assign, m)
+    counts = np.bincount(assign, minlength=len(c)).astype(np.float64)
+    return sums.astype(np.float32), counts
+
+
 def build_ivf_centroids(
     ds: Dataset, n_centroids: int = 16, vec_col: str = "embedding", iters: int = 4,
     seed: int = 11, id_col: str | None = None,
+    fused_max_blocks: int = IVF_FUSED_MAX_BLOCKS,
 ) -> np.ndarray:
     """Deterministic k-means-lite: sample initial centroids, then a few
-    Lloyd iterations where each step is a single map_batches pass
-    emitting per-centroid partial sums (the classic mergeable-sketch
-    shape — only (n_centroids x dim) floats shuffle per batch)."""
+    Lloyd iterations emitting per-centroid partial sums (the classic
+    mergeable-sketch shape — only (n_centroids x dim) floats leave a
+    block). Below ``fused_max_blocks`` each iteration is one task wave
+    over the materialized blocks; above it, one map_batches pass."""
+    ds = ds.materialize()
     total = ds.count()
     want = max(n_centroids * 8, 256)
+    refs = ds.to_arrow_refs()
+    fused = len(refs) <= fused_max_blocks
+    pick_task = ray.remote(_centroid_pick_block) if fused else None
+    part_task = ray.remote(_centroid_partial_block) if fused else None
     if id_col is not None:
         # deterministic init independent of block layout / CPU count:
         # a fixed-stride systematic sample over the sorted id space
         stride = max(total // want, 1)
+        if fused:
+            picked = ray.get(
+                [pick_task.remote(r, id_col, stride) for r in refs]
+            )
+            picked = [p for p in picked if p.num_columns and p.num_rows]
+            sample = (
+                pa.concat_tables(picked).to_pandas()
+                if picked
+                else ds.limit(0).to_pandas()
+            )
+        else:
 
-        def pick(t: "pa.Table") -> "pa.Table":
-            ids = np.asarray(t[id_col], dtype=np.int64)
-            return t.filter(pa.array(ids % stride == 0))
+            def pick(t: "pa.Table") -> "pa.Table":
+                ids = np.asarray(t[id_col], dtype=np.int64)
+                return t.filter(pa.array(ids % stride == 0))
 
-        sample = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+            sample = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
         sample = sample.sort_values(id_col).head(want)
     else:
         frac = min(1.0, want / max(total, 1))
@@ -125,31 +178,35 @@ def build_ivf_centroids(
     centroids = mat[rng.choice(len(mat), n_centroids, replace=False)].astype(np.float64)
 
     for _ in range(iters):
-        c_ref = ray.put(centroids)
-
-        def partial_sums(t: pa.Table) -> pa.Table:
-            c = ray.get(c_ref)
-            m = _vec_matrix(t[vec_col]).astype(np.float64)
-            assign = np.argmin(
-                ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1
-            )
-            sums = np.zeros_like(c)
-            np.add.at(sums, assign, m)
-            counts = np.bincount(assign, minlength=len(c)).astype(np.float64)
-            return pa.table(
-                {
-                    "cid": pa.array(np.arange(len(c), dtype=np.int32)),
-                    "sum": pa.array(list(sums.astype(np.float32))),
-                    "cnt": pa.array(counts),
-                }
-            )
-
-        agg = ds.map_batches(partial_sums, batch_format="pyarrow").to_pandas()
         sums = np.zeros_like(centroids)
         cnts = np.zeros(len(centroids))
-        for _, row in agg.iterrows():
-            sums[row["cid"]] += np.asarray(row["sum"], dtype=np.float64)
-            cnts[row["cid"]] += row["cnt"]
+        if fused:
+            parts = ray.get(
+                [part_task.remote(r, centroids, vec_col) for r in refs]
+            )
+            # fold in block order — the same float sequence per
+            # centroid as the Dataset loop's row-ordered fold
+            for s32, cn in parts:
+                sums += np.asarray(s32, dtype=np.float64)
+                cnts += cn
+        else:
+            c_ref = ray.put(centroids)
+
+            def partial_sums(t: pa.Table) -> pa.Table:
+                c = ray.get(c_ref)
+                s32, cn = _centroid_partial_block(t, c, vec_col)
+                return pa.table(
+                    {
+                        "cid": pa.array(np.arange(len(c), dtype=np.int32)),
+                        "sum": pa.array(list(s32)),
+                        "cnt": pa.array(cn),
+                    }
+                )
+
+            agg = ds.map_batches(partial_sums, batch_format="pyarrow").to_pandas()
+            for _, row in agg.iterrows():
+                sums[row["cid"]] += np.asarray(row["sum"], dtype=np.float64)
+                cnts[row["cid"]] += row["cnt"]
         nz = cnts > 0
         centroids[nz] = sums[nz] / cnts[nz][:, None]
     return centroids
