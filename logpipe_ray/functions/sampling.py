@@ -544,9 +544,14 @@ def mmr_select(
     pool only: token sets hash into a (pool x hash_dim) incidence
     matrix and each round is one vectorized Jaccard update (O(pool x
     hash_dim)). Deterministic: quality ties break by id, score ties by
-    pool order; no RNG. Rows-only by design (greedy + float scores —
-    not SQL-expressible); pytest pins a brute reference and a
-    planted-duplicate case where diversity changes the pick.
+    pool order; no RNG. SQL-replayable BITWISE despite the greedy
+    float loop: token columns come from the hash64_strings chain (the
+    FNV+splitmix machinery the minhash oracle replays in HUGEINT),
+    Jaccard and quality normalization are single IEEE divides of
+    exact-integer counts, and the score is one multiply-subtract — no
+    float SUMMATION anywhere, so DuckDB reproduces every comparison
+    (_sql_docs_mmr_select). Pytest additionally pins a brute reference
+    and a planted-duplicate case where diversity changes the pick.
 
     Returns an Arrow table (id_col, mmr_rank, mmr_score)."""
     import numpy as np
@@ -582,14 +587,18 @@ def mmr_select(
     q = cand[quality_col].to_numpy(dtype=np.float64)
     qspan = q.max() - q.min()
     qn = (q - q.min()) / qspan if qspan > 0 else np.ones(n)
-    # hashed token incidence matrix
-    M = np.zeros((n, hash_dim), dtype=np.float32)
+    # hashed token incidence matrix — hash64_strings (FNV-1a +
+    # splitmix), the oracle-replayable chain; float64 so inter/union
+    # dot products stay exact-integer-valued
+    from ..stages.transform import hash64_strings
+
+    M = np.zeros((n, hash_dim), dtype=np.float64)
     for i, text in enumerate(cand[text_col]):
-        toks = np.asarray(
-            list(set((text or "").split(" "))), dtype=object
-        )
-        if len(toks):
-            cols = pd.util.hash_array(toks) % np.uint64(hash_dim)
+        toks = sorted(set((text or "").split(" ")))
+        if toks:
+            cols = hash64_strings(pa.array(toks, pa.string())) % np.uint64(
+                hash_dim
+            )
             M[i, cols.astype(np.int64)] = 1.0
     sizes = M.sum(axis=1)
     picked: list[int] = []

@@ -14429,9 +14429,14 @@ def docs_mmr_select(sf_dir: str) -> pa.Table:
     pool is a distributed top-200 by (n_chars desc, id) — O(pool x
     batches) movement; the inherently sequential greedy runs on the
     driver over the bounded pool with one vectorized hashed-token
-    Jaccard update per round. Rows-only by design (greedy + float
-    scores are not SQL-expressible); pytest pins a brute reference
-    and a planted-duplicate case."""
+    Jaccard update per round. Oracled BITWISE despite the float
+    greedy: the token columns replay the hash64_strings chain, the
+    Jaccard / quality normalization are single IEEE divides of exact
+    integers, and the score is one multiply-subtract — no float
+    summation, so DuckDB reproduces every argmax comparison
+    (_sql_docs_mmr_select, 20 unrolled pick rounds over the 200-row
+    pool). Pytest additionally pins a brute reference and a
+    planted-duplicate case."""
     from .functions.sampling import mmr_select
 
     ds = read_parquet_clean(
@@ -14441,6 +14446,77 @@ def docs_mmr_select(sf_dir: str) -> pa.Table:
         ds, "doc_id", "text", "n_chars", k=20, pool=200, lam=0.7
     )
     return tbl.select(["doc_id", "mmr_rank"])
+
+
+def _sql_docs_mmr_select(
+    sf_dir: str, k: int = 20, pool: int = 200, lam: float = 0.7,
+    hash_dim: int = 4096,
+) -> str:
+    """Bitwise replay of the greedy MMR loop: the pool is a windowed
+    top-``pool`` by (quality DESC, id), token columns replay the
+    FNV+splitmix chain mod ``hash_dim``, and each of the k unrolled
+    rounds picks argmax(lam*qn - (1-lam)*ms) with the pool-order
+    tiebreak, then folds greatest(ms, jaccard-to-pick) into the next
+    state (picked rows leave the state — the taken mask). Every score
+    term is a single IEEE op on exact integers, so the DuckDB doubles
+    equal the numpy doubles bit-for-bit."""
+    fnv = (
+        f"list_reduce(list_prepend(CAST({_FNV_BASIS} AS HUGEINT), "
+        f"[CAST(ord(word[j]) AS HUGEINT) FOR j IN"
+        f" range(1, length(word)+1)]), "
+        f"(a, b) -> (CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT))"
+        f" AS HUGEINT) * {_FNV_PRIME}) % {_U64})"
+    )
+    oml = repr(1.0 - lam)
+    ctes = [
+        f"""pool AS MATERIALIZED (
+  SELECT doc_id, text, CAST(n_chars AS DOUBLE) AS q,
+         row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE) DESC,
+                            doc_id ASC) - 1 AS pidx
+  FROM documents QUALIFY pidx < {pool})""",
+        "qs AS (SELECT min(q) AS qmin, max(q) AS qmax FROM pool)",
+        """pq AS MATERIALIZED (
+  SELECT p.pidx, p.doc_id,
+         CASE WHEN s.qmax - s.qmin > 0
+              THEN (p.q - s.qmin) / (s.qmax - s.qmin)
+              ELSE 1.0 END AS qn
+  FROM pool p CROSS JOIN qs s)""",
+        """w AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM pool)""",
+        "uw AS MATERIALIZED (SELECT DISTINCT word FROM w)",
+        f"wh0 AS MATERIALIZED (SELECT word, {fnv} AS h FROM uw)",
+        *_sql_splitmix_ctes("wh0", "word", "h", "wh"),
+        f"""tc AS MATERIALIZED (
+  SELECT DISTINCT w.doc_id, CAST(h % {hash_dim} AS BIGINT) AS col
+  FROM w JOIN wh5 USING (word))""",
+        "sz AS MATERIALIZED (SELECT doc_id, count(*) AS s FROM tc GROUP BY doc_id)",
+        "st0 AS (SELECT pidx, doc_id, qn, CAST(0 AS DOUBLE) AS ms FROM pq)",
+    ]
+    for r in range(k):
+        ctes += [
+            f"""pk{r} AS MATERIALIZED (
+  SELECT pidx, doc_id FROM st{r}
+  ORDER BY ({lam!r} * qn - {oml} * ms) DESC, pidx ASC LIMIT 1)""",
+            f"""sim{r} AS (
+  SELECT a.doc_id,
+         CAST(count(*) AS DOUBLE)
+           / CAST(sa.s + sb.s - count(*) AS DOUBLE) AS sim
+  FROM tc a
+  JOIN tc b ON a.col = b.col
+           AND b.doc_id = (SELECT doc_id FROM pk{r})
+  JOIN sz sa ON sa.doc_id = a.doc_id
+  JOIN sz sb ON sb.doc_id = b.doc_id
+  GROUP BY a.doc_id, sa.s, sb.s)""",
+            f"""st{r + 1} AS MATERIALIZED (
+  SELECT s.pidx, s.doc_id, s.qn, greatest(s.ms, coalesce(m.sim, 0)) AS ms
+  FROM st{r} s LEFT JOIN sim{r} m ON s.doc_id = m.doc_id
+  WHERE s.pidx <> coalesce((SELECT pidx FROM pk{r}), -1))""",
+        ]
+    sel = "\nUNION ALL\n".join(
+        f"SELECT doc_id, CAST({r} AS BIGINT) AS mmr_rank FROM pk{r}"
+        for r in range(k)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY mmr_rank"
 
 
 
@@ -15302,7 +15378,7 @@ REGISTRY: dict = {
     "seq_truncation_stats": (seq_truncation_stats, _sql_seq_truncation_stats),
     "events_value_linreg": (events_value_linreg, _sql_events_value_linreg),
     "events_purchase_logit": (events_purchase_logit, None),
-    "docs_mmr_select": (docs_mmr_select, None),
+    "docs_mmr_select": (docs_mmr_select, _sql_docs_mmr_select),
     "docs_compression_audit": (docs_compression_audit, None),
     "parts_kcore_members": (parts_kcore_members, _sql_parts_kcore_members),
     "parts_bfs_reach": (parts_bfs_reach, _sql_parts_bfs_reach),
@@ -15459,7 +15535,12 @@ _WINDOW_R5 = [
     "events_value_minmax_norm",
     "seq_chunked",
     "seq_mlm_masked",
-    "events_value_quantiles_exact",
+    # docs_mmr_select gained a bitwise float-greedy replay this round
+    # (no prior driver row); events_value_quantiles_exact ceded the
+    # seat — its exact-selection machinery holds an official green r4
+    # row via users_rfm_segments, and the quantile family keeps
+    # events_value_quantiles in-window
+    "docs_mmr_select",
     "events_value_winsorized",
     "events_click_never_purchase",
     "events_session_entry_exit",
