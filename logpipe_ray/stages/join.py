@@ -197,6 +197,47 @@ def cogroup_join_aggregate(
     return unioned.groupby("_cg_b").map_groups(reduce_bucket, batch_format="pandas")
 
 
+# tagged left+right rows at or under this fold in ONE task — a single
+# global pd.merge_asof(by=key), the same pandas op the bucketed plan
+# runs per hash bucket (carries exist only to bound reducer input, so
+# the global merge computes the identical relation); skips the carry
+# build and the full hash-bucket exchange
+ASOF_FOLD_TASK_ROWS = 2_000_000
+
+
+def _asof_fold_task(
+    key, ts_col, left_cols, right_cols, null_dtypes, tiebreak, out_order,
+    n_left, *blocks,
+):
+    import pandas as pd
+
+    def _cat(tbls):
+        tbls = [t for t in tbls if t.num_columns and t.num_rows]
+        return (
+            pa.concat_tables(tbls).combine_chunks().to_pandas()
+            if tbls
+            else None
+        )
+
+    ldf = _cat(blocks[:n_left])
+    rdf = _cat(blocks[n_left:])
+    if ldf is None:
+        return None  # caller falls through to the empty contract
+    l = ldf.sort_values(ts_col, kind="stable")[[key, ts_col, *left_cols]]
+    if rdf is None:
+        out = l.copy()
+        for c in right_cols:
+            out[c] = pd.Series(
+                [None] * len(out), dtype=null_dtypes[c]
+            ).values
+        return pa.Table.from_pandas(out[out_order], preserve_index=False)
+    r = rdf.sort_values(
+        [ts_col] + ([tiebreak] if tiebreak else []), kind="stable"
+    )[[key, ts_col, *right_cols]]
+    out = pd.merge_asof(l, r, on=ts_col, by=key, direction="backward")
+    return pa.Table.from_pandas(out[out_order], preserve_index=False)
+
+
 def asof_join(
     left: Dataset,
     right: Dataset,
@@ -209,6 +250,7 @@ def asof_join(
     span_buckets: int = 4096,
     num_buckets: int | None = None,
     carry_driver_limit: int = 2_000_000,
+    fold_task_rows: int = ASOF_FOLD_TASK_ROWS,
 ):
     """As-of join (backward, inclusive): for every left row, attach the
     latest right row with right.ts <= left.ts for the same key.
@@ -329,11 +371,41 @@ def asof_join(
     lefts = left.map_batches(
         _add_bucket(_tag_side(key, all_cols, left_cols, 0, extra=[ts_col])),
         batch_format="pyarrow",
-    )
+    ).materialize()  # consumed twice below (pairs/union) either way
     rights = right.map_batches(
         _add_bucket(_tag_side(key, all_cols, right_cols, 1, extra=[ts_col])),
         batch_format="pyarrow",
-    )
+    ).materialize()
+
+    if lefts.count() + rights.count() <= fold_task_rows:
+        import ray
+        import ray.data as rd
+
+        lrefs = lefts.to_arrow_refs()
+        out_tbl = ray.get(
+            ray.remote(_asof_fold_task).remote(
+                key,
+                ts_col,
+                list(left_cols),
+                list(right_cols),
+                {c: _null_dtype(t) for c, t in right_cols.items()},
+                tiebreak,
+                out_order,
+                len(lrefs),
+                *lrefs,
+                *rights.to_arrow_refs(),
+            )
+        )
+        if out_tbl is None:  # schema'd but 0-row left: typed empty
+            out_tbl = pa.table(
+                {
+                    key: pa.array([], ktype),
+                    ts_col: pa.array([], ts_type),
+                    **{c: pa.array([], t) for c, t in left_cols.items()},
+                    **{c: pa.array([], t) for c, t in right_cols.items()},
+                }
+            ).select(out_order)
+        return rd.from_arrow(out_tbl)
 
     # --- carry machinery: Arrow end-to-end over a REDUCED schema
     # [key, _ab, ts, *right_cols, _side] so nullable ints never round-
@@ -1098,6 +1170,22 @@ def skew_join(
     return hot_out.union(cold_out)
 
 
+def _window_join_fold(key: str, n_left: int, *blocks) -> pa.Table:
+    """Single-task (key, bucket) equi-join of the tagged sides — the
+    same composite-key inner join the distributed plan ships to Ray's
+    hash join, as one Arrow Acero join (types preserved: no pandas
+    round-trip that would rescale timestamps). Output volume is the
+    same bounded ~2-window co-activity either way."""
+
+    def _cat(tbls):
+        tbls = [t for t in tbls if t.num_columns and t.num_rows]
+        return pa.concat_tables(tbls).combine_chunks()
+
+    lt = _cat(blocks[:n_left])
+    rt = _cat(blocks[n_left:])
+    return lt.join(rt, keys=[key, "_wj_b"], join_type="inner")
+
+
 def window_join(
     left: Dataset,
     right: Dataset,
@@ -1106,6 +1194,7 @@ def window_join(
     right_ts: str,
     window_us: int,
     num_partitions: int | None = None,
+    fold_task_rows: int = ASOF_FOLD_TASK_ROWS,
 ) -> Dataset:
     """Time-windowed per-key stream join: every (left, right) pair with
     the same ``key`` and ``left_ts - window_us <= right_ts <= left_ts``
@@ -1170,9 +1259,22 @@ def window_join(
                 if nm != "_wj_b" and isinstance(typ, pa.DataType):
                     cols.setdefault(nm, pa.nulls(0, typ))
         return rd.from_arrow(pa.table(cols))
-    joined = inner_join_safe(
-        lt, rt, on=(key, "_wj_b"), num_partitions=num_partitions
-    )
+    if lt.count() + rt.count() <= fold_task_rows:
+        import ray
+        import ray.data as rd
+
+        lrefs = lt.to_arrow_refs()
+        joined = rd.from_arrow(
+            ray.get(
+                ray.remote(_window_join_fold).remote(
+                    key, len(lrefs), *lrefs, *rt.to_arrow_refs()
+                )
+            )
+        )
+    else:
+        joined = inner_join_safe(
+            lt, rt, on=(key, "_wj_b"), num_partitions=num_partitions
+        )
 
     def exact(t: pa.Table) -> pa.Table:
         l_us = _us(t[left_ts])

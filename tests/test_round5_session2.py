@@ -174,6 +174,66 @@ def test_sweep_fold_task_routes_byte_equal(ray_session):
     assert fi.equals(si)
 
 
+def test_asof_fold_task_route_equals_bucketed(ray_session):
+    """The single-task merge_asof fold (default below
+    ASOF_FOLD_TASK_ROWS) must produce the same relation as the
+    bucketed carry plan (forced via fold_task_rows=0) — ts ties with
+    tiebreak, keys with no right rows, and cross-bucket gaps
+    included."""
+    import pandas as pd
+    import ray.data as rd
+
+    from logpipe_ray.stages.join import asof_join
+
+    rng = np.random.default_rng(23)
+    nl, nr = 3000, 2000
+    lt = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 40, nl).astype(np.int64)),
+            "ts": pa.array(rng.integers(0, 10_000, nl).astype(np.int64)),
+            "lv": pa.array(np.arange(nl, dtype=np.int64)),
+        }
+    )
+    rt = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 50, nr).astype(np.int64)),
+            "ts": pa.array(
+                (rng.integers(0, 2_500, nr) * 4).astype(np.int64)  # ties
+            ),
+            "rv": pa.array(rng.integers(0, 1000, nr).astype(np.int64)),
+            "tb": pa.array(np.arange(nr, dtype=np.int64)),
+        }
+    )
+    kw = dict(
+        key="k",
+        ts_col="ts",
+        left_cols={"lv": pa.int64()},
+        right_cols={"rv": pa.int64(), "tb": pa.int64()},
+        tiebreak="tb",
+        bucket_width_us=512,
+    )
+
+    def run(**extra):
+        out = asof_join(
+            rd.from_arrow(lt).repartition(5),
+            rd.from_arrow(rt).repartition(4),
+            **kw,
+            **extra,
+        ).to_pandas()
+        # per-block dtypes vary on BOTH routes (pandas NaN coercion);
+        # callers cast in their finalize — normalize for the compare
+        for c in ("lv", "rv", "tb"):
+            out[c] = out[c].astype("float64")
+        return out.sort_values(
+            ["k", "ts", "lv"], ignore_index=True
+        )
+
+    fast = run()
+    slow = run(fold_task_rows=0)
+    assert len(fast) == nl
+    pd.testing.assert_frame_equal(fast, slow)
+
+
 def test_bpe_sampled_oracle_on_fixture(ray_session):
     """End-to-end at sf0.001: the registry query (real distributed
     route incl. the hash-sample) vs its DuckDB oracle (FNV+splitmix
