@@ -1428,6 +1428,44 @@ def editdist_bytes(a: bytes, b: bytes) -> int:
     return int(prev[-1])
 
 
+def editdist_bytes_pairs(
+    prefixes: list, ia: np.ndarray, ib: np.ndarray, chunk: int = 500_000
+) -> np.ndarray:
+    """Levenshtein distance for MANY byte-string pairs at once — the
+    same row-wise DP as editdist_bytes, vectorized over the PAIR axis
+    (one (pairs x L+1) state matrix; axis-1 minimum.accumulate
+    resolves the insert dependency; rows freeze once their left string
+    is consumed). Per-pair numpy calls on ~64-byte strings are
+    overhead-bound (~0.5 ms/pair); this amortizes them across the
+    whole block. Bitwise-equal to editdist_bytes (pytest)."""
+    n = len(prefixes)
+    lens = np.fromiter((len(p) for p in prefixes), dtype=np.int64, count=n)
+    L = int(lens.max()) if n else 0
+    M = np.zeros((n, L), dtype=np.uint8)
+    for i, p in enumerate(prefixes):
+        if p:
+            M[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+    out = np.empty(len(ia), dtype=np.int64)
+    idx = np.arange(L + 1, dtype=np.int64)
+    for s in range(0, len(ia), chunk):
+        a_i, b_i = ia[s : s + chunk], ib[s : s + chunk]
+        A, la = M[a_i], lens[a_i]
+        B, lb = M[b_i], lens[b_i]
+        p = len(a_i)
+        prev = np.broadcast_to(idx, (p, L + 1)).copy()
+        base = np.empty((p, L + 1), dtype=np.int64)
+        top = int(la.max()) if p else 0
+        for i in range(1, top + 1):
+            cost = (B != A[:, i - 1][:, None]).astype(np.int64)
+            base[:, 0] = i
+            np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=base[:, 1:])
+            cur = idx + np.minimum.accumulate(base - idx, axis=1)
+            active = la >= i
+            prev[active] = cur[active]
+        out[s : s + chunk] = prev[np.arange(p), lb]
+    return out
+
+
 def blocked_editdist_pairs(
     ds: Dataset,
     id_col: str,
@@ -1481,23 +1519,22 @@ def blocked_editdist_pairs(
                 f"editdist block {t['blk'][0].as_py()!r} has {n} rows "
                 f"(> max_block={max_block}); use a finer blocking key"
             )
-        ids = t[id_col].to_pylist()
+        ids = np.asarray(t[id_col].to_pylist())
         prefixes = t[text_col if text_col in t.column_names else "prefix"].to_pylist()
-        order = np.argsort(np.asarray(ids))
-        out_a, out_b, out_d = [], [], []
-        for ii in range(n):
-            for jj in range(ii + 1, n):
-                i, j = order[ii], order[jj]
-                d = editdist_bytes(prefixes[i], prefixes[j])
-                if d <= max_dist:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_d.append(d)
+        order = np.argsort(ids)
+        ii, jj = np.triu_indices(n, k=1)
+        ia, ib = order[ii], order[jj]
+        dists = (
+            editdist_bytes_pairs(prefixes, ia, ib)
+            if len(ia)
+            else np.empty(0, dtype=np.int64)
+        )
+        keep = dists <= max_dist
         return pa.table(
             {
-                "id_a": pa.array(out_a, pa.int64()),
-                "id_b": pa.array(out_b, pa.int64()),
-                "dist": pa.array(out_d, pa.int64()),
+                "id_a": pa.array(ids[ia[keep]], pa.int64()),
+                "id_b": pa.array(ids[ib[keep]], pa.int64()),
+                "dist": pa.array(dists[keep], pa.int64()),
             }
         )
 

@@ -174,6 +174,31 @@ def test_sweep_fold_task_routes_byte_equal(ray_session):
     assert fi.equals(si)
 
 
+def test_editdist_pairs_matrix_equals_scalar():
+    """The pair-vectorized Levenshtein DP must be bitwise-equal to the
+    scalar kernel (itself verified 300/300 against DuckDB levenshtein)
+    — empty strings, equal strings, multibyte UTF-8 included."""
+    from logpipe_ray.functions.dedup import (
+        editdist_bytes,
+        editdist_bytes_pairs,
+    )
+
+    rng = np.random.default_rng(29)
+    strs = [b"", b"a", "café".encode(), "cafe".encode()]
+    for _ in range(40):
+        n = int(rng.integers(0, 40))
+        strs.append(bytes(rng.integers(97, 123, n).astype(np.uint8)))
+    strs.append(strs[4])  # planted exact duplicate
+    n = len(strs)
+    ia, ib = np.triu_indices(n, k=1)
+    got = editdist_bytes_pairs(strs, ia, ib, chunk=100)
+    want = np.array(
+        [editdist_bytes(strs[i], strs[j]) for i, j in zip(ia, ib)],
+        dtype=np.int64,
+    )
+    assert np.array_equal(got, want)
+
+
 def test_asof_fold_task_route_equals_bucketed(ray_session):
     """The single-task merge_asof fold (default below
     ASOF_FOLD_TASK_ROWS) must produce the same relation as the
