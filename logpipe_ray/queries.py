@@ -12494,6 +12494,9 @@ def users_rfm_segments(sf_dir: str) -> pa.Table:
             Sum("pn", alias_name="freq"),
             Sum("pm", alias_name="money"),
         )
+        # materialized: consumed twice (gmax scan + metrics) — without
+        # this the partials+exchange pipeline executes twice
+        .materialize()
     )
     gmax = per_user.max("last_day")
 
@@ -13197,9 +13200,15 @@ FROM c"""
 
 
 _ATTR_WINDOW_US = 7 * 86_400_000_000  # attribution lookback
+# prepped rows (purchases + 2x clicks) at or under this fold in ONE
+# task over single-copy clicks — the bucket replication exists only to
+# bound reducers; the kernel's lo/hi bounds enforce the exact window
+_ATTR_FOLD_TASK_ROWS = 4_000_000
 
 
-def purchases_linear_attribution(sf_dir: str) -> Dataset:
+def purchases_linear_attribution(
+    sf_dir: str, fold_task_rows: int = _ATTR_FOLD_TASK_ROWS
+) -> Dataset:
     """LINEAR MULTI-TOUCH attribution: every purchase's cents are
     split equally (integer microcents, floor per share — exact and
     order-free) across the user's clicks in the 7 days before it;
@@ -13332,8 +13341,46 @@ def purchases_linear_attribution(sf_dir: str) -> Dataset:
             .reset_index()
         )
 
+    prepped = ev.map_batches(prep, batch_format="pyarrow").materialize()
+    if prepped.count() <= fold_task_rows:
+        # single-task fold: drop the second click replica (replication
+        # exists only so bucketed reducers see every qualifying pair —
+        # per_group's lo/hi bounds enforce the EXACT window, so the
+        # global run over single-copy clicks computes the same pairs)
+        # and run the identical vectorized kernel once
+        def _attr_fold(*blocks):
+            import pandas as pd
+
+            tbls = [b for b in blocks if b.num_columns and b.num_rows]
+            if not tbls:
+                return pa.table(
+                    {
+                        "click_day": pa.array([], pa.int64()),
+                        "n_pairs": pa.array([], pa.int64()),
+                        "attributed_microcents": pa.array([], pa.int64()),
+                    }
+                )
+            df = pa.concat_tables(tbls).combine_chunks().to_pandas()
+            single = (df["is_p"].to_numpy() == 1) | (
+                df["bucket"].to_numpy()
+                == df["ts_us"].to_numpy() // W
+            )
+            g = per_group(df[single])
+            out = (
+                g.groupby("click_day", sort=False)
+                .agg(n_pairs=("pn", "sum"),
+                     pm=("pm", "sum"))
+                .reset_index()
+                .rename(columns={"pm": "attributed_microcents"})
+            )
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        out_tbl = ray.get(
+            ray.remote(_attr_fold).remote(*prepped.to_arrow_refs())
+        )
+        return rd.from_arrow(out_tbl)
     return (
-        ev.map_batches(prep, batch_format="pyarrow")
+        prepped
         .groupby("_g")
         .map_groups(per_group, batch_format="pandas")
         .groupby("click_day")

@@ -259,6 +259,25 @@ def test_asof_fold_task_route_equals_bucketed(ray_session):
     pd.testing.assert_frame_equal(fast, slow)
 
 
+def test_attribution_fold_route_equals_bucketed(ray_session):
+    """purchases_linear_attribution's single-task fold (default) and
+    the bucketed map_groups plan (fold_task_rows=0) must agree exactly
+    on the fixture."""
+    import pandas as pd
+
+    from logpipe_ray.queries import purchases_linear_attribution
+
+    sf = "/root/testdata/sf0.001"
+    fast = purchases_linear_attribution(sf).to_pandas()
+    slow = purchases_linear_attribution(sf, fold_task_rows=0).to_pandas()
+    cols = ["click_day", "n_pairs", "attributed_microcents"]
+    pd.testing.assert_frame_equal(
+        fast[cols].sort_values("click_day", ignore_index=True),
+        slow[cols].sort_values("click_day", ignore_index=True),
+    )
+    assert len(fast) > 0
+
+
 def test_bpe_sampled_oracle_on_fixture(ray_session):
     """End-to-end at sf0.001: the registry query (real distributed
     route incl. the hash-sample) vs its DuckDB oracle (FNV+splitmix
