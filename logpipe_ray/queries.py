@@ -5984,7 +5984,9 @@ def q5_local_supplier_volume(
             batch_format="pyarrow",
         )
 
-    rev = partials.groupby("nk").aggregate(Sum("p_rev", alias_name="revenue"))
+    from .stages.aggregate import keyed_sum_bounded
+
+    rev = keyed_sum_bounded(partials, ["nk"], {"p_rev": "revenue"})
     names_ref = ray.put(
         (nat_t["n_nationkey"].combine_chunks(), nat_t["n_name"].combine_chunks())
     )
@@ -6834,10 +6836,12 @@ def q10_returned_customers(
             )
             return g.rename_columns(["o_custkey", "p_rev"])
 
-        cust_rev = (
-            li.map_batches(cust_partial_b, batch_format="pyarrow")
-            .groupby("o_custkey")
-            .aggregate(Sum("p_rev", alias_name="revenue_cents"))
+        from .stages.aggregate import keyed_sum_bounded
+
+        cust_rev = keyed_sum_bounded(
+            li.map_batches(cust_partial_b, batch_format="pyarrow"),
+            ["o_custkey"],
+            {"p_rev": "revenue_cents"},
         )
     else:  # 100-TB route: the date window itself is too big to ship
         def rev_partial(t: pa.Table) -> pa.Table:

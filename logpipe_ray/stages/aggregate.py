@@ -1995,6 +1995,39 @@ def grouped_spearman(
     return summed.map_batches(finish, batch_format="pyarrow")
 
 
+def keyed_sum_bounded(
+    partials: Dataset,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    driver_rows: int = 2_000_000,
+) -> Dataset:
+    """Final keyed Sum over PRE-AGGREGATED per-batch partials. Below
+    ``driver_rows`` total partial rows the fold is one Arrow group_by
+    on the driver — Ray's sort-based Aggregate carries ~1-1.5 s of
+    fixed exchange cost that dwarfs a few thousand partial rows; above
+    the guard the keyed aggregate runs (the 100 TB route, where that
+    cost amortizes). Integer sums are exact on both routes, so they
+    are value-equal by construction."""
+    import ray
+    import ray.data as rd
+
+    parts = partials.materialize()
+    if parts.count() <= driver_rows:
+        tbls = [t for t in ray.get(parts.to_arrow_refs()) if t.num_columns]
+        if tbls:
+            g = (
+                pa.concat_tables(tbls)
+                .combine_chunks()
+                .group_by(keys)
+                .aggregate([(c, "sum") for c in sum_cols])
+            )
+            g = g.rename_columns(list(keys) + list(sum_cols.values()))
+            return rd.from_arrow(g)
+    return parts.groupby(keys if len(keys) > 1 else keys[0]).aggregate(
+        *[Sum(c, alias_name=o) for c, o in sum_cols.items()]
+    )
+
+
 # boundary rows at or under this fold in ONE task (global lexsort +
 # cumsum — the bucketed plan's math with a zero prefix), skipping the
 # totals exchange, the per-bucket shuffle and the finish repartition;
