@@ -315,6 +315,89 @@ def _succ_pair_slices(lens: np.ndarray, budget: int = _TRI_WEDGE_SLICE):
         i = j
 
 
+# oriented-edge counts at or under this run the wedge stage as a sort
+# task + slice-fold tasks (no groupby exchange); above it the
+# hash-bucket exchange route amortizes its fixed cost
+TRI_FOLD_TASK_EDGES = 5_000_000
+
+
+def _tri_expand_sorted(
+    a_s: np.ndarray, b_s: np.ndarray, E: np.ndarray
+) -> tuple:
+    """Wedge expansion + packed-edge-set membership + local count over
+    a (source, rb)-lexsorted oriented-edge slice — the shared kernel of
+    the per-bucket fold and the slice-task route. Returns (node,
+    count) arrays."""
+    starts = (
+        np.flatnonzero(np.concatenate([[True], a_s[1:] != a_s[:-1]]))
+        if len(a_s)
+        else np.empty(0, np.int64)
+    )
+    lens = np.diff(np.append(starts, len(a_s)))
+    nodes_out: list = []
+    for i, j in _succ_pair_slices(lens):
+        s0, s1 = int(starts[i]), int(starts[j - 1] + lens[j - 1])
+        ls = lens[i:j]
+        tot = int(s1 - s0)
+        within = np.arange(tot) - np.repeat(np.cumsum(ls) - ls, ls)
+        msucc = np.repeat(ls, ls) - 1 - within
+        P = int(msucc.sum())
+        if P == 0:
+            continue
+        left = np.repeat(np.arange(tot), msucc)
+        right = (
+            np.arange(P)
+            - np.repeat(np.cumsum(msucc) - msucc, msucc)
+            + left
+            + 1
+        )
+        x = b_s[s0 + left]
+        y = b_s[s0 + right]
+        keys = (x.astype(np.uint64) << np.uint64(32)) | y.astype(np.uint64)
+        pos = np.searchsorted(E, keys)
+        hit = (pos < len(E)) & (E[np.minimum(pos, len(E) - 1)] == keys)
+        if not hit.any():
+            continue
+        nodes_out.append(x[hit])
+        nodes_out.append(y[hit])
+        nodes_out.append(a_s[s0 + left[hit]])
+    if not nodes_out:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    un, cn = np.unique(np.concatenate(nodes_out), return_counts=True)
+    return un, cn.astype(np.int64)
+
+
+def _tri_sort_task(*blocks):
+    """(a, rb)-lexsort the oriented edges; the sorted table stays in
+    the object store, only run metadata returns to the driver."""
+    tbls = [t for t in blocks if t.num_columns and t.num_rows]
+    t = pa.concat_tables(tbls).combine_chunks()
+    a = np.asarray(t["a"], np.int64)
+    b = np.asarray(t["b"], np.int64)
+    rb = np.asarray(t["rb"], np.int64)
+    order = np.lexsort((rb, a))
+    a_s = a[order]
+    starts = (
+        np.flatnonzero(np.concatenate([[True], a_s[1:] != a_s[:-1]]))
+        if len(a_s)
+        else np.empty(0, np.int64)
+    )
+    lens = np.diff(np.append(starts, len(a_s)))
+    return (
+        pa.table({"a": pa.array(a_s), "b": pa.array(b[order])}),
+        (starts, lens),
+    )
+
+
+def _tri_fold_slice(tbl: pa.Table, lo: int, hi: int, E: np.ndarray) -> pa.Table:
+    # tbl and E arrive as plasma-backed zero-copy views (ObjectRef args
+    # are resolved by Ray before the task body runs)
+    a_s = np.asarray(tbl["a"], np.int64)[lo:hi]
+    b_s = np.asarray(tbl["b"], np.int64)[lo:hi]
+    un, cn = _tri_expand_sorted(a_s, b_s, E)
+    return pa.table({"node": pa.array(un), "p": pa.array(cn)})
+
+
 def triangle_counts(
     edges: Dataset,
     u_col: str = "u",
@@ -322,6 +405,7 @@ def triangle_counts(
     node_broadcast_limit: int = TRI_NODE_BROADCAST_LIMIT,
     edge_broadcast_limit: int = TRI_EDGE_BROADCAST_LIMIT,
     driver_edge_limit: int = PR_DRIVER_EDGE_LIMIT,
+    fold_task_edges: int = TRI_FOLD_TASK_EDGES,
 ) -> Dataset:
     """Per-node triangle counts + degree + integer-ppm clustering
     coefficient over an UNDIRECTED int64 edge Dataset (self-loops
@@ -473,7 +557,44 @@ def triangle_counts(
         else:
             use_pack = False  # ids too wide to pack -> join route
 
-    if use_pack:
+    if use_pack and m <= fold_task_edges:
+        # task route: ONE sort task orders the oriented edges by
+        # (source, rb) and keeps the table in the object store; the
+        # driver holds only run metadata, cuts wedge-balanced
+        # run-aligned slices, and parallel tasks expand+match each
+        # slice — no groupby exchange at all. Identical integer math
+        # to the per-bucket fold (shared _tri_expand_sorted kernel).
+        sort_task = ray.remote(num_returns=2)(_tri_sort_task)
+        tbl_ref, meta_ref = sort_task.remote(*oriented.to_arrow_refs())
+        starts, lens = ray.get(meta_ref)
+        wedge_cum = np.cumsum(lens * (lens - 1) // 2)
+        total_w = int(wedge_cum[-1]) if len(lens) else 0
+        if total_w == 0:
+            tri_partials = rd.from_arrow(
+                pa.table(
+                    {"node": pa.array([], pa.int64()),
+                     "p": pa.array([], pa.int64())}
+                )
+            )
+        else:
+            ncpu = max(2, int(ray.cluster_resources().get("CPU", 4)))
+            nchunks = min(4 * ncpu, len(starts))
+            targets = total_w * np.arange(1, nchunks + 1) / nchunks
+            run_ends = np.unique(
+                np.searchsorted(wedge_cum, targets, side="left")
+            )
+            n_rows = int(starts[-1] + lens[-1])
+            row_bounds = np.concatenate(
+                [[0], np.append(starts, n_rows)[run_ends + 1]]
+            )
+            fold_slice = ray.remote(_tri_fold_slice)
+            refs = [
+                fold_slice.remote(tbl_ref, int(a_), int(b_), edge_set_ref)
+                for a_, b_ in zip(row_bounds[:-1], row_bounds[1:])
+                if b_ > a_
+            ]
+            tri_partials = rd.from_arrow_refs(refs)
+    elif use_pack:
         # fused per-bucket: wedge expansion + membership + count
         # partials; wedges never leave the task
         def fold(df: "pd.DataFrame", _e=edge_set_ref) -> "pd.DataFrame":
@@ -482,52 +603,8 @@ def triangle_counts(
             b = df["b"].to_numpy()
             rb = df["rb"].to_numpy()
             order = np.lexsort((rb, a))
-            a_s, b_s = a[order], b[order]
-            starts = np.flatnonzero(
-                np.concatenate([[True], a_s[1:] != a_s[:-1]])
-            ) if len(a_s) else np.empty(0, np.int64)
-            lens = np.diff(np.append(starts, len(a_s)))
-            nodes_out: list[np.ndarray] = []
-            for i, j in _succ_pair_slices(lens):
-                s0, s1 = int(starts[i]), int(starts[j - 1] + lens[j - 1])
-                ls = lens[i:j]
-                tot = int(s1 - s0)
-                within = np.arange(tot) - np.repeat(
-                    np.cumsum(ls) - ls, ls
-                )
-                msucc = np.repeat(ls, ls) - 1 - within
-                P = int(msucc.sum())
-                if P == 0:
-                    continue
-                left = np.repeat(np.arange(tot), msucc)
-                right = (
-                    np.arange(P)
-                    - np.repeat(np.cumsum(msucc) - msucc, msucc)
-                    + left
-                    + 1
-                )
-                x = b_s[s0 + left]
-                y = b_s[s0 + right]
-                keys = (x.astype(np.uint64) << np.uint64(32)) | y.astype(
-                    np.uint64
-                )
-                pos = np.searchsorted(E, keys)
-                hit = (pos < len(E)) & (E[np.minimum(pos, len(E) - 1)] == keys)
-                if not hit.any():
-                    continue
-                nodes_out.append(x[hit])
-                nodes_out.append(y[hit])
-                nodes_out.append(a_s[s0 + left[hit]])
-            if not nodes_out:
-                return pd.DataFrame(
-                    {
-                        "node": np.empty(0, np.int64),
-                        "p": np.empty(0, np.int64),
-                    }
-                )
-            allnodes = np.concatenate(nodes_out)
-            un, cn = np.unique(allnodes, return_counts=True)
-            return pd.DataFrame({"node": un, "p": cn.astype(np.int64)})
+            un, cn = _tri_expand_sorted(a[order], b[order], E)
+            return pd.DataFrame({"node": un, "p": cn})
 
         tri_partials = (
             oriented.map_batches(tag, batch_format="pyarrow")

@@ -90,6 +90,15 @@ def test_triangle_counts_routes_equal(ray_session):
     )
     pd.testing.assert_frame_equal(base, joined)
     pd.testing.assert_frame_equal(base, idrank)
+    # bucketed pack route (fold_task_edges=0 forces the groupby
+    # exchange) must equal the default slice-task fold route
+    bucketed = (
+        triangle_counts(rd.from_pandas(df), fold_task_edges=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, bucketed)
 
 
 def test_triangle_counts_empty_and_degenerate(ray_session):
