@@ -4308,7 +4308,9 @@ WHERE m.n * m.sxx - m.sx * m.sx > 0
       >= 2.0::DOUBLE"""
 
 
-def customers_order_profile(sf_dir: str) -> Dataset:
+def customers_order_profile(
+    sf_dir: str, attach_broadcast_rows: int = 2_000_000
+) -> Dataset:
     """Per-customer order profile via a distributed LEFT OUTER join —
     every customer appears, including the ones with zero orders (the
     join type the rest of the join inventory doesn't cover).
@@ -4334,18 +4336,49 @@ def customers_order_profile(sf_dir: str) -> Dataset:
         )
         return g.rename_columns(["o_custkey", "n", "cents"])
 
-    per_cust = (
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("n", alias_name="n_orders"), Sum("cents", alias_name="total_cents"))
-    )
-    joined = cust.repartition(8).join(
-        per_cust.repartition(8),
-        join_type="left_outer",
-        num_partitions=8,
-        on=("c_custkey",),
-        right_on=("o_custkey",),
-    )
+    from .stages.aggregate import keyed_sum_bounded
+
+    per_cust = keyed_sum_bounded(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        {"n": "n_orders", "cents": "total_cents"},
+    ).materialize()
+    if per_cust.count() <= attach_broadcast_rows:
+        # broadcast LEFT-OUTER attach: per-cust profile rides a ray.put
+        # lookup into one customer pass (missing keys -> nulls, exactly
+        # what the native left_outer emits; finalize fills them)
+        pt = pa.concat_tables(
+            [t for t in ray.get(per_cust.to_arrow_refs()) if t.num_columns]
+        )
+        pref = ray.put(
+            (
+                pt["o_custkey"].combine_chunks(),
+                pt["n_orders"].combine_chunks(),
+                pt["total_cents"].combine_chunks(),
+            )
+        )
+
+        def attach(t: pa.Table) -> pa.Table:
+            ck, n_, c_ = ray.get(pref)
+            idx = pc.index_in(t["c_custkey"], value_set=ck)
+            return pa.table(
+                {
+                    "c_custkey": t["c_custkey"],
+                    "c_mktsegment": t["c_mktsegment"],
+                    "n_orders": pc.take(n_, idx),
+                    "total_cents": pc.take(c_, idx),
+                }
+            )
+
+        joined = cust.map_batches(attach, batch_format="pyarrow")
+    else:
+        joined = cust.repartition(8).join(
+            per_cust.repartition(8),
+            join_type="left_outer",
+            num_partitions=8,
+            on=("c_custkey",),
+            right_on=("o_custkey",),
+        )
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -259,6 +259,25 @@ def test_asof_fold_task_route_equals_bucketed(ray_session):
     pd.testing.assert_frame_equal(fast, slow)
 
 
+def test_order_profile_attach_equals_left_outer_join(ray_session):
+    """customers_order_profile's broadcast left-outer attach (default)
+    must equal the native left_outer hash join (attach_broadcast_rows=0)
+    — zero-order customers included."""
+    import pandas as pd
+
+    from logpipe_ray.queries import customers_order_profile
+
+    sf = "/root/testdata/sf0.001"
+    fast = customers_order_profile(sf).to_pandas()
+    slow = customers_order_profile(sf, attach_broadcast_rows=0).to_pandas()
+    cols = sorted(fast.columns)
+    pd.testing.assert_frame_equal(
+        fast[cols].sort_values(cols, ignore_index=True),
+        slow[cols].sort_values(cols, ignore_index=True),
+    )
+    assert len(fast) > 0 and (fast["n_orders"] >= 0).all()
+
+
 def test_attribution_fold_route_equals_bucketed(ray_session):
     """purchases_linear_attribution's single-task fold (default) and
     the bucketed map_groups plan (fold_task_rows=0) must agree exactly
