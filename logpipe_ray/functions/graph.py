@@ -76,6 +76,24 @@ def _pagerank_driver(
     )
 
 
+def _dedup_task(cols, *blocks):
+    tbls = [t for t in blocks if t.num_columns and t.num_rows]
+    if not tbls:
+        return pa.table({c: pa.array([], pa.int64()) for c in cols})
+    t = pa.concat_tables(tbls).combine_chunks()
+    return t.select(cols).group_by(cols).aggregate([])
+
+
+def _dedup_partials(partials: Dataset, cols: list) -> pa.Table:
+    """Distinct rows of the materialized per-batch edge partials,
+    folded in ONE task so the partial mass never touches the driver
+    (first-touch driver pages cost ~1s/25MB on this VM); only the
+    deduped table — bounded by distinct edges — returns."""
+    return ray.get(
+        ray.remote(_dedup_task).remote(cols, *partials.to_arrow_refs())
+    )
+
+
 def pagerank_fixed(
     edges: Dataset,
     iters: int = 8,
@@ -102,12 +120,7 @@ def pagerank_fixed(
         edge_partial, batch_format="pyarrow"
     ).materialize()
     if partials.count() <= driver_edge_limit:
-        ptbl = _concat_nonempty(partials)
-        dtbl = (
-            ptbl.select(["src", "dst"])
-            .group_by(["src", "dst"])
-            .aggregate([])
-        )
+        dtbl = _dedup_partials(partials, ["src", "dst"])
         import ray.data as _rd
 
         dedges = _rd.from_arrow(dtbl).materialize()
@@ -454,9 +467,8 @@ def triangle_counts(
     if partials.count() == 0:
         return _tri_empty()
     if partials.count() <= driver_edge_limit:
-        ptbl = _concat_nonempty(partials)
         dedges = rd.from_arrow(
-            ptbl.group_by(["u", "v"]).aggregate([])
+            _dedup_partials(partials, ["u", "v"])
         ).materialize()
     else:
         from ray.data.aggregate import Count
@@ -844,10 +856,7 @@ def bfs_distances(
         return empty_out
 
     if partials.count() <= driver_edge_limit:
-        et = _concat_nonempty(partials)
-        dt = (
-            et.group_by(["u", "v"]).aggregate([])
-        )
+        dt = _dedup_partials(partials, ["u", "v"])
         u = np.asarray(dt["u"], np.int64)
         v = np.asarray(dt["v"], np.int64)
         # symmetric CSR: both directions, sorted by src
@@ -1000,8 +1009,7 @@ def kcore_nodes(
         return empty_out
 
     if partials.count() <= driver_edge_limit:
-        et = _concat_nonempty(partials)
-        dt = et.group_by(["u", "v"]).aggregate([])
+        dt = _dedup_partials(partials, ["u", "v"])
         u = np.asarray(dt["u"], np.int64)
         v = np.asarray(dt["v"], np.int64)
         nodes = np.unique(np.concatenate([u, v]))
