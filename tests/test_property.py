@@ -802,3 +802,114 @@ def test_linear_attribution_property(ray_session, tmp_path_factory, n, nkeys, se
         assert int(gr["click_day"]) == day
         assert int(gr["n_pairs"]) == nn
         assert int(gr["attributed_microcents"]) == mm
+
+
+@given(
+    strs=st.lists(st.binary(max_size=50), min_size=2, max_size=25),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=50, deadline=None)
+def test_editdist_pairs_matrix_property(strs, seed):
+    """The pair-axis-vectorized Levenshtein DP == the scalar kernel for
+    arbitrary byte strings (empties, equal strings, max-length mixes)."""
+    import numpy as np
+
+    from logpipe_ray.functions.dedup import (
+        editdist_bytes,
+        editdist_bytes_pairs,
+    )
+
+    n = len(strs)
+    ia, ib = np.triu_indices(n, k=1)
+    rng = np.random.default_rng(seed)
+    sh = rng.permutation(len(ia))
+    ia, ib = ia[sh], ib[sh]  # arbitrary pair order
+    got = editdist_bytes_pairs(strs, ia, ib, chunk=7)
+    want = [editdist_bytes(strs[i], strs[j]) for i, j in zip(ia, ib)]
+    assert got.tolist() == want
+
+
+@given(
+    n=st.integers(min_value=0, max_value=300),
+    wmax=st.integers(min_value=0, max_value=50),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=10, deadline=None)
+def test_sweep_fold_property(ray_session, n, wmax, seed):
+    """sweep_max_concurrent (BOTH routes) == a brute per-grain peak
+    counter over random intervals with ties and zero lengths; the
+    time integral likewise (both routes)."""
+    import numpy as np
+    import ray.data as rd
+
+    from logpipe_ray.stages.aggregate import (
+        sweep_max_concurrent,
+        sweep_time_integral,
+    )
+
+    B, G = 8, 32  # bucket_us, out_grain_us (G % B == 0)
+    rng = np.random.default_rng(seed)
+    t0 = rng.integers(0, 200, size=n).astype(np.int64)
+    t1 = t0 + rng.integers(0, wmax + 1, size=n).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"t0": pa.array(t0), "t1": pa.array(t1)})
+    ).repartition(3)
+
+    # brute: running count over (+1 at t0 before -1 at t1 ties),
+    # per-grain max at boundary positions
+    bt = np.concatenate([t0, t1])
+    dl = np.concatenate([np.ones(n, np.int64), -np.ones(n, np.int64)])
+    o = np.lexsort((-dl, bt))
+    conc = np.cumsum(dl[o])
+    g = bt[o] // G
+    want = {}
+    for gi, ci in zip(g.tolist(), conc.tolist()):
+        want[gi] = max(want.get(gi, -1), ci)
+
+    for extra in ({}, {"fold_task_rows": 0}):
+        out = sweep_max_concurrent(
+            ds, "t0", "t1", bucket_us=B, out_grain_us=G, **extra
+        ).to_pandas()
+        if n == 0:
+            # the bucketed route's truly-empty output loses its column
+            # layout inside Ray; the contract there is emptiness
+            assert len(out) == 0
+            continue
+        got = dict(zip(out["grain"].astype(int), out.iloc[:, 1].astype(int)))
+        assert got == want, extra
+
+    integral = int(np.sum(conc[:-1] * np.diff(bt[o]))) if n else 0
+    for extra in ({}, {"fold_task_rows": 0}):
+        it = sweep_time_integral(ds, "t0", "t1", bucket_us=B, **extra)
+        assert int(it["conc_us_integral"][0].as_py()) == integral, extra
+        assert int(it["peak_concurrent"][0].as_py()) == (
+            int(conc.max()) if n else 0
+        ), extra
+
+
+@given(
+    nseq=st.integers(min_value=1, max_value=60),
+    vocab=st.integers(min_value=2, max_value=8),
+    k=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=10, deadline=None)
+def test_bpe_fused_vs_driver_property(ray_session, nseq, vocab, k, seed):
+    """The fused-task BPE loop == the bounded-driver loop on random
+    low-vocab corpora (dense overlap runs, ties, empty sequences)."""
+    import numpy as np
+    import ray.data as rd
+
+    from logpipe_ray.functions.bpe import learn_bpe_merges
+
+    rng = np.random.default_rng(seed)
+    seqs = [
+        rng.integers(1, vocab + 1, size=int(rng.integers(0, 15))).tolist()
+        for _ in range(nseq)
+    ]
+    tbl = pa.table({"tokens": pa.array(seqs, pa.list_(pa.int32()))})
+    driver = learn_bpe_merges(rd.from_arrow(tbl).repartition(4), k_merges=k)
+    fused = learn_bpe_merges(
+        rd.from_arrow(tbl).repartition(4), k_merges=k, driver_rows=0
+    )
+    assert driver.equals(fused)
